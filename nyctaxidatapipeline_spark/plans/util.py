@@ -1,0 +1,32 @@
+"""Plan-level helpers: oracle-comparison normalization and plan inspection."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def round_doubles(df: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Round every DoubleType/FloatType column to ``ndigits``.
+
+    Floating-point aggregation is order-sensitive; Spark sums partitions in
+    shuffle order while the DuckDB oracle sums sequentially, so raw double
+    aggregates can differ in the last few ulps. The differential harness
+    rounds BOTH sides to the same precision (oracle SQL uses
+    ``ROUND(x, n)``), making the value-hash comparison deterministic while
+    still catching real errors (1e-6 ≪ any semantic difference).
+    """
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            cols.append(F.round(F.col(f.name).cast("double"), ndigits).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what ``df.explain`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode)

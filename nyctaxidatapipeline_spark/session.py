@@ -1,0 +1,53 @@
+"""SparkSession bootstrap.
+
+Reference equivalent: ``yellow_taxi_etl.py:57-61`` (bare ``builder.appName``).
+Ours pins the configs that matter for correctness (UTC timestamps for oracle
+parity) and for scale (AQE, skew-join handling, sane shuffle parallelism).
+
+On a real cluster the same builder is used — only ``master`` and the memory /
+shuffle-partition numbers come from the environment. Local defaults target
+the test harness (local[32], 128 GiB host).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One knob for local parallelism; the driver exports SPARK_GRAFT_CPUS.
+_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "nyctaxidatapipeline_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``shuffle_partitions`` defaults to the local core count: at 100 TB this is
+    instead sized so that ``input_bytes / partitions`` stays in the 100-500 MB
+    band per task, and AQE coalescing trims the small tail.
+    """
+    n_shuffle = shuffle_partitions or int(_CPUS)
+    builder = (
+        SparkSession.builder
+        .master(master or f"local[{_CPUS}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture parquet stores TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read as long and let sources.tables restore timestamps
+        # (truncated to micros, matching DuckDB's nanos handling).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
