@@ -22,6 +22,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.functions import bucketize, guarded_ratio
+from nyctaxidatapipeline_spark.functions.json import json_field
+from nyctaxidatapipeline_spark.operators.joins import (
+    anti_join,
+    semi_join,
+    star_join,
+)
+from nyctaxidatapipeline_spark.operators.setops import (
+    except_distinct,
+    intersect_distinct,
+)
+from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.operators import (
     demand_heatmap,
     distance_distribution,
@@ -141,6 +152,103 @@ def _q_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out)
 
 
+# --------------------------------------------------------------------------
+# Gap operators (SURVEY.md §2.5-2.8: joins, windows, set ops) + JSON
+# --------------------------------------------------------------------------
+
+def _q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join lineitem⋈orders⋈customer⋈nation⋈region → revenue per
+    (region, nation). Dims broadcast (region/nation structurally tiny);
+    lineitem⋈orders is the one shuffle join (SURVEY.md §2.5)."""
+    li = _lineitem(spark, sf_dir)
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    joined = star_join(
+        li.join(od, li.l_orderkey == od.o_orderkey),
+        [(cu, F.col("o_custkey") == F.col("c_custkey")),
+         (na, F.col("c_nationkey") == F.col("n_nationkey")),
+         (re, F.col("n_regionkey") == F.col("r_regionkey"))])
+    out = (joined.groupBy("r_name", "n_name")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue"),
+                F.count("*").alias("n_items")))
+    return round_doubles(out)
+
+
+def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: 3 highest-value orders per customer
+    (row_number with orderkey tiebreak for determinism)."""
+    od = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        od.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3, desc=False, rank_col="rn")
+    return out
+
+
+def _q_urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 urgent order."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT")
+    return semi_join(cu.select("c_custkey", "c_name"), urgent,
+                     F.col("c_custkey") == F.col("o_custkey"))
+
+
+def _q_customers_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no high-value order
+    (>350k — the fixture references every key, so an unfiltered anti-join
+    would be vacuously empty)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    big = od.filter(F.col("o_totalprice") > 350000.0)
+    return anti_join(cu.select("c_custkey", "c_name", "c_mktsegment"), big,
+                     F.col("c_custkey") == F.col("o_custkey"))
+
+
+def _q_purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): users with purchase events minus users with
+    severe (value>250) error events."""
+    ev = _events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = (ev.filter((F.col("event_type") == "error") &
+                     (F.col("value") > 250.0))
+             .select("user_id"))
+    return except_distinct(purch, err)
+
+
+def _q_signup_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): users with both signup and purchase events."""
+    ev = _events(spark, sf_dir)
+    sign = ev.filter(F.col("event_type") == "signup").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return intersect_distinct(sign, purch)
+
+
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (flag, status): subtotals + grand total in one pass
+    (multi-granularity upgrade of A1, SURVEY.md §7 step 6)."""
+    li = _lineitem(spark, sf_dir)
+    out = (li.rollup("l_returnflag", "l_linestatus")
+             .agg(F.sum("l_quantity").alias("sum_qty"),
+                  F.count("*").alias("n_items")))
+    return round_doubles(out)
+
+
+def _q_json_extract_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from events.props + aggregate over the
+    extracted value (get_json_object — JVM-side)."""
+    ev = _events(spark, sf_dir)
+    out = (ev.withColumn("k_value", json_field("props", "k", cast="int"))
+             .groupBy("event_type")
+             .agg(F.avg("k_value").alias("avg_k"),
+                  F.count("*").alias("n_events")))
+    return round_doubles(out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -153,6 +261,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fare_anomalies": _q_fare_anomalies,
         "cleaning_dropna": _q_cleaning_dropna,
         "hourly_window": _q_hourly_window,
+        "star_join_revenue": _q_star_join_revenue,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "urgent_customers_semi": _q_urgent_customers_semi,
+        "customers_no_orders_anti": _q_customers_no_orders_anti,
+        "purchasers_without_errors": _q_purchasers_without_errors,
+        "signup_and_purchase": _q_signup_and_purchase,
+        "rollup_revenue": _q_rollup_revenue,
+        "json_extract_k": _q_json_extract_k,
     }
 
 
@@ -252,5 +368,64 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_value
             FROM events
             GROUP BY 1
+        """,
+        "star_join_revenue": """
+            SELECT r_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS INTEGER) AS rn
+                FROM orders)
+            WHERE rn <= 3
+        """,
+        "urgent_customers_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        """,
+        "customers_no_orders_anti": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 350000.0)
+        """,
+        "purchasers_without_errors": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 250.0
+        """,
+        "signup_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "json_extract_k": """
+            SELECT event_type,
+                   ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k')
+                                      AS INTEGER)), 6) AS avg_k,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
     }

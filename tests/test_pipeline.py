@@ -1,0 +1,90 @@
+"""End-to-end pipeline test on a synthetic taxi-shaped table (FIXTURES.md §A),
+including the null/edge rows every fixture must carry."""
+
+import datetime as dt
+import random
+
+from pyspark.sql import Row
+
+from nyctaxidatapipeline_spark import pipeline, sinks
+from nyctaxidatapipeline_spark.operators import drop_null_rows
+
+
+def _trip(i, **over):
+    rng = random.Random(i)
+    pick = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(500000))
+    base = dict(
+        VendorID=rng.choice([1, 2]),
+        tpep_pickup_datetime=pick,
+        tpep_dropoff_datetime=pick + dt.timedelta(minutes=rng.randrange(0, 180)),
+        passenger_count=rng.randrange(0, 7),
+        trip_distance=round(rng.uniform(0, 50), 2),
+        RatecodeID=rng.choice([1, 2, 3, 4, 5, 6, 99]),
+        store_and_fwd_flag=rng.choice(["Y", "N"]),
+        PULocationID=rng.randrange(1, 20),
+        DOLocationID=rng.randrange(1, 20),
+        payment_type=rng.choice([1, 2, 3, 4, 5, 6]),
+        fare_amount=round(rng.uniform(-10, 500), 2),
+        extra=1.0, mta_tax=0.5, tip_amount=round(rng.uniform(0, 100), 2),
+        tolls_amount=0.0, improvement_surcharge=1.0, total_amount=100.0,
+        congestion_surcharge=2.5, Airport_fee=0.0)
+    base.update(over)
+    return Row(**base)
+
+
+def _taxi_df(spark, n=300):
+    rows = [_trip(i) for i in range(n)]
+    # Edge rows: nulls in each scrub-relevant column, zero fare/dist/duration.
+    pick = dt.datetime(2024, 1, 6, 12)  # Saturday
+    rows += [
+        _trip(1001, fare_amount=None),
+        _trip(1002, trip_distance=None),
+        _trip(1003, store_and_fwd_flag=None),
+        _trip(1004, fare_amount=0.0),
+        _trip(1005, trip_distance=0.0),
+        _trip(1006, tpep_pickup_datetime=pick, tpep_dropoff_datetime=pick),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_clean_then_analytics_end_to_end(spark, tmp_path):
+    raw = _taxi_df(spark)
+    cleaned = drop_null_rows(raw, subset=pipeline.TRIP_COLUMNS)
+    # property: no nulls survive in any scrub column; count monotone.
+    assert cleaned.count() == raw.count() - 3
+    for c in pipeline.TRIP_COLUMNS:
+        assert cleaned.filter(cleaned[c].isNull()).count() == 0
+
+    tables = pipeline.run_pipeline(cleaned, sink="parquet",
+                                   base_path=str(tmp_path))
+    assert set(tables) == {
+        "demand_heatmap", "tip_trends", "trip_performance", "popular_routes",
+        "payment_analysis", "distance_distribution", "fare_anomalies"}
+    # re-read one output to prove the sink round-trips
+    hm = spark.read.parquet(str(tmp_path / "demand_heatmap"))
+    assert hm.count() > 0
+    assert set(hm.columns) == {"PULocationID", "pickup_hour", "n_trips"}
+    # payment decode produced labels
+    pm = tables["payment_analysis"]
+    labels = {r.payment_method for r in pm.collect()}
+    assert labels <= {"Credit Card", "Cash", "No Charge", "Dispute", "Unknown"}
+
+
+def test_append_semantics_anomalies_always_overwrite(spark, tmp_path):
+    df = _taxi_df(spark, n=50)
+    cleaned = drop_null_rows(df, subset=pipeline.TRIP_COLUMNS)
+    pipeline.run_pipeline(cleaned, sink="parquet", base_path=str(tmp_path))
+    n1 = spark.read.parquet(str(tmp_path / "demand_heatmap")).count()
+    a1 = spark.read.parquet(str(tmp_path / "fare_anomalies")).count()
+    pipeline.run_pipeline(cleaned, sink="parquet", base_path=str(tmp_path),
+                          append=True)
+    n2 = spark.read.parquet(str(tmp_path / "demand_heatmap")).count()
+    a2 = spark.read.parquet(str(tmp_path / "fare_anomalies")).count()
+    assert n2 == 2 * n1          # append doubled the analytics table
+    assert a2 == a1              # anomalies stayed overwrite
+
+
+def test_console_and_noop_sinks(spark):
+    df = _taxi_df(spark, n=20)
+    sinks.write_output(df.select("VendorID"), "console", n=2)
+    sinks.write_output(df.select("VendorID"), "noop")
