@@ -32,6 +32,18 @@ from nyctaxidatapipeline_spark.operators.setops import (
     except_distinct,
     intersect_distinct,
 )
+from nyctaxidatapipeline_spark.functions.text import shingles, tokens
+from nyctaxidatapipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from nyctaxidatapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    rp_lsh_near_dup,
+)
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.operators import (
     demand_heatmap,
@@ -249,6 +261,65 @@ def _q_json_extract_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out)
 
 
+# --------------------------------------------------------------------------
+# North star: dedup suite + similarity search (BASELINE.json)
+# --------------------------------------------------------------------------
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic representative (min doc_id) per distinct
+    text + duplicate count (hash groupBy — one shuffle at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (brute-force candidate
+    join with stop-shingle cap — the oracle-checked exact path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return round_doubles(jaccard_pairs(docs, "text", "doc_id",
+                                       n=3, threshold=0.5, max_df=100))
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (32 hashes, 8 bands) with exact-Jaccard
+    verification — the 100 TB scale path. Rows-only check (sketches are
+    engine-hash-specific); exactness of the verify step is covered by
+    ngram_jaccard's oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return round_doubles(minhash_lsh_pairs(docs, "text", "doc_id",
+                                           n=3, num_hashes=32, bands=8,
+                                           threshold=0.5))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within Hamming ≤ 3 over word-bigram
+    features (banded pigeonhole candidates). Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, shingles(tokens("text"), 2), "doc_id",
+                              max_hamming=3, bands=4)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.4 — fixture embeddings are
+    near-orthogonal, max pair ≈ 0.51). Exact all-pairs path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5 (broadcast
+    queries, fold dot product, windowed rank — exact baseline ANN)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (16 planes, 4 bands) with exact
+    rerank — the approximate scale path. Rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_near_dup(emb, threshold=0.4, planes=16, bands=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -269,6 +340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_and_purchase": _q_signup_and_purchase,
         "rollup_revenue": _q_rollup_revenue,
         "json_extract_k": _q_json_extract_k,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
     }
 
 
@@ -427,5 +505,76 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "exact_dedup": """
+            SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY text
+        """,
+        # Tokenization contract mirrored from functions/text.py: lowercase,
+        # whitespace-split, empties dropped; 3-gram shingles, DISTINCT per
+        # doc; stop-shingles with document frequency > 100 excluded from
+        # candidate generation (max_df) but counted in set sizes.
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-2, 0) + 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                     AS u(sg)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+            ), filt AS (
+              SELECT * FROM sh WHERE sg NOT IN
+                  (SELECT sg FROM sh GROUP BY sg HAVING count(*) > 100)
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              FROM filt a JOIN filt b USING (sg)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(n_shared::DOUBLE /
+                         (sa.set_size + sb.set_size - n_shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)
+                  >= 0.5
+        """,
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.vec, b.vec) /
+                         (sqrt(list_dot_product(a.vec, a.vec)) *
+                          sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.vec, b.vec) /
+                        (sqrt(list_dot_product(a.vec, a.vec)) *
+                         sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 scored AS (
+                   SELECT query_id, vec_id,
+                          ROUND(list_dot_product(qv, cv) /
+                                (sqrt(list_dot_product(qv, qv)) *
+                                 sqrt(list_dot_product(cv, cv))), 6) AS cosine
+                   FROM c, q)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 10
         """,
     }

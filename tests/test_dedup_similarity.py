@@ -1,0 +1,98 @@
+"""Unit tests: dedup suite + similarity search on crafted inputs."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.functions.text import shingles, token_count, tokens
+from nyctaxidatapipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from nyctaxidatapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different text with other words here entirely"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([Row(text="  A b  C ")])
+    row = df.select(tokens("text").alias("tk"),
+                    token_count("text").alias("n"),
+                    shingles(tokens("text"), 2).alias("sh")).collect()[0]
+    assert row.tk == ["a", "b", "c"] and row.n == 3
+    assert row.sh == ["a b", "b c"]
+    # shorter than n → empty shingle set
+    short = spark.createDataFrame([Row(text="one two")])
+    assert short.select(shingles(tokens("text"), 3)).collect()[0][0] == []
+
+
+def test_exact_dedup_representative(spark):
+    out = {r.text: (r.doc_id, r.n_copies)
+           for r in exact_dedup(_docs(spark), ["text"], "doc_id").collect()}
+    assert out[DOCS[0][1]] == (0, 2)   # min id kept, 2 copies
+    assert len(out) == 3
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(_docs(spark), "text", "doc_id",
+                                  n=3, threshold=0.2).collect()}
+    assert (0, 2) in out and out[(0, 2)] == 1.0       # exact dup
+    assert (0, 1) in out and 0.5 < out[(0, 1)] < 1.0  # near dup
+    assert (1, 2) in out
+    assert not any(3 in p for p in out)                # unrelated doc absent
+
+
+def test_minhash_lsh_recovers_exact_dups(spark):
+    out = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        _docs(spark), "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.9).collect()}
+    assert (0, 2) in out  # identical docs always collide in every band
+
+
+def test_simhash_identical_distance_zero(spark):
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(
+        _docs(spark), shingles(tokens("text"), 2), "doc_id",
+        max_hamming=8, bands=4).collect()}
+    assert out.get((0, 2)) == 0  # identical docs → identical fingerprints
+
+
+def _vecs(spark):
+    return spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0]),  # ~parallel to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),     # orthogonal
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),    # opposite
+    ])
+
+
+def test_embedding_near_dup_threshold(spark):
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_near_dup(_vecs(spark), 0.95).collect()}
+    assert list(out) == [(0, 1)]
+    assert abs(out[(0, 1)] - 0.99995) < 1e-4
+
+
+def test_brute_force_topk_ranking(spark):
+    vecs = _vecs(spark)
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].cosine == 1.0
+    assert rows[3].cosine == -1.0
+    assert math.isclose(rows[1].cosine, 0.99995, abs_tol=1e-4)
