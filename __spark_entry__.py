@@ -44,6 +44,12 @@ from nyctaxidatapipeline_spark.operators.similarity import (
     embedding_near_dup,
     rp_lsh_near_dup,
 )
+from nyctaxidatapipeline_spark.operators.text_analysis import (
+    fingerprint_dedup,
+    language_confusion,
+    quality_score,
+    token_stats,
+)
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.operators import (
     demand_heatmap,
@@ -320,6 +326,36 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_near_dup(emb, threshold=0.4, planes=16, bands=4)
 
 
+# --------------------------------------------------------------------------
+# North star: text analysis (language ID, quality, token stats, fingerprint)
+# --------------------------------------------------------------------------
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (CJK check + marker-stopword argmax) as a
+    label x prediction confusion table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_confusion(docs, "text", "lang")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting (whitespace tokenizer contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs, "text", "doc_id")
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics + combined score per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, "text", "doc_id")
+
+
+def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 content fingerprint dedup (case/whitespace
+    insensitive exact identity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -347,6 +383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "lang_confusion": _q_lang_confusion,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "fingerprint_dedup": _q_fingerprint_dedup,
     }
 
 
@@ -576,5 +616,100 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        # Tokenizer contract (functions/text.py): lowercase, whitespace
+        # split, empties dropped. Marker lists mirror text_analysis.MARKERS.
+        "lang_confusion": """
+            WITH toks AS (
+              SELECT lang, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), scored AS (
+              SELECT lang,
+                     regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS has_cjk,
+                     len(list_filter(tk, t -> list_contains(
+                       ['the','a','is','and','of','to','in','that','it','for'],
+                       t))) AS en,
+                     len(list_filter(tk, t -> list_contains(
+                       ['der','die','das','und','ist','nicht','mit','ein',
+                        'zu','den'], t))) AS de,
+                     len(list_filter(tk, t -> list_contains(
+                       ['el','los','que','y','un','es','por','una','con',
+                        'para'], t))) AS es,
+                     len(list_filter(tk, t -> list_contains(
+                       ['le','les','et','est','une','dans','pour','vous',
+                        'nous','sur'], t))) AS fr
+              FROM toks
+            ), pred AS (
+              SELECT lang,
+                     CASE WHEN has_cjk THEN 'zh'
+                          WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0
+                               THEN 'und'
+                          WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                          WHEN de >= es AND de >= fr THEN 'de'
+                          WHEN es >= fr THEN 'es'
+                          ELSE 'fr' END AS pred_lang
+              FROM scored)
+            SELECT lang, pred_lang, COUNT(*) AS n_docs
+            FROM pred GROUP BY lang, pred_lang
+        """,
+        "token_stats": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(tk) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CASE WHEN len(tk) > 0 THEN
+                        ROUND(CAST(list_sum(list_transform(tk,
+                                   t -> length(t))) AS DOUBLE) / len(tk), 6)
+                   END AS avg_token_len
+            FROM toks
+        """,
+        "quality_score": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), comp AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS INTEGER) AS n_tokens,
+                     least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+                         AS length_score,
+                     CASE WHEN len(tk) > 0 THEN
+                          CAST(len(list_filter(tk, t -> list_contains(
+                            ['the','a','is','and','of','to','in','that','it',
+                             'for'], t))) AS DOUBLE) / len(tk) END
+                         AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                          CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                               AS DOUBLE) / length(text) END AS punct_ratio
+              FROM toks)
+            SELECT doc_id, n_tokens,
+                   ROUND(length_score, 6) AS length_score,
+                   ROUND(stopword_ratio, 6) AS stopword_ratio,
+                   ROUND(punct_ratio, 6) AS punct_ratio,
+                   ROUND(0.5 * length_score
+                         + 0.3 * least(COALESCE(stopword_ratio, 0.0) * 5.0,
+                                       1.0)
+                         + 0.2 * least(COALESCE(punct_ratio, 0.0) * 20.0,
+                                       1.0), 6) AS quality_score
+            FROM comp
+        """,
+        "fingerprint_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents)
+            SELECT md5(array_to_string(tk, ' ')) AS fingerprint,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM toks
+            GROUP BY 1
         """,
     }

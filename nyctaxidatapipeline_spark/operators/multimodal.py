@@ -1,0 +1,124 @@
+"""Multimodal columns — images/audio/video as opaque binary + typed metadata.
+
+North-star plumbing (BASELINE.json): the Spark-side architecture is real —
+schemas, Arrow batch flow, partitioning — while the media decode itself is
+stubbed (no PIL/ffmpeg in this container; each stub documents the exact
+library call that slots in and raises ``NotImplementedError`` unless the
+deterministic fake-codec path is requested).
+
+Design:
+  * One row per asset: ``asset_id long, media binary, meta struct<...>``.
+  * All decode/feature ops run via ``mapInPandas`` — Arrow-batched, one
+    Python worker per partition, batch shape preserved (never per-row
+    Python). At 100 TB: binary columns dominate scan bytes, so always
+    column-prune before a decode stage and repartition by expected decode
+    cost, not row count (a task of 4k videos ≠ a task of 4k thumbnails).
+  * The deterministic "fake codec" parses a tiny header we also use in
+    tests: bytes 0-3 width (LE), 4-7 height (LE), pixel payload after.
+    It exercises the full plumbing (schema, batching, null media).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema for image feature extraction.
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, width int, height int, n_bytes long, "
+    "mean_intensity double"
+)
+
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_index int, frame_offset long"
+
+
+def _decode_header(media: bytes | None) -> tuple[int, int, bytes] | None:
+    """Fake codec: 8-byte header (width, height as uint32 LE) + payload."""
+    if media is None or len(media) < 8:
+        return None
+    width, height = struct.unpack("<II", media[:8])
+    return width, height, media[8:]
+
+
+def image_features(df: DataFrame, media_col: str = "media",
+                   id_col: str = "asset_id",
+                   codec: str = "fake") -> DataFrame:
+    """Decode + feature-extract per image over Arrow batches.
+
+    ``codec='real'`` is where ``PIL.Image.open(io.BytesIO(b))`` slots in —
+    unavailable in this container, so it raises. ``codec='fake'`` parses
+    the deterministic header (tests + plumbing verification).
+    """
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real image decode needs PIL; wire "
+                    "PIL.Image.open(io.BytesIO(media)) here")
+            out = []
+            for aid, media in zip(pdf[id_col], pdf[media_col]):
+                parsed = _decode_header(media)
+                if parsed is None:
+                    out.append((aid, None, None, None, None))
+                    continue
+                w, h, payload = parsed
+                mean = (float(sum(payload)) / len(payload)
+                        if payload else None)
+                out.append((aid, w, h, len(media), mean))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "width", "height", "n_bytes",
+                              "mean_intensity"])
+
+    pruned = df.select(F.col(id_col).alias(id_col), media_col)
+    return pruned.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10,
+                 media_col: str = "media", id_col: str = "asset_id",
+                 frame_size: int = 256, codec: str = "fake") -> DataFrame:
+    """Sample every ``every_n``-th frame offset from a video binary.
+
+    ``codec='real'`` is the ffmpeg/PyAV slot-in. The fake codec treats the
+    payload as fixed-size frames of ``frame_size`` bytes — deterministic
+    offsets that exercise the explode-shaped output (rows out ≫ rows in).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real frame sampling needs PyAV/ffmpeg")
+            rows = []
+            for aid, media in zip(pdf[id_col], pdf[media_col]):
+                parsed = _decode_header(media)
+                if parsed is None:
+                    continue
+                _, _, payload = parsed
+                n_frames = len(payload) // frame_size
+                for idx, f_i in enumerate(range(0, n_frames, every_n)):
+                    rows.append((aid, idx, 8 + f_i * frame_size))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_index", "frame_offset"])
+
+    pruned = df.select(F.col(id_col).alias(id_col), media_col)
+    return pruned.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Cheap JVM-side metadata (no decode): byte length + magic-byte format
+    sniff — the column you filter/partition on BEFORE paying for decode."""
+    media = F.col(media_col)
+    fmt = (F.when(F.substring(media, 1, 3) == bytes([0xFF, 0xD8, 0xFF]),
+                  "jpeg")
+            .when(F.substring(media, 1, 4) == b"\x89PNG", "png")
+            .when(F.substring(media, 1, 4) == b"RIFF", "riff")
+            .otherwise("unknown"))
+    return (df.withColumn("media_bytes", F.length(media))
+              .withColumn("media_format", fmt))

@@ -1,0 +1,142 @@
+"""Text analysis — language ID, quality scoring, token stats, fingerprinting.
+
+North-star operators for a training-data pipeline (BASELINE.json). All pure
+Catalyst expressions (regexp/array lambdas, JVM-side) — no Python UDFs in
+any path, so these run at scan speed and the oracle can mirror the exact
+rules in SQL.
+
+Design notes:
+  * ``language_id`` is a marker-stopword heuristic + CJK codepoint check —
+    the classic cheap pre-filter before a real model (fastText et al. are
+    not in this container, and a model call would be a Pandas-UDF slot-in
+    at the same place).
+  * ``quality_score`` mirrors common LLM-data heuristics: length,
+    punctuation density, stopword density (Gopher/C4-style rules).
+  * ``fingerprint`` is the md5 of the *normalized* token stream —
+    whitespace/case-insensitive exact-dup detection (cheaper and stricter
+    than shingle Jaccard; the dedup suite covers the fuzzy end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.functions.text import token_count, tokens
+
+#: Marker stopwords per language (tiny, deliberately disjoint-ish sets).
+MARKERS = {
+    "en": ["the", "a", "is", "and", "of", "to", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",
+           "den"],
+    "es": ["el", "los", "que", "y", "un", "es", "por", "una", "con", "para"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "vous", "nous",
+           "sur"],
+}
+
+_CJK_PATTERN = "[一-鿿]"
+_PUNCT_PATTERN = "[.,;:!?]"
+
+
+def _marker_hits(tokens_col: Column, lang: str) -> Column:
+    markers = MARKERS[lang]
+    return F.size(F.filter(tokens_col,
+                           lambda t: t.isin(*markers)))
+
+
+def language_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds ``cjk_chars`` and per-language marker-hit counts."""
+    tk = tokens(text_col)
+    out = df.withColumn("cjk_chars",
+                        F.regexp_count(F.col(text_col), F.lit(_CJK_PATTERN)))
+    for lang in MARKERS:
+        out = out.withColumn(f"score_{lang}", _marker_hits(tk, lang))
+    return out
+
+
+def language_id(df: DataFrame, text_col: str,
+                alias: str = "pred_lang") -> DataFrame:
+    """Predicted language: 'zh' on any CJK codepoint, else argmax of
+    marker hits (tie order en > de > es > fr), 'und' when no markers hit.
+    Deterministic — the DuckDB oracle mirrors the same CASE ladder."""
+    scored = language_scores(df, text_col)
+    en, de, es, fr = (F.col(f"score_{lang}") for lang in MARKERS)
+    pred = (
+        F.when(F.col("cjk_chars") > 0, "zh")
+         .when((en == 0) & (de == 0) & (es == 0) & (fr == 0), "und")
+         .when((en >= de) & (en >= es) & (en >= fr), "en")
+         .when((de >= es) & (de >= fr), "de")
+         .when(es >= fr, "es")
+         .otherwise("fr"))
+    return scored.withColumn(alias, pred).drop(
+        "cjk_chars", *[f"score_{lang}" for lang in MARKERS])
+
+
+def language_confusion(df: DataFrame, text_col: str,
+                       label_col: str) -> DataFrame:
+    """Confusion counts (label x prediction) — compact accuracy surface."""
+    return (language_id(df, text_col)
+            .groupBy(label_col, "pred_lang")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc token statistics: count, char length, mean token length."""
+    tk = tokens(text_col)
+    total_len = F.aggregate(
+        F.transform(tk, lambda t: F.length(t)),
+        F.lit(0), lambda acc, x: acc + x)
+    n = F.size(tk)
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.when(n > 0, F.round(total_len.cast("double") / n, 6))
+         .alias("avg_token_len"))
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics + one combined score.
+
+    Components (all NULL-guarded for empty text):
+      length_score   = min(n_tokens / 100, 1)        — reward substance
+      stopword_ratio = en-marker tokens / tokens      — prose-likeness
+      punct_ratio    = punct chars / chars            — structure signal
+      score = 0.5·length + 0.3·min(stop·5, 1) + 0.2·min(punct·20, 1)
+    """
+    tk = tokens(text_col)
+    n = F.size(tk)
+    chars = F.length(F.col(text_col))
+    stop_hits = _marker_hits(tk, "en")
+    punct = F.regexp_count(F.col(text_col), F.lit(_PUNCT_PATTERN))
+    length_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    stop_ratio = F.when(n > 0, stop_hits.cast("double") / n)
+    punct_ratio = F.when(chars > 0, punct.cast("double") / chars)
+    score = (0.5 * length_score
+             + 0.3 * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 5.0,
+                             F.lit(1.0))
+             + 0.2 * F.least(F.coalesce(punct_ratio, F.lit(0.0)) * 20.0,
+                             F.lit(1.0)))
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """md5 fingerprint of the normalized token stream (case/whitespace
+    insensitive content identity)."""
+    return df.select(
+        id_col,
+        F.md5(F.concat_ws(" ", tokens(text_col))).alias("fingerprint"))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized exact dedup: representative min-id per fingerprint."""
+    return (fingerprint(df, text_col, id_col)
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("n_copies")))

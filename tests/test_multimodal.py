@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: Arrow-batched decode stubs over mapInPandas
+(real schema/batch flow; deterministic fake codec per operators/multimodal)."""
+
+import struct
+
+import pytest
+from pyspark.sql import Row
+
+from nyctaxidatapipeline_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    with_media_metadata,
+)
+
+
+def _fake_media(width, height, payload: bytes) -> bytes:
+    return struct.pack("<II", width, height) + payload
+
+
+def _assets(spark):
+    return spark.createDataFrame([
+        Row(asset_id=1, media=_fake_media(4, 2, bytes([10, 20, 30, 40]))),
+        Row(asset_id=2, media=_fake_media(8, 8, bytes(range(100)))),
+        Row(asset_id=3, media=b"xx"),     # too short -> NULL features
+        Row(asset_id=4, media=None),      # NULL media
+    ])
+
+
+def test_image_features_fake_codec(spark):
+    got = {r.asset_id: r for r in
+           image_features(_assets(spark)).collect()}
+    assert (got[1].width, got[1].height) == (4, 2)
+    assert got[1].n_bytes == 12
+    assert got[1].mean_intensity == 25.0
+    assert got[2].mean_intensity == sum(range(100)) / 100
+    assert got[3].width is None and got[4].width is None
+
+
+def test_image_features_real_codec_raises(spark):
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        image_features(_assets(spark), codec="real").collect()
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([
+        Row(asset_id=1, media=_fake_media(1, 1, bytes(256 * 25)))])
+    rows = sorted(frame_sample(df, every_n=10, frame_size=256).collect(),
+                  key=lambda r: r.frame_index)
+    # 25 frames, every 10th -> frames 0, 10, 20
+    assert [(r.frame_index, r.frame_offset) for r in rows] == [
+        (0, 8), (1, 8 + 10 * 256), (2, 8 + 20 * 256)]
+
+
+def test_media_metadata_sniff(spark):
+    df = spark.createDataFrame([
+        Row(asset_id=1, media=bytes([0xFF, 0xD8, 0xFF, 0xE0, 1, 2])),
+        Row(asset_id=2, media=b"\x89PNG\r\n"),
+        Row(asset_id=3, media=b"garbage")])
+    got = {r.asset_id: (r.media_format, r.media_bytes)
+           for r in with_media_metadata(df).collect()}
+    assert got[1] == ("jpeg", 6)
+    assert got[2] == ("png", 6)
+    assert got[3][0] == "unknown"
