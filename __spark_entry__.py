@@ -41,7 +41,8 @@ from nyctaxidatapipeline_spark.operators.dedup import (
 )
 from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
-    embedding_near_dup,
+    embedding_dim,
+    embedding_near_dup_numpy,
     rp_lsh_near_dup,
 )
 from nyctaxidatapipeline_spark.operators.text_analysis import (
@@ -283,7 +284,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join with stop-shingle cap — the oracle-checked exact path)."""
     docs = load_table(spark, sf_dir, "documents")
     return round_doubles(jaccard_pairs(docs, "text", "doc_id",
-                                       n=3, threshold=0.5, max_df=100))
+                                       n=3, threshold=0.5, max_df=20))
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,23 +308,26 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.4 — fixture embeddings are
-    near-orthogonal, max pair ≈ 0.51). Exact all-pairs path."""
+    near-orthogonal, max pair ≈ 0.51). Exact all-pairs path: Arrow+NumPy
+    blocked matmul against a broadcast normalized corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.4)
+    return embedding_near_dup_numpy(emb, threshold=0.4)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 5 (broadcast
     queries, fold dot product, windowed rank — exact baseline ANN)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                            dim=embedding_dim(emb))
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup (16 planes, 4 bands) with exact
     rerank — the approximate scale path. Rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return rp_lsh_near_dup(emb, threshold=0.4, planes=16, bands=4)
+    return rp_lsh_near_dup(emb, threshold=0.4, planes=24, bands=4,
+                           dim=embedding_dim(emb))
 
 
 # --------------------------------------------------------------------------
@@ -553,8 +557,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Tokenization contract mirrored from functions/text.py: lowercase,
         # whitespace-split, empties dropped; 3-gram shingles, DISTINCT per
-        # doc; stop-shingles with document frequency > 100 excluded from
-        # candidate generation (max_df) but counted in set sizes.
+        # doc; stop-shingles with document frequency > 20 excluded from
+        # candidate generation (max_df) but counted in set sizes — the cap
+        # bounds candidate pairs at sum(df^2) and is the scale knob.
         "ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id,
@@ -571,7 +576,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
             ), filt AS (
               SELECT * FROM sh WHERE sg NOT IN
-                  (SELECT sg FROM sh GROUP BY sg HAVING count(*) > 100)
+                  (SELECT sg FROM sh GROUP BY sg HAVING count(*) > 20)
             ), shared AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
               FROM filt a JOIN filt b USING (sg)
@@ -620,27 +625,20 @@ def oracle_sql() -> dict[str, str]:
         # Tokenizer contract (functions/text.py): lowercase, whitespace
         # split, empties dropped. Marker lists mirror text_analysis.MARKERS.
         "lang_confusion": """
-            WITH toks AS (
-              SELECT lang, text,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 t -> t <> '') AS tk
-              FROM documents
-            ), scored AS (
+            WITH scored AS (
               SELECT lang,
                      regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS has_cjk,
-                     len(list_filter(tk, t -> list_contains(
-                       ['the','a','is','and','of','to','in','that','it','for'],
-                       t))) AS en,
-                     len(list_filter(tk, t -> list_contains(
-                       ['der','die','das','und','ist','nicht','mit','ein',
-                        'zu','den'], t))) AS de,
-                     len(list_filter(tk, t -> list_contains(
-                       ['el','los','que','y','un','es','por','una','con',
-                        'para'], t))) AS es,
-                     len(list_filter(tk, t -> list_contains(
-                       ['le','les','et','est','une','dans','pour','vous',
-                        'nous','sur'], t))) AS fr
-              FROM toks
+                     len(regexp_extract_all(lower(text),
+                       '\\b(?:the|a|is|and|of|to|in|that|it|for)\\b')) AS en,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(?:der|die|das|und|ist|nicht|mit|ein|zu|den)\\b'))
+                       AS de,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(?:el|los|que|y|un|es|por|una|con|para)\\b')) AS es,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(?:le|les|et|est|une|dans|pour|vous|nous|sur)\\b'))
+                       AS fr
+              FROM documents
             ), pred AS (
               SELECT lang,
                      CASE WHEN has_cjk THEN 'zh'

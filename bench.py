@@ -46,6 +46,12 @@ def main() -> None:
         t = time.perf_counter()
         _force(fn(spark, SF_DIR))
         times[name] = round(time.perf_counter() - t, 3)
+        # Per-query isolation: drop cached frames and force a JVM GC —
+        # Spark's ContextCleaner reclaims shuffle files / broadcast blobs
+        # only when the JVM collects the dropped references, and a
+        # backlog slows later heavy queries 3-6x.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()  # noqa: SLF001
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

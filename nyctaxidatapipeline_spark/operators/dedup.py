@@ -63,7 +63,11 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     from shared-shingle counts: J = |A∩B| / (|A| + |B| - |A∩B|).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = doc_shingles(df, text_col, id_col, n).cache()
+    # No .cache() here: the shingle frame is read by three branches, but a
+    # leaked cache in a long-lived session (bench, driver) costs more in GC
+    # pressure than the pipelined recompute of a split+explode. Callers
+    # doing repeated near-dup sweeps can persist the input themselves.
+    sh = doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     pairs_src = sh
     if max_df is not None:
@@ -131,9 +135,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     cand = (left.join(right, ["band", "bucket"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
-    exact = jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold,
-                          max_df=None)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Verify ONLY the candidates (never the full O(pairs) join — that would
+    # defeat LSH): join each side's distinct-shingle set and compute
+    # J = |A∩B| / |A∪B| per pair. Same integers as the brute-force
+    # n_shared/(sa+sb-n_shared) formula, so values match the exact path.
+    sets = (doc_shingles(df, text_col, id_col, n)
+            .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .select("id_a", "id_b",
+                        (F.size(F.array_intersect("sh_a", "sh_b"))
+                         / F.size(F.array_union("sh_a", "sh_b")))
+                        .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
 
 
 def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
@@ -143,8 +158,11 @@ def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
     per-bit ±1 sums (64 agg expressions — wide but columnar) → reassemble
     the fingerprint with bitwise ORs of shifted sign bits.
     """
-    feats = df.select(id_col, F.explode(feature_col).alias("feat"))
-    h = F.xxhash64(F.col("feat"))
+    # Hash once per feature row — inlining xxhash64 into each of the 64
+    # aggregate expressions would recompute it 64x per row.
+    feats = (df.select(id_col, F.explode(feature_col).alias("feat"))
+               .select(id_col, F.xxhash64(F.col("feat")).alias("h")))
+    h = F.col("h")
     sums = feats.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
                .otherwise(-1)).alias(f"b{j}")

@@ -47,6 +47,12 @@ def get_spark(app_name: str = "nyctaxidatapipeline_spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen emits a unique class per query; a long-lived
+        # session running many distinct queries can fill HotSpot's default
+        # code cache, silently disabling the JIT (~20x slowdowns late in a
+        # benchmark run). Reserve enough for the full query sweep.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
