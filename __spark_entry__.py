@@ -51,6 +51,14 @@ from nyctaxidatapipeline_spark.operators.text_analysis import (
     quality_score,
     token_stats,
 )
+from nyctaxidatapipeline_spark.operators.reshape import (
+    cube_agg,
+    distinct_counts,
+    grouped_percentiles,
+    melt,
+    pivot_agg,
+)
+from nyctaxidatapipeline_spark.operators.temporal import asof_join, session_stats
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.operators import (
     demand_heatmap,
@@ -360,6 +368,69 @@ def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(docs, "text", "doc_id")
 
 
+# --------------------------------------------------------------------------
+# Reshape (pivot/unpivot/cube), distinct/percentile aggs, temporal ops
+# --------------------------------------------------------------------------
+
+def _q_pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-returnflag quantity totals spread over linestatus columns
+    (explicit value list -> single-pass CASE aggregation)."""
+    out = pivot_agg(_lineitem(spark, sf_dir), "l_returnflag",
+                    "l_linestatus", ["O", "F"], "l_quantity", prefix="qty_")
+    return round_doubles(out)
+
+
+def _q_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): per-flag sums melted to (measure, val)."""
+    agg = (_lineitem(spark, sf_dir).groupBy("l_returnflag")
+           .agg(F.round(F.sum("l_quantity"), 6).alias("qty"),
+                F.round(F.sum("l_extendedprice"), 6).alias("price")))
+    return melt(agg, ["l_returnflag"], ["qty", "price"])
+
+
+def _q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (flag x status): all four granularities in one pass."""
+    out = cube_agg(_lineitem(spark, sf_dir),
+                   ["l_returnflag", "l_linestatus"],
+                   [F.sum("l_quantity").alias("sum_qty"),
+                    F.count("*").alias("n_items")])
+    return round_doubles(out)
+
+
+def _q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (p50/p95 of price); the
+    approx sketch mode is the 100 TB path (same operator, mode='approx')."""
+    return grouped_percentiles(_lineitem(spark, sf_dir), ["l_returnflag"],
+                               "l_extendedprice", (0.5, 0.95), mode="exact")
+
+
+def _q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact distinct cardinality (HLL approx mode exists for
+    scale; exact mode is the oracle-checked twin)."""
+    return distinct_counts(_lineitem(spark, sf_dir), ["l_returnflag"],
+                           "l_partkey", mode="exact")
+
+
+def _q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + running sum
+    (one window shuffle), with per-session stats."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return session_stats(ev, ["user_id"], "ts", gap_seconds=1800)
+
+
+def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each error event picks up the most
+    recent purchase of the same user. Union + carry-forward window — the
+    composition Spark lacks natively; DuckDB oracle uses its native
+    ASOF LEFT JOIN."""
+    ev = _events(spark, sf_dir)
+    errors = (ev.filter(F.col("event_type") == "error")
+                .select("event_id", "user_id", "ts", "value"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "value"))
+    return asof_join(errors, purchases, ["user_id"], "ts", "ts", ["value"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -391,6 +462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "fingerprint_dedup": _q_fingerprint_dedup,
+        "pivot_qty": _q_pivot_qty,
+        "melt_measures": _q_melt_measures,
+        "cube_revenue": _q_cube_revenue,
+        "grouped_percentiles": _q_grouped_percentiles,
+        "distinct_parts": _q_distinct_parts,
+        "sessionize_users": _q_sessionize_users,
+        "asof_last_purchase": _q_asof_last_purchase,
     }
 
 
@@ -709,5 +787,72 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM toks
             GROUP BY 1
+        """,
+        "pivot_qty": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                                  THEN l_quantity END), 6) AS qty_O,
+                   ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                                  THEN l_quantity END), 6) AS qty_F
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "melt_measures": """
+            WITH a AS (
+              SELECT l_returnflag,
+                     ROUND(SUM(l_quantity), 6) AS qty,
+                     ROUND(SUM(l_extendedprice), 6) AS price
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'qty' AS measure, qty AS val FROM a
+            UNION ALL
+            SELECT l_returnflag, 'price' AS measure, price AS val FROM a
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouped_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "distinct_parts": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "sessionize_users": """
+            WITH e AS (
+              SELECT user_id, ts, floor(epoch(ts)) AS ep FROM events
+            ), flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ep) OVER w IS NULL
+                               OR ep - lag(ep) OVER w > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_last_purchase": """
+            SELECT e.event_id, e.user_id, e.ts, e.value,
+                   p.ts AS asof_ts, p.value AS asof_value
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND p.ts <= e.ts
         """,
     }

@@ -1,0 +1,72 @@
+"""Reshaping & multi-granularity aggregation: pivot, unpivot/melt,
+cube/rollup, grouped percentiles, distinct counts.
+
+Extension surface (SURVEY.md §2.4 notes the reference never uses distinct
+aggregates, grouping sets, or pivot — these close that gap with pure
+built-ins).
+
+Scale notes:
+  * ``pivot`` with an explicit value list compiles to one pass of CASE
+    aggregates — no extra shuffle vs a plain groupBy (always pass the
+    list; value discovery adds a distinct scan).
+  * ``cube``/``rollup`` expand rows by the number of grouping sets BEFORE
+    the shuffle — at 100 TB prefer rollup (d+1 sets) over cube (2^d).
+  * ``approx_count_distinct`` is the scale path (HLL sketch, mergeable);
+    exact ``countDistinct`` forces a per-key distinct shuffle and exists
+    for oracle parity (same pattern as the A7 quantile modes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_agg(df: DataFrame, group_col: str, pivot_col: str,
+              values: Sequence[str], agg_col: str,
+              prefix: str = "") -> DataFrame:
+    """One pivoted sum column per value (explicit value list → single-pass
+    CASE aggregation, no discovery scan)."""
+    out = (df.groupBy(group_col)
+             .pivot(pivot_col, list(values))
+             .sum(agg_col))
+    for v in values:
+        out = out.withColumnRenamed(str(v), f"{prefix}{v}")
+    return out
+
+
+def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
+         var_name: str = "measure", value_name: str = "val") -> DataFrame:
+    """Unpivot (wide → long), the inverse of pivot."""
+    return df.melt(ids=list(id_cols), values=list(value_cols),
+                   variableColumnName=var_name, valueColumnName=value_name)
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str],
+             agg_exprs: Sequence) -> DataFrame:
+    """CUBE over the grouping columns (all 2^d granularities, NULL rolls)."""
+    return df.cube(*group_cols).agg(*agg_exprs)
+
+
+def grouped_percentiles(df: DataFrame, group_cols: Sequence[str], col: str,
+                        percentiles: Sequence[float] = (0.5, 0.95),
+                        mode: str = "exact") -> DataFrame:
+    """Per-group percentiles: ``exact`` (interpolated, oracle-parity with
+    quantile_cont) or ``approx`` (mergeable sketch — the 100 TB path)."""
+    fn = F.percentile if mode == "exact" else \
+        (lambda c, p: F.percentile_approx(c, p, F.lit(100)))
+    aggs = [F.round(fn(F.col(col), F.lit(p)), 6)
+             .alias(f"p{int(p * 100)}")
+            for p in percentiles]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def distinct_counts(df: DataFrame, group_cols: Sequence[str], col: str,
+                    mode: str = "exact") -> DataFrame:
+    """Per-group distinct cardinality; ``approx`` = HLL sketch (rsd 5%)."""
+    agg = (F.countDistinct(col) if mode == "exact"
+           else F.approx_count_distinct(col))
+    return (df.groupBy(*group_cols)
+              .agg(agg.alias(f"n_distinct_{col}")))

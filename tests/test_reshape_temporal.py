@@ -1,0 +1,109 @@
+"""Unit tests: pivot/melt/cube/percentiles/distinct + sessionize/as-of."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.reshape import (
+    cube_agg,
+    distinct_counts,
+    grouped_percentiles,
+    melt,
+    pivot_agg,
+)
+from nyctaxidatapipeline_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _sales(spark):
+    return spark.createDataFrame([
+        Row(flag="A", status="O", qty=1.0, key=10),
+        Row(flag="A", status="F", qty=2.0, key=11),
+        Row(flag="A", status="O", qty=3.0, key=10),
+        Row(flag="B", status="F", qty=4.0, key=12)])
+
+
+def test_pivot_agg(spark):
+    got = {r.flag: (r.qty_O, r.qty_F) for r in pivot_agg(
+        _sales(spark), "flag", "status", ["O", "F"], "qty",
+        prefix="qty_").collect()}
+    assert got == {"A": (4.0, 2.0), "B": (None, 4.0)}
+
+
+def test_melt_roundtrip(spark):
+    wide = spark.createDataFrame([Row(flag="A", qty=4.0, price=7.0)])
+    rows = {(r.flag, r.measure): r.val
+            for r in melt(wide, ["flag"], ["qty", "price"]).collect()}
+    assert rows == {("A", "qty"): 4.0, ("A", "price"): 7.0}
+
+
+def test_cube_granularities(spark):
+    out = cube_agg(_sales(spark), ["flag", "status"],
+                   [F.count("*").alias("n")])
+    rows = {(r.flag, r.status): r.n for r in out.collect()}
+    assert rows[(None, None)] == 4          # grand total
+    assert rows[("A", None)] == 3           # per-flag roll
+    assert rows[(None, "O")] == 2           # per-status roll
+    assert rows[("A", "O")] == 2            # leaf
+
+
+def test_grouped_percentiles_interpolation(spark):
+    df = spark.createDataFrame([Row(g="x", v=float(i)) for i in range(1, 5)])
+    row = grouped_percentiles(df, ["g"], "v", (0.5,), mode="exact").collect()[0]
+    assert row.p50 == 2.5
+    approx = grouped_percentiles(df, ["g"], "v", (0.5,),
+                                 mode="approx").collect()[0]
+    assert 1.0 <= approx.p50 <= 4.0
+
+
+def test_distinct_counts_modes(spark):
+    df = _sales(spark)
+    exact = distinct_counts(df, ["flag"], "key", mode="exact").collect()
+    assert {r.flag: r.n_distinct_key for r in exact} == {"A": 2, "B": 1}
+    approx = distinct_counts(df, ["flag"], "key", mode="approx").collect()
+    assert all(r.n_distinct_key >= 1 for r in approx)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame([
+        Row(u=1, ts=_ts(0)), Row(u=1, ts=_ts(10)),   # session 1
+        Row(u=1, ts=_ts(60)),                         # gap 50min > 30min
+        Row(u=2, ts=_ts(5))])
+    got = {(r.u, r.ts): r.session_id
+           for r in sessionize(df, ["u"], "ts", 1800).collect()}
+    assert got == {(1, _ts(0)): 1, (1, _ts(10)): 1, (1, _ts(60)): 2,
+                   (2, _ts(5)): 1}
+    stats = {(r.u, r.session_id): r.n_events
+             for r in session_stats(df, ["u"], "ts", 1800).collect()}
+    assert stats == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_boundary_exact_gap_continues(spark):
+    # gap EXACTLY equal to gap_seconds does not start a new session (>).
+    df = spark.createDataFrame([Row(u=1, ts=_ts(0)), Row(u=1, ts=_ts(30))])
+    got = [r.session_id for r in sessionize(df, ["u"], "ts", 1800).collect()]
+    assert got == [1, 1]
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame([
+        Row(id=1, u=1, ts=_ts(10), x=1.0),
+        Row(id=2, u=1, ts=_ts(5), x=2.0),    # exactly at right ts
+        Row(id=3, u=1, ts=_ts(1), x=3.0),    # before any right row
+        Row(id=4, u=2, ts=_ts(50), x=4.0)])  # user with no right rows
+    right = spark.createDataFrame([
+        Row(u=1, ts=_ts(5), v=100.0), Row(u=1, ts=_ts(8), v=200.0)])
+    out = {r.id: (r.asof_ts, r.asof_v) for r in asof_join(
+        left, right, ["u"], "ts", "ts", ["v"]).collect()}
+    assert out[1] == (_ts(8), 200.0)   # latest right <= ts
+    assert out[2] == (_ts(5), 100.0)   # inclusive at equality
+    assert out[3] == (None, None)      # nothing before
+    assert out[4] == (None, None)      # key absent on right
