@@ -59,6 +59,7 @@ from nyctaxidatapipeline_spark.operators.reshape import (
     pivot_agg,
 )
 from nyctaxidatapipeline_spark.operators.temporal import asof_join, session_stats
+from nyctaxidatapipeline_spark.operators.windows import with_lag
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.operators import (
     demand_heatmap,
@@ -431,6 +432,57 @@ def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(errors, purchases, ["user_id"], "ts", "ts", ["value"])
 
 
+# --------------------------------------------------------------------------
+# SQL API surface + X2 inter-arrival analytics
+# --------------------------------------------------------------------------
+
+def _q_tpch_q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 via the SQL API (temp view + spark.sql) — Catalyst plans
+    SQL and DataFrame identically; this query pins the SQL surface."""
+    _lineitem(spark, sf_dir).createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+def _q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand-total counts in one pass."""
+    _lineitem(spark, sf_dir).createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 6) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def _q_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean inter-event gap in minutes — X2 semantics end-to-end
+    (unix_timestamp second truncation before subtraction) over a lag
+    window."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    lagged = with_lag(ev, ["user_id"], "ts", "ts", alias="prev_ts")
+    delta_min = ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                 / 60.0)
+    out = (lagged.withColumn("gap_min", delta_min)
+           .groupBy("user_id")
+           .agg(F.round(F.avg("gap_min"), 6).alias("avg_gap_min"),
+                F.count("gap_min").alias("n_gaps")))
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -469,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_parts": _q_distinct_parts,
         "sessionize_users": _q_sessionize_users,
         "asof_last_purchase": _q_asof_last_purchase,
+        "tpch_q1_sql": _q_tpch_q1_sql,
+        "grouping_sets_sql": _q_grouping_sets_sql,
+        "user_interarrival": _q_user_interarrival,
     }
 
 
@@ -854,5 +909,38 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND p.ts <= e.ts
+        """,
+        "tpch_q1_sql": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                       AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "grouping_sets_sql": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "user_interarrival": """
+            WITH lagged AS (
+              SELECT user_id,
+                     floor(epoch(ts)) AS ep,
+                     lag(floor(epoch(ts))) OVER (PARTITION BY user_id
+                                                 ORDER BY ts) AS prev_ep
+              FROM events)
+            SELECT user_id,
+                   ROUND(AVG((ep - prev_ep) / 60.0), 6) AS avg_gap_min,
+                   COUNT(prev_ep) AS n_gaps
+            FROM lagged
+            GROUP BY user_id
         """,
     }

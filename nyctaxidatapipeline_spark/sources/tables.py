@@ -61,7 +61,13 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     ns_cols: set[str] = set()
     for p in paths:
         ns_cols.update(_nanos_timestamp_cols(p))
+    from pyspark.sql import types as T
     for c in ns_cols:
+        # Only convert columns the reader actually surfaced as raw int64
+        # nanos. (INT96 timestamps also show as timestamp[ns] in the
+        # pyarrow footer but Spark reads them as proper timestamps.)
+        if not isinstance(df.schema[c].dataType, T.LongType):
+            continue
         # int64 nanos -> micros (floor) -> session-TZ-free timestamp.
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
