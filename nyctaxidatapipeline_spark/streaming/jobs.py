@@ -69,6 +69,85 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str],
             .dropDuplicatesWithinWatermark(keys))
 
 
+def sliding_event_counts(stream: DataFrame, ts_col: str = "ts",
+                         watermark: str = "2 hours",
+                         window: str = "1 hour",
+                         slide: str = "30 minutes") -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide
+    overlapping windows). State grows by the overlap factor — size the
+    watermark accordingly."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window, slide).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events"))
+
+
+def session_window_counts(stream: DataFrame, key: str = "user_id",
+                          ts_col: str = "ts", gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows (dynamic length, closed by gap) — the
+    streaming twin of ``operators.temporal.sessionize``."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                     F.col(key))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col(key),
+                    F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    "n_events"))
+
+
+def stateful_running_totals(stream: DataFrame, key: str = "user_id",
+                            value_col: str = "value") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-key event count + value sum maintained across micro-batches.
+
+    The state store holds one (count, sum) pair per key — the pattern for
+    operators Structured Streaming lacks natively (decayed counters,
+    custom sessionization, online sketches). Output mode: update.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(keys, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key: [keys[0]], "n_events": [n],
+                            "total": [total]})
+
+    return (stream.groupBy(key)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def run_foreach_batch_parquet(stream: DataFrame, out_dir: str):
+    """foreachBatch sink: land each micro-batch as parquet (the idempotent
+    exactly-once-per-epoch pattern — a real deployment keys the write on
+    ``epoch_id`` for replay safety)."""
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.withColumn("_epoch", F.lit(epoch_id))
+                 .write.mode("append").parquet(out_dir))
+
+    q = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(write_batch)
+         .start())
+    q.processAllAvailable()
+    return q
+
+
 def run_to_memory(stream: DataFrame, query_name: str,
                   output_mode: str = "append"):
     """Drive a streaming plan to completion against the replayed fixture:

@@ -1,0 +1,83 @@
+"""Streaming extensions: sliding/session windows, custom stateful operator,
+foreachBatch sink — all drained synchronously against the fixture replay."""
+
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.sources import load_table
+from nyctaxidatapipeline_spark.streaming.jobs import (
+    run_foreach_batch_parquet,
+    run_to_memory,
+    session_window_counts,
+    sliding_event_counts,
+    stateful_running_totals,
+    stream_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sliding_windows_overlap(spark):
+    q = run_to_memory(sliding_event_counts(stream_table(spark, SF, "events")),
+                      "sliding_test")
+    try:
+        rows = spark.sql("SELECT * FROM sliding_test").collect()
+        assert rows
+        # hourly windows sliding by 30min: every event is in exactly 2
+        # windows -> summed counts over windows ≈ 2x event count (minus
+        # any still-open windows withheld by the watermark).
+        n_batch = load_table(spark, SF, "events").count()
+        assert n_batch <= sum(r.n_events for r in rows) <= 2 * n_batch
+        # window length always 1h
+        assert all((r.window_end - r.window_start).seconds == 3600
+                   for r in rows)
+    finally:
+        q.stop()
+
+
+def test_session_window_counts(spark):
+    q = run_to_memory(
+        session_window_counts(stream_table(spark, SF, "events")),
+        "sesswin_test")
+    try:
+        rows = spark.sql("SELECT * FROM sesswin_test").collect()
+        assert rows
+        assert all(r.session_end >= r.session_start for r in rows)
+        assert all(r.n_events >= 1 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark):
+    q = run_to_memory(
+        stateful_running_totals(stream_table(spark, SF, "events")),
+        "stateful_test", output_mode="update")
+    try:
+        # last update per user = final running totals = batch aggregates
+        got = spark.sql("""
+            SELECT user_id, max(n_events) AS n, max(total) AS t
+            FROM stateful_test GROUP BY user_id""").collect()
+        batch = {r.user_id: (r.n, round(r.t, 6)) for r in
+                 load_table(spark, SF, "events")
+                 .groupBy("user_id")
+                 .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+                 .collect()}
+        assert len(got) == len(batch)
+        for r in got:
+            assert (r.n, round(r.t, 6)) == batch[r.user_id]
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    out = str(tmp_path / "stream_out")
+    stream = stream_table(spark, SF, "events")
+    q = run_foreach_batch_parquet(
+        stream.filter(F.col("event_type") == "purchase"), out)
+    try:
+        landed = spark.read.parquet(out)
+        n_batch = (load_table(spark, SF, "events")
+                   .filter(F.col("event_type") == "purchase").count())
+        assert landed.count() == n_batch
+        assert "_epoch" in landed.columns
+    finally:
+        q.stop()
