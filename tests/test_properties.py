@@ -65,7 +65,9 @@ def test_guarded_ratio_null_iff_nonpositive_denominator(spark, pairs):
     got = [r[0] for r in df.select(guarded_ratio("n", "d")).collect()]
     for (n, d), g in zip(pairs, got):
         if d > 0:
-            assert g is not None and abs(g - n / d) < 1e-9
+            # equality arm covers inf (subnormal denominators overflow to
+            # inf identically in Spark and Python; inf - inf is nan)
+            assert g is not None and (g == n / d or abs(g - n / d) < 1e-9)
         else:
             assert g is None
 
