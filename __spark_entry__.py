@@ -58,6 +58,9 @@ from nyctaxidatapipeline_spark.operators.reshape import (
     melt,
     pivot_agg,
 )
+from nyctaxidatapipeline_spark.operators.cdc import scd2_versions
+from nyctaxidatapipeline_spark.operators.profile import profile_numeric
+from nyctaxidatapipeline_spark.operators.rangejoin import range_join_recent
 from nyctaxidatapipeline_spark.operators.temporal import asof_join, session_stats
 from nyctaxidatapipeline_spark.operators.windows import with_lag
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
@@ -483,6 +486,42 @@ def _q_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# CDC/SCD2, range join, profiling
+# --------------------------------------------------------------------------
+
+def _q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 replay: orders as a change stream for a per-customer attribute
+    -> versioned rows with [valid_from, valid_to) + is_current (lead
+    window; orderkey tiebreak for same-day changes)."""
+    od = load_table(spark, sf_dir, "orders")
+    return scd2_versions(od, ["o_custkey"], "o_orderdate",
+                         ["o_orderkey", "o_totalprice"],
+                         tiebreak_cols=["o_orderkey"])
+
+
+def _q_range_join_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucketed equi-join (no nested-loop): error
+    events paired with same-user purchases within the prior 10 minutes."""
+    ev = _events(spark, sf_dir)
+    errors = (ev.filter(F.col("event_type") == "error")
+                .select("user_id", F.col("event_id").alias("error_id"),
+                        F.col("ts").alias("error_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", F.col("event_id").alias("purchase_id"),
+                           F.col("ts").alias("purchase_ts")))
+    return range_join_recent(errors, purchases, "user_id",
+                             "error_ts", "purchase_ts", 600)
+
+
+def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profiling (count/nulls/distinct/min/max/mean per column) —
+    the pre-flight scan of a large-pipeline ingest."""
+    return profile_numeric(_lineitem(spark, sf_dir),
+                           ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -524,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_sql": _q_tpch_q1_sql,
         "grouping_sets_sql": _q_grouping_sets_sql,
         "user_interarrival": _q_user_interarrival,
+        "scd2_versions": _q_scd2_versions,
+        "range_join_recent": _q_range_join_recent,
+        "profile_lineitem": _q_profile_lineitem,
     }
 
 
@@ -942,5 +984,60 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(prev_ep) AS n_gaps
             FROM lagged
             GROUP BY user_id
+        """,
+        "scd2_versions": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER w AS valid_to,
+                   lead(o_orderdate) OVER w IS NULL AS is_current
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "range_join_recent": """
+            SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND p.ts <= e.ts
+             AND p.ts >= e.ts - INTERVAL 10 MINUTE
+            WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+        """,
+        "profile_lineitem": """
+            SELECT 'l_quantity' AS "column", COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT l_quantity) AS n_distinct,
+                   ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) AS min_value,
+                   ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) AS max_value,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity), 6) AS mean_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS "column", COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT l_extendedprice) AS n_distinct,
+                   ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS min_value,
+                   ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS max_value,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS mean_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount' AS "column", COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT l_discount) AS n_distinct,
+                   ROUND(CAST(MIN(l_discount) AS DOUBLE), 6) AS min_value,
+                   ROUND(CAST(MAX(l_discount) AS DOUBLE), 6) AS max_value,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_discount), 6) AS mean_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax' AS "column", COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT l_tax) AS n_distinct,
+                   ROUND(CAST(MIN(l_tax) AS DOUBLE), 6) AS min_value,
+                   ROUND(CAST(MAX(l_tax) AS DOUBLE), 6) AS max_value,
+                   ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_tax), 6) AS mean_value
+            FROM lineitem
         """,
     }

@@ -45,6 +45,27 @@ def anti_join(df: DataFrame, other: DataFrame,
     return df.join(other, on=on, how="left_anti")
 
 
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: the left (large, skewed) side gets a
+    deterministic salt derived from its other columns; the right side is
+    exploded into every salt value. The hot key's rows spread over
+    ``salt_buckets`` tasks instead of one straggler.
+
+    Result is identical to ``left.join(right, key, how)`` — salting only
+    changes the physical distribution. AQE's skew-join handles most cases
+    automatically; explicit salting remains for extreme keys (one key >
+    executor memory) and for sort/window ops AQE can't split.
+    """
+    l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                    F.lit(salt_buckets))
+    l = left.withColumn("_salt", l_salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i)
+                                     for i in range(salt_buckets)])))
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
 def star_join(fact: DataFrame,
               dims: Sequence[tuple[DataFrame, Column | str | Sequence[str]]],
               broadcast_dims: bool = True) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Unit tests: CDC/SCD2, range join, salted join, numeric profiling."""
+
+import datetime
+
+from pyspark.sql import Row
+
+from nyctaxidatapipeline_spark.operators.cdc import scd2_merge, scd2_versions
+from nyctaxidatapipeline_spark.operators.joins import salted_join
+from nyctaxidatapipeline_spark.operators.profile import profile_numeric
+from nyctaxidatapipeline_spark.operators.rangejoin import range_join_recent
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_scd2_versions_chain(spark):
+    changes = spark.createDataFrame([
+        Row(k=1, ts=_ts("2024-01-01T00:00:00"), v="a"),
+        Row(k=1, ts=_ts("2024-02-01T00:00:00"), v="b"),
+        Row(k=2, ts=_ts("2024-01-15T00:00:00"), v="x"),
+    ])
+    out = scd2_versions(changes, ["k"], "ts", ["v"]).collect()
+    by = {(r.k, r.v): r for r in out}
+    assert by[(1, "a")].valid_to == _ts("2024-02-01T00:00:00")
+    assert not by[(1, "a")].is_current
+    assert by[(1, "b")].valid_to is None and by[(1, "b")].is_current
+    assert by[(2, "x")].is_current
+
+
+def test_scd2_versions_tiebreak_same_ts(spark):
+    t = _ts("2024-01-01T00:00:00")
+    changes = spark.createDataFrame([
+        Row(k=1, ts=t, seq=2, v="late"),
+        Row(k=1, ts=t, seq=1, v="early"),
+    ])
+    out = scd2_versions(changes, ["k"], "ts", ["seq", "v"],
+                        tiebreak_cols=["seq"]).collect()
+    by = {r.v: r for r in out}
+    assert not by["early"].is_current and by["late"].is_current
+
+
+def test_scd2_merge_closes_and_appends(spark):
+    changes = spark.createDataFrame([
+        Row(k=1, ts=_ts("2024-01-01T00:00:00"), v="a"),
+        Row(k=2, ts=_ts("2024-01-01T00:00:00"), v="x"),
+    ])
+    current = scd2_versions(changes, ["k"], "ts", ["v"])
+    updates = spark.createDataFrame([
+        Row(k=1, ts=_ts("2024-03-01T00:00:00"), v="a2"),
+    ])
+    merged = scd2_merge(current, updates, ["k"], "ts", ["v"])
+    rows = merged.collect()
+    assert len(rows) == 3
+    by = {(r.k, r.v): r for r in rows}
+    closed = by[(1, "a")]
+    assert closed.valid_to == _ts("2024-03-01T00:00:00")
+    assert not closed.is_current
+    assert by[(1, "a2")].is_current and by[(1, "a2")].valid_to is None
+    assert by[(2, "x")].is_current  # untouched key passes through
+
+
+def test_range_join_recent_window_edges(spark):
+    base = _ts("2024-01-01T12:00:00")
+
+    def off(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([Row(u=1, lid=1, lts=base)])
+    right = spark.createDataFrame([
+        Row(u=1, rid=10, rts=off(0)),      # same instant: in
+        Row(u=1, rid=11, rts=off(-600)),   # exactly max_gap before: in
+        Row(u=1, rid=12, rts=off(-601)),   # just outside: out
+        Row(u=1, rid=13, rts=off(1)),      # after: out
+        Row(u=2, rid=14, rts=off(-5)),     # wrong key: out
+    ])
+    out = range_join_recent(left, right, "u", "lts", "rts", 600)
+    assert sorted(r.rid for r in out.collect()) == [10, 11]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # probe side explodes into 2 buckets — each true pair must appear once
+    base = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [Row(u=1, lid=i, lts=base + datetime.timedelta(seconds=37 * i))
+         for i in range(20)])
+    right = spark.createDataFrame(
+        [Row(u=1, rid=i, rts=base + datetime.timedelta(seconds=53 * i))
+         for i in range(20)])
+    out = range_join_recent(left, right, "u", "lts", "rts", 120)
+    pairs = [(r.lid, r.rid) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    # cross-check against the naive definition
+    lrows = {r.lid: r.lts for r in left.collect()}
+    rrows = {r.rid: r.rts for r in right.collect()}
+    expect = {(li, ri) for li, lt in lrows.items()
+              for ri, rt in rrows.items()
+              if lt - datetime.timedelta(seconds=120) <= rt <= lt}
+    assert set(pairs) == expect
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [Row(k=i % 3, payload=i) for i in range(50)])
+    right = spark.createDataFrame(
+        [Row(k=0, name="zero"), Row(k=1, name="one"), Row(k=2, name="two")])
+    salted = salted_join(left, right, "k", salt_buckets=4)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count() == 50
+    assert (sorted(map(tuple, salted.collect()))
+            == sorted(map(tuple, plain.collect())))
+    assert set(salted.columns) == set(plain.columns)
+
+
+def test_profile_numeric_nulls_and_stats(spark):
+    df = spark.createDataFrame([
+        Row(a=1.0, b=None), Row(a=2.0, b=10.0), Row(a=2.0, b=30.0)])
+    out = {r["column"]: r for r in
+           profile_numeric(df, ["a", "b"]).collect()}
+    assert out["a"].n == 3 and out["a"].n_nulls == 0
+    assert out["a"].n_distinct == 2
+    assert out["a"].min_value == 1.0 and out["a"].max_value == 2.0
+    assert abs(out["a"].mean_value - 5.0 / 3) < 1e-6
+    assert out["b"].n_nulls == 1
+    assert out["b"].mean_value == 20.0  # null-skipping mean
+
+
+def test_profile_numeric_approx_mode(spark):
+    df = spark.createDataFrame([Row(a=float(i)) for i in range(100)])
+    row = profile_numeric(df, ["a"], approx=True).collect()[0]
+    assert 80 <= row.n_distinct <= 120  # HLL estimate
