@@ -313,8 +313,9 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming ≤ 3 over word-bigram
     features (banded pigeonhole candidates). Rows-only check."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, shingles(tokens("text"), 2), "doc_id",
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", tokens("text").alias("_tk")))
+    return simhash_near_pairs(docs, shingles(F.col("_tk"), 2), "doc_id",
                               max_hamming=3, bands=4)
 
 

@@ -47,11 +47,20 @@ def exact_dedup(df: DataFrame, key_cols: list[str],
 def doc_shingles(df: DataFrame, text_col: str, id_col: str,
                  n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by both
-    the brute-force and MinHash paths."""
-    return (df.select(id_col,
-                      F.explode(shingles(tokens(text_col), n))
-                       .alias("shingle"))
-              .distinct())
+    the brute-force and MinHash paths.
+
+    Tokens are materialized in their own projection: higher-order
+    functions are interpreted (not codegen'd), so an inlined
+    ``tokens(text)`` inside the shingle lambda re-runs the regex split
+    per element — O(len²) per doc. A separate projection makes the lambda
+    reference a cheap array attribute (Catalyst keeps the projection:
+    CollapseProject won't duplicate a non-cheap expr referenced 3x).
+    """
+    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    return (toks.select(id_col,
+                        F.explode(shingles(F.col("_toks"), n))
+                         .alias("shingle"))
+                .distinct())
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -63,23 +72,32 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     from shared-shingle counts: J = |A∩B| / (|A| + |B| - |A∩B|).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    # No .cache() here: the shingle frame is read by three branches, but a
+    # No .cache() here: the shingle frame is read by two branches, but a
     # leaked cache in a long-lived session (bench, driver) costs more in GC
     # pressure than the pipelined recompute of a split+explode. Callers
     # doing repeated near-dup sweeps can persist the input themselves.
     sh = doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    pairs_src = sh
+    # Posting-list pair expansion instead of a shingle self-join: group ids
+    # per shingle (the df cap bounds list size AND replaces a separate
+    # hot-shingle anti-join), then expand sorted-id pairs in-place. One
+    # hash-partitioned shuffle on shingle — no broadcast of a full side,
+    # so the same plan holds when the corpus is 100 TB.
+    lists = (sh.groupBy("shingle")
+               .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") >= 2))
     if max_df is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-                 .filter(F.col("df") > max_df).select("shingle"))
-        pairs_src = sh.join(hot, "shingle", "left_anti")
-    a = pairs_src.select(F.col(id_col).alias("id_a"), "shingle")
-    b = pairs_src.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (a.join(b, "shingle")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .groupBy("id_a", "id_b")
-                .agg(F.count("*").alias("n_shared")))
+        lists = lists.filter(F.size("ids") <= max_df)
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    shared = (lists.select(F.explode(pair_structs).alias("p"))
+                   .select("p.id_a", "p.id_b")
+                   .groupBy("id_a", "id_b")
+                   .agg(F.count("*").alias("n_shared")))
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"),
@@ -130,11 +148,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         for bi in range(bands)]
     buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                   .select(id_col, "bb.band", "bb.bucket"))
-    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (left.join(right, ["band", "bucket"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
+    # Pair expansion per bucket (groupBy + in-array combinations) rather
+    # than a bucket self-join — one shuffle keyed on (band, bucket), no
+    # broadcast side, scale-stable.
+    blists = (buckets.groupBy("band", "bucket")
+                     .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+                     .filter(F.size("ids") >= 2))
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    cand = (blists.select(F.explode(pair_structs).alias("p"))
+                  .select("p.id_a", "p.id_b").distinct())
     # Verify ONLY the candidates (never the full O(pairs) join — that would
     # defeat LSH): join each side's distinct-shingle set and compute
     # J = |A∩B| / |A∪B| per pair. Same integers as the brute-force
@@ -194,14 +221,22 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
     buckets = (sig.select(id_col, "simhash",
                           F.explode(F.array(*band_cols)).alias("bb"))
                   .select(id_col, "simhash", "bb.band", "bb.bucket"))
-    left = buckets.select(F.col(id_col).alias("id_a"),
-                          F.col("simhash").alias("sim_a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("id_b"),
-                           F.col("simhash").alias("sim_b"), "band", "bucket")
-    return (left.join(right, ["band", "bucket"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b",
-                        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-                         .alias("hamming"))
-                .distinct()
-                .filter(F.col("hamming") <= max_hamming))
+    # Same posting-list expansion as MinHash LSH: structs sort by id
+    # (unique), so pairs come out id_a < id_b without a join.
+    entries = F.sort_array(F.collect_set(
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))))
+    blists = (buckets.groupBy("band", "bucket")
+                     .agg(entries.alias("es"))
+                     .filter(F.size("es") >= 2))
+    es = F.col("es")
+    pair_structs = F.flatten(F.transform(
+        es,
+        lambda x, i: F.transform(
+            F.slice(es, i + F.lit(2), F.size(es)),
+            lambda y: F.struct(
+                x["id"].alias("id_a"), y["id"].alias("id_b"),
+                F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming")))))
+    return (blists.select(F.explode(pair_structs).alias("p"))
+                  .select("p.id_a", "p.id_b", "p.hamming")
+                  .distinct()
+                  .filter(F.col("hamming") <= max_hamming))
