@@ -147,6 +147,13 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
     ids, one matmul per block pair) — the per-block kernel below is
     unchanged. Values can differ from the fold path in the last ulp (BLAS
     reorders the sum); both are rounded to 6 dp.
+
+    The kernel tiles the similarity matrix through small PREALLOCATED
+    buffers (``out=``) instead of materializing batch x corpus at once:
+    first-touch page faults dominate fresh large allocations on
+    sandboxed/virtualized kernels (observed ~220 MB/s page-in — a one-shot
+    2000x2000 float64 sims matrix cost seconds), and buffer reuse also
+    keeps per-task memory flat at scale.
     """
     import numpy as np
 
@@ -160,17 +167,30 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
     def block(batches):
         import pandas as pd
         c_ids, c_mat = bc.value
+        ct = np.ascontiguousarray(c_mat.T)
+        n, tile = len(c_ids), 256
+        sim_buf = np.empty((tile, n))
+        ge_buf = np.empty((tile, n), dtype=bool)
+        lt_buf = np.empty((tile, n), dtype=bool)
         for b in batches:
             if not len(b):
                 continue
             b_ids = b[id_col].to_numpy()
             b_mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = np.round(b_mat @ c_mat.T, 6)
-            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame({"id_a": b_ids[ai], "id_b": c_ids[bi],
-                                "cosine": sims[ai, bi]})
+            for s in range(0, len(b_ids), tile):
+                t_ids = b_ids[s:s + tile]
+                m = len(t_ids)
+                sims = sim_buf[:m]
+                np.dot(b_mat[s:s + tile], ct, out=sims)
+                np.round(sims, 6, out=sims)
+                ge, lt = ge_buf[:m], lt_buf[:m]
+                np.greater_equal(sims, threshold, out=ge)
+                np.less.outer(t_ids, c_ids, out=lt)
+                ge &= lt
+                ai, bi = np.nonzero(ge)
+                yield pd.DataFrame({"id_a": t_ids[ai], "id_b": c_ids[bi],
+                                    "cosine": sims[ai, bi]})
 
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cosine double")
@@ -200,6 +220,45 @@ def rp_signature(vec: Column, planes: int = 16) -> Column:
     return sig
 
 
+def rp_plane_components(spark, dim: int, planes: int) -> list[list[float]]:
+    """Materialize the pseudo-random plane matrix once (one job over
+    ``range(dim)``, same xxhash64 derivation as ``_plane_component``).
+    Re-deriving components inside the per-row signature expression costs
+    planes x dim interpreted hashes per ROW; as literals the projection
+    unrolls into whole-stage-codegen arithmetic."""
+    rows = spark.range(dim).select(
+        F.col("id"),
+        *[_plane_component(p, F.col("id")).alias(f"p{p}")
+          for p in range(planes)]).collect()
+    rows.sort(key=lambda r: r["id"])
+    return [[r[f"p{p}"] for r in rows] for p in range(planes)]
+
+
+def rp_signature_static(vec_name: str,
+                        components: list[list[float]]) -> Column:
+    """Signature with literal plane components, built as ONE SQL string.
+
+    Composing ~planes x dim Column ops in Python costs a Py4J round-trip
+    per operator (~7 s for 24x64 — paid at plan-build time, every query);
+    a single ``F.expr`` ships the whole unrolled projection in one call
+    and parses JVM-side in milliseconds. Left-to-right sum from 0.0
+    matches the ``rp_signature`` fold order, so bits are identical
+    (``repr`` round-trips each double exactly).
+    """
+    bits = []
+    for p, comp in enumerate(components):
+        arr = "array(" + ", ".join(f"{c!r}D" for c in comp) + ")"
+        # zip_with+aggregate fold, NOT an unrolled sum: a planes x dim
+        # unrolled projection exceeds Janino's 64 KB method limit and
+        # wedges whole-stage codegen; the higher-order fold is interpreted
+        # per element but references only a literal array (no per-row hash
+        # derivation), which is the actual win.
+        proj = (f"aggregate(zip_with({vec_name}, {arr}, (x, r) -> x * r), "
+                f"0.0D, (acc, x) -> acc + x)")
+        bits.append(f"IF(({proj}) >= 0.0D, SHIFTLEFT(1L, {p}), 0L)")
+    return F.expr("(" + " | ".join(bits) + ")")
+
+
 def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                     planes: int = 16, bands: int = 4,
                     id_col: str = "vec_id",
@@ -210,28 +269,47 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
     ``embedding_near_dup`` with approximate recall (P(collision) =
     1-(1-(1-θ/π)^r)^b for angle θ)."""
     width = planes // bands
-    sig = df.select(F.col(id_col), as_double(vec_col).alias("vec"),
-                    l2_norm(as_double(vec_col), dim).alias("norm"),
-                    rp_signature(as_double(vec_col), planes).alias("sig"))
+    # Static plane literals when the dimension is known (the fast path);
+    # per-row derived components otherwise (identical bits either way).
+    # ``vec`` is materialized in its own projection so the (wide) sig
+    # expression references a cheap attribute, not the cast-transform.
+    vec_d = as_double(F.col(vec_col))
+    base = df.select(F.col(id_col), vec_d.alias("vec"),
+                     l2_norm(vec_d, dim).alias("norm"))
+    if dim is not None:
+        comps = rp_plane_components(df.sparkSession, dim, planes)
+        sig_expr = rp_signature_static("vec", comps)
+    else:
+        sig_expr = rp_signature(F.col("vec"), planes)
+    sig = base.select(id_col, "vec", "norm", sig_expr.alias("sig"))
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
                  F.shiftright(F.col("sig"), bi * width)
                   .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"))
         for bi in range(bands)]
-    buckets = (sig.select(id_col, "vec", "norm",
-                          F.explode(F.array(*band_cols)).alias("bb"))
-                  .select(id_col, "vec", "norm", "bb.band", "bb.bucket"))
-    left = buckets.select(F.col(id_col).alias("id_a"),
-                          F.col("vec").alias("vec_a"),
-                          F.col("norm").alias("norm_a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("id_b"),
-                           F.col("vec").alias("vec_b"),
-                           F.col("norm").alias("norm_b"), "band", "bucket")
-    return (left.join(right, ["band", "bucket"])
-                .filter(F.col("id_a") < F.col("id_b"))
+    # Candidates are id-only (posting-list pair expansion per bucket), so
+    # vectors shuffle once per rerank side — not once per band through a
+    # bucket self-join.
+    buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+                  .select(id_col, "bb.band", "bb.bucket"))
+    blists = (buckets.groupBy("band", "bucket")
+                     .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+                     .filter(F.size("ids") >= 2))
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    cand = (blists.select(F.explode(pair_structs).alias("p"))
+                  .select("p.id_a", "p.id_b").distinct())
+    va = sig.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"),
+                    F.col("norm").alias("norm_a"))
+    vb = sig.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"),
+                    F.col("norm").alias("norm_b"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
                 .select("id_a", "id_b",
                         F.round(dot(F.col("vec_a"), F.col("vec_b"), dim)
                                 / (F.col("norm_a") * F.col("norm_b")), 6)
                          .alias("cosine"))
-                .distinct()
                 .filter(F.col("cosine") >= threshold))

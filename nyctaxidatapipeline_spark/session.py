@@ -29,6 +29,14 @@ def get_spark(app_name: str = "nyctaxidatapipeline_spark",
     band per task, and AQE coalescing trims the small tail.
     """
     n_shuffle = shuffle_partitions or int(_CPUS)
+    # Pin BLAS to one thread per task BEFORE the JVM (and thus the forked
+    # Python workers) launches: with local[32], each worker spawning a full
+    # OpenBLAS pool oversubscribes the host ~1000x and a post-fork pool can
+    # spin-wait (an observed 11 s for a 10 ms matmul in mapInPandas). One
+    # BLAS thread per task is also the right shape on a real cluster.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder
         .master(master or f"local[{_CPUS}]")
