@@ -34,6 +34,7 @@ from nyctaxidatapipeline_spark.operators.setops import (
 )
 from nyctaxidatapipeline_spark.functions.text import shingles, tokens
 from nyctaxidatapipeline_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -43,6 +44,7 @@ from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_dim,
     embedding_near_dup_numpy,
+    ivf_topk,
     rp_lsh_near_dup,
 )
 from nyctaxidatapipeline_spark.operators.text_analysis import (
@@ -343,6 +345,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dim=embedding_dim(emb))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16 hash-seeded centroid lists, nprobe=4)
+    for query vectors vec_id < 5 — the partition-pruned ANN path: each
+    query reranks ~nprobe/n_centroids of the corpus. Rows-only check
+    (probed-list membership is centroid-dependent); exhaustive-probe
+    parity with brute force is unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                    n_centroids=16, nprobe=4, dim=embedding_dim(emb))
+
+
+def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup GROUPS: connected components over the exact
+    3-gram-Jaccard ≥ 0.5 pair graph; group_id = min doc_id reachable.
+    Iterative min-label propagation on the Spark side; the oracle computes
+    the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5,
+                          max_df=20)
+    return (connected_components(pairs)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("comp").alias("group_id")))
+
+
 # --------------------------------------------------------------------------
 # North star: text analysis (language ID, quality, token stats, fingerprint)
 # --------------------------------------------------------------------------
@@ -550,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "near_dup_groups": _q_near_dup_groups,
         "lang_confusion": _q_lang_confusion,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -767,6 +795,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)
                   >= 0.5
+        """,
+        # Same shingle/pair pipeline as ngram_jaccard, then transitive
+        # closure by recursive CTE (DuckDB) vs iterative min-label
+        # propagation (Spark) — both converge to comp = min reachable id.
+        "near_dup_groups": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-2, 0) + 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                     AS u(sg)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+            ), filt AS (
+              SELECT * FROM sh WHERE sg NOT IN
+                  (SELECT sg FROM sh GROUP BY sg HAVING count(*) > 20)
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              FROM filt a JOIN filt b USING (sg)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM shared
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)
+                    >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, t) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.t
+            )
+            SELECT id AS doc_id, MIN(t) AS group_id
+            FROM reach GROUP BY id
         """,
         "embedding_near_dup": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec

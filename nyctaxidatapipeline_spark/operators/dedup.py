@@ -178,6 +178,66 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                 .filter(F.col("jaccard") >= threshold))
 
 
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, comp) for every node in ``edges``: comp = min node id in the
+    node's connected component (min-label propagation to a fixpoint).
+
+    This is what turns near-dup PAIRS into dedup DECISIONS: keep the row
+    whose id == comp, drop the rest — without it, A~B and B~C can both
+    "keep A, drop B" and "keep B, drop C", dropping B twice and keeping C.
+
+    Each iteration is one shuffle (edge join + min-agg) and propagates
+    labels one hop, so convergence takes O(component diameter) rounds —
+    near-dup clusters are shallow (dozens of docs, diameter ≤ ~5). Label
+    frames are ``localCheckpoint``-ed per round to truncate lineage
+    (otherwise plans grow exponentially and re-execute prior rounds). For
+    graphs with long chains at 100 TB, swap the body for the large-star/
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce") — same (id, comp) contract, O(log²) rounds.
+
+    Iterative ⇒ not oracle-expressible as ONE SQL statement in Spark,
+    but DuckDB's recursive CTE computes the same closure — see the
+    ``near_dup_groups`` oracle in ``__spark_entry__``.
+    """
+    e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+              .union(edges.select(F.col(id_b).alias("a"),
+                                  F.col(id_a).alias("b")))
+              .distinct().localCheckpoint())
+    labels = (e.select(F.col("a").alias("id")).distinct()
+               .select("id", F.col("id").alias("comp")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (e.join(labels.select(F.col("id").alias("b"),
+                                    F.col("comp").alias("bcomp")), "b")
+                .groupBy("a").agg(F.min("bcomp").alias("nmin")))
+        new = (labels.join(nbr.select(F.col("a").alias("id"), "nmin"),
+                           "id", "left")
+                     .select("id", F.least(F.col("comp"),
+                                           F.coalesce("nmin", "comp"))
+                              .alias("comp"))
+                     .localCheckpoint())
+        changed = (new.alias("n")
+                      .join(labels.select("id",
+                                          F.col("comp").alias("old")), "id")
+                      .filter(F.col("comp") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
+                               id_col: str) -> DataFrame:
+    """Drop every row that belongs to a near-dup component but is not its
+    min-id representative (the end-to-end near-dedup: pairs → components
+    → filter). Rows in no pair are kept untouched."""
+    drop = (connected_components(pairs)
+            .filter(F.col("id") != F.col("comp"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
     """64-bit SimHash per id over an array-of-features column.
 

@@ -259,6 +259,100 @@ def rp_signature_static(vec_name: str,
     return F.expr("(" + " | ".join(bits) + ")")
 
 
+def ivf_seed_centroids(df: DataFrame, n_centroids: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer centroids: the ``n_centroids``
+    corpus vectors with the smallest ``xxhash64(id)``, L2-normalized.
+
+    Hash-order sampling is a one-pass distributed TakeOrdered (no RNG
+    state, same result on any cluster layout). For production-grade
+    centroids, run a few Lloyd iterations over a hash-sample with
+    ``ivf_assign`` + ``groupBy(list_id).avg`` — the index/search shape
+    below is unchanged; seeds alone are adequate for recall smoke tests.
+    """
+    rows = (df.select(F.col(id_col).alias("i"),
+                      as_double(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h", "i").limit(n_centroids).collect())
+    cents = []
+    for r in rows:
+        v = r["v"]
+        nrm = sum(x * x for x in v) ** 0.5 or 1.0
+        cents.append([x / nrm for x in v])
+    return cents
+
+
+def _centroid_dots(vec_name: str, centroids: list[list[float]]) -> Column:
+    """array<double> of <vec, c_j> for every centroid, as ONE ``F.expr``
+    (literal centroid arrays; one Py4J call — see ``rp_signature_static``
+    for why folds, not unrolled sums)."""
+    folds = []
+    for c in centroids:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        folds.append(f"aggregate(zip_with({vec_name}, {arr}, "
+                     f"(x, c) -> x * c), 0.0D, (acc, x) -> acc + x)")
+    return F.expr("array(" + ", ".join(folds) + ")")
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
+    """(id, vec, norm, list_id) — each vector assigned to its nearest
+    centroid (argmax dot against L2-normalized centroids ≡ argmax cosine,
+    since the vector's own norm is constant across centroids). This is the
+    index build: at 100 TB, write the output bucketed/partitioned by
+    ``list_id`` so searches prune to probed lists at the scan."""
+    vec_d = as_double(F.col(vec_col))
+    return (df.select(F.col(id_col), vec_d.alias("vec"),
+                      l2_norm(vec_d, dim).alias("norm"))
+              .withColumn("_dots", _centroid_dots("vec", centroids))
+              .withColumn("list_id",
+                          (F.expr("array_position(_dots, array_max(_dots))")
+                            - 1).cast("int"))
+              .drop("_dots"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             dim: int | None = None) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists
+    per query, exact-rerank only vectors in probed lists.
+
+    Same output contract as ``brute_force_topk`` (query_id, vec_id,
+    cosine, rank); with ``nprobe == n_centroids`` the search is exhaustive
+    and the results are identical (unit-tested parity). Scan cost per
+    query is ~``nprobe/n_centroids`` of the corpus — the standard
+    recall/latency knob. Shuffle shape: corpus hash-partitioned once on
+    ``list_id``; queries explode to ``nprobe`` rows and join on it.
+    """
+    cents = ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+    c = ivf_assign(corpus, cents, id_col, vec_col, dim)
+    probes = F.expr(
+        f"transform(slice(array_sort(zip_with(_dots, "
+        f"sequence(0, {len(cents) - 1}), (d, i) -> struct(-d AS nd, i AS "
+        f"cid))), 1, {min(nprobe, len(cents))}), s -> s.cid)")
+    vec_d = as_double(F.col(vec_col))
+    q = (queries.select(F.col(id_col).alias(query_id_col),
+                        vec_d.alias("q_vec"),
+                        l2_norm(vec_d, dim).alias("q_norm"))
+                .withColumn("_dots", _centroid_dots("q_vec", cents))
+                .withColumn("_probe", F.explode(probes))
+                .withColumn("list_id", F.col("_probe").cast("int"))
+                .drop("_dots", "_probe"))
+    scored = (c.join(F.broadcast(q), "list_id")
+               .select(query_id_col, id_col,
+                       F.round(dot(F.col("q_vec"), F.col("vec"), dim)
+                               / (F.col("q_norm") * F.col("norm")), 6)
+                        .alias("cosine")))
+    return top_k_per_group(
+        scored, [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k, desc=False, rank_col="rank")
+
+
 def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                     planes: int = 16, bands: int = 4,
                     id_col: str = "vec_id",

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.functions.text import shingles, token_count, tokens
 from nyctaxidatapipeline_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_representatives,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -15,6 +17,7 @@ from nyctaxidatapipeline_spark.operators.dedup import (
 from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup,
+    ivf_topk,
 )
 
 DOCS = [
@@ -96,3 +99,51 @@ def test_brute_force_topk_ranking(spark):
     assert rows[0].cosine == 1.0
     assert rows[3].cosine == -1.0
     assert math.isclose(rows[1].cosine, 0.99995, abs_tol=1e-4)
+
+
+def test_ivf_exhaustive_probe_matches_brute_force(spark):
+    # nprobe == n_centroids → every inverted list probed → identical
+    # results (same candidates, same 6dp rounding, same tiebreak).
+    vecs = _vecs(spark)
+    qs = vecs.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+             for r in brute_force_topk(vecs, qs, k=4, dim=3).collect()}
+    ivf = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+           for r in ivf_topk(vecs, qs, k=4, n_centroids=2, nprobe=2,
+                             dim=3).collect()}
+    assert ivf == exact
+
+
+def test_ivf_pruned_probe_is_subset_with_exact_scores(spark):
+    # nprobe < n_centroids: every returned hit must carry the same cosine
+    # the exact path computes (rerank is exact; only recall is approximate).
+    vecs = _vecs(spark)
+    qs = vecs.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in brute_force_topk(vecs, qs, k=4, dim=3).collect()}
+    got = ivf_topk(vecs, qs, k=4, n_centroids=2, nprobe=1, dim=3).collect()
+    assert got  # probing the nearest list always yields candidates
+    for r in got:
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 (diameter 3 → needs multiple propagation rounds),
+    # island 7-8, plus an isolated pairless node never appears.
+    cc = {r.id: r.comp for r in connected_components(
+        _edges(spark, [(2, 1), (2, 3), (4, 3), (7, 8)])).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_dedup_keep_representatives_drops_non_min(spark):
+    docs = _docs(spark)
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    kept = sorted(r.doc_id
+                  for r in dedup_keep_representatives(docs, pairs,
+                                                      "doc_id").collect())
+    # 0,1,2 form one near-dup component (keep 0); 3 is untouched.
+    assert kept == [0, 3]
