@@ -63,6 +63,10 @@ from nyctaxidatapipeline_spark.operators.reshape import (
 from nyctaxidatapipeline_spark.operators.cdc import scd2_versions
 from nyctaxidatapipeline_spark.operators.profile import profile_numeric
 from nyctaxidatapipeline_spark.operators.rangejoin import range_join_recent
+from nyctaxidatapipeline_spark.operators.sampling import (
+    deterministic_sample,
+    with_split,
+)
 from nyctaxidatapipeline_spark.operators.temporal import asof_join, session_stats
 from nyctaxidatapipeline_spark.operators.windows import with_lag
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
@@ -399,6 +403,17 @@ def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(docs, "text", "doc_id")
 
 
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample, then 80/10/10 train/val/test
+    labels — assignment is a pure function of md5(doc_id) so it is stable
+    across reruns, repartitions, appends, and engines (the oracle
+    reproduces it bit-for-bit in DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (with_split(deterministic_sample(docs, "doc_id", 0.25),
+                       "doc_id")
+            .select("doc_id", "split"))
+
+
 # --------------------------------------------------------------------------
 # Reshape (pivot/unpivot/cube), distinct/percentile aggs, temporal ops
 # --------------------------------------------------------------------------
@@ -582,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "fingerprint_dedup": _q_fingerprint_dedup,
+        "dataset_split": _q_dataset_split,
         "pivot_qty": _q_pivot_qty,
         "melt_measures": _q_melt_measures,
         "cube_revenue": _q_cube_revenue,
@@ -957,6 +973,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM toks
             GROUP BY 1
+        """,
+        # Bit-exact split reproduction: Spark conv(substr(md5,1,8),16,10)
+        # == DuckDB ('0x'||substr(md5,1,8))::BIGINT (verified identical).
+        "dataset_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS h
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN h % 100 < 80 THEN 'train'
+                        WHEN h % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+            WHERE h % 1000000 < 250000
         """,
         "pivot_qty": """
             SELECT l_returnflag,

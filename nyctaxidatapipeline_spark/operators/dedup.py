@@ -211,17 +211,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         nbr = (e.join(labels.select(F.col("id").alias("b"),
                                     F.col("comp").alias("bcomp")), "b")
                 .groupBy("a").agg(F.min("bcomp").alias("nmin")))
+        # Carry the old label through the checkpoint so the convergence
+        # check is a filter-count over already-materialized batches — one
+        # Spark job per round (join+checkpoint), not two.
         new = (labels.join(nbr.select(F.col("a").alias("id"), "nmin"),
                            "id", "left")
-                     .select("id", F.least(F.col("comp"),
-                                           F.coalesce("nmin", "comp"))
+                     .select("id", F.col("comp").alias("_old"),
+                             F.least(F.col("comp"),
+                                     F.coalesce("nmin", "comp"))
                               .alias("comp"))
                      .localCheckpoint())
-        changed = (new.alias("n")
-                      .join(labels.select("id",
-                                          F.col("comp").alias("old")), "id")
-                      .filter(F.col("comp") != F.col("old")).count())
-        labels = new
+        changed = new.filter(F.col("comp") != F.col("_old")).count()
+        labels = new.select("id", "comp")
         if changed == 0:
             break
     return labels

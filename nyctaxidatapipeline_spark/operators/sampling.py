@@ -1,0 +1,69 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+Train/val/test assignment must be a pure function of the row key — not of
+partitioning, row order, or an RNG stream — so that (a) every rerun and
+every engine assigns a row to the same split, (b) adding data never
+reshuffles old rows across splits, (c) no coordination or persisted split
+table is needed at 100 TB. The standard trick: hash the key, bucket the
+hash. ``rand(seed)`` fails all three (seed is per-partition, so any
+repartition reshuffles assignments).
+
+We use the first 8 hex chars of md5(key) — md5 exists bit-identically in
+Spark, DuckDB, Python hashlib, and virtually everything else, so the
+split is reproducible across the whole toolchain (xxhash64 is
+Spark-specific and was rejected for that reason). 32 bits ≫ enough for
+percentage-granularity buckets.
+
+Everything is a narrow projection + filter: no shuffle, fully
+pushdown-friendly, and at 100 TB each split can be written with
+``partitionBy`` in the same pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key's
+    string form. DuckDB oracle twin:
+    ``('0x' || substr(md5(key::VARCHAR), 1, 8))::BIGINT % n``."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % n_buckets).cast("int")
+
+
+def with_split(df: DataFrame, key_col: str,
+               splits: Sequence[tuple[str, int]] = (
+                   ("train", 80), ("val", 10), ("test", 10)),
+               bucket_col: str = "_bucket") -> DataFrame:
+    """Add a ``split`` label column by hash-bucketing ``key_col``.
+
+    ``splits`` are (name, percent) with percents summing to ≤ 100 (any
+    remainder is labeled NULL — i.e. held out). Assignment is by
+    contiguous bucket ranges, so split sizes are exact in expectation and
+    every row's label is stable under reruns, repartitions, and appends.
+    """
+    total = sum(p for _, p in splits)
+    if total > 100:
+        raise ValueError(f"splits sum to {total} > 100")
+    b = hash_bucket(F.col(key_col))
+    expr, lo = None, 0
+    for name, pct in splits:
+        cond = b < F.lit(lo + pct) if lo == 0 else (
+            (b >= F.lit(lo)) & (b < F.lit(lo + pct)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(bucket_col, b).withColumn("split", expr)
+
+
+def deterministic_sample(df: DataFrame, key_col: str,
+                         fraction: float) -> DataFrame:
+    """Keep a stable ~``fraction`` of rows by hash threshold — the
+    coordination-free way to downsample a 100 TB corpus reproducibly
+    (same rows survive on any cluster, any run)."""
+    n = 1_000_000
+    return df.filter(hash_bucket(F.col(key_col), n)
+                     < F.lit(int(fraction * n)))

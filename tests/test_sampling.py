@@ -1,0 +1,68 @@
+"""Deterministic sampling / dataset-split operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    with_split,
+)
+
+
+def _ids(spark, n=500):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_split_is_total_and_stable_under_repartition(spark):
+    df = _ids(spark)
+    a = {r.doc_id: r.split
+         for r in with_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in with_split(df.repartition(7), "doc_id").collect()}
+    assert a == b  # label is a pure function of the key
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert None not in a.values()  # 80+10+10 covers every bucket
+
+
+def test_split_fractions_roughly_match(spark):
+    counts = dict(with_split(_ids(spark, 2000), "doc_id")
+                  .groupBy("split").count()
+                  .rdd.map(lambda r: (r["split"], r["count"])).collect())
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    assert 0.05 < counts["test"] / 2000 < 0.15
+
+
+def test_split_remainder_is_held_out_null(spark):
+    labels = {r.split
+              for r in with_split(_ids(spark), "doc_id",
+                                  [("train", 50)]).collect()}
+    assert labels == {"train", None}
+
+
+def test_split_over_100_raises(spark):
+    with pytest.raises(ValueError):
+        with_split(_ids(spark), "doc_id", [("a", 60), ("b", 60)])
+
+
+def test_sample_stable_and_append_consistent(spark):
+    # the sample of a superset restricted to the subset == sample of the
+    # subset: appending data never changes old rows' membership.
+    small = {r.doc_id for r in
+             deterministic_sample(_ids(spark, 300), "doc_id", 0.3).collect()}
+    big = {r.doc_id for r in
+           deterministic_sample(_ids(spark, 600), "doc_id", 0.3).collect()}
+    assert small == {i for i in big if i < 300}
+    assert 0.2 < len(small) / 300 < 0.4
+
+
+def test_hash_bucket_matches_hashlib_md5(spark):
+    import hashlib
+    rows = (_ids(spark, 50)
+            .select("doc_id", hash_bucket(F.col("doc_id")).alias("b"))
+            .collect())
+    for r in rows:
+        exp = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8],
+                  16) % 100
+        assert r.b == exp
