@@ -59,8 +59,12 @@ def get_spark(app_name: str = "nyctaxidatapipeline_spark",
         # session running many distinct queries can fill HotSpot's default
         # code cache, silently disabling the JIT (~20x slowdowns late in a
         # benchmark run). Reserve enough for the full query sweep.
+        # 1g: a 44-query suite of distinct codegen'd plans emits enough
+        # JIT-compiled classes to exhaust 512m near the end of a run, at
+        # which point HotSpot silently stops compiling and the last
+        # queries run interpreted (observed 12x on the final query).
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
