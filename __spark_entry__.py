@@ -43,7 +43,7 @@ from nyctaxidatapipeline_spark.operators.dedup import (
 from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_dim,
-    embedding_near_dup_numpy,
+    embedding_near_dup_blocked,
     ivf_topk,
     rp_lsh_near_dup,
 )
@@ -327,10 +327,11 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.4 — fixture embeddings are
-    near-orthogonal, max pair ≈ 0.51). Exact all-pairs path: Arrow+NumPy
-    blocked matmul against a broadcast normalized corpus."""
+    near-orthogonal, max pair ≈ 0.51). Exact all-pairs via the distributed
+    block-pair BLAS kernel: no driver-side collect — vectors replicate to
+    their block pairs and each pair group matmuls in applyInPandas."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_numpy(emb, threshold=0.4)
+    return embedding_near_dup_blocked(emb, threshold=0.4, n_blocks=4)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,50 +182,78 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 50) -> DataFrame:
     """(id, comp) for every node in ``edges``: comp = min node id in the
-    node's connected component (min-label propagation to a fixpoint).
+    node's connected component, via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — the public two-phase algorithm).
 
     This is what turns near-dup PAIRS into dedup DECISIONS: keep the row
     whose id == comp, drop the rest — without it, A~B and B~C can both
     "keep A, drop B" and "keep B, drop C", dropping B twice and keeping C.
 
-    Each iteration is one shuffle (edge join + min-agg) and propagates
-    labels one hop, so convergence takes O(component diameter) rounds —
-    near-dup clusters are shallow (dozens of docs, diameter ≤ ~5). Label
-    frames are ``localCheckpoint``-ed per round to truncate lineage
-    (otherwise plans grow exponentially and re-execute prior rounds). For
-    graphs with long chains at 100 TB, swap the body for the large-star/
-    small-star algorithm (Kiveris et al., "Connected Components in
-    MapReduce") — same (id, comp) contract, O(log²) rounds.
+    Each round runs two star operations (each one groupBy + join shuffle):
+
+      * **large-star(u)**: connect every strictly-larger neighbor of u to
+        m = min(Γ(u) ∪ {u}) — hooks tall chains onto their local minimum.
+      * **small-star(u)**: connect u and its smaller neighbors to their
+        minimum — flattens the partial trees into stars.
+
+    The edge set converges to stars centered at each component's min id in
+    **O(log² n) rounds regardless of diameter** (a 1000-node path closes
+    in ~10 rounds where min-label propagation needs 1000 — unit-tested),
+    so ``max_iter`` is generous slack, not a correctness knob. Edges are
+    ``localCheckpoint``-ed per round to truncate lineage. Non-convergence
+    inside ``max_iter`` raises instead of returning partial labels —
+    a wrong grouping must never masquerade as a valid one (downstream
+    ``dedup_keep_representatives`` would silently drop wrong rows).
 
     Iterative ⇒ not oracle-expressible as ONE SQL statement in Spark,
     but DuckDB's recursive CTE computes the same closure — see the
     ``near_dup_groups`` oracle in ``__spark_entry__``.
     """
+    # Orient every edge high→low (u > v), the invariant both stars keep.
     e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-              .union(edges.select(F.col(id_b).alias("a"),
-                                  F.col(id_a).alias("b")))
+              .filter(F.col("a") != F.col("b"))
+              .select(F.greatest("a", "b").alias("u"),
+                      F.least("a", "b").alias("v"))
               .distinct().localCheckpoint())
-    labels = (e.select(F.col("a").alias("id")).distinct()
-               .select("id", F.col("id").alias("comp")).localCheckpoint())
     for _ in range(max_iter):
-        nbr = (e.join(labels.select(F.col("id").alias("b"),
-                                    F.col("comp").alias("bcomp")), "b")
-                .groupBy("a").agg(F.min("bcomp").alias("nmin")))
-        # Carry the old label through the checkpoint so the convergence
-        # check is a filter-count over already-materialized batches — one
-        # Spark job per round (join+checkpoint), not two.
-        new = (labels.join(nbr.select(F.col("a").alias("id"), "nmin"),
-                           "id", "left")
-                     .select("id", F.col("comp").alias("_old"),
-                             F.least(F.col("comp"),
-                                     F.coalesce("nmin", "comp"))
-                              .alias("comp"))
-                     .localCheckpoint())
-        changed = new.filter(F.col("comp") != F.col("_old")).count()
-        labels = new.select("id", "comp")
-        if changed == 0:
+        # Large-star: over the symmetrized neighborhood of u, attach every
+        # neighbor v > u to m = min(Γ(u) ∪ {u}). Emitted (v, m) keeps
+        # v > m because m ≤ u < v.
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        lmins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                    .select("u", F.least("u", "mn").alias("m")))
+        lg = (sym.join(lmins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # Small-star: edges are now all high→low; for each u attach u and
+        # its smaller neighbors to m = min of those neighbors.
+        smins = lg.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (lg.join(smins, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(smins.select("u", F.col("m").alias("v")))
+                .distinct().localCheckpoint())
+        # Fixpoint ⇔ the edge set is unchanged (both sides are distinct
+        # sets, so equality = same count + empty difference).
+        if sm.exceptAll(e).isEmpty() and sm.count() == e.count():
+            e = sm
             break
-    return labels
+        e = sm
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — refusing to return partial "
+            "labels (expected O(log² n) rounds; check for pathological "
+            "input such as an edge stream far beyond planned scale)")
+    # At the fixpoint every edge is (node, component-min); roots map to
+    # themselves.
+    return (e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+             .union(e.select(F.col("v").alias("id"),
+                             F.col("v").alias("comp")))
+             .distinct())
 
 
 def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,

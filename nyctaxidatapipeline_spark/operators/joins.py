@@ -45,6 +45,15 @@ def anti_join(df: DataFrame, other: DataFrame,
     return df.join(other, on=on, how="left_anti")
 
 
+#: join types for which exploding the right side over every salt value
+#: cannot change the result (each right row only ever matches, or is probed
+#: by, left rows carrying exactly one salt). For right/full outer joins the
+#: explode would emit every unmatched right row ``salt_buckets`` times.
+_SALT_SAFE_HOW = frozenset(
+    {"inner", "left", "leftouter", "left_outer",
+     "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"})
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 salt_buckets: int = 16, how: str = "inner") -> DataFrame:
     """Skew-mitigated equi-join: the left (large, skewed) side gets a
@@ -52,11 +61,19 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     exploded into every salt value. The hot key's rows spread over
     ``salt_buckets`` tasks instead of one straggler.
 
-    Result is identical to ``left.join(right, key, how)`` — salting only
-    changes the physical distribution. AQE's skew-join handles most cases
-    automatically; explicit salting remains for extreme keys (one key >
-    executor memory) and for sort/window ops AQE can't split.
+    For ``how`` in inner/left/left_semi/left_anti the result is identical
+    to ``left.join(right, key, how)`` — salting only changes the physical
+    distribution. right/full outer joins are rejected: the exploded right
+    side would duplicate every unmatched right row once per salt value.
+    AQE's skew-join handles most cases automatically; explicit salting
+    remains for extreme keys (one key > executor memory) and for
+    sort/window ops AQE can't split.
     """
+    if how.lower() not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right "
+            "rows would be duplicated per salt bucket; use "
+            "inner/left/left_semi/left_anti or an unsalted join")
     l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                     F.lit(salt_buckets))
     l = left.withColumn("_salt", l_salt)

@@ -132,9 +132,30 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.95,
              .filter(F.col("cosine") >= threshold))
 
 
+def _round6_half_away(sims, tmp):
+    """In-place ROUND(x, 6) with SQL half-AWAY-from-zero ties (DuckDB /
+    Spark ROUND semantics). ``np.round`` is half-to-EVEN: a cosine whose
+    BLAS sum lands exactly on a 6-dp halfway boundary would flip the last
+    digit vs the oracle — a data-dependent flake this rule removes.
+    ``tmp`` is a caller-preallocated scratch buffer of the same shape."""
+    import numpy as np
+
+    np.abs(sims, out=tmp)
+    tmp *= 1e6
+    tmp += 0.5
+    np.floor(tmp, out=tmp)
+    # divide, don't multiply by 1e-6: 1e-6 is not exactly representable,
+    # so x*1e-6 lands one ulp off the correctly-rounded x/1e6 (the double
+    # DuckDB's ROUND produces) — enough to break bitwise hash parity.
+    tmp /= 1e6
+    np.copysign(tmp, sims, out=sims)
+
+
 def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             max_broadcast_rows: int = 1_000_000,
+                             n_blocks: int = 8) -> DataFrame:
     """All-pairs cosine near-dup via Arrow-batched NumPy matmul.
 
     Same output contract as ``embedding_near_dup`` but each partition
@@ -142,11 +163,16 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
     corpus matrix — dense linear algebra is the one place Catalyst
     expressions lose to a vectorized Pandas path by >10x.
 
-    Scale: the corpus matrix is broadcast (fits executors up to ~10M x
-    small-dim vectors); beyond that, block both sides (crossJoin of block
-    ids, one matmul per block pair) — the per-block kernel below is
-    unchanged. Values can differ from the fold path in the last ulp (BLAS
-    reorders the sum); both are rounded to 6 dp.
+    Scale guard: the corpus collect + broadcast only happens when the
+    corpus has ≤ ``max_broadcast_rows`` vectors (counted first — one cheap
+    column scan); beyond that this DELEGATES to
+    ``embedding_near_dup_blocked``, the fully distributed block-pair
+    kernel with no driver-side collect. The broadcast path wins below the
+    threshold because it ships each vector once instead of ~n_blocks
+    times; the blocked path is the one that survives past executor memory.
+
+    Values can differ from the fold path in the last ulp (BLAS reorders
+    the sum); both sides round half-away-from-zero to 6 dp (SQL ROUND).
 
     The kernel tiles the similarity matrix through small PREALLOCATED
     buffers (``out=``) instead of materializing batch x corpus at once:
@@ -156,6 +182,11 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
     keeps per-task memory flat at scale.
     """
     import numpy as np
+
+    if df.select(id_col).limit(max_broadcast_rows + 1).count() \
+            > max_broadcast_rows:
+        return embedding_near_dup_blocked(df, threshold, id_col, vec_col,
+                                          n_blocks=n_blocks)
 
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
@@ -170,6 +201,7 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
         ct = np.ascontiguousarray(c_mat.T)
         n, tile = len(c_ids), 256
         sim_buf = np.empty((tile, n))
+        tmp_buf = np.empty((tile, n))
         ge_buf = np.empty((tile, n), dtype=bool)
         lt_buf = np.empty((tile, n), dtype=bool)
         for b in batches:
@@ -183,7 +215,7 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
                 m = len(t_ids)
                 sims = sim_buf[:m]
                 np.dot(b_mat[s:s + tile], ct, out=sims)
-                np.round(sims, 6, out=sims)
+                _round6_half_away(sims, tmp_buf[:m])
                 ge, lt = ge_buf[:m], lt_buf[:m]
                 np.greater_equal(sims, threshold, out=ge)
                 np.less.outer(t_ids, c_ids, out=lt)
@@ -196,6 +228,103 @@ def embedding_near_dup_numpy(df: DataFrame, threshold: float = 0.95,
         block, schema="id_a long, id_b long, cosine double")
 
 
+def embedding_near_dup_blocked(df: DataFrame, threshold: float = 0.95,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_blocks: int = 8) -> DataFrame:
+    """Distributed all-pairs cosine near-dup: the block-pair BLAS kernel.
+
+    Same output contract as ``embedding_near_dup`` — (id_a, id_b, cosine)
+    with id_a < id_b, cosine ≥ threshold, rounded 6 dp half-away — with
+    **no driver-side collect anywhere**: every vector is tagged with a
+    deterministic block id (pmod(xxhash64(id), n_blocks)), replicated to
+    exactly the block PAIRS it participates in (side a covers pairs
+    (blk, blk..n_blocks-1); side b covers (0..blk-1, blk) — the diagonal
+    pair ships one copy, the kernel reuses it for both operands), and each
+    of the n_blocks·(n_blocks+1)/2 groups computes one |A|x|B| BLAS
+    matmul inside ``applyInPandas``.
+
+    Scale: shuffle volume is O(n·(n_blocks+1)) vector copies; per-task
+    memory is two blocks (~2n/n_blocks vectors), so ``n_blocks`` is the
+    knob that keeps tasks inside executor memory at any corpus size. The
+    O(n²d) flops are inherent to the exact contract and spread over
+    independent tasks. Below ~1M vectors the broadcast path
+    (``embedding_near_dup_numpy``) wins — it ships each vector once.
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                 F.lit(n_blocks)).cast("int")
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_vec"), blk.alias("_blk"))
+    side_a = (base.withColumn("_pb",
+                              F.explode(F.sequence(F.col("_blk"),
+                                                   F.lit(n_blocks - 1))))
+                  .select(F.col("_blk").alias("_pa"), "_pb",
+                          F.lit("a").alias("_side"), "_id", "_vec"))
+    side_b = (base.filter(F.col("_blk") > 0)
+                  .withColumn("_pa", F.explode(F.sequence(F.lit(0),
+                                                          F.col("_blk") - 1)))
+                  .select("_pa", F.col("_blk").alias("_pb"),
+                          F.lit("b").alias("_side"), "_id", "_vec"))
+    tagged = side_a.unionByName(side_b)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        diagonal = pdf["_pa"].iat[0] == pdf["_pb"].iat[0]
+        a_pdf = pdf[pdf["_side"] == "a"]
+        b_pdf = a_pdf if diagonal else pdf[pdf["_side"] == "b"]
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64"),
+                              "cosine": pd.array([], dtype="float64")})
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        a_ids = a_pdf["_id"].to_numpy()
+        a_mat = np.stack(a_pdf["_vec"].to_numpy()).astype(np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        if diagonal:
+            b_ids, b_mat = a_ids, a_mat
+        else:
+            b_ids = b_pdf["_id"].to_numpy()
+            b_mat = np.stack(b_pdf["_vec"].to_numpy()).astype(np.float64)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        bt = np.ascontiguousarray(b_mat.T)
+        n, tile = len(b_ids), 256
+        width = min(tile, len(a_ids))
+        sim_buf = np.empty((width, n))
+        tmp_buf = np.empty((width, n))
+        keep_buf = np.empty((width, n), dtype=bool)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(a_ids), tile):
+            t_ids = a_ids[s:s + tile]
+            m = len(t_ids)
+            sims = sim_buf[:m]
+            np.dot(a_mat[s:s + tile], bt, out=sims)
+            _round6_half_away(sims, tmp_buf[:m])
+            keep = keep_buf[:m]
+            np.greater_equal(sims, threshold, out=keep)
+            if diagonal:
+                # A == B: every unordered pair appears as (x,y) AND (y,x)
+                keep &= np.less.outer(t_ids, b_ids)
+            ai, bi = np.nonzero(keep)
+            if not len(ai):
+                continue
+            ia, ib = t_ids[ai], b_ids[bi]
+            # Cross-block pairs appear once but in block order, not id
+            # order — orient to the id_a < id_b contract.
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_c.append(sims[ai, bi])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    return tagged.groupBy("_pa", "_pb").applyInPandas(
+        kernel, schema="id_a long, id_b long, cosine double")
+
+
 def _plane_component(plane: int, i: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     derived from xxhash64(plane, dim-index) — identical on every executor
@@ -205,7 +334,14 @@ def _plane_component(plane: int, i: Column) -> Column:
 
 
 def rp_signature(vec: Column, planes: int = 16) -> Column:
-    """P-bit random-projection signature (bit j = sign of <v, r_j>)."""
+    """P-bit random-projection signature (bit j = sign of <v, r_j>).
+
+    Empty/degenerate vectors are guarded: ``sequence(0, size-1)`` counts
+    DOWN for size 0 (same gotcha ``functions.text.shingles`` documents),
+    which would NULL the projection and silently collapse every such
+    vector into signature 0 — they get an explicit NULL signature instead
+    (dropped from bucketing by the grouping, never false-matched).
+    """
     sig = None
     for p in range(planes):
         proj = F.aggregate(
@@ -217,7 +353,7 @@ def rp_signature(vec: Column, planes: int = 16) -> Column:
         bit = F.when(proj >= 0,
                      F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    return sig
+    return F.when(F.size(vec) > 0, sig)
 
 
 def rp_plane_components(spark, dim: int, planes: int) -> list[list[float]]:
@@ -362,14 +498,23 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
     then exact cosine filters. Same output contract as
     ``embedding_near_dup`` with approximate recall (P(collision) =
     1-(1-(1-θ/π)^r)^b for angle θ)."""
+    if planes % bands:
+        raise ValueError(
+            f"planes ({planes}) must divide evenly into bands ({bands}); "
+            "indivisible settings would silently ignore the high bits")
     width = planes // bands
     # Static plane literals when the dimension is known (the fast path);
     # per-row derived components otherwise (identical bits either way).
     # ``vec`` is materialized in its own projection so the (wide) sig
     # expression references a cheap attribute, not the cast-transform.
     vec_d = as_double(F.col(vec_col))
-    base = df.select(F.col(id_col), vec_d.alias("vec"),
-                     l2_norm(vec_d, dim).alias("norm"))
+    # Degenerate (empty) vectors are excluded up front: the static-literal
+    # signature path zero-fills their projection (zip_with pads with NULL,
+    # IF(NULL>=0,...) takes the else arm), which would collide every empty
+    # vector into bucket 0 of every band; they carry no cosine signal.
+    base = (df.filter(F.size(F.col(vec_col)) > 0)
+              .select(F.col(id_col), vec_d.alias("vec"),
+                      l2_norm(vec_d, dim).alias("norm")))
     if dim is not None:
         comps = rp_plane_components(df.sparkSession, dim, planes)
         sig_expr = rp_signature_static("vec", comps)

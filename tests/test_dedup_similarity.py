@@ -17,7 +17,10 @@ from nyctaxidatapipeline_spark.operators.dedup import (
 from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup,
+    embedding_near_dup_blocked,
+    embedding_near_dup_numpy,
     ivf_topk,
+    rp_lsh_near_dup,
 )
 
 DOCS = [
@@ -91,6 +94,57 @@ def test_embedding_near_dup_threshold(spark):
     assert abs(out[(0, 1)] - 0.99995) < 1e-4
 
 
+def test_blocked_kernel_matches_exact_path(spark):
+    # The distributed block-pair kernel must reproduce the Catalyst fold
+    # path pair-for-pair (same rounding rule, same id_a < id_b contract)
+    # on a corpus big enough that every block pair is exercised.
+    import random
+
+    rnd = random.Random(7)
+    rows = [Row(vec_id=i,
+                embedding=[rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    # seed exact duplicates and a near-duplicate across block boundaries
+    rows[13] = Row(vec_id=13, embedding=rows[2].embedding)
+    rows[29] = Row(vec_id=29,
+                   embedding=[x * 1.001 for x in rows[5].embedding])
+    df = spark.createDataFrame(rows)
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup(df, 0.8, dim=8).collect()}
+    blocked = {(r.id_a, r.id_b): r.cosine
+               for r in embedding_near_dup_blocked(df, 0.8,
+                                                   n_blocks=3).collect()}
+    assert blocked == exact
+    assert (2, 13) in blocked and blocked[(2, 13)] == 1.0
+
+
+def test_numpy_path_delegates_beyond_broadcast_guard(spark):
+    # With max_broadcast_rows below the corpus size the broadcast path
+    # must fall back to the blocked kernel — and still agree with it.
+    df = _vecs(spark)
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_near_dup_numpy(df, 0.95,
+                                             max_broadcast_rows=2,
+                                             n_blocks=2).collect()}
+    assert list(out) == [(0, 1)]
+
+
+def test_rp_lsh_guards(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        rp_lsh_near_dup(_vecs(spark), planes=10, bands=4)
+    # empty vectors must not collide into one bucket / produce pairs
+    df = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[]),
+        Row(vec_id=2, embedding=[]),
+    ])
+    out = rp_lsh_near_dup(df, threshold=-1.0, planes=8, bands=2).collect()
+    assert not any(1 in (r.id_a, r.id_b) or 2 in (r.id_a, r.id_b)
+                   for r in out)
+
+
 def test_brute_force_topk_ranking(spark):
     vecs = _vecs(spark)
     out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
@@ -137,6 +191,27 @@ def test_connected_components_chain_and_island(spark):
     cc = {r.id: r.comp for r in connected_components(
         _edges(spark, [(2, 1), (2, 3), (4, 3), (7, 8)])).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_path_olog2_rounds(spark):
+    # 1000-node path graph: diameter 999. Min-label propagation would need
+    # ~1000 rounds; large-star/small-star must close it within max_iter=15
+    # (O(log² n)) — this is the adversarial chain case from the Kiveris
+    # et al. analysis, and the regression gate for the algorithm swap.
+    edges = _edges(spark, [(i, i + 1) for i in range(999)])
+    labels = connected_components(edges, max_iter=15).collect()
+    assert len(labels) == 1000
+    assert all(r.comp == 0 for r in labels)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    # A 16-node path cannot close in a single round — partial labels must
+    # raise, never return (downstream dedup would drop the wrong rows).
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, [(i, i + 1) for i in range(15)]),
+                             max_iter=1)
 
 
 def test_dedup_keep_representatives_drops_non_min(spark):

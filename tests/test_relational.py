@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from nyctaxidatapipeline_spark.operators.joins import (
     anti_join,
     dim_join,
+    salted_join,
     semi_join,
     star_join,
 )
@@ -36,6 +37,25 @@ def test_dim_join_broadcast_in_plan(spark):
     out = dim_join(_facts(spark), _dim(spark), "k")
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
     assert out.count() == 3  # k=3 has no dim row
+
+
+def test_salted_join_matches_plain_join(spark):
+    facts, dim = _facts(spark), _dim(spark)
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, facts.join(dim, "k", how).collect()))
+        salted = sorted(map(tuple,
+                            salted_join(facts, dim, "k", salt_buckets=4,
+                                        how=how).collect()))
+        assert salted == plain
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    # right/full would duplicate unmatched right rows once per salt value
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(_facts(spark), _dim(spark), "k", how=how)
 
 
 def test_semi_and_anti(spark):
