@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.functions.text import shingles, tokens
+from nyctaxidatapipeline_spark.plans.util import fan_out
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str],
@@ -55,8 +56,12 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str,
     per element — O(len²) per doc. A separate projection makes the lambda
     reference a cheap array attribute (Catalyst keeps the projection:
     CollapseProject won't duplicate a non-cheap expr referenced 3x).
+
+    The input is fanned out to cluster parallelism first: regex tokenize +
+    shingle explode is the CPU hot loop of every dedup path, and a small
+    parquet input plans it as one task (no-op at real scale).
     """
-    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    toks = fan_out(df, id_col).select(id_col, tokens(text_col).alias("_toks"))
     return (toks.select(id_col,
                         F.explode(shingles(F.col("_toks"), n))
                          .alias("shingle"))
@@ -215,7 +220,19 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
               .filter(F.col("a") != F.col("b"))
               .select(F.greatest("a", "b").alias("u"),
                       F.least("a", "b").alias("v"))
-              .distinct().localCheckpoint())
+              .distinct().localCheckpoint(False))
+
+    def fingerprint(frame: DataFrame):
+        """Order-insensitive set fingerprint (count, xor of edge hashes):
+        ONE cheap agg job over already-checkpointed blocks. Used as the
+        fast-path convergence probe so the loop does not pay an exceptAll
+        shuffle every round; equality is CONFIRMED with exceptAll before
+        exiting, so a 2^-64 xor collision can stall one probe but never
+        produce a wrong early exit."""
+        return frame.agg(
+            F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first()
+
+    fp = fingerprint(e)
     for _ in range(max_iter):
         # Large-star: over the symmetrized neighborhood of u, attach every
         # neighbor v > u to m = min(Γ(u) ∪ {u}). Emitted (v, m) keeps
@@ -224,10 +241,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                F.col("u").alias("v")))
         lmins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
                     .select("u", F.least("u", "mn").alias("m")))
+        # No distinct here: duplicate (v, m) rows cannot change the
+        # min-agg below or survive sm's distinct, and skipping it saves a
+        # full shuffle per round.
         lg = (sym.join(lmins, "u")
                  .filter(F.col("v") > F.col("u"))
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .distinct())
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
         # Small-star: edges are now all high→low; for each u attach u and
         # its smaller neighbors to m = min of those neighbors.
         smins = lg.groupBy("u").agg(F.min("v").alias("m"))
@@ -235,13 +254,17 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                 .filter(F.col("v") != F.col("m"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(smins.select("u", F.col("m").alias("v")))
-                .distinct().localCheckpoint())
+                # lazy checkpoint: the fingerprint action right below is
+                # what materializes it — one job per round, not two
+                .distinct().localCheckpoint(False))
         # Fixpoint ⇔ the edge set is unchanged (both sides are distinct
-        # sets, so equality = same count + empty difference).
-        if sm.exceptAll(e).isEmpty() and sm.count() == e.count():
+        # sets). Probe with the one-job fingerprint; only a match pays the
+        # exceptAll confirmation — once, at exit, not per round.
+        new_fp = fingerprint(sm)
+        if new_fp == fp and sm.exceptAll(e).isEmpty():
             e = sm
             break
-        e = sm
+        e, fp = sm, new_fp
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
@@ -276,8 +299,9 @@ def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
     """
     # Hash once per feature row — inlining xxhash64 into each of the 64
     # aggregate expressions would recompute it 64x per row.
-    feats = (df.select(id_col, F.explode(feature_col).alias("feat"))
-               .select(id_col, F.xxhash64(F.col("feat")).alias("h")))
+    feats = (fan_out(df, id_col)
+             .select(id_col, F.explode(feature_col).alias("feat"))
+             .select(id_col, F.xxhash64(F.col("feat")).alias("h")))
     h = F.col("h")
     sums = feats.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)

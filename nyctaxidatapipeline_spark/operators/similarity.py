@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
+from nyctaxidatapipeline_spark.plans.util import fan_out
 
 def _zero() -> Column:
     # lazy: F.lit needs an active session, so no module-level Column
@@ -89,8 +90,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(F.col(id_col).alias(query_id_col),
                        as_double(vec_col).alias("q_vec"),
                        l2_norm(as_double(vec_col), dim).alias("q_norm"))
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("c_vec"),
-                      l2_norm(as_double(vec_col), dim).alias("c_norm"))
+    c = fan_out(corpus, id_col).select(
+        F.col(id_col), as_double(vec_col).alias("c_vec"),
+        l2_norm(as_double(vec_col), dim).alias("c_norm"))
     scored = (c.join(F.broadcast(q))
                .select(query_id_col, id_col,
                        F.round(dot(F.col("q_vec"), F.col("c_vec"), dim)
@@ -106,10 +108,13 @@ def with_norm(df: DataFrame, id_col: str, vec_col: str,
               prefix: str, dim: int | None = None) -> DataFrame:
     """(id, vec, norm) — the norm fold runs ONCE per row here instead of
     once per pair in the O(n²) join (3x fewer folds; identical doubles, so
-    oracle parity is preserved: cosine stays dot/(na*nb))."""
-    return df.select(F.col(id_col).alias(f"id_{prefix}"),
-                     as_double(vec_col).alias(f"vec_{prefix}"),
-                     l2_norm(as_double(vec_col), dim).alias(f"norm_{prefix}"))
+    oracle parity is preserved: cosine stays dot/(na*nb)). Fanned out to
+    cluster parallelism: the per-vector fold is the CPU hot loop and a
+    small scan plans as one task (no-op at real scale)."""
+    return fan_out(df, id_col).select(
+        F.col(id_col).alias(f"id_{prefix}"),
+        as_double(vec_col).alias(f"vec_{prefix}"),
+        l2_norm(as_double(vec_col), dim).alias(f"norm_{prefix}"))
 
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.95,
@@ -440,7 +445,8 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     index build: at 100 TB, write the output bucketed/partitioned by
     ``list_id`` so searches prune to probed lists at the scan."""
     vec_d = as_double(F.col(vec_col))
-    return (df.select(F.col(id_col), vec_d.alias("vec"),
+    return (fan_out(df, id_col)
+              .select(F.col(id_col), vec_d.alias("vec"),
                       l2_norm(vec_d, dim).alias("norm"))
               .withColumn("_dots", _centroid_dots("vec", centroids))
               .withColumn("list_id",
@@ -512,7 +518,8 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
     # signature path zero-fills their projection (zip_with pads with NULL,
     # IF(NULL>=0,...) takes the else arm), which would collide every empty
     # vector into bucket 0 of every band; they carry no cosine signal.
-    base = (df.filter(F.size(F.col(vec_col)) > 0)
+    base = (fan_out(df, id_col)
+              .filter(F.size(F.col(vec_col)) > 0)
               .select(F.col(id_col), vec_d.alias("vec"),
                       l2_norm(vec_d, dim).alias("norm")))
     if dim is not None:

@@ -26,6 +26,28 @@ def round_doubles(df: DataFrame, ndigits: int = 6) -> DataFrame:
     return df.select(*cols)
 
 
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Widen a narrow scan to the cluster's parallelism before CPU-heavy
+    per-row work (regex tokenize, shingle explode, per-vector math).
+
+    A small parquet input (one row group) plans as ONE task, serializing
+    e.g. tokenization on a single core while the other 31 idle. The
+    shuffle this inserts moves only the raw input bytes — trivial next to
+    the downstream explode/hash work — and when the scan already has
+    >= defaultParallelism partitions (any real-scale input) it is an
+    exact no-op, so the 100 TB plan is unchanged. Hash-partitioning on
+    ``key_cols`` (when given) keeps the placement deterministic across
+    retries, unlike round-robin ``repartition()``.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (what ``df.explain`` prints)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
