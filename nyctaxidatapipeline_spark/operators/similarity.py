@@ -424,6 +424,58 @@ def ivf_seed_centroids(df: DataFrame, n_centroids: int = 16,
     return cents
 
 
+def ivf_kmeans_centroids(df: DataFrame, n_centroids: int = 16,
+                         iters: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         sample_mod: int | None = None,
+                         dim: int | None = None) -> list[list[float]]:
+    """Lloyd-refined (spherical k-means) IVF centroids.
+
+    Seeds with the deterministic hash-min picks, then runs ``iters``
+    distributed Lloyd steps: assign (``ivf_assign`` — argmax cosine
+    against the current centroids), recompute each list's mean UNIT
+    vector, re-normalize. The per-step driver traffic is bounded at
+    ``n_centroids x dim`` rows (the posexplode/avg aggregate), never the
+    corpus; ``sample_mod`` optionally restricts the refinement to a
+    deterministic 1/mod hash-sample of rows — at 100 TB you refine on a
+    sample, then assign the full corpus once with the final centroids.
+
+    Empty lists keep their previous centroid (standard Lloyd guard).
+    Refinement moves centroids toward the data's actual cluster modes,
+    which is what makes ``nprobe``-pruned recall meaningful — hash-seeded
+    picks on clustered data leave some clusters split/starved.
+    """
+    cents = ivf_seed_centroids(df, n_centroids, id_col, vec_col)
+    sample = df
+    if sample_mod:
+        sample = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                   F.lit(sample_mod)) == 0)
+    for _ in range(iters):
+        assigned = ivf_assign(sample, cents, id_col, vec_col, dim)
+        # mean of UNIT vectors (spherical k-means): x/norm per component
+        means = (assigned
+                 .select("list_id", "norm",
+                         F.posexplode("vec").alias("pos", "x"))
+                 .groupBy("list_id", "pos")
+                 .agg(F.avg(F.col("x") / F.col("norm")).alias("mx"))
+                 .collect())
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["mx"]
+        new_cents = []
+        for i, old in enumerate(cents):
+            d = by_list.get(i)
+            if not d or len(d) != len(old):
+                new_cents.append(old)
+                continue
+            v = [d[p] for p in range(len(old))]
+            nrm = sum(x * x for x in v) ** 0.5 or 1.0
+            new_cents.append([x / nrm for x in v])
+        cents = new_cents
+    return cents
+
+
 def _centroid_dots(vec_name: str, centroids: list[list[float]]) -> Column:
     """array<double> of <vec, c_j> for every centroid, as ONE ``F.expr``
     (literal centroid arrays; one Py4J call — see ``rp_signature_static``
@@ -459,18 +511,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None, kmeans_iters: int = 2) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists
     per query, exact-rerank only vectors in probed lists.
 
     Same output contract as ``brute_force_topk`` (query_id, vec_id,
     cosine, rank); with ``nprobe == n_centroids`` the search is exhaustive
-    and the results are identical (unit-tested parity). Scan cost per
-    query is ~``nprobe/n_centroids`` of the corpus — the standard
-    recall/latency knob. Shuffle shape: corpus hash-partitioned once on
-    ``list_id``; queries explode to ``nprobe`` rows and join on it.
+    and the results are identical (unit-tested parity, independent of
+    centroid quality). Scan cost per query is ~``nprobe/n_centroids`` of
+    the corpus — the standard recall/latency knob. Shuffle shape: corpus
+    hash-partitioned once on ``list_id``; queries explode to ``nprobe``
+    rows and join on it. ``kmeans_iters`` Lloyd steps refine the coarse
+    quantizer (see ``ivf_kmeans_centroids``); 0 = raw hash seeds.
     """
-    cents = ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = ivf_kmeans_centroids(corpus, n_centroids, kmeans_iters,
+                                 id_col, vec_col, dim=dim) \
+        if kmeans_iters else \
+        ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col, dim)
     probes = F.expr(
         f"transform(slice(array_sort(zip_with(_dots, "

@@ -1,0 +1,130 @@
+"""Recall regression gates for the sketch/approximate paths.
+
+Every approximate operator (MinHash LSH, RP-LSH, IVF) has an exact,
+oracle-checked twin. These gates pin recall-vs-twin so a parameter or
+algorithm regression that silently drops recall can never stay green.
+
+Operating points matter: the `embeddings` fixture is ISOTROPIC random
+data (max pairwise cosine ≈ 0.48, no clusters, no planted near-dups) —
+at a 0.4 cosine threshold the bit-agreement gap between "similar" (~0.64)
+and random (~0.5) pairs is so small that NO hyperplane-LSH parameters
+separate them without degenerating to all-pairs; likewise IVF pruning
+cannot beat random-list luck when neighbors are spread uniformly. So:
+
+  * MinHash is gated on the real `documents` fixture (its twin's 0.5
+    Jaccard threshold IS a realistic near-dup operating point).
+  * RP-LSH and IVF are gated on planted-structure corpora (clusters +
+    true near-dups at cosine >= 0.95) — the workload these indexes are
+    designed for, per the standard LSH/IVF analyses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from nyctaxidatapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    ivf_topk,
+    rp_lsh_near_dup,
+)
+from nyctaxidatapipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+RECALL_FLOOR = 0.9
+
+
+def _recall(sketch: set, exact: set) -> float:
+    return 1.0 if not exact else len(sketch & exact) / len(exact)
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=40, dim=32,
+                      n_dups=30, seed=11):
+    """Gaussian clusters on the sphere + planted near-dup pairs: dup j is
+    vector j plus tiny noise (cosine >= ~0.99). Returns (df, dup_pairs)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.normal(size=(per_cluster, dim))
+        vecs.extend(pts)
+    base = np.array(vecs)
+    n = len(base)
+    dup_pairs = set()
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]])
+            for i in range(n)]
+    for j in range(n_dups):
+        src = int(rng.integers(0, n))
+        dup = base[src] + 0.01 * rng.normal(size=dim)
+        rows.append(Row(vec_id=n + j,
+                        embedding=[float(x) for x in dup]))
+        dup_pairs.add((src, n + j))
+    return spark.createDataFrame(rows), dup_pairs
+
+
+def test_minhash_recall_vs_exact_jaccard_fixture(spark):
+    # The scale path must find >= 90% of the exact twin's pairs on the
+    # real documents fixture at the registered query's operating point.
+    docs = load_table(spark, SF, "documents")
+    exact = {(r.id_a, r.id_b)
+             for r in jaccard_pairs(docs, "text", "doc_id", n=3,
+                                    threshold=0.5, max_df=20).collect()}
+    sketch = {(r.id_a, r.id_b)
+              for r in minhash_lsh_pairs(docs, "text", "doc_id", n=3,
+                                         num_hashes=32, bands=8,
+                                         threshold=0.5).collect()}
+    assert exact, "fixture lost its planted near-dups — fixture problem"
+    # verification guarantees precision; the gate is recall
+    assert sketch <= exact | sketch
+    assert _recall(sketch, exact) >= RECALL_FLOOR
+
+
+def test_rp_lsh_recall_on_planted_near_dups(spark):
+    df, _ = _clustered_corpus(spark)
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup(df, 0.95, dim=32).collect()}
+    sketch = {(r.id_a, r.id_b)
+              for r in rp_lsh_near_dup(df, 0.95, planes=24, bands=8,
+                                       dim=32).collect()}
+    assert len(exact) >= 25  # the planted pairs are really there
+    assert _recall(sketch, exact) >= RECALL_FLOOR
+    # exact-cosine verification means no false positives ever
+    assert sketch <= exact
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    df, _ = _clustered_corpus(spark)
+    queries = df.filter(F.col("vec_id") % 37 == 0).limit(8)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(df, queries, k=10, dim=32).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivf_topk(df, queries, k=10, n_centroids=16,
+                                nprobe=4, dim=32,
+                                kmeans_iters=2).collect()}
+    assert _recall(approx, exact) >= RECALL_FLOOR
+
+
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    # The refined quantizer must never be worse than raw hash seeds at
+    # the same nprobe on clustered data (the workload IVF exists for).
+    df, _ = _clustered_corpus(spark, seed=23)
+    queries = df.filter(F.col("vec_id") % 41 == 0).limit(8)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(df, queries, k=10, dim=32).collect()}
+    rec = {}
+    for iters in (0, 2):
+        approx = {(r.query_id, r.vec_id)
+                  for r in ivf_topk(df, queries, k=10, n_centroids=16,
+                                    nprobe=4, dim=32,
+                                    kmeans_iters=iters).collect()}
+        rec[iters] = _recall(approx, exact)
+    assert rec[2] >= rec[0]
+    assert rec[2] >= RECALL_FLOOR
