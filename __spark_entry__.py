@@ -307,13 +307,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (32 hashes, 8 bands) with exact-Jaccard
-    verification — the 100 TB scale path. Rows-only check (sketches are
-    engine-hash-specific); exactness of the verify step is covered by
-    ngram_jaccard's oracle."""
+    verification — the 100 TB scale path. Runs the PORTABLE hash family
+    (md5 base hash + universal-hash derivations, see
+    ``dedup.minhash_constants``) so the DuckDB oracle reproduces the
+    whole sketch→band→candidate→verify pipeline bit-for-bit: this query
+    is fully value-hash-checked, not rows-only. The xxhash64 variant
+    (``portable=False``) stays the pure-JVM production default."""
     docs = load_table(spark, sf_dir, "documents")
     return round_doubles(minhash_lsh_pairs(docs, "text", "doc_id",
                                            n=3, num_hashes=32, bands=8,
-                                           threshold=0.5))
+                                           threshold=0.5, portable=True))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +618,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5) -> str:
+    """DuckDB twin of the PORTABLE MinHash+LSH pipeline: same md5 base
+    hash, same (a_i*h + b_i) mod 2^61-1 family (constants imported from
+    ``dedup.minhash_constants`` — single source of truth), same
+    concatenated band buckets, same exact-Jaccard verification."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_constants,
+    )
+
+    r = num_hashes // bands
+    hmins = ",\n                     ".join(
+        "min(({a} * h + {b}) % {p}) AS h{i}".format(
+            a=minhash_constants(i)[0], b=minhash_constants(i)[1],
+            p=MINHASH_P, i=i)
+        for i in range(num_hashes))
+    band_rows = "\n              UNION ALL\n              ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws(':', {hs}) AS bucket "
+        "FROM sig".format(
+            bi=bi,
+            hs=", ".join(f"h{bi * r + j}" for j in range(r)))
+        for bi in range(bands))
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-2, 0) + 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                     AS u(sg)
+            ), hx AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+              FROM sh
+            ), sig AS (
+              SELECT doc_id,
+                     {hmins}
+              FROM hx GROUP BY doc_id
+            ), bands AS (
+              {band_rows}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            ), sizes AS (
+              SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+            ), shared AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND a.sg = b.sg
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(n_shared::DOUBLE /
+                         (sa.set_size + sb.set_size - n_shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)
+                  >= {threshold}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of each query.
 
@@ -813,6 +885,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_shared::DOUBLE / (sa.set_size + sb.set_size - n_shared)
                   >= 0.5
         """,
+        # Full sketch-path twin: the portable hash family makes the
+        # entire minhash->band->candidate->verify pipeline reproducible
+        # in DuckDB (not just the verify math).
+        "minhash_dedup": _minhash_oracle_sql(num_hashes=32, bands=8,
+                                             threshold=0.5),
         # Same shingle/pair pipeline as ngram_jaccard, then transitive
         # closure by recursive CTE (DuckDB) vs iterative min-label
         # propagation (Spark) — both converge to comp = min reachable id.

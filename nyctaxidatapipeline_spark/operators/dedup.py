@@ -123,10 +123,62 @@ def _hash_expr(i: int, col: str | Column) -> Column:
     return F.xxhash64(F.concat(F.lit(f"mh{i}:"), c))
 
 
+#: modulus of the portable universal-hash family: the Mersenne prime 2^61-1
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_constants(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for the i-th portable hash h_i = (a_i*h + b_i) mod P.
+
+    Derived from md5 of the index (plain Python, deterministic, no RNG
+    state). ``a_i`` is masked to 30 bits and forced odd so ``a_i * h``
+    stays under 2^62 for a 32-bit base hash — BIGINT arithmetic then
+    never overflows in EITHER engine (Spark ANSI mode and DuckDB both
+    raise on overflow rather than wrapping).
+    """
+    import hashlib
+
+    a = (int(hashlib.md5(f"mh-a{i}".encode()).hexdigest()[:8], 16)
+         & ((1 << 30) - 1)) | 1
+    b = int(hashlib.md5(f"mh-b{i}".encode()).hexdigest()[:8], 16)
+    return a, b
+
+
+def portable_base_hash(col: str | Column) -> Column:
+    """32-bit integer hash every engine reproduces bit-for-bit: the first
+    8 hex chars of md5, as an integer (same idiom as ``sampling.py``;
+    DuckDB: ``('0x' || substr(md5(s), 1, 8))::BIGINT``).
+
+    32 bits is plenty below ~10^8 distinct shingles; at 100 TB corpus
+    scale base-hash collisions start merging shingles (a tiny Jaccard
+    bias), so the pure-JVM xxhash64 path remains the default for
+    production and this one exists for cross-engine verifiability.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       n: int = 3, num_hashes: int = 32) -> DataFrame:
-    """(id, h0..h{k-1}) — k independent min-hashes over the shingle set."""
+                       n: int = 3, num_hashes: int = 32,
+                       portable: bool = False) -> DataFrame:
+    """(id, h0..h{k-1}) — k independent min-hashes over the shingle set.
+
+    ``portable=False`` (default): k xxhash64 evaluations per shingle —
+    fastest, JVM-only. ``portable=True``: ONE md5 per shingle, then k
+    universal-hash derivations ``(a_i*h + b_i) mod 2^61-1`` — cheaper
+    than k full hashes AND bit-reproducible in DuckDB/Python/anything,
+    which lets the LSH output graduate from rows-only to a full
+    value-hash oracle check (the constants are ``minhash_constants``).
+    """
     sh = doc_shingles(df, text_col, id_col, n)
+    if portable:
+        base = sh.select(id_col, portable_base_hash("shingle").alias("_h"))
+        aggs = []
+        for i in range(num_hashes):
+            a, b = minhash_constants(i)
+            aggs.append(F.min((F.lit(a) * F.col("_h") + F.lit(b))
+                              % F.lit(MINHASH_P)).alias(f"h{i}"))
+        return base.groupBy(id_col).agg(*aggs)
     aggs = [F.min(_hash_expr(i, "shingle")).alias(f"h{i}")
             for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -134,22 +186,36 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      portable: bool = False) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     ``bands`` bands of ``num_hashes/bands`` rows each: collision probability
     for similarity s is 1-(1-s^r)^b — with 32/8 the S-curve crosses ~0.5
     around s≈0.55. Verification removes false positives; false negatives
     follow the curve (raise bands for higher recall).
+
+    ``portable=True`` switches both the min-hashes (see
+    ``minhash_signatures``) and the band bucket key (the concatenated
+    hash tuple instead of an xxhash64 of it) to forms DuckDB reproduces
+    bit-for-bit, making the whole LSH output oracle-checkable. Bucket
+    keys become strings (~r x 19 bytes instead of 8) — the small extra
+    shuffle width is the price of verifiability; candidates/results are
+    identical whenever no xxhash64 bucket collision occurs.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
+    if portable:
+        bucket_of = lambda bi: F.concat_ws(  # noqa: E731
+            ":", *[F.col(f"h{bi * r + j}").cast("string")
+                   for j in range(r)])
+    else:
+        bucket_of = lambda bi: F.xxhash64(  # noqa: E731
+            *[F.col(f"h{bi * r + j}") for j in range(r)])
     band_cols = [
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)])
-                  .alias("bucket"))
+        F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
         for bi in range(bands)]
     buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                   .select(id_col, "bb.band", "bb.bucket"))

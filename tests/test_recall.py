@@ -77,10 +77,13 @@ def test_minhash_recall_vs_exact_jaccard_fixture(spark):
     exact = {(r.id_a, r.id_b)
              for r in jaccard_pairs(docs, "text", "doc_id", n=3,
                                     threshold=0.5, max_df=20).collect()}
+    # portable=True is the registered query's operating point; the
+    # xxhash64 production variant shares everything but the hash family
     sketch = {(r.id_a, r.id_b)
               for r in minhash_lsh_pairs(docs, "text", "doc_id", n=3,
                                          num_hashes=32, bands=8,
-                                         threshold=0.5).collect()}
+                                         threshold=0.5,
+                                         portable=True).collect()}
     assert exact, "fixture lost its planted near-dups — fixture problem"
     # verification guarantees precision; the gate is recall
     assert sketch <= exact | sketch
