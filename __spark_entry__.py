@@ -321,11 +321,16 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming ≤ 3 over word-bigram
-    features (banded pigeonhole candidates). Rows-only check."""
+    features (banded pigeonhole candidates). Runs the PORTABLE hash family
+    (md5-derived signature words, see ``dedup.simhash_words``) so the
+    DuckDB oracle reproduces the whole sign-sum→band→candidate→Hamming
+    pipeline bit-for-bit — fully value-hash-checked, not rows-only. The
+    xxhash64 variant (``portable=False``) stays the pure-JVM production
+    default."""
     docs = (load_table(spark, sf_dir, "documents")
             .select("doc_id", tokens("text").alias("_tk")))
     return simhash_near_pairs(docs, shingles(F.col("_tk"), 2), "doc_id",
-                              max_hamming=3, bands=4)
+                              max_hamming=3, bands=4, portable=True)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,6 +692,78 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
         """
 
 
+def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB twin of the PORTABLE SimHash pipeline: same md5-derived
+    32-bit signature words (hex chars 9-16 / 1-8), same per-bit ±1 sign
+    sums over word-bigram features (duplicates kept — SimHash weights
+    repeats), same word-aligned band buckets, same two-word Hamming."""
+    width = 64 // bands
+
+    def bit_sums(word: str, prefix: str) -> str:
+        return ",\n                     ".join(
+            f"sum(CASE WHEN ({word} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS {prefix}{j}" for j in range(32))
+
+    def word_of(prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {prefix}{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(32))
+
+    def bucket_of(bi: int) -> str:
+        word = "sh_lo" if bi * width < 32 else "sh_hi"
+        off = (bi * width) % 32
+        return f"({word} >> {off}) & {(1 << width) - 1}"
+
+    band_rows = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {bi} AS band, {bucket_of(bi)} AS bucket FROM sig"
+        for bi in range(bands))
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), feats AS (
+              -- NO distinct: SimHash sign-sums weight repeated features
+              SELECT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-1, 0) + 1),
+                                         i -> array_to_string(tk[i:i+1], ' ')))
+                     AS u(sg)
+            ), hw AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(sg), 9, 8))::BIGINT AS h_lo,
+                     ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h_hi
+              FROM feats
+            ), sums AS (
+              SELECT doc_id,
+                     {bit_sums('h_lo', 'bl')},
+                     {bit_sums('h_hi', 'bh')}
+              FROM hw GROUP BY doc_id
+            ), sig AS (
+              SELECT doc_id,
+                     {word_of('bl')} AS sh_lo,
+                     {word_of('bh')} AS sh_hi
+              FROM sums
+            ), bands AS (
+              {band_rows}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(bit_count(xor(sa.sh_lo, sb.sh_lo))
+                        + bit_count(xor(sa.sh_hi, sb.sh_hi)) AS INTEGER)
+                     AS hamming
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+            WHERE bit_count(xor(sa.sh_lo, sb.sh_lo))
+                  + bit_count(xor(sa.sh_hi, sb.sh_hi)) <= {max_hamming}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of each query.
 
@@ -890,6 +967,9 @@ def oracle_sql() -> dict[str, str]:
         # in DuckDB (not just the verify math).
         "minhash_dedup": _minhash_oracle_sql(num_hashes=32, bands=8,
                                              threshold=0.5),
+        # Full sketch-path twin: md5-derived signature words make the
+        # sign-sum -> band -> Hamming pipeline reproducible in DuckDB.
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4),
         # Same shingle/pair pipeline as ngram_jaccard, then transitive
         # closure by recursive CTE (DuckDB) vs iterative min-label
         # propagation (Spark) — both converge to comp = min reachable id.

@@ -19,9 +19,12 @@ reference has no dedup surface (its closest op is the implicit
     via band-exact buckets (pigeonhole: d bits differ → some band of
     ``bands > d`` is identical).
 
-Sketch outputs depend on Spark's hash functions, so MinHash/SimHash are
-rows-only in the oracle gate; the *verification* step (exact Jaccard on
-candidates) is the same math the brute-force oracle-checked path uses.
+Sketch outputs normally depend on Spark's hash functions; MinHash and
+SimHash each also offer a ``portable=True`` hash family (md5-derived — see
+``minhash_constants`` / ``simhash_words``) that DuckDB reproduces
+bit-for-bit, so their registered queries are fully value-hash-checked
+against the oracle rather than rows-only. The xxhash64 variants remain the
+pure-JVM production defaults.
 """
 
 from __future__ import annotations
@@ -356,54 +359,121 @@ def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
     return df.join(drop, id_col, "left_anti")
 
 
-def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
-    """64-bit SimHash per id over an array-of-features column.
+def _sign_sum_words(feats: DataFrame, id_col: str) -> DataFrame:
+    """(id, sh_lo, sh_hi) from per-feature 32-bit words ``h_lo``/``h_hi``:
+    per-bit ±1 sign sums (64 agg expressions — wide but columnar), then
+    each word reassembled from its 32 sign bits. Both words are
+    non-negative (< 2^32), so arithmetic vs logical shifts agree in every
+    engine."""
+    def bit_sums(word: str, prefix: str) -> list[Column]:
+        h = F.col(word)
+        return [
+            F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+                   .otherwise(-1)).alias(f"{prefix}{j}")
+            for j in range(32)]
 
-    Sign-sum per bit, entirely in Catalyst: explode features → xxhash64 →
-    per-bit ±1 sums (64 agg expressions — wide but columnar) → reassemble
-    the fingerprint with bitwise ORs of shifted sign bits.
+    sums = feats.groupBy(id_col).agg(*bit_sums("h_lo", "bl"),
+                                     *bit_sums("h_hi", "bh"))
+
+    def word_of(prefix: str) -> Column:
+        fp = None
+        for j in range(32):
+            bit = F.when(F.col(f"{prefix}{j}") > 0,
+                         F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+            fp = bit if fp is None else fp.bitwiseOR(bit)
+        return fp
+
+    return sums.select(id_col, word_of("bl").alias("sh_lo"),
+                       word_of("bh").alias("sh_hi"))
+
+
+def simhash_words(df: DataFrame, feature_col: Column, id_col: str,
+                  portable: bool = False) -> DataFrame:
+    """64-bit SimHash per id as TWO 32-bit words (id, sh_lo, sh_hi),
+    entirely in Catalyst.
+
+    The word-pair form (instead of one packed 64-bit long) exists for
+    cross-engine parity: assembling bit 63 needs a left shift into the
+    sign bit, which DuckDB's overflow-checked ``<<`` rejects — two
+    non-negative words sidestep it, and banding/Hamming work the same
+    (``bit_count(xor(lo)) + bit_count(xor(hi))``).
+
+    ``portable=False``: words = the two halves of ``xxhash64(feat)`` —
+    fastest, JVM-only. ``portable=True``: ONE md5 per feature, words =
+    hex chars 1-8 / 9-16 (same idiom as ``portable_base_hash``) — bit-
+    reproducible in DuckDB, which upgrades SimHash output from rows-only
+    to a full value-hash oracle check.
     """
-    # Hash once per feature row — inlining xxhash64 into each of the 64
-    # aggregate expressions would recompute it 64x per row.
-    feats = (fan_out(df, id_col)
-             .select(id_col, F.explode(feature_col).alias("feat"))
-             .select(id_col, F.xxhash64(F.col("feat")).alias("h")))
-    h = F.col("h")
-    sums = feats.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-               .otherwise(-1)).alias(f"b{j}")
-        for j in range(64)])
-    fingerprint = None
-    for j in range(64):
-        bit = F.when(F.col(f"b{j}") > 0,
-                     F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
-        fingerprint = bit if fingerprint is None else \
-            fingerprint.bitwiseOR(bit)
-    return sums.select(id_col, fingerprint.alias("simhash"))
+    base = (fan_out(df, id_col)
+            .select(id_col, F.explode(feature_col).alias("feat")))
+    # Hash once per feature row in its own projection — inlining the hash
+    # into each of the 64 aggregate expressions would recompute it 64x.
+    if portable:
+        feats = (base.select(id_col, F.md5(F.col("feat")).alias("m"))
+                     .select(id_col,
+                             F.conv(F.substring("m", 9, 8), 16, 10)
+                              .cast("long").alias("h_lo"),
+                             F.conv(F.substring("m", 1, 8), 16, 10)
+                              .cast("long").alias("h_hi")))
+    else:
+        mask = F.lit((1 << 32) - 1)
+        feats = (base.select(id_col, F.xxhash64(F.col("feat")).alias("h"))
+                     .select(id_col,
+                             F.col("h").bitwiseAND(mask).alias("h_lo"),
+                             F.shiftright(F.col("h"), 32).bitwiseAND(mask)
+                              .alias("h_hi")))
+    return _sign_sum_words(feats, id_col)
+
+
+def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
+    """64-bit SimHash per id over an array-of-features column, packed into
+    one long (bit 63 may set the sign). Kept as the compact storage form;
+    ``simhash_words`` is the banding/oracle-friendly two-word variant."""
+    w = simhash_words(df, feature_col, id_col)
+    return w.select(
+        id_col,
+        F.shiftleft(F.col("sh_hi"), 32).bitwiseOR(F.col("sh_lo"))
+         .alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
-                       max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                       max_hamming: int = 3, bands: int = 4,
+                       portable: bool = False) -> DataFrame:
     """Pairs within ``max_hamming`` bits of SimHash distance.
 
     Pigeonhole banding: split 64 bits into ``bands`` equal slices; any pair
     within d < bands bits must agree exactly on ≥1 slice — candidates are
     bucket collisions, then the true Hamming distance filters.
+
+    Band slices must not straddle the two signature words, so ``bands``
+    must be in {2, 4, 8, 16, 32}. ``portable=True`` runs the md5-derived
+    hash family (see ``simhash_words``) whose output DuckDB reproduces
+    bit-for-bit.
     """
     width = 64 // bands
-    sig = simhash64(df, feature_col, id_col)
+    if width > 32 or 32 % width:
+        raise ValueError(
+            f"bands ({bands}) must be one of 2/4/8/16/32 so band slices "
+            "align with the 32-bit signature words")
+    sig = simhash_words(df, feature_col, id_col, portable)
+
+    def bucket_of(bi: int) -> Column:
+        word = F.col("sh_lo") if bi * width < 32 else F.col("sh_hi")
+        off = (bi * width) % 32
+        return (F.shiftright(word, off)
+                 .bitwiseAND(F.lit((1 << width) - 1)))
+
     band_cols = [
-        F.struct(F.lit(bi).alias("band"),
-                 F.shiftright(F.col("simhash"), bi * width)
-                  .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"))
+        F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
         for bi in range(bands)]
-    buckets = (sig.select(id_col, "simhash",
+    buckets = (sig.select(id_col, "sh_lo", "sh_hi",
                           F.explode(F.array(*band_cols)).alias("bb"))
-                  .select(id_col, "simhash", "bb.band", "bb.bucket"))
+                  .select(id_col, "sh_lo", "sh_hi", "bb.band", "bb.bucket"))
     # Same posting-list expansion as MinHash LSH: structs sort by id
     # (unique), so pairs come out id_a < id_b without a join.
     entries = F.sort_array(F.collect_set(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))))
+        F.struct(F.col(id_col).alias("id"), F.col("sh_lo").alias("lo"),
+                 F.col("sh_hi").alias("hi"))))
     blists = (buckets.groupBy("band", "bucket")
                      .agg(entries.alias("es"))
                      .filter(F.size("es") >= 2))
@@ -414,7 +484,9 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
             F.slice(es, i + F.lit(2), F.size(es)),
             lambda y: F.struct(
                 x["id"].alias("id_a"), y["id"].alias("id_b"),
-                F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming")))))
+                (F.bit_count(x["lo"].bitwiseXOR(y["lo"]))
+                 + F.bit_count(x["hi"].bitwiseXOR(y["hi"])))
+                 .alias("hamming")))))
     return (blists.select(F.explode(pair_structs).alias("p"))
                   .select("p.id_a", "p.id_b", "p.hamming")
                   .distinct()

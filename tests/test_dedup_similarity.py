@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -76,6 +77,21 @@ def test_simhash_identical_distance_zero(spark):
         _docs(spark), shingles(tokens("text"), 2), "doc_id",
         max_hamming=8, bands=4).collect()}
     assert out.get((0, 2)) == 0  # identical docs → identical fingerprints
+
+
+def test_simhash_portable_identical_distance_zero(spark):
+    # the md5-derived (oracle-checkable) hash family finds the planted
+    # exact dup too — fingerprints differ from xxhash64's, distances agree
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(
+        _docs(spark), shingles(tokens("text"), 2), "doc_id",
+        max_hamming=8, bands=4, portable=True).collect()}
+    assert out.get((0, 2)) == 0
+
+
+def test_simhash_rejects_word_straddling_bands(spark):
+    with pytest.raises(ValueError):
+        simhash_near_pairs(_docs(spark), shingles(tokens("text"), 2),
+                           "doc_id", bands=1)
 
 
 def _vecs(spark):
