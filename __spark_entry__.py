@@ -351,11 +351,15 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup (16 planes, 4 bands) with exact
-    rerank — the approximate scale path. Rows-only check."""
+    """Random-hyperplane LSH near-dup (24 planes, 4 bands) with exact
+    rerank — the approximate scale path. Runs the PORTABLE md5-derived
+    plane matrix (``similarity.rp_plane_components_portable``): the same
+    literal components embed in the DuckDB oracle, so the entire
+    signature→band→candidate→rerank pipeline is value-hash-checked, not
+    rows-only. The xxhash64-derived planes stay the non-oracle default."""
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_near_dup(emb, threshold=0.4, planes=24, bands=4,
-                           dim=embedding_dim(emb))
+                           dim=embedding_dim(emb), portable=True)
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,6 +768,57 @@ def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
         """
 
 
+def _rp_lsh_oracle_sql(threshold: float = 0.4, planes: int = 24,
+                       bands: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the PORTABLE random-hyperplane LSH pipeline: the
+    same md5-derived plane literals (``rp_plane_components_portable`` —
+    single source of truth), the same sign-bit signature
+    (``list_dot_product`` reproduces the left-to-right fold bit-for-bit,
+    proven by ann_topk's parity), the same band buckets, and the same
+    exact cosine rerank rounded 6 dp."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_plane_components_portable,
+    )
+
+    comps = rp_plane_components_portable(dim, planes)
+    width = planes // bands
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(vec, [{arr}]) >= 0.0 "
+        "THEN {bit} ELSE 0 END)".format(
+            arr=", ".join(repr(c) for c in comps[p]), bit=1 << p)
+        for p in range(planes))
+    band_rows = "\n              UNION ALL\n              ".join(
+        f"SELECT vec_id, {bi} AS band, "
+        f"(sig >> {bi * width}) & {(1 << width) - 1} AS bucket FROM sig"
+        for bi in range(bands))
+    return f"""
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE len(embedding) > 0
+            ), sig AS (
+              SELECT vec_id, vec, {sig_terms} AS sig
+              FROM v
+            ), bands AS (
+              {band_rows}
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_dot_product(a.vec, b.vec) /
+                         (sqrt(list_dot_product(a.vec, a.vec)) *
+                          sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+            FROM cand c
+            JOIN v a ON a.vec_id = c.id_a
+            JOIN v b ON b.vec_id = c.id_b
+            WHERE ROUND(list_dot_product(a.vec, b.vec) /
+                        (sqrt(list_dot_product(a.vec, a.vec)) *
+                         sqrt(list_dot_product(b.vec, b.vec))), 6)
+                  >= {threshold}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of each query.
 
@@ -970,6 +1025,10 @@ def oracle_sql() -> dict[str, str]:
         # Full sketch-path twin: md5-derived signature words make the
         # sign-sum -> band -> Hamming pipeline reproducible in DuckDB.
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4),
+        # Full sketch-path twin: identical md5-derived plane literals in
+        # both engines make the RP-LSH pipeline reproducible in DuckDB.
+        "ann_lsh": _rp_lsh_oracle_sql(threshold=0.4, planes=24, bands=4,
+                                      dim=64),
         # Same shingle/pair pipeline as ngram_jaccard, then transitive
         # closure by recursive CTE (DuckDB) vs iterative min-label
         # propagation (Spark) — both converge to comp = min reachable id.

@@ -375,6 +375,22 @@ def rp_plane_components(spark, dim: int, planes: int) -> list[list[float]]:
     return [[r[f"p{p}"] for r in rows] for p in range(planes)]
 
 
+def rp_plane_components_portable(dim: int, planes: int) -> list[list[float]]:
+    """Pseudo-random plane matrix derived from md5 in PURE PYTHON — no
+    Spark job, no engine-specific hash. Same range mapping as
+    ``_plane_component`` ((h mod 20001 - 10000)/10000 ∈ [-1, 1]) but the
+    base hash is the first 8 hex chars of md5, so the exact same decimal
+    literals can be embedded in a DuckDB oracle query: both engines parse
+    one decimal string to the one nearest double, making the whole
+    signature→band→candidate→rerank pipeline value-hash-checkable."""
+    import hashlib
+
+    return [[(int(hashlib.md5(f"rp{p}:{i}".encode()).hexdigest()[:8], 16)
+              % 20001 - 10000) / 10000.0
+             for i in range(dim)]
+            for p in range(planes)]
+
+
 def rp_signature_static(vec_name: str,
                         components: list[list[float]]) -> Column:
     """Signature with literal plane components, built as ONE SQL string.
@@ -572,15 +588,26 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                     planes: int = 16, bands: int = 4,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    dim: int | None = None) -> DataFrame:
+                    dim: int | None = None,
+                    portable: bool = False) -> DataFrame:
     """LSH-bucketed near-dup: candidates collide on ≥1 signature band,
     then exact cosine filters. Same output contract as
     ``embedding_near_dup`` with approximate recall (P(collision) =
-    1-(1-(1-θ/π)^r)^b for angle θ)."""
+    1-(1-(1-θ/π)^r)^b for angle θ).
+
+    ``portable=True`` (requires ``dim``) derives the plane matrix from
+    md5 in pure Python (``rp_plane_components_portable``) instead of a
+    Spark xxhash64 job; the identical literals embed in a DuckDB oracle,
+    so the output is fully value-hash-checkable. Plane quality is
+    equivalent (both are uniform pseudo-random components); xxhash64
+    stays the default purely to keep the non-oracle path self-contained
+    JVM-side."""
     if planes % bands:
         raise ValueError(
             f"planes ({planes}) must divide evenly into bands ({bands}); "
             "indivisible settings would silently ignore the high bits")
+    if portable and dim is None:
+        raise ValueError("portable plane literals require a known dim")
     width = planes // bands
     # Static plane literals when the dimension is known (the fast path);
     # per-row derived components otherwise (identical bits either way).
@@ -595,7 +622,10 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
               .filter(F.size(F.col(vec_col)) > 0)
               .select(F.col(id_col), vec_d.alias("vec"),
                       l2_norm(vec_d, dim).alias("norm")))
-    if dim is not None:
+    if portable:
+        comps = rp_plane_components_portable(dim, planes)
+        sig_expr = rp_signature_static("vec", comps)
+    elif dim is not None:
         comps = rp_plane_components(df.sparkSession, dim, planes)
         sig_expr = rp_signature_static("vec", comps)
     else:

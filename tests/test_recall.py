@@ -94,13 +94,17 @@ def test_rp_lsh_recall_on_planted_near_dups(spark):
     df, _ = _clustered_corpus(spark)
     exact = {(r.id_a, r.id_b)
              for r in embedding_near_dup(df, 0.95, dim=32).collect()}
-    sketch = {(r.id_a, r.id_b)
-              for r in rp_lsh_near_dup(df, 0.95, planes=24, bands=8,
-                                       dim=32).collect()}
     assert len(exact) >= 25  # the planted pairs are really there
-    assert _recall(sketch, exact) >= RECALL_FLOOR
-    # exact-cosine verification means no false positives ever
-    assert sketch <= exact
+    # both plane families (xxhash64 default and the md5-portable one the
+    # registered query runs) must clear the same recall floor
+    for portable in (False, True):
+        sketch = {(r.id_a, r.id_b)
+                  for r in rp_lsh_near_dup(df, 0.95, planes=24, bands=8,
+                                           dim=32,
+                                           portable=portable).collect()}
+        assert _recall(sketch, exact) >= RECALL_FLOOR
+        # exact-cosine verification means no false positives ever
+        assert sketch <= exact
 
 
 def test_ivf_recall_on_clustered_corpus(spark):
