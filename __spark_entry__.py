@@ -40,6 +40,9 @@ from nyctaxidatapipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_near_pairs,
 )
+from nyctaxidatapipeline_spark.operators.contamination import (
+    ngram_contamination,
+)
 from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_dim,
@@ -416,6 +419,17 @@ def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(docs, "text", "doc_id")
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document 3-gram overlap between the
+    training corpus (doc_id % 20 != 0) and a held-out benchmark slice
+    (doc_id % 20 == 0). The benchmark's distinct shingle set broadcasts —
+    the corpus is never shuffled by shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=3)
+
+
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% corpus sample, then 80/10/10 train/val/test
     labels — assignment is a pure function of md5(doc_id) so it is stable
@@ -610,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "fingerprint_dedup": _q_fingerprint_dedup,
+        "contamination_check": _q_contamination,
         "dataset_split": _q_dataset_split,
         "pivot_qty": _q_pivot_qty,
         "melt_measures": _q_melt_measures,
@@ -1190,6 +1205,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM toks
             GROUP BY 1
+        """,
+        # Same tokenizer/shingle contract as the dedup oracles; benchmark
+        # slice = doc_id % 20 == 0, corpus = the rest.
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-2, 0) + 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                     AS u(sg)
+            ), bench AS (
+              SELECT DISTINCT sg FROM sh WHERE doc_id % 20 = 0
+            ), corpus AS (
+              SELECT doc_id, sg FROM sh WHERE doc_id % 20 <> 0
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY doc_id
+            ), hits AS (
+              SELECT c.doc_id, count(*) AS n_hits
+              FROM corpus c JOIN bench b ON c.sg = b.sg
+              GROUP BY c.doc_id
+            )
+            SELECT t.doc_id, t.n_ngrams,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   ROUND(coalesce(h.n_hits, 0)::DOUBLE / t.n_ngrams, 6)
+                     AS contamination
+            FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
         """,
         # Bit-exact split reproduction: Spark conv(substr(md5,1,8),16,10)
         # == DuckDB ('0x'||substr(md5,1,8))::BIGINT (verified identical).
