@@ -53,6 +53,8 @@ from nyctaxidatapipeline_spark.operators.similarity import (
 from nyctaxidatapipeline_spark.operators.text_analysis import (
     fingerprint_dedup,
     language_confusion,
+    pii_redact,
+    pii_stats,
     quality_score,
     token_stats,
 )
@@ -419,6 +421,34 @@ def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(docs, "text", "doc_id")
 
 
+def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan + redaction. The fixture corpus contains no
+    digits, so the query first injects synthetic PII as a deterministic
+    function of doc_id (email for % 7, phone for % 11, ipv4 for % 13 —
+    reproduced verbatim in the oracle); the operators then count and
+    redact it. Exercises regexp parity (java.util.regex vs RE2) on
+    nonzero hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" host 10.0."),
+                            (F.col("doc_id") % 250).cast("string"),
+                            F.lit(".1"))).otherwise(F.lit("")),
+        ).alias("text"))
+    stats = pii_stats(aug, "text", "doc_id")
+    red = pii_redact(aug, "text").select("doc_id", "redacted")
+    return stats.join(red, "doc_id")
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document 3-gram overlap between the
     training corpus (doc_id % 20 != 0) and a held-out benchmark slice
@@ -624,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "fingerprint_dedup": _q_fingerprint_dedup,
+        "pii_stats": _q_pii_stats,
         "contamination_check": _q_contamination,
         "dataset_split": _q_dataset_split,
         "pivot_qty": _q_pivot_qty,
@@ -780,6 +811,50 @@ def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
             JOIN sig sb ON sb.doc_id = c.id_b
             WHERE bit_count(xor(sa.sh_lo, sb.sh_lo))
                   + bit_count(xor(sa.sh_hi, sb.sh_hi)) <= {max_hamming}
+        """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of the PII scan: same injected synthetic PII (pure
+    function of doc_id), same patterns (``text_analysis.PII_PATTERNS`` —
+    single source of truth; written to match identically under RE2 and
+    java.util.regex), same redaction order. DuckDB regexp_replace needs
+    the explicit 'g' flag to match Spark's replace-all semantics."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        PII_PATTERNS,
+    )
+
+    def q(p: str) -> str:
+        return "'" + p.replace("'", "''") + "'"
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, {q(p)})) AS INTEGER) AS n_{k}"
+        for k, p in PII_PATTERNS.items())
+    total = " + ".join(f"len(regexp_extract_all(t, {q(p)}))"
+                       for p in PII_PATTERNS.values())
+    redacted = "t"
+    for k, p in PII_PATTERNS.items():
+        redacted = (f"regexp_replace({redacted}, {q(p)}, "
+                    f"'[{k.upper()}]', 'g')")
+    return f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id::VARCHAR
+                               || '@example.com' ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-867-5309' ELSE '' END ||
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ' host 10.0.' || (doc_id % 250)::VARCHAR
+                               || '.1' ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   {counts},
+                   ({total}) > 0 AS has_pii,
+                   {redacted} AS redacted
+            FROM aug
         """
 
 
@@ -1206,6 +1281,8 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             GROUP BY 1
         """,
+        # Regexp-parity twin (java.util.regex vs RE2) on injected PII.
+        "pii_stats": _pii_oracle_sql(),
         # Same tokenizer/shingle contract as the dedup oracles; benchmark
         # slice = doc_id % 20 == 0, corpus = the rest.
         "contamination_check": """

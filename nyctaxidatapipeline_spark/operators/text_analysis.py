@@ -158,3 +158,46 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .groupBy("fingerprint")
             .agg(F.min(id_col).alias(id_col),
                  F.count("*").alias("n_copies")))
+
+
+#: PII surface patterns, written so RE2 (DuckDB) and java.util.regex
+#: (Spark) find the IDENTICAL match set: single character classes, fixed
+#: quantifier ranges, ASCII \b boundaries — no alternation or constructs
+#: where leftmost-first (Java) and leftmost-longest (RE2) semantics could
+#: diverge. Heuristic surface detectors, not validators (e.g. ipv4 accepts
+#: octets > 255) — the standard cheap pre-filter before human review.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII surface counts + flag.
+
+    One codegen'd ``regexp_count`` pass per pattern — scan-speed, no
+    Python. Output: (id, n_email, n_phone, n_ipv4, n_ssn, has_pii).
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()]
+    out = df.select(id_col, *counts)
+    total = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+def pii_redact(df: DataFrame, text_col: str,
+               redacted_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``[EMAIL]``,
+    ``[PHONE]``, ...). Patterns apply in ``PII_PATTERNS`` order; matches
+    never overlap across patterns for realistic inputs, and the order is
+    deterministic either way (the oracle mirrors it)."""
+    out = F.col(text_col)
+    for k, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"[{k.upper()}]")
+    return df.withColumn(redacted_col, out)

@@ -59,3 +59,38 @@ def test_fingerprint_normalizes_case_and_space(spark):
     dedup = {r.fingerprint: (r.doc_id, r.n_copies)
              for r in fingerprint_dedup(df, "text", "doc_id").collect()}
     assert dedup[fps[0]] == (0, 2)
+
+
+def test_pii_stats_counts(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import pii_stats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="mail a@b.co and c.d+x@e-f.org, "
+                           "call 555-867-5309 or 555 123 4567"),
+        Row(doc_id=2, text="server at 10.0.0.1 and 192.168.255.254"),
+        Row(doc_id=3, text="ssn 123-45-6789 hides here"),
+        Row(doc_id=4, text="nothing sensitive at all"),
+    ])
+    out = {r.doc_id: r for r in pii_stats(df, "text", "doc_id").collect()}
+    assert (out[1].n_email, out[1].n_phone) == (2, 2)
+    assert out[2].n_ipv4 == 2 and out[2].has_pii
+    assert out[3].n_ssn == 1 and out[3].has_pii
+    assert not out[4].has_pii
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4,
+            out[4].n_ssn) == (0, 0, 0, 0)
+
+
+def test_pii_redact_placeholders(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import pii_redact
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="write a@b.co, dial 555-867-5309, "
+                           "ping 10.0.0.1, ssn 123-45-6789"),
+    ])
+    red = pii_redact(df, "text").collect()[0].redacted
+    assert red == ("write [EMAIL], dial [PHONE], "
+                   "ping [IPV4], ssn [SSN]")
