@@ -70,6 +70,7 @@ from nyctaxidatapipeline_spark.operators.profile import profile_numeric
 from nyctaxidatapipeline_spark.operators.rangejoin import range_join_recent
 from nyctaxidatapipeline_spark.operators.sampling import (
     deterministic_sample,
+    stratified_sample,
     with_split,
 )
 from nyctaxidatapipeline_spark.operators.temporal import asof_join, session_stats
@@ -421,6 +422,19 @@ def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(docs, "text", "doc_id")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: keep 25% of English (the
+    over-represented stratum), all German/French, half of Spanish,
+    default 10% for anything else. Pure hash filter — deterministic on
+    any engine, no shuffle (the oracle reproduces it bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "doc_id", "lang",
+                              {"en": 0.25, "de": 1.0, "fr": 1.0,
+                               "es": 0.5},
+                              default_fraction=0.1)
+            .select("doc_id", "lang"))
+
+
 def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII surface scan + redaction. The fixture corpus contains no
     digits, so the query first injects synthetic PII as a deterministic
@@ -656,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": _q_fingerprint_dedup,
         "pii_stats": _q_pii_stats,
         "contamination_check": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
         "dataset_split": _q_dataset_split,
         "pivot_qty": _q_pivot_qty,
         "melt_measures": _q_melt_measures,
@@ -1313,6 +1328,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(coalesce(h.n_hits, 0)::DOUBLE / t.n_ngrams, 6)
                      AS contamination
             FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+        """,
+        # Same md5 hash-bucket idiom as dataset_split, per-stratum
+        # thresholds via CASE.
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 AS bkt
+              FROM documents)
+            SELECT doc_id, lang
+            FROM b
+            WHERE bkt < CASE lang WHEN 'en' THEN 250000
+                                  WHEN 'de' THEN 1000000
+                                  WHEN 'fr' THEN 1000000
+                                  WHEN 'es' THEN 500000
+                                  ELSE 100000 END
         """,
         # Bit-exact split reproduction: Spark conv(substr(md5,1,8),16,10)
         # == DuckDB ('0x'||substr(md5,1,8))::BIGINT (verified identical).

@@ -67,3 +67,33 @@ def deterministic_sample(df: DataFrame, key_col: str,
     n = 1_000_000
     return df.filter(hash_bucket(F.col(key_col), n)
                      < F.lit(int(fraction * n)))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic hash sampling — rebalance a skewed
+    corpus (the classic move: downsample the over-represented language,
+    keep all of the low-resource ones).
+
+    Each row survives iff ``hash_bucket(key) < fraction(its stratum)`` —
+    a pure function of (key, stratum), so the sample is stable under
+    reruns, repartitions, and appends, strata stay mutually consistent
+    (a row's survival never depends on other rows), and the plan is a
+    narrow filter: no shuffle, no per-stratum pass, pushdown-friendly.
+    Strata missing from ``fractions`` get ``default_fraction`` (0.0 =
+    drop; 1.0 = keep all).
+    """
+    n = 1_000_000
+    b = hash_bucket(F.col(key_col), n)
+    thr = None
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} is {frac}, "
+                             "must be in [0, 1]")
+        cond = F.col(strata_col) == name
+        lim = F.lit(int(frac * n))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    default_lim = F.lit(int(default_fraction * n))
+    thr = default_lim if thr is None else thr.otherwise(default_lim)
+    return df.filter(b < thr)

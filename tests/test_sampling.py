@@ -66,3 +66,53 @@ def test_hash_bucket_matches_hashlib_md5(spark):
         exp = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8],
                   16) % 100
         assert r.b == exp
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "xx"))
+         for i in range(4000)], ["doc_id", "lang"])
+    out = stratified_sample(df, "doc_id", "lang",
+                            {"en": 0.25, "de": 1.0},
+                            default_fraction=0.0)
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # de keeps everything, the default stratum keeps nothing
+    assert len(by_lang.get("de", set())) == 1000
+    assert "xx" not in by_lang
+    # en keeps ~25% (hash-uniform; generous tolerance at n=2000)
+    n_en = len(by_lang.get("en", set()))
+    assert 350 < n_en < 650
+    # deterministic: a second evaluation returns the identical id set
+    again = {r.doc_id for r in
+             stratified_sample(df, "doc_id", "lang",
+                               {"en": 0.25, "de": 1.0}).collect()
+             if r.lang == "en"}
+    assert again == by_lang["en"]
+    # survival is a pure function of the key: the kept en-ids are exactly
+    # those below the hash threshold, independent of other rows
+    from nyctaxidatapipeline_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+    thr = {r.doc_id for r in
+           df.filter((F.col("lang") == "en")
+                     & (hash_bucket(F.col("doc_id"), 1_000_000)
+                        < 250_000)).collect()}
+    assert thr == by_lang["en"]
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    import pytest
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.5})
