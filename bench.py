@@ -54,11 +54,24 @@ def main() -> None:
         spark._jvm.System.gc()  # noqa: SLF001
 
     total = round(sum(times.values()), 3)
+    # Exact/scale twins: the "exact" member is the brute-force
+    # correctness oracle for the same semantics; the "scale" member is
+    # the sketch/index path that survives 100 TB. The scale number is the
+    # headline for that operator class; the exact twin is kept primarily
+    # as its correctness reference.
+    paths = {
+        "near_dup_text": {"exact": "ngram_jaccard",
+                          "scale": "minhash_dedup"},
+        "near_dup_embedding": {"exact": "embedding_near_dup",
+                               "scale": "ann_lsh"},
+        "ann_topk": {"exact": "ann_topk", "scale": "ann_ivf"},
+    }
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "paths": paths,
         "load_sec": load_sec,
         "sf": sf,
     }))
