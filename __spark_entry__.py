@@ -56,6 +56,7 @@ from nyctaxidatapipeline_spark.operators.text_analysis import (
     pii_redact,
     pii_stats,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from nyctaxidatapipeline_spark.operators.reshape import (
@@ -463,6 +464,14 @@ def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(red, "doc_id")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: duplicate-bigram mass and
+    top-bigram concentration per document (boilerplate/degenerate-text
+    detector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id", n=2)
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document 3-gram overlap between the
     training corpus (doc_id % 20 != 0) and a held-out benchmark slice
@@ -669,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "pii_stats": _q_pii_stats,
+        "repetition_stats": _q_repetition_stats,
         "contamination_check": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "dataset_split": _q_dataset_split,
@@ -1298,6 +1308,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Regexp-parity twin (java.util.regex vs RE2) on injected PII.
         "pii_stats": _pii_oracle_sql(),
+        # Same tokenizer/shingle contract as the dedup oracles (n=2).
+        # Docs with < 2 tokens yield no bigrams and are absent from both.
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-1, 0) + 1),
+                                         i -> array_to_string(tk[i:i+1], ' ')))
+                     AS u(sg)
+            ), per AS (
+              SELECT doc_id, sg, COUNT(*) AS cnt
+              FROM sh GROUP BY doc_id, sg)
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+                   COUNT(*) AS n_distinct,
+                   ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+                       AS dup_ngram_frac,
+                   ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6)
+                       AS top_ngram_frac
+            FROM per GROUP BY doc_id
+        """,
         # Same tokenizer/shingle contract as the dedup oracles; benchmark
         # slice = doc_id % 20 == 0, corpus = the rest.
         "contamination_check": """

@@ -201,3 +201,42 @@ def pii_redact(df: DataFrame, text_col: str,
     for k, p in PII_PATTERNS.items():
         out = F.regexp_replace(out, p, f"[{k.upper()}]")
     return df.withColumn(redacted_col, out)
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Repetitive documents (boilerplate, template spam, degenerate
+    generations) are a standard drop class for training corpora. Output:
+
+      n_ngrams       total word n-grams (with repeats)
+      n_distinct     distinct word n-grams
+      dup_ngram_frac 1 - distinct/total — mass in repeated n-grams
+      top_ngram_frac occurrences of the single most frequent n-gram /
+                     total (ties resolved by the count, not the n-gram,
+                     so the value is deterministic)
+
+    Shape: one explode + one hash-aggregate by (id, ngram) + one by id —
+    the same two-shuffle profile as the dedup shingle paths; counts are
+    per-document so no key is hotter than the longest single document.
+    Documents with fewer than ``n`` tokens produce no n-grams and are
+    absent.
+    """
+    from nyctaxidatapipeline_spark.functions.text import shingles
+
+    sh = (df.select(id_col, tokens(text_col).alias("_tk"))
+            .select(id_col, F.explode(shingles(F.col("_tk"), n))
+                             .alias("ngram")))
+    per_ngram = (sh.groupBy(id_col, "ngram")
+                   .agg(F.count("*").alias("cnt")))
+    return (per_ngram.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_ngrams"),
+                 F.count("*").alias("n_distinct"),
+                 F.max("cnt").alias("_top"))
+            .select(id_col, "n_ngrams", "n_distinct",
+                    F.round(1.0 - F.col("n_distinct")
+                            / F.col("n_ngrams"), 6)
+                     .alias("dup_ngram_frac"),
+                    F.round(F.col("_top") / F.col("n_ngrams"), 6)
+                     .alias("top_ngram_frac")))

@@ -82,6 +82,29 @@ def test_pii_stats_counts(spark):
             out[4].n_ssn) == (0, 0, 0, 0)
 
 
+def test_repetition_stats_bigrams(spark):
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([
+        # "buy now buy now buy now" -> bigrams: [buy now, now buy, buy now,
+        # now buy, buy now] = 5 total, 2 distinct, top "buy now" x3
+        Row(doc_id=1, text="buy now buy now buy now"),
+        Row(doc_id=2, text="all words here are unique"),
+        Row(doc_id=3, text="one"),  # < 2 tokens: absent from output
+    ])
+    out = {r.doc_id: r
+           for r in repetition_stats(df, "text", "doc_id", n=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_ngrams, out[1].n_distinct) == (5, 2)
+    assert out[1].dup_ngram_frac == 0.6
+    assert out[1].top_ngram_frac == 0.6
+    assert (out[2].n_ngrams, out[2].n_distinct) == (4, 4)
+    assert out[2].dup_ngram_frac == 0.0
+    assert out[2].top_ngram_frac == 0.25
+
+
 def test_pii_redact_placeholders(spark):
     from pyspark.sql import Row
 
