@@ -252,9 +252,35 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                 .filter(F.col("jaccard") >= threshold))
 
 
+def _local_union_find(rows, spark, schema) -> DataFrame:
+    """Driver-side union-find over a BOUNDED edge list (path compression +
+    min-root union, so comp = min id of the component). Only reached via
+    ``connected_components``'s explicit edge-count guard."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            hi, lo = (ru, rv) if rv < ru else (rv, ru)
+            parent[hi] = lo  # min id becomes the root
+    data = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         local_threshold: int = 1_000_000) -> DataFrame:
     """(id, comp) for every node in ``edges``: comp = min node id in the
     node's connected component, via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -283,6 +309,19 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     Iterative ⇒ not oracle-expressible as ONE SQL statement in Spark,
     but DuckDB's recursive CTE computes the same closure — see the
     ``near_dup_groups`` oracle in ``__spark_entry__``.
+
+    **Adaptive local finish**: the distributed loop exists for edge sets
+    that don't fit anywhere — but a near-dup pair graph is typically
+    *minuscule* relative to the corpus that produced it (the corpus scan
+    and pair generation upstream stay fully distributed either way). When
+    the oriented-distinct edge COUNT (known from the first fingerprint
+    job, before any loop round) is ≤ ``local_threshold``, the edges are
+    collected and solved with driver-side union-find in one pass — the
+    same guarded-small-side adaptivity as AQE's broadcast conversion, with
+    the bound checked at runtime against the actual count, never assumed
+    (1M edges = two longs each ≈ 16 MB; pass ``local_threshold=0`` to
+    force the distributed loop). Both paths produce identical labels
+    (min-id component; equality unit-tested on the same graphs).
     """
     # Orient every edge high→low (u > v), the invariant both stars keep.
     e = (edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -301,6 +340,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         return frame.agg(
             F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first()
 
+    if local_threshold > 0:
+        # One limit-probe action decides the path AND delivers the edges
+        # when small: CollectLimit short-circuits on a big edge set, so
+        # the distributed path pays at most threshold+1 collected rows.
+        probe = e.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = e.schema["u"].dataType
+            schema = StructType([StructField("id", id_type),
+                                 StructField("comp", id_type)])
+            return _local_union_find(probe, edges.sparkSession, schema)
     fp = fingerprint(e)
     for _ in range(max_iter):
         # Large-star: over the symmetrized neighborhood of u, attach every

@@ -215,7 +215,8 @@ def test_connected_components_long_path_olog2_rounds(spark):
     # (O(log² n)) — this is the adversarial chain case from the Kiveris
     # et al. analysis, and the regression gate for the algorithm swap.
     edges = _edges(spark, [(i, i + 1) for i in range(999)])
-    labels = connected_components(edges, max_iter=15).collect()
+    labels = connected_components(edges, max_iter=15,
+                                  local_threshold=0).collect()
     assert len(labels) == 1000
     assert all(r.comp == 0 for r in labels)
 
@@ -227,7 +228,23 @@ def test_connected_components_raises_on_non_convergence(spark):
     # raise, never return (downstream dedup would drop the wrong rows).
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_edges(spark, [(i, i + 1) for i in range(15)]),
-                             max_iter=1)
+                             max_iter=1, local_threshold=0)
+
+
+def test_connected_components_local_matches_distributed(spark):
+    # The guarded driver-side union-find fast path must label exactly like
+    # the large-star/small-star loop: chain + island + triangle + dup edges
+    # in both orientations.
+    pairs = [(2, 1), (2, 3), (4, 3), (7, 8), (10, 11), (11, 12), (12, 10),
+             (1, 2), (3, 2)]
+    edges = _edges(spark, pairs)
+    local = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    dist = {(r.id, r.comp)
+            for r in connected_components(edges,
+                                          local_threshold=0).collect()}
+    assert local == dist
+    assert local == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7),
+                     (10, 10), (11, 10), (12, 10)}
 
 
 def test_dedup_keep_representatives_drops_non_min(spark):
