@@ -57,7 +57,14 @@ from nyctaxidatapipeline_spark.operators.text_analysis import (
     pii_stats,
     quality_score,
     repetition_stats,
+    term_frequencies,
     token_stats,
+)
+from nyctaxidatapipeline_spark.operators.lines import dedup_lines
+from nyctaxidatapipeline_spark.operators.packing import (
+    pack_sequences,
+    packed_doc_spans,
+    with_token_count,
 )
 from nyctaxidatapipeline_spark.operators.reshape import (
     cube_agg,
@@ -644,6 +651,49 @@ def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "l_discount", "l_tax"])
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing over the corpus in doc_id
+    order (budget 256 tokens): global token offset via the two-pass
+    distributed prefix sum — NOT a single-task global window. The oracle
+    computes the same offsets with DuckDB's (single-threaded-fine)
+    ``SUM() OVER (ORDER BY)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (pack_sequences(with_token_count(docs, "text"),
+                           "n_tokens", "doc_id", budget=256)
+            .select("doc_id", "n_tokens", "start_global", "seq_id",
+                    "seq_offset"))
+
+
+def _q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing spans: one row per (document, training sequence) slice —
+    documents longer than the 256-token budget spill across sequence
+    boundaries; span_start/span_len give the token slice of the doc
+    inside each sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (packed_doc_spans(with_token_count(docs, "text"),
+                             "n_tokens", "doc_id", budget=256)
+            .select("doc_id", "seq_id", "span_start", "span_len"))
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style corpus-level line dedup: a line >= 10 chars
+    survives only in the document where it first occurs (order by
+    doc_id, position); documents are reassembled from their kept lines.
+    Text equality is value-hash-checked, so the rebuilt strings must
+    match DuckDB's ordered string_agg byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines(docs, "text", "doc_id", min_dedup_len=10)
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with corpus- and document-frequencies (tokens
+    seen >= 5 times) — the counting pass behind vocab building / IDF /
+    stopword mining. Two-level aggregate: doc_freq without a
+    count-distinct expansion of Zipf-hot token keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return term_frequencies(docs, "text", "doc_id", min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -695,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_versions": _q_scd2_versions,
         "range_join_recent": _q_range_join_recent,
         "profile_lineitem": _q_profile_lineitem,
+        "pack_sequences": _q_pack_sequences,
+        "doc_spans": _q_doc_spans,
+        "line_dedup": _q_line_dedup,
+        "vocab": _q_vocab,
     }
 
 
@@ -1550,5 +1604,88 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(MAX(l_tax) AS DOUBLE), 6) AS max_value,
                    ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_tax), 6) AS mean_value
             FROM lineitem
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS INTEGER) AS n_tokens
+              FROM documents),
+            pre AS (
+              SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n_tokens
+                          AS BIGINT) AS start_global
+              FROM toks)
+            SELECT doc_id, n_tokens, start_global,
+                   CAST(start_global // 256 AS BIGINT) AS seq_id,
+                   CAST(start_global % 256 AS BIGINT) AS seq_offset
+            FROM pre
+        """,
+        "doc_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS INTEGER) AS n_tokens
+              FROM documents),
+            pre AS (
+              SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n_tokens
+                          AS BIGINT) AS start_global
+              FROM toks),
+            spans AS (
+              SELECT doc_id, start_global, n_tokens,
+                     unnest(generate_series(start_global // 256,
+                            (start_global + n_tokens - 1) // 256))
+                       AS seq_id
+              FROM pre WHERE n_tokens > 0)
+            SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(GREATEST(0, seq_id * 256 - start_global)
+                        AS BIGINT) AS span_start,
+                   CAST(LEAST(CAST(n_tokens AS BIGINT),
+                              (seq_id + 1) * 256 - start_global)
+                        - GREATEST(0, seq_id * 256 - start_global)
+                        AS BIGINT) AS span_len
+            FROM spans
+        """,
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id, u.pos, u.line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, chr(10)),
+                              (x, i) -> struct_pack(pos := i - 1,
+                                                    line := x))) AS u
+                FROM documents)),
+            flagged AS (
+              SELECT doc_id, pos, line,
+                     (length(line) < 10) OR
+                     (ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                         ORDER BY doc_id, pos) = 1)
+                       AS keep
+              FROM lines)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                     AS text,
+                   CAST(COUNT(*) AS INTEGER) AS n_lines,
+                   CAST(COUNT(*) - COUNT(CASE WHEN keep THEN 1 END)
+                        AS INTEGER) AS n_lines_removed
+            FROM flagged GROUP BY doc_id
+        """,
+        "vocab": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS token
+              FROM documents)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM toks GROUP BY token HAVING COUNT(*) >= 5
         """,
     }

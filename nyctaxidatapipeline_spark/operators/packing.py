@@ -1,0 +1,139 @@
+"""Sequence packing — distributed prefix sum + GPT-style concat-and-chunk.
+
+Training pipelines concatenate the token streams of many documents and cut
+the stream into fixed-size sequences (budget = context length). The only
+non-trivial part at scale is the GLOBAL running token count: the naive
+``SUM(...) OVER (ORDER BY ...)`` with no PARTITION BY collapses the whole
+table into ONE window task — the classic single-reducer bottleneck that
+"works on 60k rows" and dies at 100 TB.
+
+``distributed_prefix_sum`` is the two-pass parallel scan instead:
+
+  1. range-bucket the rows on the order column (equi-width over the
+     broadcast (min, max) — one scalar aggregate, no driver action);
+  2. running sum WITHIN each bucket (window partitioned by bucket —
+     ``n_buckets``-way parallel);
+  3. per-bucket totals (tiny: ``n_buckets`` rows) → exclusive running
+     offset per bucket (a window over ``n_buckets`` rows — bounded, the
+     same "small side" class as a broadcast dim);
+  4. broadcast-join the offsets back: prefix = within-bucket running sum
+     + bucket offset.
+
+Shuffle cost: one bucket-partitioned sort + one ``n_buckets``-row
+aggregate + one broadcast join — every stage bounded per-task regardless
+of total rows. Exactness does not depend on the bucket boundaries (any
+monotone bucketing of the order column yields the same prefix sums), so
+equi-width skew only affects balance, never values; raise ``n_buckets``
+for heavier skew.
+
+The reference has no packing operator; this extends the training-data
+surface (BASELINE.json north star) the same way dedup/sampling do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.functions.text import token_count
+
+__all__ = ["distributed_prefix_sum", "pack_sequences", "packed_doc_spans"]
+
+
+def distributed_prefix_sum(df: DataFrame, value_col: str | Column,
+                           order_col: str, n_buckets: int = 64,
+                           alias: str = "prefix_sum") -> DataFrame:
+    """Adds ``alias`` = inclusive running sum of ``value_col`` in
+    ``order_col`` order, computed as a two-pass parallel scan (module
+    docstring). ``order_col`` must be a total order (unique values) —
+    with ties the running sum within a tie group is not well defined.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    rng = df.agg(F.min(order_col).alias("_lo"),
+                 F.max(order_col).alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo") + 1) / F.lit(n_buckets)
+    bucket = F.coalesce(
+        F.least(F.floor((F.col(order_col) - F.col("_lo")) / width),
+                F.lit(n_buckets - 1)).cast("int"),
+        F.lit(0))
+    b = (df.crossJoin(F.broadcast(rng))
+           .withColumn("_bk", bucket).drop("_lo", "_hi"))
+    w_in = (Window.partitionBy("_bk").orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = b.withColumn("_run", F.sum(v).over(w_in))
+    totals = b.groupBy("_bk").agg(F.sum(v).alias("_tot"))
+    w_off = (Window.orderBy("_bk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (totals
+               .withColumn("_off", F.coalesce(F.sum("_tot").over(w_off),
+                                              F.lit(0)))
+               .drop("_tot"))
+    return (b.join(F.broadcast(offsets), "_bk")
+             .withColumn(alias, (F.col("_run") + F.col("_off"))
+                         .cast("long"))
+             .drop("_bk", "_run", "_off"))
+
+
+def pack_sequences(df: DataFrame, token_col: str, order_col: str,
+                   budget: int, n_buckets: int = 64) -> DataFrame:
+    """Concat-and-chunk packing: lay documents end-to-end in ``order_col``
+    order and cut every ``budget`` tokens. Adds
+
+      * ``start_global`` — the document's first-token offset in the
+        concatenated stream (exclusive prefix sum of ``token_col``);
+      * ``seq_id``       — the training sequence its first token lands in
+        (``start_global // budget``; a long document may spill into
+        following sequences — ``packed_doc_spans`` enumerates them);
+      * ``seq_offset``   — position within that sequence.
+
+    Pure function of (corpus, order) — stable across reruns and
+    repartitions, like ``sampling.with_split``.
+    """
+    p = distributed_prefix_sum(df, token_col, order_col,
+                               n_buckets=n_buckets, alias="_incl")
+    start = F.col("_incl") - F.col(token_col)
+    # Integer `div`, not floor(double /): a 100 T-token stream overflows
+    # the 53-bit double mantissa, and start_global is always >= 0 so
+    # `div`/`%` are exact floor semantics here.
+    return (p.withColumn("start_global", start.cast("long"))
+             .withColumn("seq_id",
+                         F.expr(f"start_global div {int(budget)}"))
+             .withColumn("seq_offset",
+                         F.expr(f"start_global % {int(budget)}"))
+             .drop("_incl"))
+
+
+def packed_doc_spans(df: DataFrame, token_col: str, order_col: str,
+                     budget: int, n_buckets: int = 64) -> DataFrame:
+    """One row per (document, training sequence) span the document
+    occupies: a document starting at ``start_global`` with n tokens
+    covers sequences ``start // budget .. (start + n - 1) // budget``.
+    Emits ``seq_id``, ``span_start``/``span_len`` (token slice of the
+    document inside that sequence). Zero-token documents emit no span.
+    Explode width per row = ceil(n / budget) + 1 — bounded by document
+    length, not corpus size.
+    """
+    packed = pack_sequences(df, token_col, order_col, budget,
+                            n_buckets=n_buckets)
+    n = F.col(token_col).cast("long")
+    first = F.col("seq_id")
+    last = F.expr(
+        f"(start_global + cast({token_col} as bigint) - 1)"
+        f" div {int(budget)}")
+    spans = (packed.filter(n > 0)
+             .withColumn("seq_id", F.explode(F.sequence(first, last))))
+    span_start = F.greatest(
+        F.lit(0), F.col("seq_id") * budget - F.col("start_global"))
+    span_end = F.least(
+        n, (F.col("seq_id") + 1) * budget - F.col("start_global"))
+    return (spans
+            .withColumn("span_start", span_start.cast("long"))
+            .withColumn("span_len", (span_end - span_start).cast("long"))
+            .drop("seq_offset"))
+
+
+def with_token_count(df: DataFrame, text_col: str,
+                     alias: str = "n_tokens") -> DataFrame:
+    """Convenience: whitespace token count (``functions.text.tokens``
+    contract) as an int column, the usual ``token_col`` input above."""
+    return df.withColumn(alias, token_count(text_col))

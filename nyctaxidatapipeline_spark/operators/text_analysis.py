@@ -240,3 +240,29 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
                      .alias("dup_ngram_frac"),
                     F.round(F.col("_top") / F.col("n_ngrams"), 6)
                      .alias("top_ngram_frac")))
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str,
+                     min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: (token, freq, doc_freq) for every whitespace
+    token occurring at least ``min_count`` times — the counting pass
+    behind vocabulary building, IDF weighting, and stopword mining.
+
+    Shape: explode + one hash-aggregate keyed by (token, id) + one by
+    token. ``doc_freq`` counts documents exactly via the two-level
+    aggregate (distinct is folded into the first groupBy, so no
+    count-distinct expansion of the hot token keys); both aggregates
+    combine map-side. Natural-language token frequencies are Zipfian —
+    the head token ('the') concentrates ~5% of corpus mass on one key —
+    but the first aggregate's (token, doc) key spreads that mass across
+    documents before the second sees it, so the hot key carries
+    doc_freq-many partial rows, not corpus-many.
+    """
+    per_doc = (df.select(id_col, F.explode(tokens(text_col))
+                          .alias("token"))
+                 .groupBy("token", id_col)
+                 .agg(F.count("*").alias("_n")))
+    return (per_doc.groupBy("token")
+            .agg(F.sum("_n").alias("freq"),
+                 F.count("*").alias("doc_freq"))
+            .filter(F.col("freq") >= min_count))

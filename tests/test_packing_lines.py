@@ -1,0 +1,146 @@
+"""Sequence packing (distributed prefix sum) + corpus line dedup +
+vocabulary counting."""
+
+import pytest
+
+from nyctaxidatapipeline_spark.operators.lines import dedup_lines
+from nyctaxidatapipeline_spark.operators.packing import (
+    distributed_prefix_sum,
+    pack_sequences,
+    packed_doc_spans,
+    with_token_count,
+)
+from nyctaxidatapipeline_spark.operators.text_analysis import (
+    term_frequencies,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- packing
+
+def test_prefix_sum_matches_naive(spark):
+    vals = [(i, (7 * i + 3) % 11) for i in range(200)]
+    df = spark.createDataFrame(vals, "id long, v long")
+    got = {r.id: r.prefix_sum
+           for r in distributed_prefix_sum(df, "v", "id").collect()}
+    acc = 0
+    for i, v in vals:
+        acc += v
+        assert got[i] == acc
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64, 1000])
+def test_prefix_sum_invariant_to_bucket_count(spark, n_buckets):
+    # Exactness must not depend on the bucketing (any monotone bucketing
+    # of the order column yields the same prefix sums) — including more
+    # buckets than rows and a single bucket.
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)],
+                               "id long, v long")
+    base = {(r.id, r.prefix_sum)
+            for r in distributed_prefix_sum(df, "v", "id").collect()}
+    got = {(r.id, r.prefix_sum)
+           for r in distributed_prefix_sum(
+               df.repartition(7), "v", "id", n_buckets=n_buckets)
+           .collect()}
+    assert got == base
+
+
+def test_prefix_sum_sparse_nonuniform_order_keys(spark):
+    # Equi-width bucketing over a skewed id space (clustered + outlier)
+    # must still be exact — skew affects balance, never values.
+    vals = [(1, 1), (2, 1), (3, 1), (4, 1), (1_000_000, 1)]
+    df = spark.createDataFrame(vals, "id long, v long")
+    got = {r.id: r.prefix_sum
+           for r in distributed_prefix_sum(df, "v", "id", n_buckets=4)
+           .collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4, 1_000_000: 5}
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    # docs of 3/4/5 tokens, budget 4: offsets 0,3,7 -> seqs 0,0,1.
+    df = _docs(spark, [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")])
+    out = {r.doc_id: r for r in
+           pack_sequences(with_token_count(df, "text"), "n_tokens",
+                          "doc_id", budget=4).collect()}
+    assert (out[1].start_global, out[1].seq_id, out[1].seq_offset) == (0, 0, 0)
+    assert (out[2].start_global, out[2].seq_id, out[2].seq_offset) == (3, 0, 3)
+    assert (out[3].start_global, out[3].seq_id, out[3].seq_offset) == (7, 1, 3)
+
+
+def test_doc_spans_partition_documents_exactly(spark):
+    # Spans of each doc must tile its token range: contiguous, within
+    # budget, summing to n_tokens; a 10-token doc at offset 3 with
+    # budget 4 spans seqs 0..3.
+    df = _docs(spark, [(1, "a b c"), (2, " ".join(["x"] * 10))])
+    spans = (packed_doc_spans(with_token_count(df, "text"), "n_tokens",
+                              "doc_id", budget=4)
+             .orderBy("doc_id", "seq_id").collect())
+    doc2 = [r for r in spans if r.doc_id == 2]
+    assert [r.seq_id for r in doc2] == [0, 1, 2, 3]
+    assert sum(r.span_len for r in doc2) == 10
+    assert doc2[0].span_start == 0
+    for a, b in zip(doc2, doc2[1:]):
+        assert b.span_start == a.span_start + a.span_len
+    assert all(1 <= r.span_len <= 4 for r in spans)
+
+
+def test_doc_spans_empty_doc_emits_nothing(spark):
+    df = _docs(spark, [(1, ""), (2, "a b")])
+    spans = packed_doc_spans(with_token_count(df, "text"), "n_tokens",
+                             "doc_id", budget=4).collect()
+    assert {r.doc_id for r in spans} == {2}
+
+
+# ------------------------------------------------------------- line dedup
+
+def test_dedup_lines_keeps_first_occurrence_only(spark):
+    boiler = "subscribe to our newsletter"
+    df = _docs(spark, [
+        (1, f"unique alpha line\n{boiler}"),
+        (2, f"{boiler}\nunique beta line"),
+        (3, boiler),
+    ])
+    out = {r.doc_id: r for r in
+           dedup_lines(df, "text", "doc_id", min_dedup_len=10).collect()}
+    assert out[1].text == f"unique alpha line\n{boiler}"
+    assert out[2].text == "unique beta line"
+    assert out[3].text == ""          # fully boilerplate doc survives, empty
+    assert (out[3].n_lines, out[3].n_lines_removed) == (1, 1)
+    assert (out[2].n_lines, out[2].n_lines_removed) == (2, 1)
+
+
+def test_dedup_lines_short_lines_exempt(spark):
+    df = _docs(spark, [(1, "ok\nfine"), (2, "ok\nfine")])
+    out = {r.doc_id: r.text for r in
+           dedup_lines(df, "text", "doc_id", min_dedup_len=10).collect()}
+    assert out == {1: "ok\nfine", 2: "ok\nfine"}
+
+
+def test_dedup_lines_no_dups_round_trips_text(spark):
+    # split('\n') + ordered reassembly must be byte-exact when nothing is
+    # removed — including empty interior and trailing lines.
+    texts = ["a single doc line\n\nwith a blank and trailing\n",
+             "another doc entirely different here"]
+    df = _docs(spark, list(enumerate(texts)))
+    out = {r.doc_id: r.text for r in
+           dedup_lines(df, "text", "doc_id").collect()}
+    assert out == dict(enumerate(texts))
+
+
+# ------------------------------------------------------------------ vocab
+
+def test_term_frequencies_counts_and_min_count(spark):
+    df = _docs(spark, [(1, "the cat the hat"), (2, "the dog"),
+                       (3, "cat")])
+    out = {r.token: (r.freq, r.doc_freq) for r in
+           term_frequencies(df, "text", "doc_id").collect()}
+    assert out["the"] == (3, 2)
+    assert out["cat"] == (2, 2)
+    assert out["hat"] == (1, 1)
+    filtered = {r.token for r in
+                term_frequencies(df, "text", "doc_id", min_count=2)
+                .collect()}
+    assert filtered == {"the", "cat"}
