@@ -23,6 +23,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -66,6 +67,47 @@ def write_jdbc(df: DataFrame, table: str, cfg: JdbcConfig,
     for k, v in cfg.extra_options.items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def write_bucketed_table(df: DataFrame, table: str,
+                         bucket_cols: Sequence[str], n_buckets: int,
+                         sort_cols: Sequence[str] | None = None,
+                         path: str | None = None,
+                         mode: str = "overwrite") -> None:
+    """Bucketed (+ optionally sorted) parquet table — the storage-layout
+    answer to repeated co-located joins/aggregations on the same key.
+
+    Two 100 TB tables both bucketed (and sorted) on the join key
+    sort-merge-join with NO Exchange and NO Sort: the shuffle is paid
+    once at write time, then every downstream join/groupBy on that key
+    is scan-local (`tests/test_bucketed.py` pins the Exchange-free plan).
+    Pick ``n_buckets`` so one bucket of the larger table fits an
+    executor's memory at target scale; both sides must use the same
+    ``n_buckets`` for the join to align.
+
+    Registers via ``saveAsTable`` (bucket metadata lives in the
+    catalog); ``path`` makes it an external table.
+
+    Sort elimination additionally needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` on the
+    READING session (off by default since Spark 3.0, SPARK-28503,
+    because it is only sound for single-file buckets — which the
+    repartition below guarantees for sorted writes). Exchange
+    elimination needs no config.
+    """
+    if sort_cols:
+        # One file per bucket: Spark only trusts (and exploits) the
+        # per-bucket sort order when a bucket is a single file — a write
+        # task per bucket guarantees that. Skip for unsorted buckets,
+        # where many files per bucket parallelize the write harmlessly.
+        df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (df.write.mode(mode).format("parquet")
+                .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def write_console(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
