@@ -40,6 +40,12 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
         # batch reader's NTZ values.
         stream = stream.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in stream.schema.fields:
+        # Watermarks reject TIMESTAMP_NTZ event time; session TZ is pinned
+        # UTC so the NTZ->LTZ cast preserves wall-clock values.
+        if field.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(
+                field.name, F.col(field.name).cast("timestamp"))
     return stream
 
 
