@@ -60,7 +60,14 @@ from nyctaxidatapipeline_spark.operators.text_analysis import (
     term_frequencies,
     token_stats,
 )
+from nyctaxidatapipeline_spark.operators.clustering import (
+    assign_clusters,
+    seed_centroids,
+    semantic_dedup_pairs,
+)
 from nyctaxidatapipeline_spark.operators.lines import dedup_lines
+from nyctaxidatapipeline_spark.operators.lm import lm_score
+from nyctaxidatapipeline_spark.operators.relevance import bm25_scores
 from nyctaxidatapipeline_spark.operators.packing import (
     pack_sequences,
     packed_doc_spans,
@@ -694,6 +701,44 @@ def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(docs, "text", "doc_id", min_count=5)
 
 
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means assignment to k=8 deterministic md5-ordered
+    seed centroids — a pure projection (argmax over literal-centroid
+    cosines, zero shuffle). Lloyd refinement is unit-tested (mean
+    arithmetic is order-sensitive); the iteration-0 assignment is the
+    cross-engine-hashable surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_clusters(emb, seed_centroids(emb, 8))
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-dup pairs restricted to the
+    same k-means cluster — the all-pairs join becomes an equi-join on
+    cluster_id. k=4 here so the fixture's clusters keep recall high;
+    at scale k grows with the corpus to bound per-cluster pair counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, seed_centroids(emb, 4),
+                                threshold=0.4)
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query bag —
+    query-term filter pushed inside the token array before explode, so
+    exploded rows ∝ term hits, not corpus tokens; df table and (N,
+    avgdl) scalars broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["join", "vector", "spark"],
+                       "text", "doc_id")
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained add-one bigram LM
+    (the CCNet perplexity-filter dataflow with the KenLM call replaced
+    by in-engine count tables)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score(docs, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -749,6 +794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans": _q_doc_spans,
         "line_dedup": _q_line_dedup,
         "vocab": _q_vocab,
+        "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
+        "bm25_scores": _q_bm25_scores,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -986,6 +1035,65 @@ def _rp_lsh_oracle_sql(threshold: float = 0.4, planes: int = 24,
                          sqrt(list_dot_product(b.vec, b.vec))), 6)
                   >= {threshold}
         """
+
+
+def _kmeans_seed_ctes(k: int) -> str:
+    """Shared CTEs for the k-means oracles: deterministic md5-ordered
+    seed centroids (the twin of ``clustering.seed_centroids``) and the
+    max-cosine assignment with ties to the lowest cluster_id (the twin
+    of ``assign_clusters``'s first-position argmax)."""
+    return f"""
+        seeds AS (
+          SELECT CAST(row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                     AS INTEGER) AS cluster_id,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings
+          WHERE list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0
+          QUALIFY row_number() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k}),
+        v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+          WHERE list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0),
+        scored AS (
+          SELECT vec_id, cluster_id,
+                 ROUND(list_dot_product(vec, cv)
+                       / (sqrt(list_dot_product(vec, vec))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          FROM v, seeds),
+        assigned AS (
+          SELECT vec_id, cluster_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cosine DESC, cluster_id) AS rn
+            FROM scored) WHERE rn = 1)
+    """
+
+
+def _kmeans_assign_oracle_sql(k: int) -> str:
+    return f"""
+        WITH {_kmeans_seed_ctes(k)}
+        SELECT vec_id, cluster_id, cosine FROM assigned
+    """
+
+
+def _semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
+    return f"""
+        WITH {_kmeans_seed_ctes(k)},
+        av AS (
+          SELECT a.vec_id, a.cluster_id, v.vec,
+                 sqrt(list_dot_product(v.vec, v.vec)) AS nrm
+          FROM assigned a JOIN v USING (vec_id))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+               ROUND(list_dot_product(a.vec, b.vec)
+                     / (a.nrm * b.nrm), 6) AS cosine
+        FROM av a JOIN av b
+             ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.vec, b.vec)
+                    / (a.nrm * b.nrm), 6) >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1687,5 +1795,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
             FROM toks GROUP BY token HAVING COUNT(*) >= 5
+        """,
+        "kmeans_assign": _kmeans_assign_oracle_sql(k=8),
+        "semantic_dedup": _semantic_dedup_oracle_sql(k=4, threshold=0.4),
+        "bm25_scores": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+             dls AS (SELECT doc_id, len(tk) AS dl, tk FROM base),
+             stats AS (SELECT COUNT(*) AS n_docs,
+                              ROUND(AVG(dl), 6) AS avgdl FROM dls),
+             matched AS (
+              SELECT doc_id, dl,
+                     unnest(list_filter(
+                         tk, t -> t IN ('join', 'vector', 'spark')))
+                         AS term
+              FROM dls),
+             tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+                    FROM matched GROUP BY doc_id, term),
+             dfreq AS (SELECT term, COUNT(*) AS doc_freq
+                       FROM tf GROUP BY term),
+             contrib AS (
+              SELECT doc_id,
+                     ROUND(ln(1.0 + (n_docs - doc_freq + 0.5)
+                              / (doc_freq + 0.5))
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl / avgdl)), 6) AS c
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+            SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+                   ROUND(SUM(c), 6) AS bm25
+            FROM contrib GROUP BY doc_id
+        """,
+        "lm_perplexity": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+             bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+              FROM base WHERE len(tk) >= 2),
+             bgc AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+             ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS ctx
+                     FROM bgc GROUP BY 1),
+             vocab AS (SELECT COUNT(DISTINCT token) AS v FROM
+                       (SELECT unnest(tk) AS token FROM base)),
+             scored AS (
+              SELECT doc_id, ln((c + 1.0) / (ctx + v)) AS logp
+              FROM bg JOIN bgc USING (bigram)
+                      JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.w1
+                      CROSS JOIN vocab)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(logp), 6) AS avg_logp,
+                   ROUND(exp(-ROUND(AVG(logp), 6)), 6) AS ppl
+            FROM scored GROUP BY doc_id
         """,
     }

@@ -1,0 +1,190 @@
+"""Distributed clustering over embedding columns: spherical k-means and
+SemDeDup-style semantic dedup.
+
+Extends the training-data surface (BASELINE.json north stars) past
+pairwise near-dup: cluster the corpus embedding space, then (a) use the
+cluster id as a routing / blocking key and (b) deduplicate *within*
+clusters only — the SemDeDup recipe (Abbas et al. 2023,
+arXiv:2303.09540): k-means the embeddings, then drop cosine-near pairs
+inside each cluster, which turns the O(n²) all-pairs search into
+O(sum of cluster sizes²) with k tuned so clusters stay bounded.
+
+Design for Spark:
+  * **Assignment is a pure projection** — the k centroids are baked into
+    the plan as literal arrays, each row computes its k cosines and takes
+    the argmax with array expressions (`array_max` / `array_position`).
+    Zero shuffle, embarrassingly parallel, whole-stage-codegen'd when the
+    dimension is statically unrolled. No join, no window.
+  * **Seeding is deterministic** — the k seed vectors are the k lowest
+    rows by ``(md5(id), id)`` (same portable-hash trick as
+    ``sampling.hash_bucket``), so every engine picks the same seeds and
+    the assignment step is DuckDB-oracle-checkable bit-for-bit.
+  * **Lloyd refinement is one shuffle per iteration** — per-dimension
+    ``avg`` under ``groupBy(cluster_id)`` (map-side partial aggregation;
+    k×dim doubles cross the wire), collect k centroids (bounded — k rows,
+    never the data), re-bake, repeat. Mean arithmetic is order-sensitive,
+    so refined centroids are unit-tested (objective must not degrade),
+    not oracle-hashed; the iteration-0 assignment is the oracle surface.
+
+Scale notes (100 TB): k should grow with the corpus (SemDeDup uses
+~10⁴-10⁵ clusters for web scale) so per-cluster pair counts stay bounded;
+the within-cluster self-join shuffles on ``cluster_id`` — skewed cluster
+sizes are the known hazard, handled by raising k and by AQE skew-join
+splitting. Assignment cost is O(n·k·dim) flops with no data movement —
+for very large k, route through the IVF index (`similarity.ivf_index`)
+instead of literal unrolling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.similarity import (
+    as_double,
+    dot,
+    embedding_dim,
+    l2_norm,
+)
+from nyctaxidatapipeline_spark.plans.util import fan_out
+
+
+def _lit_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in values])
+
+
+def seed_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic k seed vectors: the k lowest rows by
+    ``(md5(id), id)`` — a portable pseudo-random draw (md5 is
+    bit-identical in Spark / DuckDB / hashlib, unlike ``rand()`` whose
+    stream is partition-dependent). Returns plain Python lists (k rows —
+    a bounded TakeOrdered collect, never the corpus).
+
+    Zero-norm vectors are excluded (cosine to them is undefined).
+    """
+    rows = (df.filter(l2_norm(as_double(vec_col)) > 0)
+              .select(F.col(id_col), as_double(vec_col).alias("v"))
+              .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+              .limit(k)
+              .collect())
+    if len(rows) < k:
+        raise ValueError(f"corpus has only {len(rows)} non-degenerate "
+                         f"vectors, need k={k} seeds")
+    return [list(r["v"]) for r in rows]
+
+
+def assign_clusters(df: DataFrame, centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None,
+                    keep_vec: bool = False) -> DataFrame:
+    """Assign every vector to its max-cosine centroid — shuffle-free.
+
+    Output: (id, cluster_id int, cosine) — ``cosine`` is the similarity
+    to the winning centroid, rounded to 6 dp *before* the argmax so ties
+    resolve identically across engines (first / lowest cluster_id wins,
+    matching ``ORDER BY cosine DESC, cluster_id`` in the oracle).
+    Zero-norm vectors are dropped (no defined nearest centroid).
+    """
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    v = F.col("_v")
+    n = F.col("_n")
+    sims = F.array(*[
+        F.round(dot(v, _lit_vec(c), dim)
+                / (n * l2_norm(_lit_vec(c), dim)), 6)
+        for c in centroids])
+    base = fan_out(df, id_col).select(
+        F.col(id_col), as_double(vec_col).alias("_v"),
+        l2_norm(as_double(vec_col), dim).alias("_n"))
+    best = F.array_max(F.col("_sims"))
+    out = (base.filter(n > 0)
+               .withColumn("_sims", sims)
+               .select(
+                   id_col,
+                   (F.array_position(F.col("_sims"), best) - 1)
+                    .cast("int").alias("cluster_id"),
+                   best.alias("cosine"),
+                   *([F.col("_v").alias("_vec"), n.alias("_norm")]
+                     if keep_vec else [])))
+    return out
+
+
+def kmeans_fit(df: DataFrame, k: int, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> list[list[float]]:
+    """Spherical k-means: deterministic seeding + ``iters`` Lloyd rounds.
+
+    Each round: shuffle-free assignment, then one ``groupBy(cluster_id)``
+    aggregate of per-dimension means (map-side combined; k×dim doubles
+    shuffle), L2-normalized on the driver (k rows collected — bounded).
+    Empty clusters keep their previous centroid. Deterministic given the
+    input set (mean addition order may vary in ulps across runs — callers
+    needing cross-engine hashes use iteration-0 assignment).
+    """
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    centroids = seed_centroids(df, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, id_col, vec_col, dim,
+                                   keep_vec=True)
+        means = (assigned.groupBy("cluster_id")
+                 .agg(*[F.avg(F.element_at(F.col("_vec"), i + 1))
+                        .alias(f"m{i}") for i in range(dim)])
+                 .collect())
+        new = {int(r["cluster_id"]): [float(r[f"m{i}"])
+                                      for i in range(dim)]
+               for r in means}
+        for cid, vec in new.items():
+            norm = sum(x * x for x in vec) ** 0.5
+            if norm > 0:
+                centroids[cid] = [x / norm for x in vec]
+    return centroids
+
+
+def kmeans_objective(df: DataFrame, centroids: list[list[float]],
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None) -> float:
+    """Mean max-cosine over the corpus (spherical k-means objective —
+    higher is better). One scan, one scalar aggregate."""
+    assigned = assign_clusters(df, centroids, id_col, vec_col, dim)
+    row = assigned.agg(F.avg("cosine").alias("obj")).first()
+    return float(row["obj"])
+
+
+def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
+                         threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
+    """SemDeDup: candidate near-dup pairs restricted to the same cluster.
+
+    Within each cluster, all pairs with ``cosine >= threshold`` —
+    the exact pair math of ``similarity.embedding_near_dup`` (fold-order
+    dot, 6 dp half-away rounding) but blocked by cluster id, so the join
+    is an equi-join on ``cluster_id`` instead of an O(n²) cross join.
+    Recall < 1 by construction (cross-cluster dups are invisible) — the
+    recall gate in tests measures it against the exact twin; raise k for
+    tighter clusters / higher precision, lower k for recall.
+
+    Output: (id_a, id_b, cluster_id, cosine) with id_a < id_b.
+    """
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    assigned = assign_clusters(df, centroids, id_col, vec_col, dim,
+                               keep_vec=True)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col("cluster_id"),
+                        F.col("_vec").alias("vec_a"),
+                        F.col("_norm").alias("norm_a"))
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("cluster_id"),
+                        F.col("_vec").alias("vec_b"),
+                        F.col("_norm").alias("norm_b"))
+    return (a.join(b, ["cluster_id"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "cluster_id",
+                     F.round(dot(F.col("vec_a"), F.col("vec_b"), dim)
+                             / (F.col("norm_a") * F.col("norm_b")), 6)
+                      .alias("cosine"))
+             .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,93 @@
+"""Corpus-trained n-gram language model scoring (perplexity filtering).
+
+The CCNet / Wikipedia-LM recipe: score every document by the per-token
+log-probability under a language model and drop the high-perplexity tail
+(boilerplate, gibberish, non-prose). Production pipelines use KenLM;
+that binary isn't in this container, so the model here is a corpus-
+trained add-one (Laplace) bigram LM — the same join/aggregate dataflow a
+KenLM-backed scorer would need for its count tables, with every step
+expressible in SQL for the differential oracle.
+
+Model:  P(w2 | w1) = (c(w1 w2) + 1) / (ctx(w1) + V)
+  c(w1 w2)  corpus bigram count
+  ctx(w1)   count of bigrams whose first token is w1
+  V         corpus vocabulary size (distinct tokens)
+
+Score: mean ln P over a document's bigram occurrences (repeats count);
+perplexity = exp(-mean). Documents under 2 tokens have no bigrams and
+are absent from the output.
+
+Scale shape: one tokenize + shingle explode (the dedup pipeline's
+pattern), a corpus-wide bigram-count aggregate (map-side combined;
+Zipf-hot context keys are spread across documents the same way
+``term_frequencies`` spreads token keys), then the per-doc score is the
+exploded bigram stream joined to the two count tables — shuffle joins
+keyed on the bigram / context token. V is one exact distinct count
+(swap in ``approx_count_distinct`` at 100 TB — noted, not default, so
+the oracle stays exact). No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.functions.text import shingles, tokens
+from nyctaxidatapipeline_spark.plans.util import fan_out
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram, w1) — bigram occurrences with multiplicity. The
+    bigram is the space-joined token pair (tokens are whitespace-split,
+    so the separator is unambiguous and ``w1`` splits back out cleanly —
+    the same contract the dedup shingles rely on)."""
+    return (fan_out(df, id_col)
+            .select(id_col, tokens(text_col).alias("_tk"))
+            .select(id_col,
+                    F.explode(shingles(F.col("_tk"), 2)).alias("bigram"))
+            .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "),
+                                           F.lit(1))))
+
+
+def bigram_counts(df: DataFrame, text_col: str,
+                  id_col: str) -> DataFrame:
+    """Corpus bigram model tables: (bigram, w1, c) counts."""
+    return (_doc_bigrams(df, text_col, id_col)
+            .groupBy("bigram", "w1")
+            .agg(F.count("*").alias("c")))
+
+
+def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document add-one bigram LM score.
+
+    Output: (id, n_bigrams, avg_logp, ppl) — ``avg_logp`` is the mean
+    natural-log probability (rounded 6 dp), ``ppl = exp(-avg_logp)``
+    computed from the *rounded* mean so both engines derive it from the
+    identical double.
+    """
+    bg = _doc_bigrams(df, text_col, id_col)
+    counts = bigram_counts(df, text_col, id_col)
+    ctx = counts.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    vocab = (df.select(F.explode(tokens(text_col)).alias("token"))
+               .agg(F.count_distinct("token").alias("v")))
+    logp = F.log((F.col("c") + 1.0) / (F.col("ctx") + F.col("v")))
+    avg_logp = F.round(F.avg("_logp"), 6)
+    return (bg.join(counts.drop("w1"), "bigram")
+              .join(ctx, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("_logp", logp)
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   avg_logp.alias("avg_logp"),
+                   F.round(F.exp(-avg_logp), 6).alias("ppl")))
+
+
+def perplexity_filter(df: DataFrame, text_col: str, id_col: str,
+                      max_ppl: float) -> DataFrame:
+    """Keep documents whose bigram perplexity is ≤ ``max_ppl`` (the
+    CCNet keep-the-head move; documents with no bigrams are dropped —
+    too short to be trainable prose anyway)."""
+    kept = (lm_score(df, text_col, id_col)
+            .filter(F.col("ppl") <= max_ppl)
+            .select(id_col))
+    return df.join(kept, id_col, "left_semi")

@@ -1,0 +1,102 @@
+"""Corpus relevance scoring: TF-IDF weights and BM25 ranking.
+
+Training-data pipelines score documents against a seed set / query to
+select domain-relevant data (the importance-sampling step in DSIR-style
+selection, quality classifiers bootstrapped from BM25 candidates, plus
+plain corpus search for inspection). BM25 (Robertson/Spärck Jones;
+the Okapi formulation) is the standard lexical ranker.
+
+Design for Spark:
+  * **Filter before explode.** Tokens are filtered to the query term set
+    *inside the array* (`F.filter`, codegen'd) before `explode`, so the
+    exploded row count is O(query-term hits), not O(corpus tokens) — at
+    100 TB this is the difference between a scan-shaped job and a
+    corpus-sized shuffle.
+  * **Scalars broadcast.** N (doc count) and avgdl are a 1-row aggregate
+    cross-joined in (broadcast); per-term document frequencies are at
+    most |query| rows — also broadcast. Only the per-(doc, term) tf rows
+    shuffle, grouped by doc id.
+  * **Oracle-stable arithmetic.** avgdl is rounded to 6 dp before use
+    (an ulp of drift in a corpus-wide mean would perturb every score);
+    each term's contribution is rounded to 6 dp before the final sum,
+    and the sum is rounded again — both sides of the differential oracle
+    compute the identical expression tree.
+
+The IDF is the BM25+ style ``ln(1 + (N - df + 0.5)/(df + 0.5))`` —
+always positive (plain Robertson IDF goes negative for df > N/2, which
+makes scores non-monotone in term matches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.functions.text import tokens
+from nyctaxidatapipeline_spark.plans.util import fan_out
+
+
+def tfidf_weights(df: DataFrame, text_col: str, id_col: str,
+                  min_doc_freq: int = 1) -> DataFrame:
+    """Per-(doc, token) TF-IDF weights over the whole corpus.
+
+    tf = in-doc count, idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Output: (id, token, tf, doc_freq, tfidf). The doc-frequency table is
+    token-keyed (vocabulary-sized); the join back to per-doc tf rows
+    shuffles on token — Zipf-hot heads are spread because the tf side is
+    keyed (token, doc), same mitigation as ``term_frequencies``.
+    """
+    tok = (fan_out(df, id_col)
+           .select(id_col, F.explode(tokens(text_col)).alias("token")))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("token")
+               .agg(F.count("*").alias("doc_freq"))
+               .filter(F.col("doc_freq") >= min_doc_freq))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5))
+    return (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select(id_col, "token", "tf", "doc_freq",
+                      F.round(F.col("tf") * idf, 6).alias("tfidf")))
+
+
+def bm25_scores(df: DataFrame, query_terms: Sequence[str],
+                text_col: str, id_col: str,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 score of every document against a bag of query terms.
+
+    Output: (id, n_terms, bm25) for documents matching ≥ 1 term —
+    ``n_terms`` = distinct query terms present. Scale shape: one token
+    scan with the query-term filter pushed inside the array (exploded
+    rows ∝ hits), a broadcast of the ≤|query|-row df table and the 1-row
+    (N, avgdl) aggregate, one groupBy(id) to sum contributions.
+    """
+    terms = [t.lower() for t in query_terms]
+    base = (fan_out(df, id_col)
+            .select(id_col, tokens(text_col).alias("_tk"))
+            .select(id_col, F.size("_tk").alias("dl"), F.col("_tk")))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.round(F.avg("dl"), 6).alias("avgdl"))
+    matched = (base.select(
+                   id_col, "dl",
+                   F.explode(F.filter(
+                       F.col("_tk"),
+                       lambda t: t.isin(*terms))).alias("term")))
+    tf = (matched.groupBy(id_col, "term")
+                 .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5))
+    contrib = F.round(
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                               / F.col("avgdl"))), 6)
+    return (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("_contrib", contrib)
+              .groupBy(id_col)
+              .agg(F.count("*").cast("int").alias("n_terms"),
+                   F.round(F.sum("_contrib"), 6).alias("bm25")))

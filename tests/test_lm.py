@@ -1,0 +1,62 @@
+"""Add-one bigram LM scoring — hand-checked Laplace arithmetic on a
+micro-corpus (fixture-scale values are pinned by the `lm_perplexity`
+differential oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from nyctaxidatapipeline_spark.operators.lm import (
+    lm_score,
+    perplexity_filter,
+)
+
+
+def _corpus(spark):
+    # bigrams: "a b" x2, "a c" x1; ctx(a)=3; V={a,b,c}=3
+    return spark.createDataFrame([
+        Row(doc_id=0, text="a b"),
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=2, text="a c"),
+        Row(doc_id=3, text="a"),          # < 2 tokens: no bigrams
+    ])
+
+
+def test_laplace_hand_computed(spark):
+    out = {r["doc_id"]: r for r in
+           lm_score(_corpus(spark), "text", "doc_id").collect()}
+    assert set(out) == {0, 1, 2}          # doc 3 absent
+    # P(b|a) = (2+1)/(3+3) = 1/2 ; P(c|a) = (1+1)/(3+3) = 1/3
+    assert out[0]["avg_logp"] == round(math.log(0.5), 6)
+    assert out[0]["ppl"] == round(
+        math.exp(-round(math.log(0.5), 6)), 6)
+    assert out[2]["avg_logp"] == round(math.log(1 / 3), 6)
+    # the common pattern scores better (lower perplexity)
+    assert out[0]["ppl"] < out[2]["ppl"]
+    assert out[0]["n_bigrams"] == 1
+
+
+def test_repeated_pattern_beats_novel_text(spark):
+    rows = [Row(doc_id=i, text="the cat sat on the mat")
+            for i in range(9)]
+    rows.append(Row(doc_id=9, text="zq xv wk jn qp zz"))
+    docs = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["ppl"]
+           for r in lm_score(docs, "text", "doc_id").collect()}
+    assert out[0] < out[9]
+
+
+def test_perplexity_filter_semi_join(spark):
+    rows = [Row(doc_id=i, text="the cat sat on the mat")
+            for i in range(9)]
+    rows.append(Row(doc_id=9, text="zq xv wk jn qp zz"))
+    docs = spark.createDataFrame(rows)
+    cutoff = sorted(
+        r["ppl"] for r in lm_score(docs, "text", "doc_id").collect())[-2]
+    kept = perplexity_filter(docs, "text", "doc_id", cutoff)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 9 not in ids and ids == set(range(9))
+    # schema is the input schema (semi join adds nothing)
+    assert kept.columns == docs.columns
