@@ -65,6 +65,8 @@ def main() -> None:
         "near_dup_embedding": {"exact": "embedding_near_dup",
                                "scale": "ann_lsh"},
         "ann_topk": {"exact": "ann_topk", "scale": "ann_ivf"},
+        "near_dup_semantic": {"exact": "embedding_near_dup",
+                              "scale": "semantic_dedup"},
     }
     print(json.dumps({
         "metric": "total_query_sec",

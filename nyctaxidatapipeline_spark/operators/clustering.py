@@ -49,8 +49,14 @@ from nyctaxidatapipeline_spark.operators.similarity import (
 from nyctaxidatapipeline_spark.plans.util import fan_out
 
 
-def _lit_vec(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in values])
+def _norm_py(c: list[float]) -> float:
+    """Centroid L2 norm, computed driver-side with the identical
+    sequential 0.0-seeded fold (Python floats ARE doubles) — bitwise
+    equal to ``sqrt(list_dot_product(cv, cv))`` in the oracle."""
+    acc = 0.0
+    for x in c:
+        acc = acc + float(x) * float(x)
+    return acc ** 0.5
 
 
 def seed_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
@@ -85,29 +91,44 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     resolve identically across engines (first / lowest cluster_id wins,
     matching ``ORDER BY cosine DESC, cluster_id`` in the oracle).
     Zero-norm vectors are dropped (no defined nearest centroid).
+
+    Expression-tree discipline (this formulation is deliberate): the
+    k per-centroid cosines use the *interpreted fold* path
+    (``F.aggregate`` over ``zip_with`` — ``similarity.dot`` with no
+    static dim), NOT the statically-unrolled dot. Unrolling k·dim
+    element terms into one projection (or letting the zero-norm filter
+    push a dim-term unrolled predicate into the scan) grows the
+    generated method past janino's 64 KB limit; the whole stage then
+    silently falls back to fully-interpreted evaluation after a
+    seconds-long failed compile (observed 9-15 s for a 5 k-row
+    assignment vs ~1 s for this shape — check executor logs for
+    ``Code grows beyond 64 KB`` when touching this). The fold is
+    interpreted per element but the tree is O(k·dim) literal nodes, and
+    the fold order matches DuckDB's ``list_dot_product`` bit-for-bit.
     """
-    if dim is None:
-        dim = embedding_dim(df, vec_col)
+    k = len(centroids)
     v = F.col("_v")
     n = F.col("_n")
     sims = F.array(*[
-        F.round(dot(v, _lit_vec(c), dim)
-                / (n * l2_norm(_lit_vec(c), dim)), 6)
+        # one array literal per centroid (NOT per-element F.lit calls —
+        # k·dim py4j round-trips add seconds of driver-side build time)
+        F.round(dot(v, F.lit([float(x) for x in c]))
+                / (n * F.lit(_norm_py(c))), 6)
         for c in centroids])
-    base = fan_out(df, id_col).select(
-        F.col(id_col), as_double(vec_col).alias("_v"),
-        l2_norm(as_double(vec_col), dim).alias("_n"))
+    base = (fan_out(df, id_col)
+            .select(F.col(id_col), as_double(vec_col).alias("_v"),
+                    l2_norm(as_double(vec_col)).alias("_n"))
+            .filter(n > 0)
+            .select(F.col(id_col), sims.alias("_sims"),
+                    *([v.alias("_vec"), n.alias("_norm")]
+                      if keep_vec else [])))
     best = F.array_max(F.col("_sims"))
-    out = (base.filter(n > 0)
-               .withColumn("_sims", sims)
-               .select(
-                   id_col,
-                   (F.array_position(F.col("_sims"), best) - 1)
-                    .cast("int").alias("cluster_id"),
-                   best.alias("cosine"),
-                   *([F.col("_v").alias("_vec"), n.alias("_norm")]
-                     if keep_vec else [])))
-    return out
+    return base.select(
+        id_col,
+        (F.array_position(F.col("_sims"), best) - 1)
+         .cast("int").alias("cluster_id"),
+        best.alias("cosine"),
+        *([F.col("_vec"), F.col("_norm")] if keep_vec else []))
 
 
 def kmeans_fit(df: DataFrame, k: int, iters: int = 2,
