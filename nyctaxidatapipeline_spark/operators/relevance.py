@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.functions.text import tokens
@@ -87,16 +87,21 @@ def bm25_scores(df: DataFrame, query_terms: Sequence[str],
                        lambda t: t.isin(*terms))).alias("term")))
     tf = (matched.groupBy(id_col, "term")
                  .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # doc_freq as a count-over-window on the tf rows, NOT a separate
+    # groupBy + join back: the join formulation makes Catalyst plan the
+    # whole tokenize/explode/aggregate subtree TWICE (no exchange reuse
+    # across the differing projections) — one window over the already
+    # tiny per-(doc, matched-term) rows keeps a single lineage.
+    dfreq_w = Window.partitionBy("term")
+    scored = (tf.withColumn("doc_freq", F.count("*").over(dfreq_w))
+                .crossJoin(F.broadcast(stats)))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("doc_freq") + 0.5)
                 / (F.col("doc_freq") + 0.5))
     contrib = F.round(
         idf * (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
                                / F.col("avgdl"))), 6)
-    return (tf.join(F.broadcast(dfreq), "term")
-              .crossJoin(F.broadcast(stats))
-              .withColumn("_contrib", contrib)
-              .groupBy(id_col)
-              .agg(F.count("*").cast("int").alias("n_terms"),
-                   F.round(F.sum("_contrib"), 6).alias("bm25")))
+    return (scored.withColumn("_contrib", contrib)
+                  .groupBy(id_col)
+                  .agg(F.count("*").cast("int").alias("n_terms"),
+                       F.round(F.sum("_contrib"), 6).alias("bm25")))
