@@ -65,6 +65,7 @@ from nyctaxidatapipeline_spark.operators.clustering import (
     seed_centroids,
     semantic_dedup_pairs,
 )
+from nyctaxidatapipeline_spark.operators.graph import pagerank
 from nyctaxidatapipeline_spark.operators.lines import dedup_lines
 from nyctaxidatapipeline_spark.operators.lm import lm_score
 from nyctaxidatapipeline_spark.operators.relevance import bm25_scores
@@ -739,6 +740,20 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the undirected
+    supplier↔part bipartite graph from lineitem — the link-authority
+    primitive corpus curation uses for domain quality priors. Ranks are
+    rounded 6 dp at every iteration boundary so the in-neighbor sum's
+    float drift cannot compound across engines."""
+    li = _lineitem(spark, sf_dir)
+    fwd = (li.select(F.concat(F.lit("s"), "l_suppkey").alias("src"),
+                     F.concat(F.lit("p"), "l_partkey").alias("dst"))
+             .distinct())
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return pagerank(fwd.union(rev), iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -794,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans": _q_doc_spans,
         "line_dedup": _q_line_dedup,
         "vocab": _q_vocab,
+        "pagerank": _q_pagerank,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
         "bm25_scores": _q_bm25_scores,
@@ -1035,6 +1051,33 @@ def _rp_lsh_oracle_sql(threshold: float = 0.4, planes: int = 24,
                          sqrt(list_dot_product(b.vec, b.vec))), 6)
                   >= {threshold}
         """
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of the fixed-iteration PageRank: identical per-round
+    6 dp rank rounding, identical simple-formulation semantics (no
+    dangling redistribution), unrolled one CTE pair per iteration."""
+    d = damping
+    ctes = [f"""
+        f AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                              'p' || l_partkey AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, ROUND(1.0 / n, 6) AS rank FROM nodes, cnt)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        s{i} AS (SELECT e.dst, ROUND(SUM(r.rank / d.deg), 6) AS s
+                 FROM e JOIN r{i - 1} r ON e.src = r.node
+                        JOIN outdeg d ON e.src = d.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT node,
+                        ROUND((1 - {d}) / n + {d} * COALESCE(s, 0), 6)
+                            AS rank
+                 FROM nodes LEFT JOIN s{i} ON node = s{i}.dst, cnt)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"        SELECT node, rank FROM r{iters}")
 
 
 def _kmeans_seed_ctes(k: int) -> str:
@@ -1796,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
             FROM toks GROUP BY token HAVING COUNT(*) >= 5
         """,
+        "pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         "kmeans_assign": _kmeans_assign_oracle_sql(k=8),
         "semantic_dedup": _semantic_dedup_oracle_sql(k=4, threshold=0.4),
         "bm25_scores": """

@@ -1,0 +1,82 @@
+"""Graph operators over edge-list DataFrames: PageRank.
+
+Web-corpus curation ranks pages/domains by link authority (Common Crawl
+releases harmonic/PageRank centrality per domain; quality filters use it
+as a prior), and the same primitive ranks any entity graph an analytics
+user has lying around. Companion to ``dedup.connected_components`` (the
+other standard edge-list algorithm in this engine).
+
+Formulation: the classic power iteration
+    rank'(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank(u) / outdeg(u)
+with a fixed iteration count. Dangling mass is NOT redistributed (the
+simple formulation — a node with no out-edges just stops contributing);
+the oracle twin defines the same semantics, so the differential gate
+pins it.
+
+Determinism discipline: every rank is rounded to 6 dp at every
+iteration boundary — in-neighbor sums are floating-point and
+order-sensitive, so without the per-round rounding, ulp drift would
+compound across iterations and the cross-engine value hash would flake.
+All scalars ((1-d)/N, the initial 1/N) are computed IN-ENGINE with
+Spark's ROUND (half-away-from-zero, matching DuckDB) — not with
+Python's ``round`` (half-to-even).
+
+Scale shape (100 TB edge lists): each iteration is one shuffle join of
+edges⋈ranks on src plus one aggregate by dst — the textbook
+Pregel-on-dataframes layout. Out-degrees are computed once. Edges are
+re-read per iteration; a real deployment persists the (pre-partitioned
+by src) edge table so every round co-locates the join, and
+``localCheckpoint``s ranks every ~5 rounds to truncate lineage —
+``checkpoint_every`` does this here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85,
+             checkpoint_every: int = 5) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Output: (node, rank) for every node appearing as src or dst.
+    Duplicate edges contribute once each — pre-``distinct()`` the input
+    if multi-edges should not add weight.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct())
+    n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    ranks = (nodes.crossJoin(n1)
+             .select("node", F.round(1.0 / F.col("_n"), 6).alias("rank")))
+    for i in range(iters):
+        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                     .join(outdeg, "src")
+                     .select("dst", (F.col("rank") / F.col("_deg"))
+                             .alias("_c")))
+        sums = (contribs.groupBy("dst")
+                        .agg(F.round(F.sum("_c"), 6).alias("_s")))
+        ranks = (nodes.join(sums.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .crossJoin(n1)
+                 .select("node",
+                         F.round((1.0 - damping) / F.col("_n")
+                                 + damping * F.coalesce(F.col("_s"),
+                                                        F.lit(0.0)),
+                                 6).alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def top_ranked(edges: DataFrame, k: int = 20, **kwargs) -> DataFrame:
+    """Top-k nodes by PageRank (ties broken by node id for a
+    deterministic cut)."""
+    r = pagerank(edges, **kwargs)
+    return (r.orderBy(F.col("rank").desc(), F.col("node"))
+             .limit(k))
