@@ -138,6 +138,48 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id",
                                     GroupStateTimeout.NoTimeout))
 
 
+def enrich_with_static(stream: DataFrame, dim: DataFrame,
+                       on: str) -> DataFrame:
+    """Stream-static join: enrich each event with a dimension table.
+
+    The static side is re-planned per micro-batch (picking up dimension
+    updates between batches) and broadcast when it fits — the standard
+    lookup-enrichment topology; no state store is involved, so this
+    composes freely with downstream windows/aggregations.
+    """
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def purchase_error_correlation(events_a: DataFrame, events_b: DataFrame,
+                               key: str = "user_id", ts_col: str = "ts",
+                               watermark: str = "2 hours",
+                               within: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: pair each row of ``events_a`` with rows
+    of ``events_b`` for the same key within ``within`` of each other.
+
+    Both sides are watermarked so the join state store is bounded: a
+    buffered row can be evicted once the other side's watermark passes
+    its timestamp + ``within`` (the time-interval condition is what
+    makes eviction possible — an unconstrained stream-stream join would
+    buffer forever).
+    """
+    a = (events_a.withWatermark(ts_col, watermark)
+         .select(F.col(key).alias("a_key"),
+                 F.col(ts_col).alias("a_ts"),
+                 F.col("event_type").alias("a_type")))
+    b = (events_b.withWatermark(ts_col, watermark)
+         .select(F.col(key).alias("b_key"),
+                 F.col(ts_col).alias("b_ts"),
+                 F.col("event_type").alias("b_type")))
+    return a.join(
+        b,
+        F.expr(f"""
+            a_key = b_key AND
+            b_ts BETWEEN a_ts - INTERVAL {within}
+                     AND a_ts + INTERVAL {within}
+        """))
+
+
 def run_foreach_batch_parquet(stream: DataFrame, out_dir: str):
     """foreachBatch sink: land each micro-batch as parquet (the idempotent
     exactly-once-per-epoch pattern — a real deployment keys the write on

@@ -81,3 +81,54 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
         assert "_epoch" in landed.columns
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark):
+    from nyctaxidatapipeline_spark.streaming.jobs import enrich_with_static
+
+    ev = stream_table(spark, SF, "events")
+    dim = (load_table(spark, SF, "events")
+           .select("event_type").distinct()
+           .withColumn("type_tag", F.upper("event_type")))
+    q = run_to_memory(enrich_with_static(ev, dim, "event_type"),
+                      "enrich_test")
+    try:
+        rows = spark.sql("SELECT * FROM enrich_test").collect()
+        n_batch = load_table(spark, SF, "events").count()
+        assert len(rows) == n_batch          # left join: no row loss
+        assert all(r.type_tag == r.event_type.upper() for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_matches_batch_twin(spark):
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        purchase_error_correlation,
+    )
+
+    a = stream_table(spark, SF, "events")
+    b = stream_table(spark, SF, "events")
+    joined = purchase_error_correlation(
+        a.filter(F.col("event_type") == "purchase"),
+        b.filter(F.col("event_type") == "error"))
+    q = run_to_memory(joined, "sjoin_test")
+    try:
+        got = {(r.a_key, r.a_ts, r.b_ts)
+               for r in spark.sql("SELECT * FROM sjoin_test").collect()}
+        ev = load_table(spark, SF, "events")
+        pa = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("a_key"), F.col("ts").alias("a_ts"))
+        er = ev.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("b_key"), F.col("ts").alias("b_ts"))
+        want = {(r.a_key, r.a_ts, r.b_ts) for r in pa.join(
+            er, F.expr("""a_key = b_key AND
+                          b_ts BETWEEN a_ts - INTERVAL 1 HOUR
+                                   AND a_ts + INTERVAL 1 HOUR""")
+        ).collect()}
+        assert want, "fixture has no purchase/error pairs within 1h"
+        # the drained stream join equals the batch join exactly: the
+        # final watermark has passed every buffered row, so no pair is
+        # withheld and none is dropped (inner join, bounded state)
+        assert got == want
+    finally:
+        q.stop()
