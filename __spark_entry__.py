@@ -67,7 +67,7 @@ from nyctaxidatapipeline_spark.operators.clustering import (
 )
 from nyctaxidatapipeline_spark.operators.graph import pagerank
 from nyctaxidatapipeline_spark.operators.lines import dedup_lines
-from nyctaxidatapipeline_spark.operators.lm import lm_score
+from nyctaxidatapipeline_spark.operators.lm import dsir_weights, lm_score
 from nyctaxidatapipeline_spark.operators.relevance import bm25_scores
 from nyctaxidatapipeline_spark.operators.packing import (
     pack_sequences,
@@ -740,6 +740,16 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for every document against a target
+    domain (sources src0/src1): exp(avg-bigram-log-likelihood ratio of
+    the target-trained vs corpus-trained LM). Both LMs are in-engine
+    count tables; only the 1-row vocab scalars broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_weights(docs, target, "text", "doc_id")
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, d=0.85) over the undirected
     supplier↔part bipartite graph from lineitem — the link-authority
@@ -810,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "vocab": _q_vocab,
         "pagerank": _q_pagerank,
+        "dsir_weights": _q_dsir_weights,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
         "bm25_scores": _q_bm25_scores,
@@ -1051,6 +1062,59 @@ def _rp_lsh_oracle_sql(threshold: float = 0.4, planes: int = 24,
                          sqrt(list_dot_product(b.vec, b.vec))), 6)
                   >= {threshold}
         """
+
+
+def _lm_model_ctes(prefix: str, source_cte: str) -> str:
+    """Bigram-LM count-table CTEs (counts, contexts, vocab) trained on
+    ``source_cte`` rows of the shared tokenized ``base``, plus the
+    left-join scoring of every document's bigram stream (``bg``) under
+    that model — the twin of ``lm.lm_score_under``."""
+    p = prefix
+    return f"""
+        {p}bgc AS (
+          SELECT bigram, COUNT(*) AS c FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+            FROM {source_cte} WHERE len(tk) >= 2) GROUP BY bigram),
+        {p}ctx AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                          SUM(c) AS ctx
+                   FROM {p}bgc GROUP BY 1),
+        {p}vocab AS (SELECT COUNT(DISTINCT token) AS v FROM
+                     (SELECT unnest(tk) AS token FROM {source_cte})),
+        {p}avg AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 ROUND(AVG(ln((COALESCE(c, 0) + 1.0)
+                              / (COALESCE(ctx, 0) + v))), 6) AS lp
+          FROM bg LEFT JOIN {p}bgc USING (bigram)
+                  LEFT JOIN {p}ctx
+                       ON split_part(bg.bigram, ' ', 1) = {p}ctx.w1
+                  CROSS JOIN {p}vocab
+          GROUP BY doc_id)"""
+
+
+def _dsir_oracle_sql() -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents),
+        tgt AS (SELECT * FROM base WHERE source IN ('src0', 'src1')),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+          FROM base WHERE len(tk) >= 2),
+        {_lm_model_ctes('t', 'tgt')},
+        {_lm_model_ctes('r', 'base')}
+        SELECT tavg.doc_id, tavg.n_bigrams,
+               ROUND(tavg.lp - ravg.lp, 6) AS log_ratio,
+               ROUND(exp(ROUND(tavg.lp - ravg.lp, 6)), 6) AS weight
+        FROM tavg JOIN ravg USING (doc_id)
+    """
 
 
 def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
@@ -1840,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token HAVING COUNT(*) >= 5
         """,
         "pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
+        "dsir_weights": _dsir_oracle_sql(),
         "kmeans_assign": _kmeans_assign_oracle_sql(k=8),
         "semantic_dedup": _semantic_dedup_oracle_sql(k=4, threshold=0.4),
         "bm25_scores": """

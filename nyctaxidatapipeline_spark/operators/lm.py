@@ -57,29 +57,73 @@ def bigram_counts(df: DataFrame, text_col: str,
             .agg(F.count("*").alias("c")))
 
 
-def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document add-one bigram LM score.
+def lm_score_under(model_df: DataFrame, score_df: DataFrame,
+                   text_col: str, id_col: str) -> DataFrame:
+    """Score ``score_df`` documents under a bigram LM trained on
+    ``model_df`` (possibly a different corpus — the cross-corpus case
+    behind DSIR importance weights).
 
-    Output: (id, n_bigrams, avg_logp, ppl) — ``avg_logp`` is the mean
-    natural-log probability (rounded 6 dp), ``ppl = exp(-avg_logp)``
-    computed from the *rounded* mean so both engines derive it from the
+    Unseen bigrams take c=0 and unseen contexts ctx=0 (left joins), so
+    an out-of-model bigram scores ln(1/(0+V)) — Laplace smoothing's
+    whole point. Output: (id, n_bigrams, avg_logp, ppl); ``ppl`` is
+    derived from the *rounded* mean so both engines start from the
     identical double.
     """
-    bg = _doc_bigrams(df, text_col, id_col)
-    counts = bigram_counts(df, text_col, id_col)
+    bg = _doc_bigrams(score_df, text_col, id_col)
+    counts = bigram_counts(model_df, text_col, id_col)
     ctx = counts.groupBy("w1").agg(F.sum("c").alias("ctx"))
-    vocab = (df.select(F.explode(tokens(text_col)).alias("token"))
-               .agg(F.count_distinct("token").alias("v")))
-    logp = F.log((F.col("c") + 1.0) / (F.col("ctx") + F.col("v")))
+    vocab = (model_df.select(F.explode(tokens(text_col)).alias("token"))
+             .agg(F.count_distinct("token").alias("v")))
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                 / (F.coalesce(F.col("ctx"), F.lit(0)) + F.col("v")))
     avg_logp = F.round(F.avg("_logp"), 6)
-    return (bg.join(counts.drop("w1"), "bigram")
-              .join(ctx, "w1")
+    return (bg.join(counts.drop("w1"), "bigram", "left")
+              .join(ctx, "w1", "left")
               .crossJoin(F.broadcast(vocab))
               .withColumn("_logp", logp)
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
                    avg_logp.alias("avg_logp"),
                    F.round(F.exp(-avg_logp), 6).alias("ppl")))
+
+
+def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document add-one bigram LM score under the corpus's own LM
+    (the perplexity-filter surface). See ``lm_score_under``."""
+    return lm_score_under(df, df, text_col, id_col)
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, text_col: str,
+                 id_col: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): rank raw-corpus documents by how much more
+    likely a *target*-domain LM finds them than the raw-corpus LM.
+
+        log_ratio(doc) = avg_logp_target(doc) - avg_logp_raw(doc)
+        weight(doc)    = exp(log_ratio)
+
+    (DSIR proper uses hashed-n-gram feature LMs; the bigram LMs here
+    are the same estimator family with the hashing stubbed out, and
+    every count stays in-engine.) Documents with weight > 1 look more
+    target-like than raw-like — importance resampling keeps documents
+    with probability ∝ weight. Output: (id, n_bigrams, log_ratio,
+    weight), averages length-normalized so long documents aren't
+    penalized twice.
+
+    Scale shape: two LM scoring passes over the raw corpus (each the
+    ``lm_score_under`` join pipeline); the target corpus only builds
+    count tables. At 100 TB the count tables dwarf memory — they join
+    shuffle-side, never broadcast (only the 1-row V scalars broadcast).
+    """
+    t = lm_score_under(target, df, text_col, id_col).select(
+        id_col, "n_bigrams", F.col("avg_logp").alias("_lp_target"))
+    r = lm_score_under(df, df, text_col, id_col).select(
+        id_col, F.col("avg_logp").alias("_lp_raw"))
+    log_ratio = F.round(F.col("_lp_target") - F.col("_lp_raw"), 6)
+    return (t.join(r, id_col)
+             .select(id_col, "n_bigrams",
+                     log_ratio.alias("log_ratio"),
+                     F.round(F.exp(log_ratio), 6).alias("weight")))
 
 
 def perplexity_filter(df: DataFrame, text_col: str, id_col: str,

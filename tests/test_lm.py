@@ -60,3 +60,31 @@ def test_perplexity_filter_semi_join(spark):
     assert 9 not in ids and ids == set(range(9))
     # schema is the input schema (semi join adds nothing)
     assert kept.columns == docs.columns
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from nyctaxidatapipeline_spark.operators.lm import dsir_weights
+
+    rows = [Row(doc_id=i, text="the cat sat on the mat") for i in range(3)]
+    rows += [Row(doc_id=3 + i, text="stock market prices fell sharply")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows)
+    target = docs.filter("doc_id < 3")        # the cat domain
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target, "text", "doc_id").collect()}
+    assert set(out) == set(range(6))
+    # target-like docs are MORE likely under the target LM than the raw
+    # LM; off-domain docs are less likely (their bigrams are unseen)
+    assert all(out[i]["weight"] > 1 for i in range(3))
+    assert all(out[i]["weight"] < 1 for i in range(3, 6))
+    assert all(out[i]["log_ratio"] > 0 for i in range(3))
+
+
+def test_lm_score_under_unseen_bigrams_smoothed(spark):
+    from nyctaxidatapipeline_spark.operators.lm import lm_score_under
+
+    model = spark.createDataFrame([Row(doc_id=0, text="a b a b")])
+    score = spark.createDataFrame([Row(doc_id=1, text="x y")])
+    out = lm_score_under(model, score, "text", "doc_id").collect()
+    # completely unseen bigram and context: P = (0+1)/(0+V), V={a,b}=2
+    assert out[0]["avg_logp"] == round(math.log(1 / 2), 6)
