@@ -82,6 +82,10 @@ from nyctaxidatapipeline_spark.operators.reshape import (
     pivot_agg,
 )
 from nyctaxidatapipeline_spark.operators.cdc import scd2_versions
+from nyctaxidatapipeline_spark.operators.curation import (
+    curate_corpus,
+    curation_flags,
+)
 from nyctaxidatapipeline_spark.operators.profile import profile_numeric
 from nyctaxidatapipeline_spark.operators.rangejoin import range_join_recent
 from nyctaxidatapipeline_spark.operators.sampling import (
@@ -740,6 +744,24 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rule verdicts of the C4/Dolma-style curation recipe
+    (length / quality / repetition / PII) + the combined keep decision
+    — the decision surface of the composite pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_flags(docs, "text", "doc_id")
+
+
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline, hash-checked end to end: flag filter
+    → PII redaction → corpus line dedup → fingerprint dedup → portable
+    MinHash LSH near-dup → keep min-id representatives. The oracle
+    composes the same proven per-stage SQL fragments, so a regression
+    anywhere in the chain breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs, "text", "doc_id")
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights for every document against a target
     domain (sources src0/src1): exp(avg-bigram-log-likelihood ratio of
@@ -821,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab": _q_vocab,
         "pagerank": _q_pagerank,
         "dsir_weights": _q_dsir_weights,
+        "curation_flags": _q_curation_flags,
+        "curate_corpus": _q_curate_corpus,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
         "bm25_scores": _q_bm25_scores,
@@ -1062,6 +1086,197 @@ def _rp_lsh_oracle_sql(threshold: float = 0.4, planes: int = 24,
                          sqrt(list_dot_product(b.vec, b.vec))), 6)
                   >= {threshold}
         """
+
+
+def _curation_flag_ctes(min_tokens: int = 30, min_quality: float = 0.3,
+                        max_dup_frac: float = 0.08) -> str:
+    """Flag-rule CTEs (quality / repetition / PII verdicts + keep) —
+    the fragments are verbatim the proven `quality_score`,
+    `repetition_stats`, and `pii_stats` oracle rules, joined per doc."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        PII_PATTERNS,
+    )
+    pii_total = " + ".join(
+        "len(regexp_extract_all(text, '" + p.replace("'", "''") + "'))"
+        for p in PII_PATTERNS.values())
+    return f"""
+        ftoks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents),
+        fq AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS INTEGER) AS n_tokens,
+                 ROUND(0.5 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+                       + 0.3 * least(COALESCE(
+                             CASE WHEN len(tk) > 0 THEN
+                               CAST(len(list_filter(tk,
+                                 t -> list_contains(
+                                   ['the','a','is','and','of','to','in',
+                                    'that','it','for'], t)))
+                                 AS DOUBLE) / len(tk) END, 0.0) * 5.0,
+                             1.0)
+                       + 0.2 * least(COALESCE(
+                             CASE WHEN length(text) > 0 THEN
+                               CAST(len(regexp_extract_all(
+                                   text, '[.,;:!?]')) AS DOUBLE)
+                               / length(text) END, 0.0) * 20.0,
+                             1.0), 6) AS quality_score
+          FROM ftoks),
+        fsh AS (
+          SELECT doc_id, sg
+          FROM ftoks,
+               UNNEST(list_transform(
+                   range(1, greatest(len(tk) - 1, 0) + 1),
+                   i -> array_to_string(tk[i:i+1], ' '))) AS u(sg)),
+        frep AS (
+          SELECT doc_id,
+                 ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+                     AS dup_ngram_frac
+          FROM (SELECT doc_id, sg, COUNT(*) AS cnt
+                FROM fsh GROUP BY doc_id, sg) GROUP BY doc_id),
+        fpii AS (
+          SELECT doc_id, ({pii_total}) > 0 AS has_pii FROM documents),
+        flags AS (
+          SELECT fq.doc_id, fq.n_tokens, fq.quality_score,
+                 frep.dup_ngram_frac, fpii.has_pii,
+                 (fq.n_tokens >= {min_tokens}) AS ok_length,
+                 (fq.quality_score >= {min_quality}) AS ok_quality,
+                 COALESCE(frep.dup_ngram_frac <= {max_dup_frac}, TRUE)
+                     AS ok_repetition,
+                 ((fq.n_tokens >= {min_tokens})
+                  AND (fq.quality_score >= {min_quality})
+                  AND COALESCE(frep.dup_ngram_frac <= {max_dup_frac},
+                               TRUE)) AS keep
+          FROM fq
+          LEFT JOIN frep ON fq.doc_id = frep.doc_id
+          JOIN fpii ON fq.doc_id = fpii.doc_id)"""
+
+
+def _curation_flags_oracle_sql() -> str:
+    return f"""
+        WITH {_curation_flag_ctes()}
+        SELECT doc_id, n_tokens, quality_score, dup_ngram_frac,
+               has_pii, ok_length, ok_quality, ok_repetition, keep
+        FROM flags
+    """
+
+
+def _curate_corpus_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                              threshold: float = 0.5) -> str:
+    """Full composed pipeline twin: flag filter → PII redaction →
+    line dedup → fingerprint dedup → portable MinHash LSH pairs →
+    recursive-CTE connected components → keep min-id representatives.
+    Every stage's SQL is the proven fragment of the corresponding
+    standalone oracle, re-sourced at the previous stage's CTE."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_constants,
+    )
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        PII_PATTERNS,
+    )
+
+    redacted = "text"
+    for k, p in PII_PATTERNS.items():
+        redacted = ("regexp_replace(" + redacted + ", '"
+                    + p.replace("'", "''") + "', '[" + k.upper()
+                    + "]', 'g')")
+    r = num_hashes // bands
+    hmins = ",\n                 ".join(
+        "min(({a} * h + {b}) % {p}) AS h{i}".format(
+            a=minhash_constants(i)[0], b=minhash_constants(i)[1],
+            p=MINHASH_P, i=i)
+        for i in range(num_hashes))
+    band_rows = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws(':', {hs}) AS bucket "
+        "FROM sig".format(
+            bi=bi, hs=", ".join(f"h{bi * r + j}" for j in range(r)))
+        for bi in range(bands))
+    return f"""
+        WITH RECURSIVE {_curation_flag_ctes()},
+        red AS (
+          SELECT d.doc_id, {redacted} AS text
+          FROM documents d JOIN flags ON d.doc_id = flags.doc_id
+          WHERE flags.keep),
+        rlines AS (
+          SELECT doc_id, u.pos, u.line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                          (x, i) -> struct_pack(pos := i - 1,
+                                                line := x))) AS u
+            FROM red)),
+        rflagged AS (
+          SELECT doc_id, pos, line,
+                 (length(line) < 10) OR
+                 (ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                     ORDER BY doc_id, pos) = 1) AS keep
+          FROM rlines),
+        lined AS (
+          SELECT doc_id,
+                 COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                     chr(10) ORDER BY pos), '') AS text
+          FROM rflagged GROUP BY doc_id),
+        ltoks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             t -> t <> '') AS tk
+          FROM lined),
+        freps AS (
+          SELECT MIN(doc_id) AS doc_id
+          FROM (SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp
+                FROM ltoks) GROUP BY fp),
+        uniq AS (
+          SELECT l.doc_id, l.text, l.tk
+          FROM ltoks l JOIN freps USING (doc_id)),
+        sh AS (
+          SELECT DISTINCT doc_id, sg
+          FROM uniq,
+               UNNEST(list_transform(
+                   range(1, greatest(len(tk) - 2, 0) + 1),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS u(sg)),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+          FROM sh),
+        sig AS (SELECT doc_id, {hmins} FROM hx GROUP BY doc_id),
+        bandtab AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandtab a JOIN bandtab b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS set_size
+                  FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_shared
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.sg = b.sg
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_shared::DOUBLE
+                / (sa.set_size + sb.set_size - n_shared)
+                >= {threshold}),
+        cedges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, t) AS (
+          SELECT a, a FROM cedges
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN cedges e
+                 ON e.a = reach.t),
+        dropped AS (
+          SELECT id FROM (SELECT id, MIN(t) AS comp
+                          FROM reach GROUP BY id)
+          WHERE comp < id)
+        SELECT doc_id, text FROM uniq
+        WHERE doc_id NOT IN (SELECT id FROM dropped)
+    """
 
 
 def _lm_model_ctes(prefix: str, source_cte: str) -> str:
@@ -1905,6 +2120,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         "dsir_weights": _dsir_oracle_sql(),
+        "curation_flags": _curation_flags_oracle_sql(),
+        "curate_corpus": _curate_corpus_oracle_sql(),
         "kmeans_assign": _kmeans_assign_oracle_sql(k=8),
         "semantic_dedup": _semantic_dedup_oracle_sql(k=4, threshold=0.4),
         "bm25_scores": """

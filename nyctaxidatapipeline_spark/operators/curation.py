@@ -1,0 +1,104 @@
+"""End-to-end corpus curation: the C4/Dolma-style pipeline as one
+composition of this engine's operators.
+
+A training-data user runs a fixed recipe over raw documents: rule
+filters (length / quality / repetition), PII redaction, line-level
+dedup, exact dedup, fuzzy dedup — in that order (cheap row-local rules
+first so the expensive shuffling stages see the smallest corpus).
+``curation_flags`` is the decision surface (every rule's verdict per
+document, differential-oracle-checkable); ``curate_corpus`` applies the
+whole recipe and returns the surviving, redacted, line-deduped corpus.
+
+Stage order and costs (100 TB lens):
+  1. flags        — row-local projections + two per-doc aggregates
+                    (quality is pure projection; repetition is the
+                    two-shuffle per-doc n-gram profile); keep-rate
+                    typically halves the corpus before anything heavy.
+  2. pii_redact   — row-local regexp_replace, no shuffle.
+  3. line dedup   — corpus-wide first-occurrence window on md5(line).
+  4. exact dedup  — normalized fingerprint groupBy (min-id winner).
+  5. fuzzy dedup  — MinHash LSH pairs → connected components →
+                    drop non-representatives. Bucketed, never all-pairs.
+All stages are deterministic pure functions of the input set, so the
+composite itself replays byte-identically on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.dedup import (
+    dedup_keep_representatives,
+    minhash_lsh_pairs,
+)
+from nyctaxidatapipeline_spark.operators.lines import dedup_lines
+from nyctaxidatapipeline_spark.operators.text_analysis import (
+    fingerprint_dedup,
+    pii_redact,
+    pii_stats,
+    quality_score,
+    repetition_stats,
+)
+
+
+def curation_flags(df: DataFrame, text_col: str, id_col: str,
+                   min_tokens: int = 30,
+                   min_quality: float = 0.3,
+                   max_dup_frac: float = 0.08) -> DataFrame:
+    """Per-document rule verdicts + the combined keep decision.
+
+    Output: (id, n_tokens, quality_score, dup_ngram_frac, has_pii,
+    ok_length, ok_quality, ok_repetition, keep). Documents too short to
+    have n-grams pass ``ok_repetition`` vacuously (the length rule is
+    the one that judges them). ``has_pii`` is informational — the
+    pipeline REDACTS rather than drops (the Dolma convention).
+    """
+    q = quality_score(df, text_col, id_col).select(
+        id_col, "n_tokens", "quality_score")
+    r = repetition_stats(df, text_col, id_col, n=2).select(
+        id_col, "dup_ngram_frac")
+    p = pii_stats(df, text_col, id_col).select(id_col, "has_pii")
+    ok_length = F.col("n_tokens") >= min_tokens
+    ok_quality = F.col("quality_score") >= min_quality
+    ok_repetition = F.coalesce(
+        F.col("dup_ngram_frac") <= max_dup_frac, F.lit(True))
+    return (q.join(r, id_col, "left")
+             .join(p, id_col)
+             .select(id_col, "n_tokens", "quality_score",
+                     "dup_ngram_frac", "has_pii",
+                     ok_length.alias("ok_length"),
+                     ok_quality.alias("ok_quality"),
+                     ok_repetition.alias("ok_repetition"),
+                     (ok_length & ok_quality & ok_repetition)
+                     .alias("keep")))
+
+
+def curate_corpus(df: DataFrame, text_col: str, id_col: str,
+                  min_tokens: int = 30,
+                  min_quality: float = 0.3,
+                  max_dup_frac: float = 0.08,
+                  min_dedup_line_len: int = 10,
+                  jaccard_threshold: float = 0.5) -> DataFrame:
+    """Run the full curation recipe; returns (id, text) survivors.
+
+    Filters by ``curation_flags``, redacts PII, line-dedups across the
+    kept corpus, then drops exact (normalized-fingerprint) and fuzzy
+    (MinHash-LSH, portable hash family) duplicates, keeping the min-id
+    representative of every duplicate group.
+    """
+    kept_ids = (curation_flags(df, text_col, id_col, min_tokens,
+                               min_quality, max_dup_frac)
+                .filter("keep").select(id_col))
+    kept = df.join(kept_ids, id_col, "left_semi")
+    redacted = (pii_redact(kept, text_col, redacted_col="_red")
+                .select(id_col, F.col("_red").alias(text_col)))
+    lined = (dedup_lines(redacted, text_col, id_col,
+                         min_dedup_len=min_dedup_line_len)
+             .select(id_col, text_col))
+    exact_reps = (fingerprint_dedup(lined, text_col, id_col)
+                  .select(id_col))
+    uniq = lined.join(exact_reps, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(uniq, text_col, id_col, n=3,
+                              threshold=jaccard_threshold, portable=True)
+    return dedup_keep_representatives(uniq, pairs, id_col)
