@@ -88,3 +88,32 @@ def test_console_and_noop_sinks(spark):
     df = _taxi_df(spark, n=20)
     sinks.write_output(df.select("VendorID"), "console", n=2)
     sinks.write_output(df.select("VendorID"), "noop")
+
+
+def test_write_sharded_bounded_and_range_clustered(spark, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+
+    from nyctaxidatapipeline_spark.sinks import write_sharded
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    out = str(tmp_path / "sharded")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = ev.count()
+    write_sharded(ev, out, sort_cols=["event_id"],
+                  max_records_per_file=400, n_shards=4)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 4                      # split into shards
+    total, ranges = 0, []
+    for f in files:
+        t = pq.read_table(f, columns=["event_id"])
+        assert t.num_rows <= 400                # size bound respected
+        total += t.num_rows
+        ids = t.column("event_id").to_pylist()
+        assert ids == sorted(ids)               # sorted within shard
+        ranges.append((min(ids), max(ids)))
+    assert total == n                           # lossless
+    # shards are range-clustered: non-overlapping key ranges
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0]
+               for i in range(len(ranges) - 1))
