@@ -93,12 +93,19 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str,
     kept = df.join(kept_ids, id_col, "left_semi")
     redacted = (pii_redact(kept, text_col, redacted_col="_red")
                 .select(id_col, F.col("_red").alias(text_col)))
+    # Materialize the stage boundaries that downstream consumers read
+    # twice (fingerprinting + uniq both read `lined`; the LSH pairs and
+    # the final keep-reps anti-join both read `uniq`) — without the
+    # checkpoint, lazy evaluation replays the whole upstream
+    # flags→redact→line-dedup chain per consumer.
     lined = (dedup_lines(redacted, text_col, id_col,
                          min_dedup_len=min_dedup_line_len)
-             .select(id_col, text_col))
+             .select(id_col, text_col)
+             .localCheckpoint(eager=False))
     exact_reps = (fingerprint_dedup(lined, text_col, id_col)
                   .select(id_col))
-    uniq = lined.join(exact_reps, id_col, "left_semi")
+    uniq = (lined.join(exact_reps, id_col, "left_semi")
+                 .localCheckpoint(eager=False))
     pairs = minhash_lsh_pairs(uniq, text_col, id_col, n=3,
                               threshold=jaccard_threshold, portable=True)
     return dedup_keep_representatives(uniq, pairs, id_col)
