@@ -93,7 +93,12 @@ from nyctaxidatapipeline_spark.operators.sampling import (
     stratified_sample,
     with_split,
 )
-from nyctaxidatapipeline_spark.operators.temporal import asof_join, session_stats
+from nyctaxidatapipeline_spark.operators.temporal import (
+    asof_join,
+    forward_fill,
+    resample,
+    session_stats,
+)
 from nyctaxidatapipeline_spark.operators.windows import with_lag
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.operators import (
@@ -744,6 +749,16 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resampling per event_type over the corpus span —
+    missing buckets zero-filled, per-bucket value sums forward-filled
+    (``last ignorenulls`` running window). The grid is |keys|×|buckets|
+    rows from a 1-row bounds aggregate, independent of event volume."""
+    ev = _events(spark, sf_dir)
+    r = resample(ev, "ts", "event_type", "hour", "value")
+    return forward_fill(r, ["event_type"], "bucket", ["sum_value"])
+
+
 def _q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rule verdicts of the C4/Dolma-style curation recipe
     (length / quality / repetition / PII) + the combined keep decision
@@ -849,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "bm25_scores": _q_bm25_scores,
         "lm_perplexity": _q_lm_perplexity,
+        "resample_hourly": _q_resample_hourly,
     }
 
 
@@ -2122,6 +2138,30 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_oracle_sql(),
         "curation_flags": _curation_flags_oracle_sql(),
         "curate_corpus": _curate_corpus_oracle_sql(),
+        "resample_hourly": """
+            WITH c AS (
+              SELECT event_type AS key,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                     COUNT(*) AS n_events,
+                     ROUND(SUM(value), 6) AS sum_value
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP)
+                             AS lo,
+                         CAST(max(date_trunc('hour', ts)) AS TIMESTAMP)
+                             AS hi
+                  FROM events),
+            grid AS (SELECT unnest(generate_series(
+                         lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+            keys AS (SELECT DISTINCT event_type AS key FROM events),
+            dense AS (SELECT key, bucket FROM keys, grid)
+            SELECT key AS event_type, dense.bucket,
+                   COALESCE(n_events, 0) AS n_events, sum_value,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY dense.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sum_value_ffill
+            FROM dense LEFT JOIN c USING (key, bucket)
+        """,
         "kmeans_assign": _kmeans_assign_oracle_sql(k=8),
         "semantic_dedup": _semantic_dedup_oracle_sql(k=4, threshold=0.4),
         "bm25_scores": """

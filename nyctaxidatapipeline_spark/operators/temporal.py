@@ -83,3 +83,55 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: Sequence[str],
         u = u.withColumn(f"{prefix}{c}",
                          F.last(f"{prefix}{c}", ignorenulls=True).over(w))
     return u.filter(F.col("_tag") == 1).drop("_ts", "_tag")
+
+
+def forward_fill(df: DataFrame, key_cols: Sequence[str], order_col: str,
+                 cols: Sequence[str], suffix: str = "_ffill") -> DataFrame:
+    """Carry the last non-null value forward per key in ``order_col``
+    order (``last(ignorenulls)`` over a running window — one shuffle on
+    the key, the standard series-repair move)."""
+    w = (Window.partitionBy(*key_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df
+    for c in cols:
+        out = out.withColumn(c + suffix,
+                             F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+_UNIT_INTERVAL = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
+                  "minute": "INTERVAL 1 MINUTE", "week": "INTERVAL 1 WEEK"}
+
+
+def resample(df: DataFrame, ts_col: str, key_col: str,
+             unit: str = "hour", value_col: str | None = None) -> DataFrame:
+    """Dense time-series resampling: one row per (key, time bucket) over
+    the corpus's full [min, max] span — buckets with no events appear
+    with ``n_events = 0`` (and a NULL sum, which ``forward_fill``
+    repairs downstream). The gap-fill every dashboard/feature pipeline
+    needs and plain ``groupBy(date_trunc)`` silently doesn't do.
+
+    Plan shape: the aggregate runs on the raw events (one shuffle); the
+    dense grid is a 1-row (min, max) aggregate exploded through
+    ``sequence`` and cross-joined with the distinct keys — |keys| ×
+    |buckets| rows, independent of event volume, broadcast against the
+    aggregated counts. Output: (key, bucket, n_events[, sum_<value>]).
+    """
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unsupported unit {unit!r}")
+    b = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6)
+                    .alias(f"sum_{value_col}"))
+    counts = (df.groupBy(F.col(key_col).alias("key"), b.alias("bucket"))
+                .agg(*aggs))
+    bounds = df.agg(F.min(b).alias("_lo"), F.max(b).alias("_hi"))
+    grid = bounds.select(F.explode(F.sequence(
+        "_lo", "_hi", F.expr(_UNIT_INTERVAL[unit]))).alias("bucket"))
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    dense = keys.crossJoin(F.broadcast(grid))
+    return (dense.join(counts, ["key", "bucket"], "left")
+            .select(F.col("key").alias(key_col), "bucket",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    *([f"sum_{value_col}"] if value_col else [])))

@@ -107,3 +107,48 @@ def test_asof_join_backward_inclusive(spark):
     assert out[2] == (_ts(5), 100.0)   # inclusive at equality
     assert out[3] == (None, None)      # nothing before
     assert out[4] == (None, None)      # key absent on right
+
+
+def test_resample_fills_gaps_and_ffill(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.temporal import (
+        forward_fill,
+        resample,
+    )
+
+    rows = [
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 30), v=1.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 3, 10), v=2.0),   # 2h gap
+        Row(k="b", ts=datetime(2024, 1, 1, 1, 0), v=5.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = forward_fill(resample(df, "ts", "k", "hour", "v"),
+                       ["k"], "bucket", ["sum_v"])
+    got = {(r["k"], r["bucket"].hour): (r["n_events"], r["sum_v"],
+                                        r["sum_v_ffill"])
+           for r in out.collect()}
+    # grid spans hours 0..3 for BOTH keys (shared corpus span)
+    assert len(got) == 8
+    assert got[("a", 1)] == (0, None, 1.0)     # gap: zero count, ffill
+    assert got[("a", 2)] == (0, None, 1.0)
+    assert got[("a", 3)] == (1, 2.0, 2.0)
+    assert got[("b", 0)] == (0, None, None)    # before first value
+    assert got[("b", 1)] == (1, 5.0, 5.0)
+    assert got[("b", 3)] == (0, None, 5.0)
+
+
+def test_resample_rejects_unknown_unit(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.temporal import resample
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [Row(k="a", ts=datetime(2024, 1, 1), v=1.0)])
+    with pytest.raises(ValueError, match="unsupported unit"):
+        resample(df, "ts", "k", "fortnight")
