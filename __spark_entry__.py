@@ -78,6 +78,7 @@ from nyctaxidatapipeline_spark.operators.reshape import (
     cube_agg,
     distinct_counts,
     grouped_percentiles,
+    heavy_hitters,
     melt,
     pivot_agg,
 )
@@ -749,6 +750,15 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (users with ≥ 0.05% of all events): one hash
+    aggregate (map-side partials absorb the hot keys) + broadcast
+    1-row total. The ``freqItems`` sketch mode is the unit-tested
+    candidate pre-filter for extreme scale."""
+    ev = _events(spark, sf_dir)
+    return heavy_hitters(ev, "user_id", min_share=0.0005)
+
+
 def _q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly resampling per event_type over the corpus span —
     missing buckets zero-filled, per-bucket value sums forward-filled
@@ -865,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "lm_perplexity": _q_lm_perplexity,
         "resample_hourly": _q_resample_hourly,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -2223,5 +2234,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(logp), 6) AS avg_logp,
                    ROUND(exp(-ROUND(AVG(logp), 6)), 6) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        "heavy_hitters": """
+            WITH t AS (SELECT COUNT(*) AS total FROM events),
+            c AS (SELECT user_id AS value, COUNT(*) AS n
+                  FROM events GROUP BY 1)
+            SELECT value, n, ROUND(n::DOUBLE / total, 6) AS share
+            FROM c, t WHERE n >= total * 0.0005
         """,
     }

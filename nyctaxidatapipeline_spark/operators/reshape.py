@@ -70,3 +70,35 @@ def distinct_counts(df: DataFrame, group_cols: Sequence[str], col: str,
            else F.approx_count_distinct(col))
     return (df.groupBy(*group_cols)
               .agg(agg.alias(f"n_distinct_{col}")))
+
+
+def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
+                  mode: str = "exact") -> DataFrame:
+    """Values of ``col`` carrying at least ``min_share`` of all rows.
+
+    ``exact`` is one hash aggregate + a 1-row total joined broadcast —
+    at 100 TB that is a full shuffle of the distinct values (fine: the
+    output is by definition ≤ 1/min_share rows, and partial aggregation
+    collapses the hot keys map-side, which is exactly where heavy
+    hitters live). ``approx`` uses Spark's one-pass ``freqItems``
+    (a Karp-Papadimitriou-Shenker sketch): no shuffle of per-value
+    counts, possible false positives, no counts/shares in the output —
+    the candidate pre-filter for a second exact pass at extreme scale.
+
+    Output (exact): (value, n, share) ordered nowhere — sort downstream.
+    Output (approx): (value,) candidates only.
+    """
+    if mode == "approx":
+        row = df.freqItems([col], support=min_share).first()
+        vals = row[f"{col}_freqItems"]
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(v,) for v in vals], [col]).withColumnRenamed(col, "value")
+    total = df.agg(F.count("*").alias("_total"))
+    return (df.groupBy(F.col(col).alias("value"))
+              .agg(F.count("*").alias("n"))
+              .crossJoin(F.broadcast(total))
+              .filter(F.col("n") >= F.col("_total") * min_share)
+              .select("value", "n",
+                      F.round(F.col("n") / F.col("_total"), 6)
+                       .alias("share")))

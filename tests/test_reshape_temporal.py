@@ -152,3 +152,21 @@ def test_resample_rejects_unknown_unit(spark):
         [Row(k="a", ts=datetime(2024, 1, 1), v=1.0)])
     with pytest.raises(ValueError, match="unsupported unit"):
         resample(df, "ts", "k", "fortnight")
+
+
+def test_heavy_hitters_approx_superset_of_exact(spark):
+    from nyctaxidatapipeline_spark.operators.reshape import heavy_hitters
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {r["value"]
+             for r in heavy_hitters(ev, "event_type", 0.05).collect()}
+    approx = {r["value"] for r in
+              heavy_hitters(ev, "event_type", 0.05,
+                            mode="approx").collect()}
+    assert exact, "fixture should have >=1 heavy event_type"
+    # KPS sketch guarantee: no false negatives at the support threshold
+    assert exact <= approx
+    # exact shares really are shares
+    rows = heavy_hitters(ev, "event_type", 0.05).collect()
+    assert all(r["share"] >= 0.05 for r in rows)
