@@ -36,7 +36,9 @@ from nyctaxidatapipeline_spark.functions.text import shingles, tokens
 from nyctaxidatapipeline_spark.operators.dedup import (
     connected_components,
     exact_dedup,
+    incremental_fingerprint_dedup,
     jaccard_pairs,
+    keep_latest,
     minhash_lsh_pairs,
     simhash_near_pairs,
 )
@@ -750,6 +752,28 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-style compaction: newest event per (user, type), ties
+    broken by event_id desc — one WindowGroupLimit shuffle."""
+    ev = _events(spark, sf_dir)
+    return keep_latest(ev.select("user_id", "event_type", "ts",
+                                 "event_id", "value"),
+                       ["user_id", "event_type"], "ts",
+                       tiebreak_col="event_id")
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: admit new-batch documents (doc_id ≥ 250)
+    that are not normalized-exact dups of the existing corpus (< 250)
+    nor of each other. Corpus text reduces to its fingerprint set —
+    never reshuffled; cost scales with the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return (incremental_fingerprint_dedup(new, corpus, "text", "doc_id")
+            .select("doc_id", "text"))
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (users with ≥ 0.05% of all events): one hash
     aggregate (map-side partials absorb the hot keys) + broadcast
@@ -876,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "resample_hourly": _q_resample_hourly,
         "heavy_hitters": _q_heavy_hitters,
+        "keep_latest": _q_keep_latest,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -2241,5 +2267,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM events GROUP BY 1)
             SELECT value, n, ROUND(n::DOUBLE / total, 6) AS share
             FROM c, t WHERE n >= total * 0.0005
+        """,
+        "keep_latest": """
+            SELECT user_id, event_type, ts, event_id, value FROM (
+              SELECT user_id, event_type, ts, event_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "incremental_dedup": """
+            WITH fp AS (
+              SELECT doc_id, text,
+                     md5(array_to_string(
+                         list_filter(string_split_regex(lower(trim(text)),
+                                                        '\\s+'),
+                                     t -> t <> ''), ' ')) AS f
+              FROM documents),
+            corpus_fps AS (
+              SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+            batch_reps AS (
+              SELECT f, MIN(doc_id) AS doc_id FROM fp
+              WHERE doc_id >= 250 GROUP BY f),
+            admitted AS (
+              SELECT doc_id FROM batch_reps
+              WHERE f NOT IN (SELECT f FROM corpus_fps))
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN admitted USING (doc_id)
         """,
     }

@@ -542,3 +542,47 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
                   .select("p.id_a", "p.id_b", "p.hamming")
                   .distinct()
                   .filter(F.col("hamming") <= max_hamming))
+
+
+def keep_latest(df: DataFrame, key_cols: list[str], ts_col: str,
+                tiebreak_col: str | None = None) -> DataFrame:
+    """Upsert-style dedup: the newest row per key (``row_number = 1``
+    over (key, ts DESC)) — what every CDC-compacted ingest needs.
+    Deterministic under timestamp ties via ``tiebreak_col`` (falls back
+    to the first key column). One window shuffle on the key; Spark
+    plans it as a WindowGroupLimit (bounded per-group state, no full
+    partition sort materialization)."""
+    from pyspark.sql import Window
+
+    tb = tiebreak_col or key_cols[0]
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(ts_col).desc(), F.col(tb).desc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn"))
+
+
+def incremental_fingerprint_dedup(new: DataFrame, corpus: DataFrame,
+                                  text_col: str, id_col: str) -> DataFrame:
+    """Admit only NEW documents that are not normalized-exact duplicates
+    of the existing corpus (nor of each other — min-id wins within the
+    batch). The daily-increment production pattern: the corpus side is
+    reduced to its fingerprint set (one narrow aggregate over an
+    append-only store at scale), the new batch anti-joins against it —
+    corpus text is never reshuffled, and cost scales with |new|, not
+    |corpus|.
+
+    Output: the admitted subset of ``new`` (original columns).
+    """
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        fingerprint,
+    )
+
+    corpus_fps = (fingerprint(corpus, text_col, id_col)
+                  .select("fingerprint").distinct())
+    new_fp = fingerprint(new, text_col, id_col)
+    batch_reps = (new_fp.groupBy("fingerprint")
+                  .agg(F.min(id_col).alias(id_col)))
+    admitted = (batch_reps.join(corpus_fps, "fingerprint", "left_anti")
+                .select(id_col))
+    return new.join(admitted, id_col, "left_semi")

@@ -255,3 +255,56 @@ def test_dedup_keep_representatives_drops_non_min(spark):
                                                       "doc_id").collect())
     # 0,1,2 form one near-dup component (keep 0); 3 is untouched.
     assert kept == [0, 3]
+
+
+def test_keep_latest_per_key(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import keep_latest
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    df = spark.createDataFrame([
+        Row(k=1, ts=ts(0), v="old"), Row(k=1, ts=ts(9), v="new"),
+        Row(k=2, ts=ts(5), v="only"),
+        Row(k=3, ts=ts(7), v="tie_a"), Row(k=3, ts=ts(7), v="tie_b"),
+    ])
+    out = {r["k"]: r["v"]
+           for r in keep_latest(df, ["k"], "ts",
+                                tiebreak_col="v").collect()}
+    assert out == {1: "new", 2: "only", 3: "tie_b"}  # desc tiebreak
+    # deterministic under repartition
+    out2 = {r["k"]: r["v"]
+            for r in keep_latest(df.repartition(5), ["k"], "ts",
+                                 tiebreak_col="v").collect()}
+    assert out == out2
+
+
+def test_incremental_fingerprint_dedup(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_fingerprint_dedup,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="the old document about foxes"),
+        Row(doc_id=2, text="another existing piece of text"),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=10, text="THE OLD   document about foxes"),  # dup of 1
+                                                  # (normalized)
+        Row(doc_id=11, text="a genuinely new document"),
+        Row(doc_id=12, text="a GENUINELY new document"),        # intra-batch
+                                                  # dup of 11
+        Row(doc_id=13, text="something else entirely here"),
+    ])
+    got = {r["doc_id"] for r in
+           incremental_fingerprint_dedup(new, corpus, "text",
+                                         "doc_id").collect()}
+    assert got == {11, 13}                   # min-id wins in batch
