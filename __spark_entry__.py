@@ -608,6 +608,85 @@ def _q_tpch_q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+#: TPC-H-adapted SQL shared VERBATIM between Spark and the DuckDB oracle
+#: (dialect-identical subset: TIMESTAMP literals, ROUND, BETWEEN). Table
+#: names are format placeholders: Spark binds temp views, DuckDB binds the
+#: pre-registered parquet views — one source of truth per query, so the
+#: differential gate checks Catalyst's plan, not a transcription.
+#: LIMIT/ORDER BY are omitted (the driver compares order-insensitively).
+_TPCH_SQL = {
+    # Q3 shipping priority (o_shippriority column absent in fixture)
+    "tpch_q3_sql": """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS revenue,
+               o.o_orderdate
+        FROM {customer} c
+        JOIN {orders} o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    # Q5 local supplier volume
+    "tpch_q5_sql": """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS revenue
+        FROM {customer} c
+        JOIN {orders} o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+        JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+                         AND c.c_nationkey = s.s_nationkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        JOIN {region} r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    # Q6 forecast revenue change
+    "tpch_q6_sql": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+               COUNT(*) AS n_lines
+        FROM {lineitem}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    # Q10 returned-item reporting (address/phone/comment absent)
+    "tpch_q10_sql": """
+        SELECT c.c_custkey, c.c_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS revenue,
+               ROUND(c.c_acctbal, 6) AS c_acctbal, n.n_name
+        FROM {customer} c
+        JOIN {orders} o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+        JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    """,
+}
+
+_TPCH_TABLES = ("lineitem", "orders", "customer", "supplier", "nation",
+                "region")
+
+
+def _tpch_sql_query(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in _TPCH_TABLES:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+        return spark.sql(_TPCH_SQL[name].format(
+            **{t: f"{t}_v" for t in _TPCH_TABLES}))
+    run.__doc__ = f"TPC-H-adapted {name} via the SQL API (shared-text twin)."
+    return run
+
+
 def _q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
     and grand-total counts in one pass."""
@@ -902,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "keep_latest": _q_keep_latest,
         "incremental_dedup": _q_incremental_dedup,
+        **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
 
 
@@ -2295,4 +2375,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
         """,
+        **{name: sql.format(**{t: t for t in _TPCH_TABLES})
+           for name, sql in _TPCH_SQL.items()},
     }
