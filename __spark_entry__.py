@@ -58,6 +58,7 @@ from nyctaxidatapipeline_spark.operators.text_analysis import (
     pii_redact,
     pii_stats,
     quality_score,
+    corpus_report,
     repetition_stats,
     term_frequencies,
     token_stats,
@@ -99,6 +100,7 @@ from nyctaxidatapipeline_spark.operators.sampling import (
 from nyctaxidatapipeline_spark.operators.temporal import (
     asof_join,
     forward_fill,
+    funnel_counts,
     resample,
     session_stats,
 )
@@ -831,6 +833,23 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users completing each prefix
+    with strictly increasing first-occurrence timestamps — one filtered
+    aggregate + user-key join per stage."""
+    ev = _events(spark, sf_dir)
+    return funnel_counts(ev, "user_id", "event_type", "ts",
+                         ["view", "click", "purchase"])
+
+
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus composition summary (volume, length percentiles,
+    ASCII + stopword composition) — the before/after dashboard of every
+    curation stage. One tokenize pass, one global aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs, "text", "doc_id")
+
+
 def _q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert-style compaction: newest event per (user, type), ties
     broken by event_id desc — one WindowGroupLimit shuffle."""
@@ -981,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "keep_latest": _q_keep_latest,
         "incremental_dedup": _q_incremental_dedup,
+        "funnel": _q_funnel,
+        "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
 
@@ -2374,6 +2395,50 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT CAST(1 AS INTEGER) AS step_index, 'view' AS step,
+                   COUNT(*) AS n_users FROM s1
+            UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+        """,
+        "corpus_report": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk,
+                     length(regexp_replace(text, '[^\\x20-\\x7E]', '',
+                                           'g')) AS ac,
+                     length(text) AS c,
+                     text
+              FROM documents),
+            per AS (
+              SELECT len(tk) AS n,
+                     CASE WHEN len(tk) > 0 THEN
+                       CAST(len(list_filter(tk, t -> list_contains(
+                         ['the','a','is','and','of','to','in','that',
+                          'it','for'], t))) AS DOUBLE) / len(tk) END
+                         AS sr,
+                     ac, c
+              FROM t)
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(n), 6) AS avg_tokens,
+                   quantile_cont(n, 0.5) AS p50_tokens,
+                   quantile_cont(n, 0.95) AS p95_tokens,
+                   ROUND(CAST(SUM(ac) AS DOUBLE) / SUM(c), 6)
+                       AS ascii_ratio,
+                   ROUND(AVG(sr), 6) AS avg_stopword_ratio
+            FROM per
         """,
         **{name: sql.format(**{t: t for t in _TPCH_TABLES})
            for name, sql in _TPCH_SQL.items()},

@@ -135,3 +135,40 @@ def resample(df: DataFrame, ts_col: str, key_col: str,
             .select(F.col("key").alias(key_col), "bucket",
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     *([f"sum_{value_col}"] if value_col else [])))
+
+
+def funnel_counts(df: DataFrame, user_col: str, type_col: str,
+                  ts_col: str, steps: Sequence[str]) -> DataFrame:
+    """Ordered-funnel analysis: how many users complete each prefix of
+    ``steps`` with strictly increasing timestamps (first qualifying
+    occurrence per step — the standard product-analytics funnel).
+
+    Stage k is one filtered aggregate joined to stage k-1's (user,
+    first-completion-ts) frame — k-1 shuffle joins on the user key
+    total, each operating on only the step's events (the type filter is
+    pushed to the scan). Output: (step_index, step, n_users) — counts
+    are monotonically non-increasing by construction.
+    """
+    spark = df.sparkSession
+    rows = []
+    prev = None
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step)
+        if prev is None:
+            cur = (ev.groupBy(F.col(user_col).alias("_u"))
+                     .agg(F.min(ts_col).alias("_t")))
+        else:
+            cur = (ev.join(prev, ev[user_col] == prev["_u"])
+                     .filter(F.col(ts_col) > F.col("_t"))
+                     .groupBy(F.col("_u"))
+                     .agg(F.min(ts_col).alias("_t2"))
+                     .withColumnRenamed("_t2", "_t"))
+        prev = cur
+        rows.append(cur.agg(
+            F.lit(i + 1).cast("int").alias("step_index"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("n_users")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -266,3 +266,36 @@ def term_frequencies(df: DataFrame, text_col: str, id_col: str,
             .agg(F.sum("_n").alias("freq"),
                  F.count("*").alias("doc_freq"))
             .filter(F.col("freq") >= min_count))
+
+
+def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-row corpus composition summary — the numbers a data curator
+    checks before and after every pipeline stage: document/token
+    volume, length distribution (exact percentiles here; swap
+    ``percentile_approx`` at 100 TB — noted so the oracle stays exact),
+    and surface composition (ASCII ratio, mean stopword density).
+
+    One tokenize pass, one global aggregate (partial+final); no joins.
+    Output: (n_docs, n_tokens, avg_tokens, p50_tokens, p95_tokens,
+    ascii_ratio, avg_stopword_ratio).
+    """
+    tk = F.col("_tk")
+    n = F.size(tk)
+    stop_ratio = F.when(
+        n > 0, _marker_hits(tk, "en").cast("double") / n)
+    ascii_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"[^\x20-\x7E]", ""))
+    chars = F.length(F.col(text_col))
+    return (df.withColumn("_tk", tokens(text_col))
+            .select(n.alias("_n"),
+                    stop_ratio.alias("_sr"),
+                    ascii_chars.alias("_ac"),
+                    chars.alias("_c"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_n").alias("n_tokens"),
+                 F.round(F.avg("_n"), 6).alias("avg_tokens"),
+                 F.expr("percentile(_n, 0.5)").alias("p50_tokens"),
+                 F.expr("percentile(_n, 0.95)").alias("p95_tokens"),
+                 F.round(F.sum("_ac") / F.sum("_c"), 6)
+                  .alias("ascii_ratio"),
+                 F.round(F.avg("_sr"), 6).alias("avg_stopword_ratio")))

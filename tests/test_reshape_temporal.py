@@ -170,3 +170,35 @@ def test_heavy_hitters_approx_superset_of_exact(spark):
     # exact shares really are shares
     rows = heavy_hitters(ev, "event_type", 0.05).collect()
     assert all(r["share"] >= 0.05 for r in rows)
+
+
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes the whole funnel in order
+        Row(u=1, e="view", ts=ts(0)), Row(u=1, e="click", ts=ts(1)),
+        Row(u=1, e="buy", ts=ts(2)),
+        # u2 clicked BEFORE viewing -> stops at step 1
+        Row(u=2, e="click", ts=ts(0)), Row(u=2, e="view", ts=ts(1)),
+        # u3 views only
+        Row(u=3, e="view", ts=ts(0)),
+        # u4 never views -> not even step 1
+        Row(u=4, e="buy", ts=ts(0)),
+        # u5 out-of-order first click but a LATER click qualifies
+        Row(u=5, e="click", ts=ts(0)), Row(u=5, e="view", ts=ts(1)),
+        Row(u=5, e="click", ts=ts(2)),
+    ]
+    out = {r["step"]: r["n_users"]
+           for r in funnel_counts(spark.createDataFrame(rows), "u", "e",
+                                  "ts", ["view", "click", "buy"]).collect()}
+    assert out == {"view": 4, "click": 2, "buy": 1}
