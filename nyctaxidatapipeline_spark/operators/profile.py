@@ -40,3 +40,39 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def outliers_zscore(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str, k: float = 3.0) -> DataFrame:
+    """Rows whose value lies beyond ``k`` population standard deviations
+    of their group mean. Two passes: one grouped (mean, stddev_pop)
+    aggregate (map-side combined — |groups| rows), joined back to the
+    rows (broadcast when groups are few); the z-score itself is a
+    projection. Groups with zero variance flag nothing.
+
+    Output: input columns + (z_score) for flagged rows only.
+    """
+    stats = (df.groupBy(*group_cols)
+               .agg(F.avg(value_col).alias("_mu"),
+                    F.stddev_pop(value_col).alias("_sigma")))
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
+    return (df.join(stats, list(group_cols))
+              .filter((F.col("_sigma") > 0) & (F.abs(z) > k))
+              .withColumn("z_score", F.round(z, 6))
+              .drop("_mu", "_sigma"))
+
+
+def correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation for every column pair — one global aggregate
+    computing all C(n,2) ``corr`` measures in a single pass (no per-pair
+    jobs, no driver loop over collect()ed stats).
+
+    Output: (col_a, col_b, corr) via one stack/unpivot of the 1-row
+    aggregate.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    agg = df.agg(*[F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+                   for a, b in pairs])
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)")

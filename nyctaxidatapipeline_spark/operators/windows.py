@@ -61,3 +61,16 @@ def running_sum(df: DataFrame, partition_by: Sequence[str], order_by: str,
     w = (Window.partitionBy(*partition_by).orderBy(order_by)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(alias or f"{col}_running", F.sum(col).over(w))
+
+
+def moving_avg(df: DataFrame, partition_by: Sequence[str], order_by: str,
+               col: str, window_rows: int = 3,
+               alias: str | None = None) -> DataFrame:
+    """Trailing moving average over the last ``window_rows`` rows per
+    group (rows-frame, so ragged timestamps don't change the window
+    population — use ``temporal.resample`` first for a time-based
+    frame). Partial windows at the head average what exists."""
+    w = (Window.partitionBy(*partition_by).orderBy(order_by)
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    return df.withColumn(alias or f"{col}_ma{window_rows}",
+                         F.round(F.avg(col).over(w), 6))
