@@ -82,7 +82,6 @@ def seed_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
 
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    dim: int | None = None,
                     keep_vec: bool = False) -> DataFrame:
     """Assign every vector to its max-cosine centroid — shuffle-free.
 
@@ -147,7 +146,7 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 2,
         dim = embedding_dim(df, vec_col)
     centroids = seed_centroids(df, k, id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_clusters(df, centroids, id_col, vec_col, dim,
+        assigned = assign_clusters(df, centroids, id_col, vec_col,
                                    keep_vec=True)
         means = (assigned.groupBy("cluster_id")
                  .agg(*[F.avg(F.element_at(F.col("_vec"), i + 1))
@@ -164,11 +163,11 @@ def kmeans_fit(df: DataFrame, k: int, iters: int = 2,
 
 
 def kmeans_objective(df: DataFrame, centroids: list[list[float]],
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     dim: int | None = None) -> float:
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> float:
     """Mean max-cosine over the corpus (spherical k-means objective —
     higher is better). One scan, one scalar aggregate."""
-    assigned = assign_clusters(df, centroids, id_col, vec_col, dim)
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
     row = assigned.agg(F.avg("cosine").alias("obj")).first()
     return float(row["obj"])
 
@@ -192,7 +191,7 @@ def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
     """
     if dim is None:
         dim = embedding_dim(df, vec_col)
-    assigned = assign_clusters(df, centroids, id_col, vec_col, dim,
+    assigned = assign_clusters(df, centroids, id_col, vec_col,
                                keep_vec=True)
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col("cluster_id"),

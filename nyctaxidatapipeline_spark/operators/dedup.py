@@ -545,18 +545,24 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
 
 
 def keep_latest(df: DataFrame, key_cols: list[str], ts_col: str,
-                tiebreak_col: str | None = None) -> DataFrame:
+                tiebreak_col: str) -> DataFrame:
     """Upsert-style dedup: the newest row per key (``row_number = 1``
     over (key, ts DESC)) — what every CDC-compacted ingest needs.
-    Deterministic under timestamp ties via ``tiebreak_col`` (falls back
-    to the first key column). One window shuffle on the key; Spark
-    plans it as a WindowGroupLimit (bounded per-group state, no full
-    partition sort materialization)."""
+    ``tiebreak_col`` is REQUIRED and must not be a key column: key
+    columns are constant within a window partition, so ordering by one
+    is a no-op and timestamp ties would resolve nondeterministically.
+    One window shuffle on the key; Spark plans it as a WindowGroupLimit
+    (bounded per-group state, no full partition sort materialization)."""
     from pyspark.sql import Window
 
-    tb = tiebreak_col or key_cols[0]
+    if not tiebreak_col or tiebreak_col in key_cols:
+        raise ValueError(
+            "keep_latest needs a tiebreak_col outside key_cols "
+            "(a key column is constant per window partition, so it "
+            "cannot break timestamp ties deterministically); got "
+            f"tiebreak_col={tiebreak_col!r}, key_cols={key_cols}")
     w = (Window.partitionBy(*key_cols)
-         .orderBy(F.col(ts_col).desc(), F.col(tb).desc()))
+         .orderBy(F.col(ts_col).desc(), F.col(tiebreak_col).desc()))
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1)
               .drop("_rn"))

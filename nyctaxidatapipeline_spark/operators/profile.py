@@ -70,9 +70,18 @@ def correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     Output: (col_a, col_b, corr) via one stack/unpivot of the 1-row
     aggregate.
     """
+    if len(cols) < 2:
+        raise ValueError(
+            f"correlations needs at least 2 columns, got {list(cols)}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    agg = df.agg(*[F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
-                   for a, b in pairs])
-    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
-    return agg.selectExpr(
-        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)")
+    # Positional aliases + a struct-array unpivot: immune to column
+    # names containing backticks or a separator colliding with real
+    # columns (no string-formatted SQL).
+    agg = df.agg(*[F.round(F.corr(a, b), 6).alias(f"_p{i}")
+                   for i, (a, b) in enumerate(pairs)])
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col(f"_p{i}").alias("corr"))
+        for i, (a, b) in enumerate(pairs)])
+    return (agg.select(F.explode(rows).alias("_r"))
+               .select("_r.col_a", "_r.col_b", "_r.corr"))

@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pivot_agg(df: DataFrame, group_col: str, pivot_col: str,
@@ -92,8 +93,12 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
         row = df.freqItems([col], support=min_share).first()
         vals = row[f"{col}_freqItems"]
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [(v,) for v in vals], [col]).withColumnRenamed(col, "value")
+        # Explicit schema from the source column: createDataFrame cannot
+        # infer a type from an empty candidate list, and inference from
+        # Python values could drift from the column's real type.
+        schema = T.StructType(
+            [T.StructField("value", df.schema[col].dataType, True)])
+        return spark.createDataFrame([(v,) for v in vals], schema)
     total = df.agg(F.count("*").alias("_total"))
     return (df.groupBy(F.col(col).alias("value"))
               .agg(F.count("*").alias("n"))

@@ -149,7 +149,6 @@ def funnel_counts(df: DataFrame, user_col: str, type_col: str,
     pushed to the scan). Output: (step_index, step, n_users) — counts
     are monotonically non-increasing by construction.
     """
-    spark = df.sparkSession
     rows = []
     prev = None
     for i, step in enumerate(steps):

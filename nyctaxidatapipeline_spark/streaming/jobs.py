@@ -139,15 +139,20 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id",
 
 
 def enrich_with_static(stream: DataFrame, dim: DataFrame,
-                       on: str) -> DataFrame:
+                       on: str, broadcast_dim: bool = False) -> DataFrame:
     """Stream-static join: enrich each event with a dimension table.
 
     The static side is re-planned per micro-batch (picking up dimension
-    updates between batches) and broadcast when it fits — the standard
-    lookup-enrichment topology; no state store is involved, so this
-    composes freely with downstream windows/aggregations.
+    updates between batches) — the standard lookup-enrichment topology;
+    no state store is involved, so this composes freely with downstream
+    windows/aggregations. Broadcast is OPT-IN (``broadcast_dim=True``,
+    for dimensions the caller knows are small): by default the planner
+    decides via ``autoBroadcastJoinThreshold``/AQE, so a large dimension
+    falls back to a shuffle join instead of OOMing the driver on every
+    micro-batch with a forced broadcast.
     """
-    return stream.join(F.broadcast(dim), on, "left")
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(right, on, "left")
 
 
 def purchase_error_correlation(events_a: DataFrame, events_b: DataFrame,

@@ -72,7 +72,7 @@ def test_zero_vector_dropped_and_seed_guard(spark):
          Row(vec_id=1, embedding=[0.0, 1.0]),
          Row(vec_id=2, embedding=[0.0, 0.0])])
     cents = seed_centroids(df, 2, vec_col="embedding")
-    out = assign_clusters(df, cents, dim=2).collect()
+    out = assign_clusters(df, cents).collect()
     assert {r["vec_id"] for r in out} == {0, 1}
     with pytest.raises(ValueError, match="non-degenerate"):
         seed_centroids(df, 3)
@@ -82,8 +82,8 @@ def test_lloyd_refinement_improves_objective(spark):
     df = _planted(spark)
     seeds = seed_centroids(df, 6)
     refined = kmeans_fit(df, 6, iters=3)
-    o_seed = kmeans_objective(df, seeds, dim=16)
-    o_ref = kmeans_objective(df, refined, dim=16)
+    o_seed = kmeans_objective(df, seeds)
+    o_ref = kmeans_objective(df, refined)
     assert o_ref >= o_seed - 1e-9
     # refined centroids are unit-normalized
     for c in refined:

@@ -283,6 +283,13 @@ def test_keep_latest_per_key(spark):
             for r in keep_latest(df.repartition(5), ["k"], "ts",
                                  tiebreak_col="v").collect()}
     assert out == out2
+    # a key column cannot break ties (constant per window partition)
+    import pytest
+
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        keep_latest(df, ["k"], "ts", tiebreak_col="k")
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        keep_latest(df, ["k"], "ts", tiebreak_col=None)
 
 
 def test_incremental_fingerprint_dedup(spark):

@@ -172,6 +172,35 @@ def test_heavy_hitters_approx_superset_of_exact(spark):
     assert all(r["share"] >= 0.05 for r in rows)
 
 
+def test_heavy_hitters_approx_empty_and_typed(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.reshape import heavy_hitters
+
+    # empty input: freqItems returns no candidates and the result must
+    # be an EMPTY typed frame, not a schema-inference crash.
+    df = spark.createDataFrame([Row(x=1)]).filter("x < 0")
+    out = heavy_hitters(df, "x", min_share=0.5, mode="approx")
+    assert out.count() == 0
+    assert out.schema["value"].dataType == df.schema["x"].dataType
+
+
+def test_correlations_pairs_and_guard(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.profile import correlations
+
+    df = spark.createDataFrame(
+        [Row(a=float(i), b=2.0 * i, c=float(-i)) for i in range(10)])
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlations(df, ["a", "b", "c"]).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] == 1.0 and out[("a", "c")] == -1.0
+    with pytest.raises(ValueError, match="at least 2"):
+        correlations(df, ["a"])
+
+
 def test_funnel_requires_strict_order(spark):
     import datetime as dt
 
