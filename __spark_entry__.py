@@ -49,6 +49,7 @@ from nyctaxidatapipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_dim,
     embedding_near_dup_blocked,
+    ivf_seed_centroids_portable,
     ivf_topk,
     rp_lsh_near_dup,
 )
@@ -399,14 +400,18 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 hash-seeded centroid lists, nprobe=4)
-    for query vectors vec_id < 5 — the partition-pruned ANN path: each
-    query reranks ~nprobe/n_centroids of the corpus. Rows-only check
-    (probed-list membership is centroid-dependent); exhaustive-probe
-    parity with brute force is unit-tested."""
+    """IVF approximate top-10 (16 centroid lists, nprobe=4) for query
+    vectors vec_id < 5 — the partition-pruned ANN path: each query
+    reranks ~nprobe/n_centroids of the corpus. Registered with
+    md5-PORTABLE seed centroids (``ivf_seed_centroids_portable``) so the
+    DuckDB twin rebuilds the exact centroid doubles from the same
+    parquet and the whole probe→rerank pipeline is value-hash-checked;
+    Lloyd-refined xxhash64 seeding stays the non-oracle default, and
+    exhaustive-probe parity with brute force is unit-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
-                    n_centroids=16, nprobe=4, dim=embedding_dim(emb))
+                    nprobe=4, dim=embedding_dim(emb), centroids=cents)
 
 
 def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,6 +847,37 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["view", "click", "purchase"])
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming stream-stream interval join
+    (``streaming.jobs.purchase_error_correlation`` — THE SAME function,
+    run in batch mode where the watermark is a planning no-op): every
+    (purchase, error) pair per user within 1 hour of each other. The
+    differential gate on this query pins the join predicate the
+    streaming e2e parity test (``test_streaming_ext``) relies on."""
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        purchase_error_correlation,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = purchase_error_correlation(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"))
+    return out.select(F.col("a_key").alias("user_id"),
+                      F.col("a_ts").alias("purchase_ts"),
+                      F.col("b_ts").alias("error_ts"))
+
+
+def _q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation over 4 lineitem measures — ONE
+    global aggregate computes all C(4,2)=6 ``corr`` measures in a single
+    pass (no per-pair jobs), then a struct-array unpivot to long form."""
+    from nyctaxidatapipeline_spark.operators.profile import correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlations(li, ["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"])
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus composition summary (volume, length percentiles,
     ASCII + stopword composition) — the before/after dashboard of every
@@ -1001,9 +1037,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_latest": _q_keep_latest,
         "incremental_dedup": _q_incremental_dedup,
         "funnel": _q_funnel,
+        "interval_join": _q_interval_join,
+        "correlations": _q_correlations,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
+
+
+def _q_ann_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh on the DEFAULT xxhash64-derived plane matrix — identical
+    pipeline shape (signature → band buckets → candidates → exact
+    rerank) minus the md5 portability tax the oracle twin needs; this is
+    what a production caller runs, so it is what the bench times."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_near_dup(emb, threshold=0.4, planes=24, bands=4,
+                           dim=embedding_dim(emb), portable=False)
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The per-query set ``bench.py`` times: ``queries()`` with
+    oracle-portability-taxed entries swapped for their production
+    defaults (same operator, same plan shape — only the hash-family
+    literals differ). CORRECTNESS always gates the ``queries()``
+    versions; recall parity between the two families is pytest-gated
+    (``tests/test_recall.py``)."""
+    q = queries()
+    q["ann_lsh"] = _q_ann_lsh_fast
+    return q
 
 
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
@@ -1856,6 +1916,59 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 10
         """,
+        # Twin of ivf_topk with ivf_seed_centroids_portable: seeds are
+        # the 16 non-zero vectors with smallest (md5(id), id), unit-
+        # normalized; assignment/probing argmax raw dots with ties to
+        # the lowest centroid id (Spark's first-position argmax /
+        # struct(-d, cid) sort); rerank is the exact cosine with 6 dp
+        # rounding. nprobe=4, k=10, queries vec_id < 5.
+        "ann_ivf": """
+            WITH seeds AS (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         - 1 AS INTEGER) AS cid,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                              embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) AS cv
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+              QUALIFY row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+            corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+            assigned AS (
+              SELECT vec_id, vec, nrm, cid AS list_id FROM (
+                SELECT c.vec_id, c.vec, c.nrm, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus c, seeds s) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, q_vec, q_nrm, cid AS list_id FROM (
+                SELECT q.vec_id AS query_id, q.vec AS q_vec,
+                       q.nrm AS q_nrm, s.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus q, seeds s WHERE q.vec_id < 5)
+              WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     ROUND(list_dot_product(p.q_vec, a.vec)
+                           / (p.q_nrm * a.nrm), 6) AS cosine
+              FROM probes p JOIN assigned a USING (list_id))
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
         # Tokenizer contract (functions/text.py): lowercase, whitespace
         # split, empties dropped. Marker lists mirror text_analysis.MARKERS.
         "lang_confusion": """
@@ -2395,6 +2508,33 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "correlations": """
+            SELECT col_a, col_b, ROUND(corr_v, 6) AS corr FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     corr(l_quantity, l_extendedprice) AS corr_v
+              FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                     corr(l_quantity, l_discount) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                     corr(l_quantity, l_tax) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     corr(l_extendedprice, l_discount) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     corr(l_extendedprice, l_tax) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                     corr(l_discount, l_tax) FROM lineitem
+            )
+        """,
+        "interval_join": """
+            SELECT a.user_id,
+                   a.ts AS purchase_ts,
+                   b.ts AS error_ts
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR
+                          AND a.ts + INTERVAL 1 HOUR
+            WHERE a.event_type = 'purchase' AND b.event_type = 'error'
         """,
         "funnel": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -440,6 +440,36 @@ def ivf_seed_centroids(df: DataFrame, n_centroids: int = 16,
     return cents
 
 
+def ivf_seed_centroids_portable(df: DataFrame, n_centroids: int = 16,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> list[list[float]]:
+    """Cross-engine-reproducible IVF seeds: the ``n_centroids`` non-zero
+    corpus vectors with the smallest ``(md5(id), id)``, L2-normalized.
+
+    md5 is bit-identical in Spark / DuckDB / hashlib (xxhash64, the
+    default seeding above, is Spark-only), and the norm fold below is
+    the explicit sequential 0.0-seeded loop — bitwise equal to DuckDB's
+    ``x / sqrt(list_dot_product(v, v))`` — so a SQL oracle can rebuild
+    the exact centroid doubles from the same parquet and the whole IVF
+    probe→rerank pipeline becomes value-hash-checkable. Same bounded
+    TakeOrdered collect as ``ivf_seed_centroids`` (k rows, never the
+    corpus)."""
+    rows = (df.select(F.col(id_col).alias("i"),
+                      as_double(vec_col).alias("v"))
+              .filter(l2_norm(as_double(vec_col)) > 0)
+              .orderBy(F.md5(F.col("i").cast("string")), "i")
+              .limit(n_centroids).collect())
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r["v"]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nrm = acc ** 0.5
+        cents.append([x / nrm for x in v])
+    return cents
+
+
 def ivf_kmeans_centroids(df: DataFrame, n_centroids: int = 16,
                          iters: int = 2, id_col: str = "vec_id",
                          vec_col: str = "embedding",
@@ -543,7 +573,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             dim: int | None = None, kmeans_iters: int = 2) -> DataFrame:
+             dim: int | None = None, kmeans_iters: int = 2,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists
     per query, exact-rerank only vectors in probed lists.
 
@@ -555,11 +586,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     hash-partitioned once on ``list_id``; queries explode to ``nprobe``
     rows and join on it. ``kmeans_iters`` Lloyd steps refine the coarse
     quantizer (see ``ivf_kmeans_centroids``); 0 = raw hash seeds.
+    ``centroids`` overrides seeding entirely (pass
+    ``ivf_seed_centroids_portable(...)`` to make the output
+    SQL-oracle-reproducible).
     """
-    cents = ivf_kmeans_centroids(corpus, n_centroids, kmeans_iters,
-                                 id_col, vec_col, dim=dim) \
-        if kmeans_iters else \
-        ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = ivf_kmeans_centroids(corpus, n_centroids, kmeans_iters,
+                                     id_col, vec_col, dim=dim) \
+            if kmeans_iters else \
+            ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col, dim)
     probes = F.expr(
         f"transform(slice(array_sort(zip_with(_dots, "
