@@ -38,12 +38,20 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 3, damping: float = 0.85,
-             checkpoint_every: int = 5) -> DataFrame:
+             checkpoint_every: int = 2) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     Output: (node, rank) for every node appearing as src or dst.
     Duplicate edges contribute once each — pre-``distinct()`` the input
     if multi-edges should not add weight.
+
+    ``checkpoint_every`` truncates the ranks lineage mid-loop; each
+    un-checkpointed round nests another join+agg into ONE plan, and at
+    deep iteration counts Catalyst's analysis/optimization time on that
+    nested plan grows superlinearly (the classic iterative-algorithm
+    trap). The default fires every 2 rounds, so it engages even at the
+    default ``iters=3``; a 20-iteration run is regression-tested for
+    bounded wall-clock in ``tests/test_graph.py``.
     """
     # Materialize the loop invariants ONCE: e, nodes, and outdeg are
     # referenced by every iteration, and Spark's lazy evaluation would

@@ -3,6 +3,7 @@ pinned by the `pagerank` differential oracle)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from nyctaxidatapipeline_spark.operators.graph import pagerank, top_ranked
@@ -45,3 +46,69 @@ def test_top_ranked_deterministic_cut(spark):
     pairs = [(x, "h") for x in "abcd"] + [("h", "a")]
     rows = top_ranked(_edges(spark, pairs), k=3, iters=5).collect()
     assert [r["node"] for r in rows] == ["h", "a", "b"]  # b<c<d tie->id
+
+
+def test_deep_iteration_bounded_and_converged(spark):
+    """20 Lloyd^W power-iteration rounds must stay cheap (the default
+    checkpoint_every=2 truncates the nested join+agg lineage — without
+    it, Catalyst analysis time grows superlinearly with rounds) and
+    reach the true fixpoint on a strongly-connected graph."""
+    import time
+
+    # 24-node ring + chords: strongly connected, no dangling nodes, so
+    # the no-redistribution semantics equal classic PageRank and the
+    # stationary distribution sums to 1.
+    n = 24
+    pairs = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+    pairs += [(f"n{i:02d}", f"n{(i + 7) % n:02d}") for i in range(0, n, 3)]
+    e = _edges(spark, pairs)
+
+    t0 = time.monotonic()
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=20).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"20 iterations took {elapsed:.0f}s — lineage blowup"
+
+    # pure-Python twin of the exact per-round semantics (6 dp
+    # half-away-from-zero rounding at every boundary)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    ranks = {v: r6(1.0 / len(nodes)) for v in nodes}
+    for _ in range(20):
+        sums = {v: 0.0 for v in nodes}
+        for a, b in pairs:
+            sums[b] += ranks[a] / outdeg[a]
+        ranks = {v: r6(0.15 / len(nodes) + 0.85 * r6(sums[v]))
+                 for v in nodes}
+    for v in nodes:
+        assert abs(out[v] - ranks[v]) <= 2e-6, (v, out[v], ranks[v])
+
+    # converged: one more round moves nothing beyond rounding noise
+    out21 = {r["node"]: r["rank"]
+             for r in pagerank(e, iters=21).collect()}
+    assert all(abs(out[v] - out21[v]) <= 2e-6 for v in nodes)
+
+    # independent twin: UNROUNDED full-precision power iteration to a
+    # 1e-12 fixpoint (classic PageRank — valid on this dangling-free
+    # graph). The 6 dp-rounded engine result must sit within rounding
+    # accumulation distance of the true stationary distribution.
+    # (networkx.pagerank needs scipy, absent in this container.)
+    true = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(500):
+        sums = {v: 0.0 for v in nodes}
+        for a, b in pairs:
+            sums[b] += true[a] / outdeg[a]
+        nxt = {v: 0.15 / len(nodes) + 0.85 * sums[v] for v in nodes}
+        delta = max(abs(nxt[v] - true[v]) for v in nodes)
+        true = nxt
+        if delta < 1e-12:
+            break
+    assert sum(true.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(abs(out[v] - true[v]) < 5e-5 for v in nodes)
