@@ -1,10 +1,12 @@
 """Multimodal columns — images/audio/video as opaque binary + typed metadata.
 
 North-star plumbing (BASELINE.json): the Spark-side architecture is real —
-schemas, Arrow batch flow, partitioning — while the media decode itself is
-stubbed (no PIL/ffmpeg in this container; each stub documents the exact
-library call that slots in and raises ``NotImplementedError`` unless the
-deterministic fake-codec path is requested).
+schemas, Arrow batch flow, partitioning. Image decode is ALSO real for
+PNG via the pure-stdlib baseline codec in ``functions.png``
+(``image_features(codec='png')`` — no PIL required); broader formats
+(JPEG, video) still document the exact PIL/ffmpeg call that slots in and
+raise ``NotImplementedError``, with the deterministic fake codec
+exercising their plumbing.
 
 Design:
   * One row per asset: ``asset_id long, media binary, meta struct<...>``.
@@ -49,14 +51,21 @@ def image_features(df: DataFrame, media_col: str = "media",
                    codec: str = "fake") -> DataFrame:
     """Decode + feature-extract per image over Arrow batches.
 
-    ``codec='real'`` is where ``PIL.Image.open(io.BytesIO(b))`` slots in —
+    ``codec='png'`` runs a REAL decode: the pure-stdlib baseline-PNG
+    codec in ``functions.png`` (8-bit gray/RGB/RGBA, all five scanline
+    filters) — no PIL needed, so this path executes end-to-end in this
+    container; undecodable/None media yields NULL features, matching
+    the fake-codec convention. ``codec='real'`` is where
+    ``PIL.Image.open(io.BytesIO(b))`` slots in for full format breadth —
     unavailable in this container, so it raises. ``codec='fake'`` parses
-    the deterministic header (tests + plumbing verification).
+    the deterministic 8-byte header (cheapest plumbing verification).
     """
-    if codec not in ("fake", "real"):
+    if codec not in ("fake", "real", "png"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyctaxidatapipeline_spark.functions.png import decode_png
+
         for pdf in batches:
             if codec == "real":
                 raise NotImplementedError(
@@ -64,6 +73,15 @@ def image_features(df: DataFrame, media_col: str = "media",
                     "PIL.Image.open(io.BytesIO(media)) here")
             out = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
+                if codec == "png":
+                    try:
+                        w, h, _ch, px = decode_png(media or b"")
+                    except ValueError:
+                        out.append((aid, None, None, None, None))
+                        continue
+                    mean = float(sum(px)) / len(px) if px else None
+                    out.append((aid, w, h, len(media), mean))
+                    continue
                 parsed = _decode_header(media)
                 if parsed is None:
                     out.append((aid, None, None, None, None))

@@ -61,3 +61,58 @@ def test_media_metadata_sniff(spark):
     assert got[1] == ("jpeg", 6)
     assert got[2] == ("png", 6)
     assert got[3][0] == "unknown"
+
+
+def test_png_roundtrip_all_filters():
+    from nyctaxidatapipeline_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    # deterministic 5x4 RGB gradient — exercises byte values across the
+    # range so Sub/Average/Paeth deltas wrap mod 256
+    w, h = 5, 4
+    px = bytes((13 * x + 57 * y + 31 * c) % 256
+               for y in range(h) for x in range(w) for c in range(3))
+    for ftype in range(5):
+        data = encode_png(w, h, px, color_type=2, filter_type=ftype)
+        gw, gh, ch, got = decode_png(data)
+        assert (gw, gh, ch) == (w, h, 3), f"filter {ftype}"
+        assert got == px, f"filter {ftype} corrupted pixels"
+    # grayscale and RGBA color types
+    g = bytes((7 * i) % 256 for i in range(w * h))
+    assert decode_png(encode_png(w, h, g, color_type=0))[3] == g
+    a = bytes((11 * i) % 256 for i in range(w * h * 4))
+    assert decode_png(encode_png(w, h, a, color_type=6,
+                                 filter_type=4))[3] == a
+
+
+def test_png_rejects_unsupported():
+    from nyctaxidatapipeline_spark.functions.png import decode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError, match="truncated|IEND|IHDR"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_image_features_png_codec(spark):
+    """The REAL decode path: baseline PNGs (different scanline filters)
+    decoded inside mapInPandas — no PIL, no fake header."""
+    from nyctaxidatapipeline_spark.functions.png import encode_png
+
+    px1 = bytes(range(0, 24))              # 4x2 RGB
+    px2 = bytes([200] * 9)                 # 3x1 RGB constant
+    df = spark.createDataFrame([
+        Row(asset_id=1, media=encode_png(4, 2, px1, filter_type=4)),
+        Row(asset_id=2, media=encode_png(3, 1, px2, filter_type=1)),
+        Row(asset_id=3, media=b"\x89PNG\r\n\x1a\njunk"),  # malformed
+        Row(asset_id=4, media=None),
+    ])
+    got = {r.asset_id: r for r in
+           image_features(df, codec="png").collect()}
+    assert (got[1].width, got[1].height) == (4, 2)
+    assert got[1].mean_intensity == sum(px1) / len(px1)
+    assert (got[2].width, got[2].height) == (3, 1)
+    assert got[2].mean_intensity == 200.0
+    assert got[3].width is None and got[4].width is None
