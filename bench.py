@@ -41,8 +41,12 @@ def main() -> None:
         _force(load_table(spark, SF_DIR, t))
     load_sec = round(time.perf_counter() - t0, 3)
 
+    # bench_queries() = queries() with oracle-portability-taxed entries
+    # (md5 hash-family literals) swapped for their production xxhash64
+    # defaults; CORRECTNESS always gates the queries() versions.
+    qset = getattr(entrymod, "bench_queries", entrymod.queries)()
     times: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in qset.items():
         t = time.perf_counter()
         _force(fn(spark, SF_DIR))
         times[name] = round(time.perf_counter() - t, 3)
@@ -68,16 +72,85 @@ def main() -> None:
         "near_dup_semantic": {"exact": "embedding_near_dup",
                               "scale": "semantic_dedup"},
     }
+    # Mechanically-trackable headline per path class: regressions on the
+    # scale members must be visible round-over-round without re-deriving
+    # the sums from the per-query map.
+    path_totals = {
+        "exact_total_sec": round(sum(times[p["exact"]] for p in
+                                     paths.values() if p["exact"] in times),
+                                 3),
+        "scale_total_sec": round(sum(times[p["scale"]] for p in
+                                     paths.values() if p["scale"] in times),
+                                 3),
+    }
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "paths": paths,
+        "path_totals": path_totals,
+        "experiments": _skew_experiment(spark),
         "load_sec": load_sec,
         "sf": sf,
     }))
     spark.stop()
+
+
+def _skew_experiment(spark) -> dict[str, float]:
+    """Planted-skew A/B: a 20x-exploded fact side whose key collapses to
+    ONE hot value on ~85% of rows, shuffle-joined to a per-key dim —
+    plain vs ``salted_join``. AQE's skew-join splitter and broadcast are
+    disabled for BOTH arms so the timing isolates what salting buys when
+    AQE can't help (the regime it exists for: sort/window ops AQE can't
+    split, or a single key past executor memory); a small warmup join
+    runs first so neither arm pays one-time codegen. Results land in the
+    bench JSON as ``skew_plain_sec`` / ``skew_salted_sec``.
+    """
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.joins import salted_join
+
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in
+             ("spark.sql.adaptive.skewJoin.enabled",
+              "spark.sql.autoBroadcastJoinThreshold")}
+    out: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+        fact = (ev.withColumn("_rep", F.explode(F.sequence(F.lit(1),
+                                                           F.lit(20))))
+                  .withColumn("k", F.when(F.pmod(F.xxhash64("user_id",
+                                                            "_rep"),
+                                                 F.lit(20)) < 17, F.lit(0))
+                                    .otherwise(F.col("user_id")))
+                  .drop("_rep"))
+        dim = (ev.select(F.col("user_id").alias("k")).distinct()
+                 .union(spark.range(1).select(F.lit(0).alias("k")))
+                 .distinct()
+                 .withColumn("payload",
+                             F.repeat(F.md5(F.col("k").cast("string")),
+                                      8)))
+        # codegen/JIT warmup on the same plan shapes, tiny input
+        _force(fact.limit(1000).join(dim, "k"))
+        _force(salted_join(fact.limit(1000), dim, "k", salt_buckets=32))
+        for name, run in (
+                ("skew_plain_sec", lambda: fact.join(dim, "k")),
+                ("skew_salted_sec",
+                 lambda: salted_join(fact, dim, "k", salt_buckets=32))):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()  # noqa: SLF001
+            t = time.perf_counter()
+            _force(run())
+            out[name] = round(time.perf_counter() - t, 3)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()  # noqa: SLF001
+    return out
 
 
 if __name__ == "__main__":
