@@ -1044,26 +1044,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _q_ann_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ann_lsh on the DEFAULT xxhash64-derived plane matrix — identical
-    pipeline shape (signature → band buckets → candidates → exact
-    rerank) minus the md5 portability tax the oracle twin needs; this is
-    what a production caller runs, so it is what the bench times."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return rp_lsh_near_dup(emb, threshold=0.4, planes=24, bands=4,
-                           dim=embedding_dim(emb), portable=False)
-
-
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The per-query set ``bench.py`` times: ``queries()`` with
-    oracle-portability-taxed entries swapped for their production
-    defaults (same operator, same plan shape — only the hash-family
-    literals differ). CORRECTNESS always gates the ``queries()``
-    versions; recall parity between the two families is pytest-gated
-    (``tests/test_recall.py``)."""
-    q = queries()
-    q["ann_lsh"] = _q_ann_lsh_fast
-    return q
+    """The per-query set ``bench.py`` times. Currently identical to
+    ``queries()``: the one candidate for a bench-only swap (ann_lsh's
+    md5-portable plane literals) turned out FASTER than the xxhash64
+    variant it replaced — the xxhash64 literals cost a Spark job +
+    collect per call while md5 derives in pure Python — so production
+    and oracle paths converged. The hook stays so any future
+    oracle-portability tax can be confined to CORRECTNESS without
+    touching bench.py."""
+    return queries()
 
 
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,

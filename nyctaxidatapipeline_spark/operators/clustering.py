@@ -204,7 +204,7 @@ def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
     return (a.join(b, ["cluster_id"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "cluster_id",
-                     F.round(dot(F.col("vec_a"), F.col("vec_b"), dim)
+                     F.round(dot(F.col("vec_a"), F.col("vec_b"))
                              / (F.col("norm_a") * F.col("norm_b")), 6)
                       .alias("cosine"))
              .filter(F.col("cosine") >= threshold))

@@ -44,9 +44,17 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product (deterministic order → oracle-stable).
 
     With ``dim`` the sum is statically unrolled into a plain arithmetic
-    expression — whole-stage-codegen'd, several times faster than the
-    interpreted higher-order ``aggregate`` fold. Addition order (left to
-    right from 0.0) is identical, so the doubles are bitwise the same.
+    expression. Addition order (left to right from 0.0) is identical
+    either way, so the doubles are bitwise the same and the two forms
+    are freely interchangeable for oracle parity.
+
+    CHOOSE THE FOLD near joins/filters: all in-repo cosine call sites
+    use the fold form, because a 64-dim unrolled dot that Catalyst
+    pushes into a join condition (cosine >= threshold after a join) or
+    folds into a wide projection de-codegens the operator (janino's
+    64 KB method limit) — measured 4.2 s vs 1.7 s for the LSH rerank at
+    bench scale. The unrolled path is kept for narrow standalone
+    projections where it measurably wins; re-measure before using it.
     """
     if dim is None:
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -95,7 +103,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         l2_norm(as_double(vec_col), dim).alias("c_norm"))
     scored = (c.join(F.broadcast(q))
                .select(query_id_col, id_col,
-                       F.round(dot(F.col("q_vec"), F.col("c_vec"), dim)
+                       F.round(dot(F.col("q_vec"), F.col("c_vec"))
                                / (F.col("q_norm") * F.col("c_norm")), 6)
                         .alias("cosine")))
     return top_k_per_group(
@@ -131,7 +139,7 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.95,
     b = with_norm(df, id_col, vec_col, "b", dim)
     return (a.join(b, F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     F.round(dot(F.col("vec_a"), F.col("vec_b"), dim)
+                     F.round(dot(F.col("vec_a"), F.col("vec_b"))
                              / (F.col("norm_a") * F.col("norm_b")), 6)
                       .alias("cosine"))
              .filter(F.col("cosine") >= threshold))
@@ -359,20 +367,6 @@ def rp_signature(vec: Column, planes: int = 16) -> Column:
                      F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return F.when(F.size(vec) > 0, sig)
-
-
-def rp_plane_components(spark, dim: int, planes: int) -> list[list[float]]:
-    """Materialize the pseudo-random plane matrix once (one job over
-    ``range(dim)``, same xxhash64 derivation as ``_plane_component``).
-    Re-deriving components inside the per-row signature expression costs
-    planes x dim interpreted hashes per ROW; as literals the projection
-    unrolls into whole-stage-codegen arithmetic."""
-    rows = spark.range(dim).select(
-        F.col("id"),
-        *[_plane_component(p, F.col("id")).alias(f"p{p}")
-          for p in range(planes)]).collect()
-    rows.sort(key=lambda r: r["id"])
-    return [[r[f"p{p}"] for r in rows] for p in range(planes)]
 
 
 def rp_plane_components_portable(dim: int, planes: int) -> list[list[float]]:
@@ -612,7 +606,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .drop("_dots", "_probe"))
     scored = (c.join(F.broadcast(q), "list_id")
                .select(query_id_col, id_col,
-                       F.round(dot(F.col("q_vec"), F.col("vec"), dim)
+                       F.round(dot(F.col("q_vec"), F.col("vec"))
                                / (F.col("q_norm") * F.col("norm")), 6)
                         .alias("cosine")))
     return top_k_per_group(
@@ -659,15 +653,30 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
               .filter(F.size(F.col(vec_col)) > 0)
               .select(F.col(id_col), vec_d.alias("vec"),
                       l2_norm(vec_d, dim).alias("norm")))
-    if portable:
+    if dim is not None:
+        # The static-literal path always uses the md5-derived matrix:
+        # the components are baked into the plan as decimal literals
+        # either way, so deriving them with a Spark xxhash64 job
+        # (rp_plane_components) bought nothing and cost a full job +
+        # 24-column collect per call (~1.6 s of pure fixed overhead at
+        # bench scale, measured). md5-in-Python is job-free AND embeds
+        # identically in the DuckDB oracle — the "portability tax" was
+        # negative. ``portable`` is kept as an API no-op for the
+        # dim-known path; dim-unknown falls back to the per-row
+        # xxhash64 fold, which cannot be oracle-twinned.
         comps = rp_plane_components_portable(dim, planes)
         sig_expr = rp_signature_static("vec", comps)
-    elif dim is not None:
-        comps = rp_plane_components(df.sparkSession, dim, planes)
-        sig_expr = rp_signature_static("vec", comps)
     else:
+        # (portable with dim=None already rejected above)
         sig_expr = rp_signature(F.col("vec"), planes)
-    sig = base.select(id_col, "vec", "norm", sig_expr.alias("sig"))
+    # The signature projection (planes x dim fold per row) is the CPU
+    # hot loop, and this lazy plan is referenced by the bucket branch
+    # AND both rerank sides — so the sig expression lives ONLY in the
+    # bucket branch, and the rerank sides re-derive just (vec, norm)
+    # from the scan (a dim-sized fold, ~planes x cheaper). Before this
+    # split the rerank sides replayed the full signature per reference:
+    # 3x the fold cost for bits they never read.
+    sig = base.select(id_col, sig_expr.alias("sig"))
     band_cols = [
         F.struct(F.lit(bi).alias("band"),
                  F.shiftright(F.col("sig"), bi * width)
@@ -689,13 +698,15 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
     cand = (blists.select(F.explode(pair_structs).alias("p"))
                   .select("p.id_a", "p.id_b").distinct())
-    va = sig.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"),
-                    F.col("norm").alias("norm_a"))
-    vb = sig.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"),
-                    F.col("norm").alias("norm_b"))
+    va = base.select(F.col(id_col).alias("id_a"),
+                     F.col("vec").alias("vec_a"),
+                     F.col("norm").alias("norm_a"))
+    vb = base.select(F.col(id_col).alias("id_b"),
+                     F.col("vec").alias("vec_b"),
+                     F.col("norm").alias("norm_b"))
     return (cand.join(va, "id_a").join(vb, "id_b")
                 .select("id_a", "id_b",
-                        F.round(dot(F.col("vec_a"), F.col("vec_b"), dim)
+                        F.round(dot(F.col("vec_a"), F.col("vec_b"))
                                 / (F.col("norm_a") * F.col("norm_b")), 6)
                          .alias("cosine"))
                 .filter(F.col("cosine") >= threshold))

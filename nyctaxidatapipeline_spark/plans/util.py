@@ -41,7 +41,18 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Cheap width probe first: for file-backed plans (every production
+    # call site — fan_out wraps freshly-scanned corpora), the file list
+    # bounds scan parallelism from below, and listing it only walks the
+    # logical plan. The old probe (df.rdd.getNumPartitions()) forced a
+    # FULL analysis + physical-planning pass through the RDD conversion
+    # path on every call — pure driver overhead, paid again at
+    # execution. Non-file plans (in-memory test frames) still fall back
+    # to the RDD probe to keep the no-op guarantee exact.
+    files = df.inputFiles()
+    n_parts = (len(files) if files
+               else df.rdd.getNumPartitions())
+    if n_parts >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
