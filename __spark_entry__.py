@@ -678,10 +678,151 @@ _TPCH_SQL = {
           AND l.l_returnflag = 'R'
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
     """,
+    # Q4 order-priority checking: correlated EXISTS. Adapted "late line"
+    # predicate (fixture has no l_commitdate/l_receiptdate): a line
+    # shipping >60 days after the order date.
+    "tpch_q4_sql": """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM {orders} o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM {lineitem} l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+    """,
+    # Q7 volume shipping between two nations, by year
+    "tpch_q7_sql": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER)
+                   AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS revenue
+        FROM {supplier} s
+        JOIN {lineitem} l ON s.s_suppkey = l.l_suppkey
+        JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+        JOIN {customer} c ON c.c_custkey = o.o_custkey
+        JOIN {nation} n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN {nation} n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+    # Q8 national market share inside one region's PROMO market
+    "tpch_q8_sql": """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE 0 END) / SUM(volume), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)
+                     AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM {part} p
+          JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+          JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+          JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+          JOIN {customer} c ON c.c_custkey = o.o_custkey
+          JOIN {nation} n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN {region} r ON n1.n_regionkey = r.r_regionkey
+          JOIN {nation} n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA'
+            AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    # Q9 product-type profit by supplier nation and year. Adapted
+    # (fixture has no partsupp.ps_supplycost): profit = revenue.
+    "tpch_q9_sql": """
+        SELECT nation, o_year, ROUND(SUM(volume), 6) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)
+                     AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM {part} p
+          JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+          JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+          JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+          JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    # Q13 customer order-count distribution (left join + re-aggregate)
+    "tpch_q13_sql": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM {customer} c
+          LEFT JOIN {orders} o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    # Q14 promotion-effect revenue share
+    "tpch_q14_sql": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS promo_revenue
+        FROM {lineitem} l
+        JOIN {part} p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    # Q18 large-volume customers (IN over a grouped-HAVING subquery)
+    "tpch_q18_sql": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               ROUND(o.o_totalprice, 6) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 6) AS sum_qty
+        FROM {customer} c
+        JOIN {orders} o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM {lineitem}
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+    """,
+    # Q19 discounted revenue under OR'd brand/size/quantity predicates
+    "tpch_q19_sql": """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM {lineitem} l
+        JOIN {part} p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    # Q22 global-sales-opportunity shape: scalar subquery + anti
+    # correlated NOT EXISTS. Adapted (no c_phone in fixture): customers
+    # above the mean balance with no URGENT order.
+    "tpch_q22_sql": """
+        SELECT c.c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 6) AS totacctbal
+        FROM {customer} c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM {customer})
+          AND NOT EXISTS (
+            SELECT 1 FROM {orders} o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+    """,
 }
 
 _TPCH_TABLES = ("lineitem", "orders", "customer", "supplier", "nation",
-                "region")
+                "region", "part")
 
 
 def _tpch_sql_query(name: str):
