@@ -1008,6 +1008,20 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint near-dup: doc pairs sharing
+    >= 8 winnowed k-gram minima (k=7, window=16) — substring-level
+    copy detection, the MOSS scheme. Posting-list pair expansion with a
+    stop-fingerprint cap, never all-pairs; md5-portable gram hashes so
+    the full winnow→pair pipeline is value-hash-checked."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        winnow_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_dedup_pairs(docs, "text", "doc_id")
+
+
 def _q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs Pearson correlation over 4 lineitem measures — ONE
     global aggregate computes all C(4,2)=6 ``corr`` measures in a single
@@ -1180,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "interval_join": _q_interval_join,
         "correlations": _q_correlations,
+        "winnow_dedup": _q_winnow_dedup,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2639,6 +2654,41 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of winnow_dedup_pairs (k=7, window=16, min_shared=8,
+        # max_df=50): same md5-prefix gram hashes, same sliding-window
+        # minima, same posting-list pairing. Spark's sequence/slice and
+        # DuckDB's generate_series/list slicing are both 1-based
+        # inclusive; the <=16-gram short-doc branch mirrors the
+        # operator's single-global-min convention.
+        "winnow_dedup": """
+            WITH t AS (
+              SELECT doc_id, lower(text) AS s FROM documents
+              WHERE length(lower(text)) >= 7),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(s) - 6),
+                       p -> ('0x' || substr(md5(substr(s, p::INTEGER, 7)),
+                                            1, 8))::BIGINT) AS hs
+              FROM t),
+            f AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(hs) = 0 THEN []
+                     WHEN len(hs) - 15 <= 1 THEN [list_min(hs)]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(hs) - 15),
+                            j -> list_min(hs[j:j+15])))
+                END) AS fp
+              FROM g),
+            keep AS (
+              SELECT fp FROM f GROUP BY fp
+              HAVING COUNT(*) >= 2 AND COUNT(*) <= 50)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_shared
+            FROM f a JOIN keep USING (fp) JOIN f b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 8
         """,
         "correlations": """
             SELECT col_a, col_b, ROUND(corr_v, 6) AS corr FROM (

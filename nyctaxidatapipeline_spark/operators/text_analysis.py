@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.functions.text import token_count, tokens
+from nyctaxidatapipeline_spark.plans.util import fan_out
 
 #: Marker stopwords per language (tiny, deliberately disjoint-ish sets).
 MARKERS = {
@@ -299,3 +300,79 @@ def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                  F.round(F.sum("_ac") / F.sum("_c"), 6)
                   .alias("ascii_ratio"),
                  F.round(F.avg("_sr"), 6).alias("avg_stopword_ratio")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 7, window: int = 16,
+                        portable: bool = True) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    local fingerprinting scheme): hash every character ``k``-gram of the
+    lowercased text, then keep the MINIMUM hash of each sliding window
+    of ``window`` consecutive gram hashes. The selected set is position-
+    independent evidence of shared substrings — the rolling-hash
+    fingerprint mode of document dedup (guarantees any shared substring
+    of length ``k + window - 1`` contributes a common fingerprint).
+
+    Pure Catalyst: one projection builds the gram-hash array with array
+    lambdas, one explode emits the distinct winnowed minima — no joins,
+    no shuffle before the explode, ~2/(window+1) of gram hashes
+    survive. ``portable=True`` hashes grams with the md5-prefix integer
+    (bit-reproducible in DuckDB — the oracle surface); ``False`` uses
+    xxhash64 (JVM-only, fastest). Docs shorter than ``k`` chars emit
+    nothing; docs with fewer than ``window`` grams emit their single
+    global minimum (the scheme's short-document convention).
+
+    Output: (id, fp long) distinct per document.
+    """
+    s = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (k - 1)),
+        lambda p: F.substring(s, p, k))
+    gram_hash = ((lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                  .cast("long")) if portable
+                 else (lambda g: F.xxhash64(g)))
+    hs = F.transform(grams, gram_hash)
+    m = F.size(F.col("_hs")) - (window - 1)
+    fps = (F.when(F.size(F.col("_hs")) == 0, F.array().cast("array<long>"))
+            .when(m <= 1, F.array(F.array_min(F.col("_hs"))))
+            .otherwise(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), m),
+                lambda j: F.array_min(F.slice(F.col("_hs"), j, window))))))
+    return (fan_out(df, id_col)
+            .filter(F.length(s) >= k)
+            .select(F.col(id_col), hs.alias("_hs"))
+            .select(id_col, F.explode(fps).alias("fp"))
+            .distinct())
+
+
+def winnow_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 7, window: int = 16,
+                       min_shared: int = 8, max_df: int = 50,
+                       portable: bool = True) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    substring-level near-dup candidates (catches copied passages that
+    token-shingle Jaccard dilutes away on long documents).
+
+    Shuffle shape mirrors the MinHash-LSH pipeline: group by
+    fingerprint, drop stop-fingerprints appearing in > ``max_df`` docs
+    (a Zipf-hot k-gram would otherwise pair everything with
+    everything — same O(df^2) guard as the shingle posting lists), and
+    pair-expand the sorted posting list, so shuffle volume is
+    O(docs x fingerprints), never all-pairs.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window, portable)
+    plists = (fps.groupBy("fp")
+                 .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+                 .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df)))
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (plists.select(F.explode(pair_structs).alias("p"))
+                  .groupBy("p.id_a", "p.id_b")
+                  .agg(F.count("*").alias("n_shared"))
+                  .filter(F.col("n_shared") >= min_shared))

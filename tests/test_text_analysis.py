@@ -117,3 +117,53 @@ def test_pii_redact_placeholders(spark):
     red = pii_redact(df, "text").collect()[0].redacted
     assert red == ("write [EMAIL], dial [PHONE], "
                    "ping [IPV4], ssn [SSN]")
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): any shared substring of
+    length >= k + window - 1 yields >= 1 common fingerprint; disjoint
+    texts share none."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        winnow_dedup_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 > 22
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="AAAA " + shared + " BBBB"),
+        Row(doc_id=2, text="CCCC " + shared + " DDDD"),
+        Row(doc_id=3, text="zzzz qqqq wwww 0123456789 xxxx yyyy vvvv"),
+        Row(doc_id=4, text="short"),                 # < k chars -> nothing
+    ])
+    fps = winnow_fingerprints(df, "text", "doc_id", k=7, window=16)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    # deterministic under repartition
+    fps2 = {(r["doc_id"], r["fp"]) for r in
+            winnow_fingerprints(df.repartition(7), "text", "doc_id",
+                                k=7, window=16).collect()}
+    assert fps2 == {(r["doc_id"], r["fp"]) for r in fps.collect()}
+    # pair expansion finds exactly the planted pair at min_shared=1
+    pairs = winnow_dedup_pairs(df, "text", "doc_id", min_shared=1)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_winnow_short_doc_single_min(spark):
+    """Docs with fewer than `window` gram hashes emit exactly their
+    global minimum fingerprint."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdefghij")])  # 4 grams
+    rows = winnow_fingerprints(df, "text", "doc_id", k=7,
+                               window=16).collect()
+    assert len(rows) == 1
