@@ -1008,6 +1008,29 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget estimation: per-doc BPE-ish pre-tokenizer count
+    (letters/digits/symbol runs with leading-space absorption — the
+    GPT-2 pre-split shape) next to the whitespace token count, plus
+    their ratio (the 'tokens per word' multiplier planners budget
+    with). One codegen'd regex pass, no shuffle."""
+    from nyctaxidatapipeline_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count(F.col("text"))
+    n_ws = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(n_ws > 0,
+               F.round(n_bpe.cast("double") / n_ws, 6))
+         .alias("bpe_per_word"))
+
+
 def _q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint near-dup: doc pairs sharing
     >= 8 winnowed k-gram minima (k=7, window=16) — substring-level
@@ -1195,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "correlations": _q_correlations,
         "winnow_dedup": _q_winnow_dedup,
+        "bpe_token_stats": _q_bpe_token_stats,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2654,6 +2678,24 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "bpe_token_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                         ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))
+                         AS n_bpe_tokens,
+                     len(list_filter(string_split_regex(lower(trim(text)),
+                                                        '\\s+'),
+                                     tk -> tk <> '')) AS n_ws_tokens
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
+                   CAST(n_ws_tokens AS INTEGER) AS n_ws_tokens,
+                   CASE WHEN n_ws_tokens > 0 THEN
+                     ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6)
+                   END AS bpe_per_word
+            FROM t
         """,
         # Twin of winnow_dedup_pairs (k=7, window=16, min_shared=8,
         # max_df=50): same md5-prefix gram hashes, same sliding-window

@@ -44,3 +44,26 @@ def char_ngrams(col: str | Column, n: int = 5) -> Column:
     ).otherwise(F.transform(
         F.sequence(F.lit(1), F.length(low) - (n - 1)),
         lambda i: F.substring(low, i, n)))
+
+
+#: BPE-style pre-tokenizer split pattern (the GPT-2 recipe simplified to
+#: branches with DISJOINT start characters, so java.util.regex (Spark)
+#: and RE2 (DuckDB) — leftmost-first vs optional-longest engines — find
+#: the identical token stream; verified char-for-char on both): a token
+#: is an optional leading space plus a run of letters, a run of digits,
+#: or a run of other non-space symbols. Character classes are ASCII in
+#: both engines.
+BPE_SPLIT_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """BPE-ish pre-tokenization of the lowercased text (one codegen'd
+    regex pass — what an LLM token-budget estimate wants, vs the coarser
+    whitespace ``tokens``: punctuation and digit runs count separately,
+    as real subword tokenizers see them)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens(col))
