@@ -1008,6 +1008,16 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over the
+    corpus's adjacent bigrams (Church & Hanks) — count aggregates +
+    word-keyed joins, scalar totals broadcast."""
+    from nyctaxidatapipeline_spark.operators.lm import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", "doc_id", min_count=5)
+
+
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM token-budget estimation: per-doc BPE-ish pre-tokenizer count
     (letters/digits/symbol runs with leading-space absorption — the
@@ -1219,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlations": _q_correlations,
         "winnow_dedup": _q_winnow_dedup,
         "bpe_token_stats": _q_bpe_token_stats,
+        "pmi_collocations": _q_pmi_collocations,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2678,6 +2689,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of lm.pmi_collocations (min_count=5): same whitespace
+        # tokens, same adjacent bigrams, PMI = ln((n12/N)/(p1*p2)).
+        "pmi_collocations": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> struct_pack(w1 := tk[i::INTEGER],
+                                        w2 := tk[(i + 1)::INTEGER])))
+                     AS b
+              FROM tok WHERE len(tk) >= 2),
+            pairs AS (
+              SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair
+              FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            uni AS (
+              SELECT unnest(tk) AS w FROM tok),
+            ucnt AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+            tot AS (SELECT (SELECT COUNT(*) FROM bg) AS n_bg,
+                           (SELECT COUNT(*) FROM uni) AS n_tok)
+            SELECT p.w1, p.w2, p.n_pair,
+                   ROUND(ln((p.n_pair / t.n_bg)
+                         / ((u1.c_w / t.n_tok) * (u2.c_w / t.n_tok))), 6)
+                       AS pmi
+            FROM pairs p
+            JOIN ucnt u1 ON u1.w = p.w1
+            JOIN ucnt u2 ON u2.w = p.w2
+            CROSS JOIN tot t
         """,
         "bpe_token_stats": """
             WITH t AS (

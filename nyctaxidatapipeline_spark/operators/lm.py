@@ -135,3 +135,43 @@ def perplexity_filter(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("ppl") <= max_ppl)
             .select(id_col))
     return df.join(kept, id_col, "left_semi")
+
+
+def pmi_collocations(df: DataFrame, text_col: str, id_col: str,
+                     min_count: int = 5) -> DataFrame:
+    """Corpus collocations ranked by pointwise mutual information:
+    PMI(w1,w2) = ln( p(w1 w2) / (p(w1) p(w2)) ) with p(w1 w2) from the
+    adjacent-bigram occurrence counts (N = total bigram occurrences) and
+    p(w) from unigram occurrence counts (N_tok = total tokens) — the
+    classic collocation-extraction statistic (Church & Hanks 1990), the
+    vocabulary-building companion to ``term_frequencies``.
+
+    One bigram-count aggregate + one unigram-count aggregate + two
+    shuffle joins keyed on the words (Zipf-hot words are spread by
+    map-side partial aggregation first); the two scalar totals travel as
+    broadcast 1-row frames. ``min_count`` drops the unstable low-count
+    tail (PMI's known pathology: hapax pairs score highest).
+
+    Output: (w1, w2, n_pair, pmi) for bigrams with count >= min_count.
+    """
+    bg = (_doc_bigrams(df, text_col, id_col)
+          .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "),
+                                         F.lit(2))))
+    pairs = (bg.groupBy("w1", "w2")
+               .agg(F.count("*").alias("n_pair"))
+               .filter(F.col("n_pair") >= min_count))
+    uni = (fan_out(df, id_col)
+           .select(F.explode(tokens(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c_w")))
+    n_bg = F.broadcast(bg.agg(F.count("*").alias("n_bg")))
+    n_tok = F.broadcast(uni.agg(F.sum("c_w").alias("n_tok")))
+    pmi = F.log((F.col("n_pair") / F.col("n_bg"))
+                / ((F.col("c1") / F.col("n_tok"))
+                   * (F.col("c2") / F.col("n_tok"))))
+    return (pairs
+            .join(uni.select(F.col("w").alias("w1"),
+                             F.col("c_w").alias("c1")), "w1")
+            .join(uni.select(F.col("w").alias("w2"),
+                             F.col("c_w").alias("c2")), "w2")
+            .crossJoin(n_bg).crossJoin(n_tok)
+            .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")))
