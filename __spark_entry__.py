@@ -1008,6 +1008,24 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style rule validation over lineitem: 6 declarative rules
+    evaluated in ONE aggregate pass over one scan (never a job per
+    rule); NULL predicates count as violations by design."""
+    from nyctaxidatapipeline_spark.operators.validate import validate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate(li, {
+        "positive_quantity": F.col("l_quantity") > 0,
+        "discount_range": (F.col("l_discount") >= 0)
+                          & (F.col("l_discount") <= 0.5),
+        "tax_nonneg": F.col("l_tax") >= 0,
+        "shipdate_set": F.col("l_shipdate").isNotNull(),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "quantity_le_30": F.col("l_quantity") <= 30,
+    })
+
+
 def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information over the
     corpus's adjacent bigrams (Church & Hanks) — count aggregates +
@@ -1230,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup": _q_winnow_dedup,
         "bpe_token_stats": _q_bpe_token_stats,
         "pmi_collocations": _q_pmi_collocations,
+        "data_quality": _q_data_quality,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2689,6 +2708,34 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "data_quality": """
+            WITH a AS (
+              SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS v0,
+                CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.5
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                CAST(SUM(CASE WHEN l_tax >= 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS v2,
+                CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1
+                              END) AS BIGINT) AS v3,
+                CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0
+                              ELSE 1 END) AS BIGINT) AS v4,
+                CAST(SUM(CASE WHEN l_quantity <= 30 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS v5
+              FROM lineitem)
+            SELECT r.rule, r.n_violations, a.n AS n_rows,
+                   ROUND(1.0 - r.n_violations / a.n, 6) AS pass_rate
+            FROM a, LATERAL (
+              SELECT * FROM (VALUES
+                ('positive_quantity', a.v0),
+                ('discount_range', a.v1),
+                ('tax_nonneg', a.v2),
+                ('shipdate_set', a.v3),
+                ('returnflag_domain', a.v4),
+                ('quantity_le_30', a.v5))
+              AS t(rule, n_violations)) r
         """,
         # Twin of lm.pmi_collocations (min_count=5): same whitespace
         # tokens, same adjacent bigrams, PMI = ln((n12/N)/(p1*p2)).
