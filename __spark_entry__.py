@@ -1008,6 +1008,16 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (20 bins): 1-row bounds
+    aggregate broadcast into the binning projection, one count
+    aggregate — two scans, no sort."""
+    from nyctaxidatapipeline_spark.operators.reshape import histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=20)
+
+
 def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style rule validation over lineitem: 6 declarative rules
     evaluated in ONE aggregate pass over one scan (never a job per
@@ -1249,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "pmi_collocations": _q_pmi_collocations,
         "data_quality": _q_data_quality,
+        "histogram_prices": _q_histogram_prices,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2708,6 +2719,25 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of reshape.histogram equiwidth mode: identical expression
+        # order ((x-lo)/((hi-lo)/20), LEAST cap, bin*(hi-lo)/20 edges).
+        "histogram_prices": """
+            WITH b AS (
+              SELECT MIN(l_extendedprice) AS blo,
+                     MAX(l_extendedprice) AS bhi
+              FROM lineitem),
+            binned AS (
+              SELECT CAST(LEAST(FLOOR((l_extendedprice - b.blo)
+                                      / ((b.bhi - b.blo) / 20)), 19)
+                          AS INTEGER) AS bin,
+                     b.blo, b.bhi
+              FROM lineitem, b)
+            SELECT bin,
+                   ROUND(blo + bin * (bhi - blo) / 20, 6) AS lo,
+                   ROUND(blo + (bin + 1) * (bhi - blo) / 20, 6) AS hi,
+                   COUNT(*) AS n
+            FROM binned GROUP BY bin, blo, bhi
         """,
         "data_quality": """
             WITH a AS (

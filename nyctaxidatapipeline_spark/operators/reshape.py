@@ -107,3 +107,59 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
               .select("value", "n",
                       F.round(F.col("n") / F.col("_total"), 6)
                        .alias("share")))
+
+
+def histogram(df: DataFrame, col: str, bins: int = 20,
+              mode: str = "equiwidth") -> DataFrame:
+    """Binned distribution of a numeric column.
+
+    ``equiwidth``: bin edges from the global (min, max) — one 1-row
+    bounds aggregate broadcast into a projection, then one count
+    aggregate; values at max land in the last bin (the standard
+    closed-right convention). Output: (bin int, lo, hi, n) for occupied
+    bins only.
+
+    ``equidepth``: NTILE over (col, then arbitrary-but-total tiebreak is
+    the caller's responsibility — pass a unique column via ``col`` tuple
+    ordering upstream if ties matter) — equal-count buckets whose edges
+    ARE the observed quantile boundaries. Output: (bin int, lo, hi, n).
+    NTILE is one global-sort window: fine for interactive distribution
+    summaries, the wrong tool for 100 TB (use grouped_percentiles'
+    mergeable sketch there) — documented trade, both modes kept because
+    their outputs answer different questions (fixed grid vs quantile
+    grid).
+    """
+    c = F.col(col)
+    if mode == "equiwidth":
+        bounds = F.broadcast(df.agg(F.min(c).alias("_lo"),
+                                    F.max(c).alias("_hi")))
+        width = (F.col("_hi") - F.col("_lo")) / bins
+        bin_ = F.least(F.floor((c - F.col("_lo")) / width),
+                       F.lit(bins - 1)).cast("int")
+        return (df.crossJoin(bounds)
+                  .select(F.when(F.col("_hi") == F.col("_lo"), 0)
+                           .otherwise(bin_).alias("bin"),
+                          F.col("_lo"), F.col("_hi"))
+                  .groupBy("bin", "_lo", "_hi")
+                  .agg(F.count("*").alias("n"))
+                  .select("bin",
+                          F.round(F.col("_lo")
+                                  + F.col("bin")
+                                  * (F.col("_hi") - F.col("_lo")) / bins,
+                                  6).alias("lo"),
+                          F.round(F.col("_lo")
+                                  + (F.col("bin") + 1)
+                                  * (F.col("_hi") - F.col("_lo")) / bins,
+                                  6).alias("hi"),
+                          "n"))
+    if mode == "equidepth":
+        from pyspark.sql import Window
+
+        w = Window.orderBy(c)
+        return (df.select(c.alias("_v"),
+                          F.ntile(bins).over(w).alias("bin"))
+                  .groupBy("bin")
+                  .agg(F.round(F.min("_v"), 6).alias("lo"),
+                       F.round(F.max("_v"), 6).alias("hi"),
+                       F.count("*").alias("n")))
+    raise ValueError(f"unknown mode {mode!r}")

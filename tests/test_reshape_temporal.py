@@ -231,3 +231,31 @@ def test_funnel_requires_strict_order(spark):
            for r in funnel_counts(spark.createDataFrame(rows), "u", "e",
                                   "ts", ["view", "click", "buy"]).collect()}
     assert out == {"view": 4, "click": 2, "buy": 1}
+
+
+def test_histogram_modes(spark):
+    from nyctaxidatapipeline_spark.operators.reshape import histogram
+
+    df = spark.createDataFrame([Row(x=float(i)) for i in range(100)])
+    ew = {r["bin"]: r for r in histogram(df, "x", bins=10).collect()}
+    assert sum(r["n"] for r in ew.values()) == 100
+    assert len(ew) == 10 and ew[0]["lo"] == 0.0 and ew[9]["hi"] == 99.0
+    assert ew[9]["n"] == 10  # max value closed into last bin
+    ed = {r["bin"]: r for r in
+          histogram(df, "x", bins=4, mode="equidepth").collect()}
+    assert [ed[b]["n"] for b in sorted(ed)] == [25, 25, 25, 25]
+    assert ed[1]["lo"] == 0.0 and ed[2]["lo"] == 25.0  # NTILE: 1-indexed
+    assert ed[4]["hi"] == 99.0
+    # deterministic under repartition
+    ed2 = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in
+           histogram(df.repartition(7), "x", bins=4,
+                     mode="equidepth").collect()}
+    assert ed2 == {b: (r["lo"], r["hi"], r["n"]) for b, r in ed.items()}
+    # degenerate: constant column collapses into bin 0
+    const = spark.createDataFrame([Row(x=5.0)] * 8)
+    rows = histogram(const, "x", bins=10).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 8
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        histogram(df, "x", mode="bogus")
