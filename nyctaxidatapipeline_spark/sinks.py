@@ -159,3 +159,61 @@ def write_output(df: DataFrame, sink: str = "parquet", **kwargs) -> None:
         df.write.format("noop").mode("overwrite").save()
     else:
         raise ValueError(f"unknown sink {sink!r}")
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str],
+               bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave key over 2+ numeric columns.
+
+    Each column is quantized to ``bits`` levels with ``width_bucket``
+    over its broadcastable global (min, max) — equi-width quantization,
+    cheap and codegen'd; heavy skew wants approx-quantile cutpoints
+    instead (documented upgrade, same interleave). Bit b of every
+    quantized column then interleaves into position b*len(cols)+i, so
+    files sorted by the key are clustered in ALL dimensions at once —
+    the Delta/Iceberg Z-ORDER layout trick that lets min/max file stats
+    prune multi-column range predicates.
+
+    Returns a Column (the key); NULLs quantize to bucket 0 (sort
+    first). Call under a select that also carries the (min,max) bounds
+    columns ``_zlo_i`` / ``_zhi_i`` — or use ``write_zordered`` which
+    wires the whole thing.
+    """
+    key = F.lit(0).cast("long")
+    d = len(cols)
+    for i, c in enumerate(cols):
+        # width_bucket returns 1..n+1; clamp into 0..2^bits-1
+        q = (F.least(F.greatest(
+                F.width_bucket(F.col(c), F.col(f"_zlo{i}"),
+                               F.col(f"_zhi{i}"), F.lit((1 << bits) - 1)),
+                F.lit(1)), F.lit(1 << bits)) - 1).cast("long")
+        q = F.coalesce(q, F.lit(0))
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                            b * d + i))
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
+                   n_files: int = 8, bits: int = 16,
+                   mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet write: range-partition + sort by the
+    Morton key of ``cols`` so every output file covers a bounded
+    hyper-rectangle of the clustered columns (vs a 1-column sort, which
+    leaves every other column's per-file min/max spanning the full
+    domain). One bounds aggregate (k-row broadcast), one range exchange,
+    per-file local sort — no global single-task sort. The win is read-
+    side: parquet min/max stats prune files for range predicates on ANY
+    clustered column (verified in tests/test_zorder.py)."""
+    bounds = df.agg(*[f(F.col(c)).alias(f"_z{t}{i}")
+                      for i, c in enumerate(cols)
+                      for t, f in (("lo", F.min), ("hi", F.max))])
+    keyed = (df.crossJoin(F.broadcast(bounds))
+               .withColumn("_zkey", zorder_key(df, cols, bits))
+               .drop(*[f"_z{t}{i}" for i in range(len(cols))
+                       for t in ("lo", "hi")]))
+    (keyed.repartitionByRange(n_files, "_zkey")
+          .sortWithinPartitions("_zkey")
+          .drop("_zkey")
+          .write.mode(mode).parquet(path))
