@@ -1008,6 +1008,28 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: events split into two hash
+    batches, each reduced to its mergeable partial state (count / sum /
+    min / max per event_type), states merged, metrics finalized at read
+    time. The oracle is the DIRECT one-shot aggregate — the gate
+    value-checks the merge identity (batch split cannot change the
+    result), which is the whole contract of incremental rollups."""
+    from nyctaxidatapipeline_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    b0 = ev.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(2)) == 0)
+    b1 = ev.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(2)) == 1)
+    state = merge_partials(
+        [partial_agg(b0, ["event_type"], "value"),
+         partial_agg(b1, ["event_type"], "value")], ["event_type"])
+    return finalize(state)
+
+
 def _q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of l_extendedprice (20 bins): 1-row bounds
     aggregate broadcast into the binning projection, one count
@@ -1260,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "data_quality": _q_data_quality,
         "histogram_prices": _q_histogram_prices,
+        "incremental_rollup": _q_incremental_rollup,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2719,6 +2742,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Direct one-shot twin of the merged two-batch partial states —
+        # the gate pins the merge identity of incremental.merge_partials.
+        "incremental_rollup": """
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   MIN(value) AS min_v,
+                   MAX(value) AS max_v,
+                   ROUND(SUM(value), 6) AS sum_v,
+                   CASE WHEN COUNT(value) > 0 THEN
+                     ROUND(SUM(value) / COUNT(value), 6)
+                   END AS avg_v
+            FROM events GROUP BY event_type
         """,
         # Twin of reshape.histogram equiwidth mode: identical expression
         # order ((x-lo)/((hi-lo)/20), LEAST cap, bin*(hi-lo)/20 edges).
