@@ -1008,6 +1008,36 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC audit: diff the upsert-compacted (user, event_type) state at
+    day 15 against the final state — added / removed / changed keys via
+    one full-outer join on per-side row digests. The oracle re-derives
+    both snapshots and compares values directly (IS DISTINCT FROM), so
+    the gate checks the digest's equality semantics, not its bytes."""
+    from nyctaxidatapipeline_spark.operators.cdc import diff_tables
+    from nyctaxidatapipeline_spark.operators.dedup import keep_latest
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts",
+                                       "value", "event_id")
+    cutoff = "2024-01-15 00:00:00"
+    before = keep_latest(ev.filter(F.col("ts") < cutoff),
+                         ["user_id", "event_type"], "ts", "event_id")
+    after = keep_latest(ev, ["user_id", "event_type"], "ts", "event_id")
+    return diff_tables(before, after, ["user_id", "event_type"],
+                       ["ts", "value"])
+
+
+def _q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row trailing moving average of purchase values per user
+    (rows-frame window; event_id ordering is unique, so the frame
+    population is deterministic). One window shuffle on the user key."""
+    from nyctaxidatapipeline_spark.operators.windows import moving_avg
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return moving_avg(ev.select("event_id", "user_id", "value"),
+                      ["user_id"], "event_id", "value", window_rows=3)
+
+
 def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: events split into two hash
     batches, each reduced to its mergeable partial state (count / sum /
@@ -1283,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": _q_data_quality,
         "histogram_prices": _q_histogram_prices,
         "incremental_rollup": _q_incremental_rollup,
+        "moving_avg": _q_moving_avg,
+        "snapshot_diff": _q_snapshot_diff,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2742,6 +2774,48 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT user_id, event_type, ts, value, event_id
+              FROM events),
+            before AS (
+              SELECT user_id, event_type, ts, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM base WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+              WHERE rn = 1),
+            after AS (
+              SELECT user_id, event_type, ts, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM base)
+              WHERE rn = 1)
+            SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+                   COALESCE(b.event_type, a.event_type) AS event_type,
+                   CASE WHEN b.user_id IS NULL THEN 'added'
+                        WHEN a.user_id IS NULL THEN 'removed'
+                        WHEN (b.ts IS DISTINCT FROM a.ts)
+                          OR (b.value IS DISTINCT FROM a.value)
+                        THEN 'changed' END AS change
+            FROM before b
+            FULL OUTER JOIN after a
+              ON b.user_id = a.user_id AND b.event_type = a.event_type
+            WHERE CASE WHEN b.user_id IS NULL THEN 'added'
+                       WHEN a.user_id IS NULL THEN 'removed'
+                       WHEN (b.ts IS DISTINCT FROM a.ts)
+                         OR (b.value IS DISTINCT FROM a.value)
+                       THEN 'changed' END IS NOT NULL
+        """,
+        "moving_avg": """
+            SELECT event_id, user_id, value,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS value_ma3
+            FROM events WHERE event_type = 'purchase'
         """,
         # Direct one-shot twin of the merged two-batch partial states —
         # the gate pins the merge identity of incremental.merge_partials.

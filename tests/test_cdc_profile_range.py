@@ -129,3 +129,23 @@ def test_profile_numeric_approx_mode(spark):
     df = spark.createDataFrame([Row(a=float(i)) for i in range(100)])
     row = profile_numeric(df, ["a"], approx=True).collect()[0]
     assert 80 <= row.n_distinct <= 120  # HLL estimate
+
+
+def test_diff_tables_classification(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.cdc import diff_tables
+
+    before = spark.createDataFrame([
+        Row(k=1, v="x", w=1.0), Row(k=2, v="y", w=2.0),
+        Row(k=3, v=None, w=3.0), Row(k=4, v="", w=4.0),
+        Row(k=5, v="same", w=5.0)])
+    after = spark.createDataFrame([
+        Row(k=1, v="x2", w=1.0),          # changed value
+        Row(k=3, v="", w=3.0),            # NULL -> '' must be 'changed'
+        Row(k=4, v="", w=4.0),            # unchanged -> dropped
+        Row(k=5, v="same", w=5.0),        # unchanged -> dropped
+        Row(k=6, v="new", w=6.0)])        # added
+    got = {r["k"]: r["change"]
+           for r in diff_tables(before, after, ["k"], ["v", "w"]).collect()}
+    assert got == {1: "changed", 2: "removed", 3: "changed", 6: "added"}
