@@ -1008,6 +1008,18 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: supplier-name pairs one edit
+    apart (typo'd-ID linkage). Candidates block on (lower 3-prefix,
+    length band); exact Levenshtein verifies within blocks only — one
+    block-key shuffle, never an n² cross join."""
+    from nyctaxidatapipeline_spark.operators.entity import fuzzy_pairs
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return fuzzy_pairs(sup, "s_name", "s_suppkey",
+                       max_dist=1, prefix_len=3, max_block=300)
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC audit: diff the upsert-compacted (user, event_type) state at
     day 15 against the final state — added / removed / changed keys via
@@ -1315,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _q_incremental_rollup,
         "moving_avg": _q_moving_avg,
         "snapshot_diff": _q_snapshot_diff,
+        "fuzzy_names": _q_fuzzy_supplier_names,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2774,6 +2787,34 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of entity.fuzzy_pairs (max_dist=1, prefix_len=3,
+        # max_block=300): same block keys, same dual-bucket length
+        # band with the greatest(lb) route dedup, same Wagner-Fischer
+        # levenshtein.
+        "fuzzy_names": """
+            WITH base AS (
+              SELECT s_suppkey AS id, s_name AS val,
+                     substr(lower(s_name), 1, 3) AS pfx,
+                     CAST(floor(length(lower(s_name)) / 2) AS BIGINT)
+                         AS lb
+              FROM supplier),
+            cand AS (
+              SELECT id, val, pfx, lb, unnest([lb, lb + 1]) AS jb
+              FROM base),
+            keepb AS (
+              SELECT pfx, jb FROM cand
+              GROUP BY pfx, jb HAVING COUNT(*) <= 300),
+            c2 AS (
+              SELECT cand.* FROM cand SEMI JOIN keepb USING (pfx, jb)),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.val AS val_a, b.val AS val_b
+              FROM c2 a JOIN c2 b USING (pfx, jb)
+              WHERE a.id < b.id AND a.jb = GREATEST(a.lb, b.lb))
+            SELECT id_a, id_b, val_a, val_b,
+                   CAST(levenshtein(val_a, val_b) AS INTEGER) AS dist
+            FROM pairs WHERE levenshtein(val_a, val_b) <= 1
         """,
         "snapshot_diff": """
             WITH base AS (
