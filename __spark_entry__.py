@@ -1008,6 +1008,18 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over events: users bucketed by
+    first-activity day, counted per day they return — two aggregates
+    + one user-key join."""
+    from nyctaxidatapipeline_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf_dir), "user_id", "ts",
+                            unit="day")
+
+
 def _q_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity matching: supplier-name pairs one edit
     apart (typo'd-ID linkage). Candidates block on (lower 3-prefix,
@@ -1328,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": _q_moving_avg,
         "snapshot_diff": _q_snapshot_diff,
         "fuzzy_names": _q_fuzzy_supplier_names,
+        "cohort_retention": _q_cohort_retention,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2787,6 +2800,23 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "cohort_retention": """
+            WITH cohorts AS (
+              SELECT user_id,
+                     MIN(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                         AS cohort
+              FROM events GROUP BY user_id),
+            activity AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS period
+              FROM events)
+            SELECT cohort,
+                   CAST(date_diff('day', cohort, period) / 1 AS INTEGER)
+                       AS period_offset,
+                   COUNT(*) AS n_active
+            FROM activity JOIN cohorts USING (user_id)
+            GROUP BY cohort, period_offset
         """,
         # Twin of entity.fuzzy_pairs (max_dist=1, prefix_len=3,
         # max_block=300): same block keys, same dual-bucket length

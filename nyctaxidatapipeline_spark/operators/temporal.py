@@ -171,3 +171,42 @@ def funnel_counts(df: DataFrame, user_col: str, type_col: str,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     unit: str = "week") -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period, counted in each later period they return — the standard
+    product-analytics retention triangle.
+
+    Two aggregates and one join: (1) per-user first activity (the
+    cohort assignment — one shuffle on the user key), (2) distinct
+    (user, period) activity joined back to the cohort (second shuffle),
+    (3) count per (cohort, offset). Period math uses ``date_trunc`` and
+    an exact day-difference divided by the period length, so the offset
+    is integral by construction. n_active at offset 0 is the cohort
+    size (every user is active in their first period).
+
+    Output: (cohort, period_offset int, n_active long).
+    """
+    if unit not in ("week", "day", "month"):
+        raise ValueError(f"unsupported unit {unit!r}")
+    days = {"week": 7, "day": 1}.get(unit)
+    # timestamp_ntz keeps the arrow schema engine-neutral (same cast
+    # convention as resample — date_trunc re-attaches session-tz
+    # semantics otherwise)
+    period = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    cohorts = (df.groupBy(F.col(user_col).alias("_u"))
+                 .agg(F.min(period).alias("_cohort")))
+    activity = (df.select(F.col(user_col).alias("_u"),
+                          period.alias("_period"))
+                  .distinct())
+    if unit == "month":
+        offset = F.months_between(F.col("_period"), F.col("_cohort"))
+    else:
+        offset = (F.datediff(F.col("_period"), F.col("_cohort")) / days)
+    return (activity.join(cohorts, "_u")
+            .select(F.col("_cohort").alias("cohort"),
+                    offset.cast("int").alias("period_offset"))
+            .groupBy("cohort", "period_offset")
+            .agg(F.count("*").alias("n_active")))

@@ -259,3 +259,29 @@ def test_histogram_modes(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         histogram(df, "x", mode="bogus")
+
+
+def test_cohort_retention_triangle(spark):
+    import pytest
+
+    from nyctaxidatapipeline_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    d0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        Row(u=1, ts=d0), Row(u=1, ts=d0 + dt.timedelta(days=1)),
+        Row(u=1, ts=d0 + dt.timedelta(days=1, hours=3)),  # same period
+        Row(u=2, ts=d0), Row(u=2, ts=d0 + dt.timedelta(days=2)),
+        Row(u=3, ts=d0 + dt.timedelta(days=1)),            # later cohort
+    ]
+    out = {(r["cohort"].day, r["period_offset"]): r["n_active"]
+           for r in cohort_retention(spark.createDataFrame(rows),
+                                     "u", "ts", unit="day").collect()}
+    # day-1 cohort: 2 users at offset 0; u1 returns day2, u2 day3
+    assert out[(1, 0)] == 2 and out[(1, 1)] == 1 and out[(1, 2)] == 1
+    # day-2 cohort: u3 only
+    assert out[(2, 0)] == 1
+    assert len(out) == 4
+    with pytest.raises(ValueError, match="unsupported unit"):
+        cohort_retention(spark.createDataFrame(rows), "u", "ts", "decade")
