@@ -212,3 +212,46 @@ def run_to_memory(stream: DataFrame, query_name: str,
          .start())
     q.processAllAvailable()
     return q
+
+
+def run_incremental_rollup(stream: DataFrame, state_dir: str,
+                           keys: list[str], value_col: str):
+    """foreachBatch maintenance of a mergeable partial-state rollup:
+    every micro-batch reduces to its (count/sum/min/max) partial state
+    (``operators.incremental.partial_agg``) and merges into the parquet
+    state table — per-batch cost scales with the batch plus the state's
+    key cardinality, never with stream history, and the merged state is
+    provably equal to the one-shot batch aggregate (the merge-identity
+    gate on ``incremental_rollup``).
+
+    State swap is write-tmp-then-rename (single-writer assumption —
+    foreachBatch epochs are serialized per query; a production
+    deployment lands this in a transactional table format instead and
+    keys the write on ``epoch_id`` for replay idempotence).
+    """
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.incremental import (
+        merge_partials,
+        partial_agg,
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = partial_agg(batch_df, keys, value_col)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = spark.read.parquet(state_dir)
+            merged = merge_partials([cur, new], keys)
+        else:
+            merged = new
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    q = (stream.writeStream
+         .outputMode("update")
+         .foreachBatch(merge_batch)
+         .start())
+    q.processAllAvailable()
+    return q

@@ -132,3 +132,29 @@ def test_stream_stream_join_matches_batch_twin(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
+    """Streamed state maintenance == one-shot batch aggregate: the
+    merge identity holds across micro-batch boundaries."""
+    from nyctaxidatapipeline_spark.operators.incremental import (
+        finalize,
+        partial_agg,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_incremental_rollup,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "state")
+    ev = stream_table(spark, sf, "events")
+    q = run_incremental_rollup(ev, state, ["event_type"], "value")
+    q.stop()
+    got = {tuple(r) for r in
+           finalize(spark.read.parquet(state)).collect()}
+    want = {tuple(r) for r in
+            finalize(partial_agg(load_table(spark, sf, "events"),
+                                 ["event_type"], "value")).collect()}
+    assert got == want
