@@ -1008,6 +1008,18 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/30/20 source mixing over documents: per-source
+    quotas from the largest feasible budget, picks by portable
+    (md5(id), id) order — append-stable, engine-reproducible."""
+    from nyctaxidatapipeline_spark.operators.sampling import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_sources(docs, "source", "doc_id",
+                       {"src0": 0.5, "src1": 0.3, "src2": 0.2}) \
+        .select("doc_id", "source")
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention triangle over events: users bucketed by
     first-activity day, counted per day they return — two aggregates
@@ -1341,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "fuzzy_names": _q_fuzzy_supplier_names,
         "cohort_retention": _q_cohort_retention,
+        "dataset_mix": _q_dataset_mix,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2800,6 +2813,31 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of sampling.mix_sources({src0:.5, src1:.3, src2:.2}):
+        # budget T = min(n_i/p_i), per-source quota floor(T*p_i), picks
+        # by the portable (md5(id), id) order.
+        "dataset_mix": """
+            WITH m(source, p) AS (
+              VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+            counts AS (
+              SELECT source, COUNT(*) AS n FROM documents
+              WHERE source IN (SELECT source FROM m) GROUP BY source),
+            budget AS (
+              SELECT MIN(c.n / m.p) AS t
+              FROM counts c JOIN m USING (source)),
+            quota AS (
+              SELECT m.source, CAST(floor(b.t * m.p) AS BIGINT) AS k
+              FROM m, budget b),
+            ranked AS (
+              SELECT doc_id, source, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents
+              WHERE source IN (SELECT source FROM m))
+            SELECT r.doc_id, r.source
+            FROM ranked r JOIN quota q USING (source)
+            WHERE r.rk <= q.k
         """,
         "cohort_retention": """
             WITH cohorts AS (

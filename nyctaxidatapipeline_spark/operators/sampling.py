@@ -97,3 +97,48 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     default_lim = F.lit(int(default_fraction * n))
     thr = default_lim if thr is None else thr.otherwise(default_lim)
     return df.filter(b < thr)
+
+
+def mix_sources(df: DataFrame, source_col: str, id_col: str,
+                proportions: dict[str, float]) -> DataFrame:
+    """Deterministic dataset mixing: draw from each source so the output
+    matches the target ``proportions`` exactly, without replacement —
+    the training-data mixing step (e.g. 50% web / 30% wiki / 20% books)
+    that every LLM data recipe runs before tokenization.
+
+    Budget: the largest total ``T`` every source can serve is
+    ``min_i(n_i / p_i)``; each source then contributes its
+    ``floor(T * p_i)`` rows with the smallest ``(md5(id), id)`` — the
+    same portable hash-order draw as ``seed_centroids``/``with_split``,
+    so reruns, engines, and append-only growth of OTHER sources never
+    change a source's picks (its own growth only ADDS picks when the
+    budget rises).
+
+    Plan: one count aggregate over the source column (tiny, broadcast),
+    one rank window per source partition, one filter. Proportions must
+    sum to ~1 and every source must exist. Output: input columns,
+    unsampled sources dropped.
+    """
+    total_p = sum(proportions.values())
+    if abs(total_p - 1.0) > 1e-9:
+        raise ValueError(f"proportions sum to {total_p}, expected 1.0")
+    from pyspark.sql import Window
+
+    items = list(proportions.items())
+    counts = {r[source_col]: r["n"]
+              for r in (df.filter(F.col(source_col)
+                                  .isin([s for s, _ in items]))
+                          .groupBy(source_col)
+                          .agg(F.count("*").alias("n"))).collect()}
+    missing = [s for s, _ in items if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from the data: {missing}")
+    budget = min(counts[s] / p for s, p in items)
+    quota = F.create_map(*[x for s, p in items
+                           for x in (F.lit(s), F.lit(int(budget * p)))])
+    w = (Window.partitionBy(source_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.filter(F.col(source_col).isin([s for s, _ in items]))
+              .withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= quota[F.col(source_col)])
+              .drop("_rk"))

@@ -116,3 +116,32 @@ def test_stratified_sample_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
     with pytest.raises(ValueError):
         stratified_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_mix_sources_quotas_and_stability(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import mix_sources
+
+    rows = [Row(id=f"{s}-{i}", src=s)
+            for s, n in (("a", 40), ("b", 20), ("c", 100))
+            for i in range(n)]
+    df = spark.createDataFrame(rows)
+    out = mix_sources(df, "src", "id", {"a": 0.5, "b": 0.25, "c": 0.25})
+    got = {r["src"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["src"]] += 1
+    # budget = min(40/.5, 20/.25, 100/.25) = 80 -> quotas 40/20/20
+    assert got == {"a": 40, "b": 20, "c": 20}
+    # append-stability: growing ONE source never changes others' picks
+    bigger = df.unionByName(spark.createDataFrame(
+        [Row(id=f"c-extra{i}", src="c") for i in range(100)]))
+    out2 = mix_sources(bigger, "src", "id",
+                       {"a": 0.5, "b": 0.25, "c": 0.25})
+    picks_a = lambda o: {r["id"] for r in o.collect() if r["src"] == "a"}
+    assert picks_a(out) == picks_a(out2)
+    with pytest.raises(ValueError, match="sum to"):
+        mix_sources(df, "src", "id", {"a": 0.5})
+    with pytest.raises(ValueError, match="absent"):
+        mix_sources(df, "src", "id", {"a": 0.5, "zzz": 0.5})
