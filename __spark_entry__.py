@@ -1008,6 +1008,39 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_daily_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day by volume — the grouped-count + window
+    rank composition (count agg, then WindowGroupLimit on the day
+    partition; ties break on type for determinism)."""
+    from nyctaxidatapipeline_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts"))
+                         .cast("timestamp_ntz").alias("day"),
+                        "event_type")
+               .agg(F.count("*").alias("n_events")))
+    return top_k_per_group(
+        daily, ["day"],
+        [F.col("n_events").desc(), F.col("event_type").asc()],
+        k=3, desc=False, rank_col="rank")
+
+
+def _q_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-transform feature prep: percent_rank of l_extendedprice
+    within each returnflag partition — the monotone normalization that
+    makes a feature distribution-free. One window shuffle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        F.round(F.percent_rank().over(w), 6).alias("price_pr"))
+
+
 def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 50/30/20 source mixing over documents: per-source
     quotas from the largest feasible budget, picks by portable
@@ -1354,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_names": _q_fuzzy_supplier_names,
         "cohort_retention": _q_cohort_retention,
         "dataset_mix": _q_dataset_mix,
+        "daily_top_events": _q_daily_top_events,
+        "rank_normalized": _q_rank_normalized,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
@@ -2813,6 +2848,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "daily_top_events": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     event_type, COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT day, event_type, n_events, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                  PARTITION BY day
+                  ORDER BY n_events DESC, event_type) AS INTEGER)
+                  AS rank
+              FROM daily)
+            WHERE rank <= 3
+        """,
+        "rank_normalized": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   l_extendedprice,
+                   ROUND(percent_rank() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber), 6) AS price_pr
+            FROM lineitem
         """,
         # Twin of sampling.mix_sources({src0:.5, src1:.3, src2:.2}):
         # budget T = min(n_i/p_i), per-source quota floor(T*p_i), picks
