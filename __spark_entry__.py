@@ -1008,6 +1008,26 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus (FAISS SQ8):
+    per-dim bounds from one posexplode aggregate, codes as a pure
+    projection. Output value-hashes an md5 digest of each vector's full
+    code array — every byte of every code is gate-checked."""
+    from nyctaxidatapipeline_spark.operators.quantize import (
+        dim_bounds,
+        quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = dim_bounds(emb)
+    q = quantize(emb, lo, hi)
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.md5(F.concat_ws(",", F.transform(
+            "codes", lambda c: c.cast("string")))).alias("code_digest"))
+
+
 def _q_daily_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per day by volume — the grouped-count + window
     rank composition (count agg, then WindowGroupLimit on the day
@@ -1388,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "dataset_mix": _q_dataset_mix,
         "daily_top_events": _q_daily_top_events,
+        "quantize_embeddings": _q_quantize_embeddings,
         "rank_normalized": _q_rank_normalized,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
@@ -2848,6 +2869,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of quantize.quantize over dim_bounds: same per-dim
+        # bounds, same round-half-away byte codes, digest of the same
+        # comma-joined code string.
+        "quantize_embeddings": """
+            WITH x AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (
+              SELECT i.i AS pos, MIN(v[i.i::INTEGER]) AS lo,
+                     MAX(v[i.i::INTEGER]) AS hi
+              FROM x, LATERAL (
+                SELECT unnest(generate_series(1, len(v))) AS i) i
+              GROUP BY i.i),
+            bounds AS (
+              SELECT list(lo ORDER BY pos) AS los,
+                     list(hi ORDER BY pos) AS his FROM d),
+            codes AS (
+              SELECT vec_id,
+                     list_transform(generate_series(1, len(v)), i ->
+                       CASE WHEN b.his[i::INTEGER] = b.los[i::INTEGER]
+                            THEN 0
+                            ELSE CAST(LEAST(255, GREATEST(0,
+                              ROUND((v[i::INTEGER] - b.los[i::INTEGER])
+                                / (b.his[i::INTEGER] - b.los[i::INTEGER])
+                                * 255, 0))) AS INTEGER)
+                       END) AS codes
+              FROM x, bounds b)
+            SELECT vec_id, CAST(len(codes) AS INTEGER) AS n_dims,
+                   md5(array_to_string(codes, ',')) AS code_digest
+            FROM codes
         """,
         "daily_top_events": """
             WITH daily AS (
