@@ -135,3 +135,29 @@ def test_ivf_lloyd_refinement_improves_recall(spark):
         rec[iters] = _recall(approx, exact)
     assert rec[2] >= rec[0]
     assert rec[2] >= RECALL_FLOOR
+
+
+def test_quantized_ann_recall(spark):
+    """int8-quantized vectors must preserve cosine top-k: recall@10 of
+    brute force over dequantized codes vs full-precision >= floor."""
+    from nyctaxidatapipeline_spark.operators.quantize import (
+        dequantize_expr,
+        dim_bounds,
+        quantize,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lo, hi = dim_bounds(df)
+    deq = (quantize(df, lo, hi)
+           .select("vec_id",
+                   dequantize_expr(F.col("codes"), lo, hi)
+                   .alias("embedding")))
+    queries = df.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(df, queries, k=10).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in brute_force_topk(
+                  deq, queries.select("vec_id", "embedding"),
+                  k=10).collect()}
+    assert _recall(approx, exact) >= RECALL_FLOOR
