@@ -52,7 +52,8 @@ def write_sharded(df: DataFrame, path: str,
                   max_records_per_file: int = 1_000_000,
                   n_shards: int | None = None,
                   mode: str = "overwrite",
-                  compression: str = "snappy") -> None:
+                  compression: str = "snappy",
+                  fmt: str = "parquet") -> None:
     """Training-export sink: bounded, optionally range-clustered shards.
 
     A 100 TB export has two requirements the plain sink doesn't meet:
@@ -63,7 +64,14 @@ def write_sharded(df: DataFrame, path: str,
     yields totally-ordered output across shards (shard N's keys all
     precede shard N+1's) without a single-task global sort: the range
     exchange samples the keys, every shard sorts only its slice.
+
+    ``fmt='json'`` emits JSON-Lines shards (the LLM-training loader
+    lingua franca — one JSON object per line); the default gzip
+    compression there keeps shards seekable by line after decompress.
+    Same partitioning/sort/cap semantics for every format.
     """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported export format {fmt!r}")
     out = df
     if sort_cols:
         parts = [F.col(c) for c in sort_cols]
@@ -72,10 +80,15 @@ def write_sharded(df: DataFrame, path: str,
                   .sortWithinPartitions(*parts))
     elif n_shards:
         out = out.repartition(n_shards)
-    (out.write.mode(mode)
-        .option("compression", compression)
-        .option("maxRecordsPerFile", str(max_records_per_file))
-        .parquet(path))
+    writer = (out.write.mode(mode)
+              .option("compression",
+                      "gzip" if fmt == "json"
+                      and compression == "snappy" else compression)
+              .option("maxRecordsPerFile", str(max_records_per_file)))
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
 
 
 def write_jdbc(df: DataFrame, table: str, cfg: JdbcConfig,

@@ -117,3 +117,41 @@ def test_write_sharded_bounded_and_range_clustered(spark, tmp_path):
     ranges.sort()
     assert all(ranges[i][1] < ranges[i + 1][0]
                for i in range(len(ranges) - 1))
+
+
+def test_write_sharded_jsonl(spark, tmp_path):
+    import glob
+    import gzip
+    import json
+
+    from nyctaxidatapipeline_spark.sinks import write_sharded
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "source")
+    out = str(tmp_path / "jsonl")
+    write_sharded(docs, out, sort_cols=["doc_id"], n_shards=3,
+                  max_records_per_file=30, fmt="json")
+    files = sorted(glob.glob(f"{out}/part-*.json.gz"))
+    assert len(files) >= 3          # 50 docs / cap 30 with 3 shards
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    n = docs.count()
+    assert len(rows) == n
+    assert {r["doc_id"] for r in rows} == \
+        {r["doc_id"] for r in docs.collect()}
+    # range clustering: each file's ids form a contiguous run across files
+    per_file_max = None
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            ids = [json.loads(line)["doc_id"] for line in fh]
+        assert ids == sorted(ids)
+        if per_file_max is not None:
+            assert ids[0] > per_file_max
+        per_file_max = ids[-1]
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported export format"):
+        write_sharded(docs, out, fmt="avro")
