@@ -1008,6 +1008,19 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: at most 10 documents per source, survivors
+    picked by portable (md5(id), id) order — one WindowGroupLimit
+    shuffle on the source key (the C4 per-domain cap)."""
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, ["source"], "doc_id", 10) \
+        .select("doc_id", "source", "lang")
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus (FAISS SQ8):
     per-dim bounds from one posexplode aggregate, codes as a pure
@@ -1409,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": _q_dataset_mix,
         "daily_top_events": _q_daily_top_events,
         "quantize_embeddings": _q_quantize_embeddings,
+        "domain_cap": _q_domain_cap,
         "rank_normalized": _q_rank_normalized,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
@@ -2869,6 +2883,14 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 10
         """,
         # Twin of quantize.quantize over dim_bounds: same per-dim
         # bounds, same round-half-away byte codes, digest of the same

@@ -142,3 +142,26 @@ def mix_sources(df: DataFrame, source_col: str, id_col: str,
               .withColumn("_rk", F.row_number().over(w))
               .filter(F.col("_rk") <= quota[F.col(source_col)])
               .drop("_rk"))
+
+
+def cap_per_group(df: DataFrame, group_cols: Sequence[str], id_col: str,
+                  max_rows: int) -> DataFrame:
+    """Deterministically cap each group at ``max_rows`` rows — the
+    anti-domination curation rule (C4 caps pages per URL/domain so one
+    crawler-friendly site cannot swamp the corpus; the same cap guards
+    label balance and per-user contribution limits).
+
+    Kept rows are the group's smallest ``(md5(id), id)`` — the portable
+    hash-order draw, so the survivors are engine-reproducible and
+    stable under reruns and append growth of OTHER groups (a group's
+    own growth can only swap-in lower-hash rows, the documented
+    trade of budget-free capping). One WindowGroupLimit shuffle on the
+    group key — bounded per-group state, no full partition sort.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= max_rows)
+              .drop("_rk"))

@@ -145,3 +145,23 @@ def test_mix_sources_quotas_and_stability(spark):
         mix_sources(df, "src", "id", {"a": 0.5})
     with pytest.raises(ValueError, match="absent"):
         mix_sources(df, "src", "id", {"a": 0.5, "zzz": 0.5})
+
+
+def test_cap_per_group_deterministic(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [Row(id=f"{g}-{i}", g=g) for g in ("a", "b") for i in range(30)]
+        + [Row(id="c-0", g="c")])
+    out = cap_per_group(df, ["g"], "id", 5)
+    got = {}
+    for r in out.collect():
+        got[r["g"]] = got.get(r["g"], 0) + 1
+    assert got == {"a": 5, "b": 5, "c": 1}  # undersized group intact
+    # same survivors under repartition
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in
+            cap_per_group(df.repartition(7), ["g"], "id", 5).collect()}
+    assert ids1 == ids2
