@@ -1008,6 +1008,41 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-gated end-to-end: each document row
+    synthesizes a deterministic 8x4 RGB PNG (pixel i = (doc_id*31+i)
+    mod 256, scanline filter type = doc_id mod 5 — so every one of the
+    five PNG filters is exercised), and ``image_features(codec='png')``
+    decodes it back through the pure-stdlib codec inside mapInPandas.
+    The DuckDB twin computes the expected width/height/mean arithmetic-
+    ally — any mis-decoded filter byte anywhere flips the value hash.
+    Both stages are Arrow-batched pandas (the sanctioned multimodal
+    zone); binary media never leaves the executors."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.png import encode_png
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = [
+                encode_png(8, 4,
+                           bytes((int(d) * 31 + i) % 256
+                                 for i in range(96)),
+                           filter_type=int(d) % 5)
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return (image_features(assets, codec="png")
+            .select("asset_id", "width", "height", "mean_intensity"))
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: at most 10 documents per source, survivors
     picked by portable (md5(id), id) order — one WindowGroupLimit
@@ -1423,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_top_events": _q_daily_top_events,
         "quantize_embeddings": _q_quantize_embeddings,
         "domain_cap": _q_domain_cap,
+        "image_features": _q_image_features,
         "rank_normalized": _q_rank_normalized,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
@@ -2883,6 +2919,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE f NOT IN (SELECT f FROM corpus_fps))
             SELECT d.doc_id, d.text FROM documents d
             JOIN admitted USING (doc_id)
+        """,
+        # Twin of the PNG decode round-trip: expected features computed
+        # arithmetically (pixel i = (doc_id*31+i) mod 256; mean as
+        # sum-then-divide, matching the codec path's float(sum)/len).
+        "image_features": """
+            SELECT doc_id AS asset_id,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   (SELECT CAST(SUM((doc_id * 31 + i.i) % 256)
+                                AS DOUBLE) / 96
+                    FROM (SELECT unnest(generate_series(0, 95)) AS i) i)
+                       AS mean_intensity
+            FROM documents
         """,
         "domain_cap": """
             SELECT doc_id, source, lang FROM (

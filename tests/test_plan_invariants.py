@@ -24,7 +24,7 @@ from nyctaxidatapipeline_spark.plans import explain_str
 SF = "/root/testdata/sf0.001"
 
 #: queries allowed an Arrow-batched pandas kernel (documented BLAS wins)
-ARROW_OK = {"embedding_near_dup"}
+ARROW_OK = {"embedding_near_dup", "image_features"}
 
 
 @pytest.fixture(scope="module")
