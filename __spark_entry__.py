@@ -1043,6 +1043,37 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("asset_id", "width", "height", "mean_intensity"))
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-offset sampling, oracle-gated: each document row
+    synthesizes a deterministic fake-codec video (8-byte header +
+    (doc_id mod 7 + 3) fixed-size frames) in-flight; ``frame_sample``
+    emits every 2nd frame's byte offset through the Arrow-batched
+    explode-shaped pipeline, and the twin computes the expected
+    (index, offset) rows arithmetically."""
+    import struct
+
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                n_frames = int(d) % 7 + 3
+                media.append(struct.pack("<II", 16, 16)
+                             + bytes(256 * n_frames))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return frame_sample(assets, every_n=2, frame_size=256)
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: at most 10 documents per source, survivors
     picked by portable (md5(id), id) order — one WindowGroupLimit
@@ -1459,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "domain_cap": _q_domain_cap,
         "image_features": _q_image_features,
+        "frame_sample": _q_frame_sample,
         "rank_normalized": _q_rank_normalized,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
@@ -2932,6 +2964,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM (SELECT unnest(generate_series(0, 95)) AS i) i)
                        AS mean_intensity
             FROM documents
+        """,
+        # Twin of the fake-codec frame sampler: n_frames = doc_id%7+3,
+        # every 2nd frame, offset = 8 + frame*256.
+        "frame_sample": """
+            SELECT doc_id AS asset_id,
+                   CAST(i.i AS INTEGER) AS frame_index,
+                   8 + (i.i * 2) * 256 AS frame_offset
+            FROM documents, LATERAL (
+              SELECT unnest(generate_series(
+                  0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))
+                  AS i) i
         """,
         "domain_cap": """
             SELECT doc_id, source, lang FROM (

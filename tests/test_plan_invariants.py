@@ -24,7 +24,7 @@ from nyctaxidatapipeline_spark.plans import explain_str
 SF = "/root/testdata/sf0.001"
 
 #: queries allowed an Arrow-batched pandas kernel (documented BLAS wins)
-ARROW_OK = {"embedding_near_dup", "image_features"}
+ARROW_OK = {"embedding_near_dup", "image_features", "frame_sample"}
 
 
 @pytest.fixture(scope="module")
