@@ -155,3 +155,31 @@ def test_write_sharded_jsonl(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported export format"):
         write_sharded(docs, out, fmt="avro")
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """The partitionBy layout must actually buy read-side pruning: a
+    partition-key filter reaches the scan as a PartitionFilter and the
+    scan reads ONLY the matching directory's files."""
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.plans import explain_str
+    from nyctaxidatapipeline_spark.sinks import write_parquet
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("event_type") == "purchase")
+    plan = explain_str(one, "formatted")
+    # the partition-key predicate must land in PartitionFilters (list
+    # pruning — no data files outside event_type=purchase are opened),
+    # NOT in PushedFilters/post-scan Filter
+    assert "PartitionFilters" in plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("purchase" in ln for ln in m), m
+    # row fidelity vs the unpartitioned source
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert one.count() == want
