@@ -819,6 +819,163 @@ _TPCH_SQL = {
               AND o.o_orderpriority = '1-URGENT')
         GROUP BY c.c_nationkey
     """,
+    # Q2 minimum-cost supplier: correlated scalar MIN subquery over the
+    # same region. Adapted (no partsupp.ps_supplycost in fixture): the
+    # "cost" of supplying a part is the observed lineitem unit price
+    # l_extendedprice / l_quantity; Catalyst must decorrelate the MIN
+    # into an aggregate-then-join on p_partkey.
+    "tpch_q2_sql": """
+        SELECT DISTINCT ROUND(s.s_acctbal, 6) AS s_acctbal, s.s_name,
+               n.n_name, p.p_partkey, p.p_name,
+               ROUND(l.l_extendedprice / l.l_quantity, 6) AS unit_price
+        FROM {part} p
+        JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+        JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        JOIN {region} r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size <= 15 AND p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+          AND l.l_extendedprice / l.l_quantity = (
+            SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+            FROM {lineitem} l2
+            JOIN {supplier} s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN {nation} n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN {region} r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    """,
+    # Q11 important-stock identification: scalar subquery in HAVING
+    # (group value above a fraction of the national total). Adapted
+    # (no partsupp): part value = SUM(l_extendedprice * l_quantity)
+    # over lines shipped by the nation's suppliers.
+    "tpch_q11_sql": """
+        SELECT l.l_partkey,
+               ROUND(SUM(l.l_extendedprice * l.l_quantity), 6) AS value
+        FROM {lineitem} l
+        JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_1'
+        GROUP BY l.l_partkey
+        HAVING SUM(l.l_extendedprice * l.l_quantity) > (
+          SELECT SUM(l2.l_extendedprice * l2.l_quantity) * 0.001
+          FROM {lineitem} l2
+          JOIN {supplier} s2 ON l2.l_suppkey = s2.s_suppkey
+          JOIN {nation} n2 ON s2.s_nationkey = n2.n_nationkey
+          WHERE n2.n_name = 'NATION_1')
+    """,
+    # Q12 shipping modes & order priority. Adapted (no l_shipmode /
+    # l_commitdate / l_receiptdate): "mode" = l_returnflag, "late" =
+    # shipped >60 days after the order date (same rule as the Q4
+    # adaptation). CASTs pin SUM(int) to BIGINT on both engines.
+    "tpch_q12_sql": """
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                          OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0
+                         END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                         AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0
+                         END) AS BIGINT) AS low_line_count
+        FROM {orders} o
+        JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag IN ('R', 'A')
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+    """,
+    # Q15 top supplier: CTE reused twice — once as a join input, once
+    # under a scalar MAX subquery. total_revenue is rounded INSIDE the
+    # CTE so the equality-to-max compare is stable across engines'
+    # summation orders.
+    "tpch_q15_sql": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                     AS total_revenue
+          FROM {lineitem}
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM {supplier} s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # Q16 parts/supplier relationship: NOT IN over a subquery (Spark's
+    # null-aware anti join) + COUNT(DISTINCT). Adapted (no partsupp, no
+    # s_comment): the part-supplier link is lineitem; the excluded
+    # suppliers ("complaints") are those with negative balance.
+    "tpch_q16_sql": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM {part} p
+        JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    # Q17 small-quantity-order revenue: correlated scalar AVG subquery
+    # per part (the classic decorrelation benchmark). Quantities are
+    # small exact integers-as-doubles, so the 0.2*AVG threshold is
+    # bit-identical across engines.
+    "tpch_q17_sql": """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM {lineitem} l
+        JOIN {part} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity) FROM {lineitem} l2
+            WHERE l2.l_partkey = p.p_partkey)
+    """,
+    # Q20 potential part promotion: IN-subquery nesting with a
+    # correlated scalar subquery inside HAVING. Adapted (no
+    # partsupp.ps_availqty): a supplier qualifies when its shipped
+    # quantity of a 'red' part exceeds half that part's total shipped
+    # quantity over the year.
+    "tpch_q20_sql": """
+        SELECT s.s_name, s.s_suppkey
+        FROM {supplier} s
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_1'
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM {lineitem} l
+            WHERE l.l_partkey IN (
+              SELECT p_partkey FROM {part} WHERE p_name LIKE '%red%')
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING SUM(l.l_quantity) > 0.5 * (
+              SELECT SUM(l2.l_quantity) FROM {lineitem} l2
+              WHERE l2.l_partkey = l.l_partkey
+                AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+    """,
+    # Q21 suppliers who kept orders waiting: correlated EXISTS + NOT
+    # EXISTS self-joins on lineitem with a non-equi predicate through
+    # the outer orders table. Adapted: "late" = shipped >60 days after
+    # the order date (no l_commitdate/l_receiptdate in fixture).
+    "tpch_q21_sql": """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM {supplier} s
+        JOIN {lineitem} l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name = 'NATION_1'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM {lineitem} l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM {lineitem} l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+    """,
 }
 
 _TPCH_TABLES = ("lineitem", "orders", "customer", "supplier", "nation",
