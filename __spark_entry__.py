@@ -1563,8 +1563,57 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records the
+    first 50 entries, and rounds 2-3 both recorded the same 50 (then
+    demand_heatmap..doc_spans). The 48 queries those artifacts never
+    covered (line_dedup..corpus_report + the original 13-entry TPC-H
+    pack) are rotated to the front here so round 4's window verifies
+    them; the previously driver-verified 50 follow. Queries newer than
+    the rotation (the 8 TPC-H additions beyond q2/q11, ann_pq, ...)
+    queue behind the front 48 — harness-verified until a later rotation
+    brings them into a driver window."""
     return {
+        # --- driver CORRECTNESS window (first 50): never driver-checked
+        # as of r03 ---
+        "line_dedup": _q_line_dedup,
+        "vocab": _q_vocab,
+        "pagerank": _q_pagerank,
+        "dsir_weights": _q_dsir_weights,
+        "curation_flags": _q_curation_flags,
+        "curate_corpus": _q_curate_corpus,
+        "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
+        "bm25_scores": _q_bm25_scores,
+        "lm_perplexity": _q_lm_perplexity,
+        "resample_hourly": _q_resample_hourly,
+        "heavy_hitters": _q_heavy_hitters,
+        "keep_latest": _q_keep_latest,
+        "incremental_dedup": _q_incremental_dedup,
+        "funnel": _q_funnel,
+        "interval_join": _q_interval_join,
+        "correlations": _q_correlations,
+        "winnow_dedup": _q_winnow_dedup,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "pmi_collocations": _q_pmi_collocations,
+        "data_quality": _q_data_quality,
+        "histogram_prices": _q_histogram_prices,
+        "incremental_rollup": _q_incremental_rollup,
+        "moving_avg": _q_moving_avg,
+        "snapshot_diff": _q_snapshot_diff,
+        "fuzzy_names": _q_fuzzy_supplier_names,
+        "cohort_retention": _q_cohort_retention,
+        "dataset_mix": _q_dataset_mix,
+        "daily_top_events": _q_daily_top_events,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "domain_cap": _q_domain_cap,
+        "image_features": _q_image_features,
+        "frame_sample": _q_frame_sample,
+        "rank_normalized": _q_rank_normalized,
+        "corpus_report": _q_corpus_report,
+        **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
+        # --- previously driver-verified (CORRECTNESS_r02 + _r03) ---
         "demand_heatmap": _q_demand_heatmap,
         "tip_trends": _q_tip_trends,
         "trip_performance": _q_trip_performance,
@@ -1615,42 +1664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": _q_profile_lineitem,
         "pack_sequences": _q_pack_sequences,
         "doc_spans": _q_doc_spans,
-        "line_dedup": _q_line_dedup,
-        "vocab": _q_vocab,
-        "pagerank": _q_pagerank,
-        "dsir_weights": _q_dsir_weights,
-        "curation_flags": _q_curation_flags,
-        "curate_corpus": _q_curate_corpus,
-        "kmeans_assign": _q_kmeans_assign,
-        "semantic_dedup": _q_semantic_dedup,
-        "bm25_scores": _q_bm25_scores,
-        "lm_perplexity": _q_lm_perplexity,
-        "resample_hourly": _q_resample_hourly,
-        "heavy_hitters": _q_heavy_hitters,
-        "keep_latest": _q_keep_latest,
-        "incremental_dedup": _q_incremental_dedup,
-        "funnel": _q_funnel,
-        "interval_join": _q_interval_join,
-        "correlations": _q_correlations,
-        "winnow_dedup": _q_winnow_dedup,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "pmi_collocations": _q_pmi_collocations,
-        "data_quality": _q_data_quality,
-        "histogram_prices": _q_histogram_prices,
-        "incremental_rollup": _q_incremental_rollup,
-        "moving_avg": _q_moving_avg,
-        "snapshot_diff": _q_snapshot_diff,
-        "fuzzy_names": _q_fuzzy_supplier_names,
-        "cohort_retention": _q_cohort_retention,
-        "dataset_mix": _q_dataset_mix,
-        "daily_top_events": _q_daily_top_events,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "domain_cap": _q_domain_cap,
-        "image_features": _q_image_features,
-        "frame_sample": _q_frame_sample,
-        "rank_normalized": _q_rank_normalized,
-        "corpus_report": _q_corpus_report,
-        **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
     }
 
 
