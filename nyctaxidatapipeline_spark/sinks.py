@@ -191,9 +191,21 @@ def zorder_key(df: DataFrame, cols: Sequence[str],
     first). Call under a select that also carries the (min,max) bounds
     columns ``_zlo_i`` / ``_zhi_i`` — or use ``write_zordered`` which
     wires the whole thing.
+
+    ``bits`` is auto-scaled so every interleaved bit fits the 63
+    value bits of a signed long: with the default bits=16, 4 columns
+    would place a bit at position 63 (the sign bit — inverting the sort
+    for high buckets) and 5+ columns would shift past 64, which the JVM
+    reduces mod 64, silently colliding bits from different columns.
+    63 // d levels per column keeps the full key collision-free (the
+    per-column resolution loss is the standard Z-order trade).
     """
-    key = F.lit(0).cast("long")
     d = len(cols)
+    bits = min(bits, 63 // d)
+    if bits < 1:
+        raise ValueError(f"cannot Z-order {d} columns: no bits left "
+                         "per column under a 63-bit long key")
+    key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         # width_bucket returns 1..n+1; clamp into 0..2^bits-1
         q = (F.least(F.greatest(
