@@ -1,0 +1,237 @@
+"""Product-quantization ANN — the billion-scale memory/compute path.
+
+PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the FAISS ``PQ``/``IVFPQ`` building block): split
+the ``dim``-dimensional space into ``m`` contiguous subspaces, learn a
+``n_codes``-entry codebook per subspace, and store each vector as ``m``
+small codes (m bytes at n_codes<=256) instead of ``dim`` floats — a
+16-64x compression that lets a 100 TB embedding corpus's index live in
+executor memory. Search is ADC (asymmetric distance computation): per
+query, ONE ``m x n_codes`` table of query-sub-vector/centroid distances
+is computed, and every corpus vector's approximate distance is just
+``m`` table lookups over its codes — no float vector is touched until
+the exact rerank of the short candidate list.
+
+Spark shape (all Catalyst array lambdas — no Python in the hot path):
+
+  * codebook training — driver-side, on a BOUNDED deterministic sample
+    (same recipe and rationale as ``similarity.ivf_kmeans_centroids``:
+    FAISS trains PQ codebooks on <=256k sampled vectors; the corpus
+    itself is encoded once, distributed);
+  * encode — one projection per corpus row: per subspace, argmin over
+    the literal codebook of ``<c,c> - 2<x_m,c>`` (the ``||x_m||^2``
+    term is constant across codes and dropped — identical argmin);
+  * ADC — codes frame (id, m smallints) joined to the broadcast query
+    table frame; the score is a sequential fold of ``m`` lookups;
+  * rerank — top ``rerank`` candidates per query by (rounded ADC,
+    vec_id) join BACK to the corpus vectors by id for exact cosine.
+    Only ``queries x rerank`` vectors are ever re-read — at scale this
+    is the only stage that touches the fat vector column, so the scan
+    of the codes table dominates and it is ~dim*4/m times smaller than
+    the corpus.
+
+Reproducibility: ``pq_seed_codebooks_portable`` derives codebooks from
+the ``n_codes`` corpus vectors with the smallest ``(md5(id), id)`` —
+bit-identical in Spark, DuckDB, and Python — and every distance is
+expressed through sequential-fold dot products, so the registered query
+is value-hash-checked against a pure-SQL DuckDB twin end-to-end
+(seeds -> encode -> ADC -> rerank). K-means-refined codebooks
+(``pq_kmeans_codebooks``) are the production default, exactly like the
+IVF coarse quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.similarity import (
+    as_double,
+    dot,
+    l2_norm,
+)
+from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
+from nyctaxidatapipeline_spark.plans.util import fan_out
+
+Codebooks = list[list[list[float]]]  # [subspace][code][component]
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    return dim // m
+
+
+def pq_seed_codebooks_portable(df: DataFrame, n_codes: int = 16,
+                               m: int = 4, dim: int | None = None,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> Codebooks:
+    """Cross-engine-reproducible codebooks: the ``n_codes`` non-zero
+    corpus vectors with the smallest ``(md5(id), id)``, sliced into the
+    ``m`` subspaces. One bounded TakeOrdered collect (n_codes rows,
+    never the corpus) — the portable twin of ``pq_kmeans_codebooks``,
+    mirroring ``similarity.ivf_seed_centroids_portable``."""
+    rows = (df.select(F.col(id_col).alias("i"),
+                      as_double(vec_col).alias("v"))
+              .filter(l2_norm(as_double(vec_col)) > 0)
+              .orderBy(F.md5(F.col("i").cast("string")), "i")
+              .limit(n_codes).collect())
+    if not rows:
+        return []
+    d = dim if dim is not None else len(rows[0]["v"])
+    sub = _check_geometry(d, m)
+    return [[[float(x) for x in r["v"][mi * sub:(mi + 1) * sub]]
+             for r in rows]
+            for mi in range(m)]
+
+
+def pq_kmeans_codebooks(df: DataFrame, n_codes: int = 16, m: int = 4,
+                        iters: int = 4, dim: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        max_sample_rows: int = 1 << 17) -> Codebooks:
+    """Lloyd-refined per-subspace codebooks trained on a bounded
+    deterministic sample — the production quantizer (FAISS recipe:
+    codebooks train on a <=256k-row sample; the corpus is encoded once,
+    distributed). Seeds with the portable hash-min picks, then runs
+    ``iters`` standard (L2) Lloyd steps per subspace as numpy matmuls.
+    Driver traffic is capped at ``max_sample_rows x dim`` doubles
+    regardless of corpus size. Empty cells keep their previous centroid
+    (the usual Lloyd guard)."""
+    import numpy as np
+
+    books = pq_seed_codebooks_portable(df, n_codes, m, dim, id_col,
+                                       vec_col)
+    if not books or not iters:
+        return books
+    rows = (df.select(as_double(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+                      F.col(id_col).alias("i"))
+              .filter(F.size("v") > 0)
+              .orderBy("h", "i")
+              .limit(max_sample_rows).collect())
+    if not rows:
+        return books
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    sub = mat.shape[1] // m
+    out: Codebooks = []
+    for mi in range(m):
+        x = mat[:, mi * sub:(mi + 1) * sub]
+        c = np.array(books[mi], dtype=np.float64)
+        for _ in range(iters):
+            # L2 argmin via ||x||^2 - 2<x,c> + ||c||^2 (||x||^2 constant)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            assign = d2.argmin(axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        out.append(c.tolist())
+    return out
+
+
+def _lit_arr(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _fold_dot(a_expr: str, b_expr: str) -> str:
+    """Sequential-fold dot product as a SQL string — the same 0.0-seeded
+    left-to-right order as ``similarity.dot``/DuckDB list_dot_product."""
+    return (f"aggregate(zip_with({a_expr}, {b_expr}, (x, c) -> x * c), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def _sub_scores(vec_name: str, book: list[list[float]], mi: int,
+                sub: int) -> str:
+    """array<double> of ``<c,c> - 2<x_mi,c>`` for every code of subspace
+    ``mi`` — the shared encode/ADC score expression (the engines agree
+    bitwise because both factor through sequential-fold dots)."""
+    sl = f"slice({vec_name}, {mi * sub + 1}, {sub})"
+    terms = []
+    for c in book:
+        arr = _lit_arr(c)
+        terms.append(f"({_fold_dot(arr, arr)}) - 2.0D * ({_fold_dot(sl, arr)})")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def pq_encode(df: DataFrame, codebooks: Codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — each vector's per-subspace nearest-code
+    indices (ties to the lowest code, Spark's first-position
+    array_position). One scan, one projection; this is the index build.
+    At 100 TB write the output as its own (bucketed) table: the ADC
+    scan then reads m ints per vector instead of dim floats."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0]) if m else 0
+    base = (fan_out(df, id_col)
+            .filter(F.size(F.col(vec_col)) > 0)
+            .select(F.col(id_col), as_double(vec_col).alias("_v")))
+    score_cols = {f"_s{mi}": F.expr(_sub_scores("_v", codebooks[mi],
+                                                mi, sub))
+                  for mi in range(m)}
+    code = [(F.expr(f"array_position(_s{mi}, array_min(_s{mi}))") - 1)
+            .cast("int") for mi in range(m)]
+    return (base.withColumns(score_cols)
+                .select(F.col(id_col), F.array(*code).alias("codes")))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            n_codes: int = 16, m: int = 4, rerank: int = 50,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", dim: int | None = None,
+            kmeans_iters: int = 4,
+            codebooks: Codebooks | None = None) -> DataFrame:
+    """PQ/ADC approximate top-k with exact rerank.
+
+    Output contract matches ``brute_force_topk``/``ivf_topk``:
+    (query_id, vec_id, cosine, rank), rank 1..k per query, cosine from
+    the EXACT vectors (rounded 6 dp), ties to the lowest vec_id. The
+    approximation only selects WHICH ``rerank`` candidates get the
+    exact treatment — with ``rerank >= |corpus|`` results equal brute
+    force (unit-tested parity).
+
+    ``codebooks`` overrides training (pass
+    ``pq_seed_codebooks_portable(...)`` for the SQL-oracle-reproducible
+    variant); the default trains ``pq_kmeans_codebooks``.
+    """
+    if codebooks is None:
+        codebooks = pq_kmeans_codebooks(corpus, n_codes, m, kmeans_iters,
+                                        dim, id_col, vec_col)
+    mm = len(codebooks)
+    sub = len(codebooks[0][0]) if mm else 0
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    vec_d = as_double(F.col(vec_col))
+    cvecs = corpus.select(F.col(id_col), vec_d.alias("c_vec"),
+                          l2_norm(vec_d, dim).alias("c_norm"))
+    # Per-query ADC table: array<array<double>> (m x n_codes), computed
+    # in ONE projection over the broadcast query frame.
+    tab = F.expr("array(" + ", ".join(
+        _sub_scores("q_vec", codebooks[mi], mi, sub)
+        for mi in range(mm)) + ")")
+    q = (queries.select(F.col(id_col).alias(query_id_col),
+                        vec_d.alias("q_vec"),
+                        l2_norm(vec_d, dim).alias("q_norm"))
+                .withColumn("_t", tab))
+    # ADC: m table lookups per corpus vector, sequentially folded (the
+    # 0.0 seed adds exactly, so both engines sum in the same order).
+    adc = F.expr("aggregate(zip_with(codes, _t, (c, t) -> "
+                 "element_at(t, c + 1)), 0.0D, (acc, x) -> acc + x)")
+    scored_codes = (enc.join(F.broadcast(q.select(query_id_col, "_t")))
+                       .select(query_id_col, id_col,
+                               F.round(adc, 6).alias("_approx")))
+    cand = top_k_per_group(
+        scored_codes, [query_id_col],
+        [F.col("_approx").asc(), F.col(id_col).asc()],
+        k=rerank, desc=False, rank_col="_crank").drop("_crank", "_approx")
+    exact = (cand.join(cvecs, id_col)
+                 .join(F.broadcast(q.select(query_id_col, "q_vec",
+                                            "q_norm")), query_id_col)
+                 .select(query_id_col, id_col,
+                         F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                                 / (F.col("q_norm") * F.col("c_norm")), 6)
+                          .alias("cosine")))
+    return top_k_per_group(
+        exact, [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k, desc=False, rank_col="rank")
