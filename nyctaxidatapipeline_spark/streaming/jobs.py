@@ -214,21 +214,25 @@ def run_to_memory(stream: DataFrame, query_name: str,
     return q
 
 
-def run_incremental_rollup(stream: DataFrame, state_dir: str,
-                           keys: list[str], value_col: str):
-    """foreachBatch maintenance of a mergeable partial-state rollup:
-    every micro-batch reduces to its (count/sum/min/max) partial state
-    (``operators.incremental.partial_agg``) and merges into the parquet
-    state table — per-batch cost scales with the batch plus the state's
-    key cardinality, never with stream history, and the merged state is
-    provably equal to the one-shot batch aggregate (the merge-identity
-    gate on ``incremental_rollup``).
+_EPOCH_MARKER = "_APPLIED_EPOCH"
 
-    State swap is write-tmp-then-rename (single-writer assumption —
-    foreachBatch epochs are serialized per query; a production
-    deployment lands this in a transactional table format instead and
-    keys the write on ``epoch_id`` for replay idempotence).
-    """
+
+def applied_epoch(state_dir: str) -> int:
+    """The epoch id committed WITH the current state (-1 if none). The
+    marker file is written into the tmp directory before the atomic
+    rename, so state and epoch can never disagree."""
+    try:
+        with open(os.path.join(state_dir, _EPOCH_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def rollup_merge_fn(state_dir: str, keys: list[str], value_col: str):
+    """The ``foreachBatch`` function for ``run_incremental_rollup``,
+    exposed so tests can invoke it directly with a replayed
+    ``(batch_df, epoch_id)`` — exactly what Structured Streaming does
+    after a failure between sink commit and offset-log commit."""
     import shutil
 
     from nyctaxidatapipeline_spark.operators.incremental import (
@@ -237,6 +241,14 @@ def run_incremental_rollup(stream: DataFrame, state_dir: str,
     )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Exactly-once under replays: foreachBatch is at-least-once, so
+        # a crash after the state swap but before the streaming offset
+        # commit re-delivers the SAME epoch on restart. The epoch id is
+        # committed atomically with the state (marker file inside the
+        # renamed directory); a replayed epoch is a no-op instead of a
+        # double count — the standard batch-id-keyed idempotent sink.
+        if epoch_id <= applied_epoch(state_dir):
+            return
         spark = batch_df.sparkSession
         new = partial_agg(batch_df, keys, value_col)
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
@@ -246,12 +258,37 @@ def run_incremental_rollup(stream: DataFrame, state_dir: str,
             merged = new
         tmp = state_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+            f.write(str(epoch_id))
         shutil.rmtree(state_dir, ignore_errors=True)
         os.rename(tmp, state_dir)
 
-    q = (stream.writeStream
+    return merge_batch
+
+
+def run_incremental_rollup(stream: DataFrame, state_dir: str,
+                           keys: list[str], value_col: str,
+                           checkpoint_dir: str | None = None):
+    """foreachBatch maintenance of a mergeable partial-state rollup:
+    every micro-batch reduces to its (count/sum/min/max) partial state
+    (``operators.incremental.partial_agg``) and merges into the parquet
+    state table — per-batch cost scales with the batch plus the state's
+    key cardinality, never with stream history, and the merged state is
+    provably equal to the one-shot batch aggregate (the merge-identity
+    gate on ``incremental_rollup``).
+
+    State swap is write-tmp-then-rename with the epoch id committed in
+    the same rename (single-writer assumption — foreachBatch epochs are
+    serialized per query), and replayed epochs are skipped — see
+    ``rollup_merge_fn``. Pass ``checkpoint_dir`` to make restarts
+    resume from the committed offsets (production always should; tests
+    replaying a finite fixture may omit it).
+    """
+    w = (stream.writeStream
          .outputMode("update")
-         .foreachBatch(merge_batch)
-         .start())
+         .foreachBatch(rollup_merge_fn(state_dir, keys, value_col)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.processAllAvailable()
     return q

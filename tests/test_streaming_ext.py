@@ -150,7 +150,8 @@ def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
     state = str(tmp_path / "state")
     ev = stream_table(spark, sf, "events")
-    q = run_incremental_rollup(ev, state, ["event_type"], "value")
+    q = run_incremental_rollup(ev, state, ["event_type"], "value",
+                               checkpoint_dir=str(tmp_path / "ckpt"))
     q.stop()
     got = {tuple(r) for r in
            finalize(spark.read.parquet(state)).collect()}
@@ -158,3 +159,48 @@ def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
             finalize(partial_agg(load_table(spark, sf, "events"),
                                  ["event_type"], "value")).collect()}
     assert got == want
+
+
+def test_incremental_rollup_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the state swap and
+    the streaming offset commit re-delivers the SAME (batch, epoch) on
+    restart. The batch-id-keyed sink must make that replay a no-op (no
+    double counting), while a genuinely new epoch still merges."""
+    from nyctaxidatapipeline_spark.operators.incremental import finalize
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        applied_epoch,
+        rollup_merge_fn,
+        run_incremental_rollup,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "state")
+    ev = stream_table(spark, sf, "events")
+    q = run_incremental_rollup(ev, state, ["event_type"], "value",
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    committed = {tuple(r) for r in
+                 finalize(spark.read.parquet(state)).collect()}
+    last = applied_epoch(state)
+    assert last >= 0
+
+    # replay: Structured Streaming re-invokes the function with the
+    # last epoch id and its data — must not change the state
+    fn = rollup_merge_fn(state, ["event_type"], "value")
+    replayed_batch = load_table(spark, sf, "events")
+    fn(replayed_batch, last)
+    after_replay = {tuple(r) for r in
+                    finalize(spark.read.parquet(state)).collect()}
+    assert after_replay == committed
+    assert applied_epoch(state) == last
+
+    # a NEW epoch genuinely merges: every key's count exactly doubles
+    committed_n = {r["event_type"]: r["n"]
+                   for r in spark.read.parquet(state).collect()}
+    fn(replayed_batch, last + 1)
+    after_new = {r["event_type"]: r["n"]
+                 for r in spark.read.parquet(state).collect()}
+    assert after_new == {k: 2 * v for k, v in committed_n.items()}
+    assert applied_epoch(state) == last + 1
