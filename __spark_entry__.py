@@ -1252,6 +1252,38 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(assets, every_n=2, frame_size=256)
 
 
+def _q_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a REAL container format: each document row
+    synthesizes a spec-shaped uncompressed AVI (RIFF/hdrl/movi/idx1,
+    16x16x24bpp, ``doc_id mod 7 + 3`` frames) via ``functions.avi``;
+    ``frame_sample(codec='avi')`` then walks the chunk tree and idx1
+    index for real to locate every 2nd frame's absolute payload offset.
+    The twin computes the expected offsets arithmetically from the
+    deterministic layout (224-byte header, 776-byte frame stride) —
+    so a parser or writer regression breaks the value hash."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.avi import encode_avi
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                n_frames = int(d) % 7 + 3
+                media.append(encode_avi(
+                    16, 16, [bytes(768)] * n_frames, fps=25))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return frame_sample(assets, every_n=2, codec="avi")
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: at most 10 documents per source, survivors
     picked by portable (md5(id), id) order — one WindowGroupLimit
@@ -1636,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
         # --- round-4 additions (harness-verified; rotate forward next) ---
         "ann_pq": _q_ann_pq,
+        "frame_sample_avi": _q_frame_sample_avi,
         # --- previously driver-verified (CORRECTNESS_r02 + _r03) ---
         "demand_heatmap": _q_demand_heatmap,
         "tip_trends": _q_tip_trends,
@@ -3249,6 +3282,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id,
                    CAST(i.i AS INTEGER) AS frame_index,
                    8 + (i.i * 2) * 256 AS frame_offset
+            FROM documents, LATERAL (
+              SELECT unnest(generate_series(
+                  0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))
+                  AS i) i
+        """,
+        # Twin of the REAL AVI-container sampler (functions/avi.py
+        # layout): RIFF(12) + hdrl LIST(200) = 212, movi LIST header
+        # (12) -> first '00db' chunk at 224, payload at +8; stride
+        # 8 + 16*16*3 = 776 per frame. Every 2nd frame of
+        # doc_id%7+3 frames: offset = 232 + (i*2)*776.
+        "frame_sample_avi": """
+            SELECT doc_id AS asset_id,
+                   CAST(i.i AS INTEGER) AS frame_index,
+                   232 + (i.i * 2) * 776 AS frame_offset
             FROM documents, LATERAL (
               SELECT unnest(generate_series(
                   0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))

@@ -114,18 +114,40 @@ def frame_sample(df: DataFrame, every_n: int = 10,
                  frame_size: int = 256, codec: str = "fake") -> DataFrame:
     """Sample every ``every_n``-th frame offset from a video binary.
 
-    ``codec='real'`` is the ffmpeg/PyAV slot-in. The fake codec treats the
-    payload as fixed-size frames of ``frame_size`` bytes — deterministic
-    offsets that exercise the explode-shaped output (rows out ≫ rows in).
+    ``codec='avi'`` runs a REAL container parse: the pure-stdlib RIFF/AVI
+    walker in ``functions.avi`` (chunk tree + avih header + idx1 index
+    with movi-scan fallback) locates each uncompressed '00db' frame's
+    absolute payload offset — no ffmpeg needed, so this path executes
+    end-to-end in this container; unparseable/None media yields no rows,
+    matching the fake-codec convention. ``codec='real'`` is where
+    PyAV/ffmpeg slots in for compressed codecs — unavailable here, so it
+    raises. ``codec='fake'`` treats the payload as fixed-size frames of
+    ``frame_size`` bytes after the 8-byte test header (cheapest plumbing
+    verification). All paths share the explode-shaped output (rows out
+    ≫ rows in).
     """
+    if codec not in ("fake", "real", "avi"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyctaxidatapipeline_spark.functions.avi import parse_avi
+
         for pdf in batches:
             if codec == "real":
                 raise NotImplementedError(
                     "real frame sampling needs PyAV/ffmpeg")
             rows = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
+                if codec == "avi":
+                    try:
+                        meta = parse_avi(media or b"")
+                    except ValueError:
+                        continue
+                    offs = meta["frames"]
+                    for idx, f_i in enumerate(range(0, len(offs),
+                                                    every_n)):
+                        rows.append((aid, idx, offs[f_i][0]))
+                    continue
                 parsed = _decode_header(media)
                 if parsed is None:
                     continue
