@@ -1284,6 +1284,44 @@ def _q_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(assets, every_n=2, codec="avi")
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-gated end-to-end: each document row
+    synthesizes a deterministic mono 16-bit 8 kHz PCM WAV through the
+    stdlib ``wave`` writer (sample i = ((doc_id*37 + i*11) mod 65536)
+    - 32768, doc_id mod 5 + 4 samples), and ``audio_features``
+    decodes it back through the same stdlib codec inside mapInPandas.
+    The DuckDB twin computes the expected frame count / duration /
+    mean-abs / peak arithmetically — a codec or feature-math
+    regression anywhere flips the value hash. Mean/duration are exact
+    integer-sum double divisions (no rounding needed on either side)."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.wav import encode_wav
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import struct
+
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                n = int(d) % 5 + 4
+                pcm = b"".join(
+                    struct.pack("<h",
+                                (int(d) * 37 + i * 11) % 65536 - 32768)
+                    for i in range(n))
+                media.append(encode_wav(8000, 1, pcm))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return audio_features(assets, codec="wav")
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: at most 10 documents per source, survivors
     picked by portable (md5(id), id) order — one WindowGroupLimit
@@ -1669,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (harness-verified; rotate forward next) ---
         "ann_pq": _q_ann_pq,
         "frame_sample_avi": _q_frame_sample_avi,
+        "audio_features": _q_audio_features,
         # --- previously driver-verified (CORRECTNESS_r02 + _r03) ---
         "demand_heatmap": _q_demand_heatmap,
         "tip_trends": _q_tip_trends,
@@ -3300,6 +3339,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(generate_series(
                   0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))
                   AS i) i
+        """,
+        # Twin of the stdlib-WAV decode round-trip: expected features
+        # computed arithmetically (sample i = ((doc_id*37+i*11) mod
+        # 65536) - 32768 over doc_id%5+4 mono 8 kHz samples); mean and
+        # duration as exact integer-sum double divisions, matching the
+        # codec path's numpy-int64-sum math.
+        "audio_features": """
+            SELECT d.doc_id AS asset_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(d.doc_id % 5 + 4 AS INTEGER) AS n_frames,
+                   (d.doc_id % 5 + 4) / 8000.0 AS duration_sec,
+                   CAST(SUM(ABS(((d.doc_id * 37 + i.i * 11) % 65536)
+                                - 32768)) AS DOUBLE)
+                       / (d.doc_id % 5 + 4) AS mean_abs,
+                   CAST(MAX(ABS(((d.doc_id * 37 + i.i * 11) % 65536)
+                                - 32768)) AS INTEGER) AS peak
+            FROM documents d, LATERAL (
+              SELECT unnest(generate_series(
+                  0, d.doc_id % 5 + 3)) AS i) i
+            GROUP BY d.doc_id
         """,
         "domain_cap": """
             SELECT doc_id, source, lang FROM (

@@ -1,11 +1,12 @@
 """Multimodal columns — images/audio/video as opaque binary + typed metadata.
 
 North-star plumbing (BASELINE.json): the Spark-side architecture is real —
-schemas, Arrow batch flow, partitioning. Image decode is ALSO real for
-PNG via the pure-stdlib baseline codec in ``functions.png``
-(``image_features(codec='png')`` — no PIL required); broader formats
-(JPEG, video) still document the exact PIL/ffmpeg call that slots in and
-raise ``NotImplementedError``, with the deterministic fake codec
+schemas, Arrow batch flow, partitioning. Decode is ALSO real for PNG
+(pure-stdlib codec in ``functions.png``), AVI containers
+(``functions.avi`` RIFF walker) and WAV audio (stdlib ``wave`` via
+``functions.wav``) — no PIL/ffmpeg/librosa required; compressed formats
+(JPEG, MP3, H.264) still document the exact library call that slots in
+and raise ``NotImplementedError``, with the deterministic fake codec
 exercising their plumbing.
 
 Design:
@@ -37,6 +38,11 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = "asset_id long, frame_index int, frame_offset long"
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, channels int, n_frames int, "
+    "duration_sec double, mean_abs double, peak int"
+)
 
 
 def _decode_header(media: bytes | None) -> tuple[int, int, bytes] | None:
@@ -160,6 +166,77 @@ def frame_sample(df: DataFrame, every_n: int = 10,
 
     pruned = df.select(F.col(id_col).alias(id_col), media_col)
     return pruned.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def audio_features(df: DataFrame, media_col: str = "media",
+                   id_col: str = "asset_id",
+                   codec: str = "wav") -> DataFrame:
+    """Decode + feature-extract per audio asset over Arrow batches.
+
+    ``codec='wav'`` runs a REAL decode: the stdlib ``wave`` codec via
+    ``functions.wav`` (uncompressed PCM, any channel count / sample
+    width) — no librosa/soundfile needed, so this path executes
+    end-to-end in this container; undecodable/None media yields NULL
+    features. ``codec='real'`` is where soundfile/ffmpeg slots in for
+    compressed formats (MP3/FLAC/Opus) — unavailable here, so it
+    raises.
+
+    Features (over the interleaved PCM stream, all channels pooled):
+    ``mean_abs`` = mean absolute amplitude, ``peak`` = max absolute
+    amplitude — both exact (integer-dtype numpy sums). 8-bit WAV is
+    unsigned with a 128 offset per the spec, so amplitudes are
+    deviations from 128 there; 24-bit is decoded via sign-extension.
+    ``duration_sec`` = n_frames / sample_rate (exact double division).
+    """
+    if codec not in ("wav", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyctaxidatapipeline_spark.functions.wav import parse_wav
+
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "compressed audio decode needs soundfile/ffmpeg")
+            out = []
+            for aid, media in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    meta = parse_wav(media or b"")
+                except ValueError:
+                    out.append((aid, None, None, None, None, None, None))
+                    continue
+                sw, pcm = meta["sampwidth"], meta["pcm"]
+                if sw == 1:
+                    amp = np.abs(
+                        np.frombuffer(pcm, dtype=np.uint8)
+                        .astype(np.int64) - 128)
+                elif sw == 2:
+                    amp = np.abs(np.frombuffer(pcm, dtype="<i2")
+                                 .astype(np.int64))
+                elif sw == 4:
+                    amp = np.abs(np.frombuffer(pcm, dtype="<i4")
+                                 .astype(np.int64))
+                elif sw == 3:
+                    b = (np.frombuffer(pcm, dtype=np.uint8)
+                         .reshape(-1, 3).astype(np.int64))
+                    v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                    amp = np.abs(v - ((v >> 23) & 1) * (1 << 24))
+                else:
+                    out.append((aid, None, None, None, None, None, None))
+                    continue
+                sr, nf = meta["sample_rate"], meta["n_frames"]
+                out.append((
+                    aid, sr, meta["channels"], nf,
+                    float(nf) / sr if sr else None,
+                    float(amp.sum()) / len(amp) if len(amp) else None,
+                    int(amp.max()) if len(amp) else None))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "sample_rate", "channels",
+                              "n_frames", "duration_sec", "mean_abs",
+                              "peak"])
+
+    pruned = df.select(F.col(id_col).alias(id_col), media_col)
+    return pruned.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:

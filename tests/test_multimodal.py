@@ -116,3 +116,82 @@ def test_image_features_png_codec(spark):
     assert (got[2].width, got[2].height) == (3, 1)
     assert got[2].mean_intensity == 200.0
     assert got[3].width is None and got[4].width is None
+
+
+# --- WAV audio (real stdlib codec) ---------------------------------------
+
+def test_wav_roundtrip():
+    from nyctaxidatapipeline_spark.functions.wav import (
+        encode_wav,
+        parse_wav,
+    )
+    pcm = struct.pack("<6h", 0, 100, -100, 32767, -32768, 5)
+    meta = parse_wav(encode_wav(8000, 1, pcm))
+    assert (meta["sample_rate"], meta["channels"],
+            meta["sampwidth"], meta["n_frames"]) == (8000, 1, 2, 6)
+    assert meta["pcm"] == pcm
+    # stereo: 2 frames of 2 interleaved channels
+    meta2 = parse_wav(encode_wav(44100, 2, struct.pack("<4h", 1, 2, 3, 4)))
+    assert (meta2["channels"], meta2["n_frames"]) == (2, 2)
+
+
+def test_wav_rejects_garbage():
+    from nyctaxidatapipeline_spark.functions.wav import (
+        encode_wav,
+        parse_wav,
+    )
+    with pytest.raises(ValueError):
+        parse_wav(b"not a wav")
+    with pytest.raises(ValueError):
+        parse_wav(b"")
+    with pytest.raises(ValueError):     # odd payload for the frame size
+        encode_wav(8000, 2, b"\x00\x01\x02")
+
+
+def test_audio_features_wav(spark):
+    from nyctaxidatapipeline_spark.functions.wav import encode_wav
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+    pcm = struct.pack("<4h", 100, -200, 0, 32767)
+    df = spark.createDataFrame([
+        Row(asset_id=1, media=encode_wav(8000, 1, pcm)),
+        Row(asset_id=2, media=b"junk"),
+        Row(asset_id=3, media=None),
+    ])
+    got = {r.asset_id: r for r in audio_features(df).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.channels, r1.n_frames) == (8000, 1, 4)
+    assert r1.duration_sec == 4 / 8000
+    assert r1.mean_abs == (100 + 200 + 0 + 32767) / 4
+    assert r1.peak == 32767
+    assert got[2].sample_rate is None and got[3].sample_rate is None
+
+
+def test_audio_features_8bit_and_24bit(spark):
+    """Sample widths beyond 16-bit: 8-bit is unsigned-offset-128 per the
+    WAV spec; 24-bit sign-extends. Encode by hand through the stdlib
+    writer's setsampwidth."""
+    import io
+    import wave
+
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    def make(width, payload):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(1000)
+            w.writeframes(payload)
+        return buf.getvalue()
+
+    b8 = make(1, bytes([128, 138, 118]))          # amps 0, 10, 10
+    b24 = make(3, b"\x01\x00\x00" + b"\xff\xff\xff")  # +1, -1
+    df = spark.createDataFrame([
+        Row(asset_id=1, media=b8), Row(asset_id=2, media=b24)])
+    got = {r.asset_id: r for r in audio_features(df).collect()}
+    assert got[1].mean_abs == 20 / 3 and got[1].peak == 10
+    assert got[2].mean_abs == 1.0 and got[2].peak == 1

@@ -23,8 +23,11 @@ from nyctaxidatapipeline_spark.plans import explain_str
 
 SF = "/root/testdata/sf0.001"
 
-#: queries allowed an Arrow-batched pandas kernel (documented BLAS wins)
-ARROW_OK = {"embedding_near_dup", "image_features", "frame_sample"}
+#: queries allowed an Arrow-batched pandas kernel — the documented BLAS
+#: wins plus the multimodal decode zone (real codecs run in Python by
+#: design; media synthesis + decode are both mapInPandas stages there)
+ARROW_OK = {"embedding_near_dup", "image_features", "frame_sample",
+            "frame_sample_avi", "audio_features"}
 
 
 @pytest.fixture(scope="module")
