@@ -21,13 +21,15 @@ All scalars ((1-d)/N, the initial 1/N) are computed IN-ENGINE with
 Spark's ROUND (half-away-from-zero, matching DuckDB) — not with
 Python's ``round`` (half-to-even).
 
-Scale shape (100 TB edge lists): each iteration is one shuffle join of
-edges⋈ranks on src plus one aggregate by dst — the textbook
-Pregel-on-dataframes layout. Out-degrees are computed once. Edges are
-re-read per iteration; a real deployment persists the (pre-partitioned
-by src) edge table so every round co-locates the join, and
-``localCheckpoint``s ranks every ~5 rounds to truncate lineage —
-``checkpoint_every`` does this here.
+Scale shape (100 TB edge lists): the out-degree-annotated edge table is
+built once, hash-partitioned by src, and pinned (localCheckpoint) — the
+Pregel-on-dataframes equivalent of persisting the partitioned edge
+table. Each iteration is then exactly ONE shuffle (the contribution
+aggregate by dst): the edges⋈ranks join reuses the pinned src
+partitioning and only moves the ranks side, and the nodes⋈sums join
+reuses the node-set partitioning. ``checkpoint_every`` truncates the
+ranks lineage every ~2 rounds so deep iteration counts don't grow the
+plan superlinearly.
 """
 
 from __future__ import annotations
@@ -53,29 +55,39 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     default ``iters=3``; a 20-iteration run is regression-tested for
     bounded wall-clock in ``tests/test_graph.py``.
     """
-    # Materialize the loop invariants ONCE: e, nodes, and outdeg are
-    # referenced by every iteration, and Spark's lazy evaluation would
-    # otherwise replay the upstream edge derivation (scan + distinct +
-    # ...) once per reference per round — measured 3-4x the whole
-    # query's cost at 3 iterations. localCheckpoint truncates their
-    # lineage and pins the computed partitions (the single-query
-    # equivalent of persisting the partitioned edge table).
+    # Materialize the loop invariants ONCE: the edge table, node set,
+    # and out-degrees are referenced by every iteration, and Spark's
+    # lazy evaluation would otherwise replay the upstream edge
+    # derivation (scan + distinct + ...) once per reference per round —
+    # measured 3-4x the whole query's cost at 3 iterations.
+    # localCheckpoint truncates their lineage and pins the computed
+    # partitions (the single-query equivalent of persisting the
+    # partitioned edge table). Two layout choices keep each iteration
+    # at EXACTLY ONE shuffle (the contribution aggregate by dst):
+    #   * out-degree is folded into the edge table before the loop —
+    #     the per-round edges⋈outdeg join would otherwise repeat
+    #     identical work every iteration;
+    #   * the folded edge table is hash-partitioned by src and the
+    #     node set by node BEFORE checkpointing, so the per-round
+    #     joins (edges⋈ranks on src; nodes⋈sums on node) reuse the
+    #     pinned partitioning — only the ranks/sums side moves.
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .localCheckpoint(eager=False))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    ew = (e.repartition(F.col("src"))
+           .join(outdeg, "src")
+           .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct()
               .localCheckpoint(eager=False))
     n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    outdeg = (e.groupBy("src").agg(F.count("*").alias("_deg"))
-               .localCheckpoint(eager=False))
     ranks = (nodes.crossJoin(n1)
              .select("node", F.round(1.0 / F.col("_n"), 6).alias("rank")))
     for i in range(iters):
-        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
-                     .join(outdeg, "src")
-                     .select("dst", (F.col("rank") / F.col("_deg"))
-                             .alias("_c")))
+        contribs = (ew.join(ranks.withColumnRenamed("node", "src"), "src")
+                      .select("dst", (F.col("rank") / F.col("_deg"))
+                              .alias("_c")))
         sums = (contribs.groupBy("dst")
                         .agg(F.round(F.sum("_c"), 6).alias("_s")))
         ranks = (nodes.join(sums.withColumnRenamed("dst", "node"),
