@@ -1100,6 +1100,21 @@ def _q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "seq_id", "span_start", "span_len"))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping 32-token windows with
+    8-token overlap (stride 24), zero-token documents dropped. Pure
+    map-side Catalyst (tokenize → sequence of starts → posexplode →
+    array slice); the twin slices the same token lists with DuckDB's
+    1-based inclusive list ranges."""
+    from nyctaxidatapipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id",
+                           chunk_tokens=32, overlap=8)
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Dolma-style corpus-level line dedup: a line >= 10 chars
     survives only in the document where it first occurs (order by
@@ -1759,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": _q_profile_lineitem,
         "pack_sequences": _q_pack_sequences,
         "doc_spans": _q_doc_spans,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -3094,6 +3110,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(MAX(l_tax) AS DOUBLE), 6) AS max_value,
                    ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_tax), 6) AS mean_value
             FROM lineitem
+        """,
+        # Twin of packing.chunk_documents: same token lists, starts
+        # every 24 tokens (32-token chunks, 8 overlap), DuckDB 1-based
+        # inclusive list slices clamped with LEAST.
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            n AS (
+              SELECT doc_id, tk, len(tk) AS n
+              FROM t WHERE len(tk) > 0)
+            SELECT doc_id,
+                   CAST(i.i AS INTEGER) AS chunk_id,
+                   CAST(LEAST(32, n - i.i * 24) AS INTEGER) AS n_tokens,
+                   array_to_string(
+                       tk[i.i * 24 + 1 : LEAST(i.i * 24 + 32, n)],
+                       ' ') AS chunk_text
+            FROM n, LATERAL (
+              SELECT unnest(generate_series(0, (n - 1) // 24)) AS i) i
         """,
         "pack_sequences": """
             WITH toks AS (

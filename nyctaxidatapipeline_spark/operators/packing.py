@@ -35,9 +35,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nyctaxidatapipeline_spark.functions.text import token_count
+from nyctaxidatapipeline_spark.functions.text import token_count, tokens
 
-__all__ = ["distributed_prefix_sum", "pack_sequences", "packed_doc_spans"]
+__all__ = ["distributed_prefix_sum", "pack_sequences", "packed_doc_spans",
+           "chunk_documents"]
 
 
 def distributed_prefix_sum(df: DataFrame, value_col: str | Column,
@@ -137,3 +138,46 @@ def with_token_count(df: DataFrame, text_col: str,
     """Convenience: whitespace token count (``functions.text.tokens``
     contract) as an int column, the usual ``token_col`` input above."""
     return df.withColumn(alias, token_count(text_col))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Overlapping fixed-token windows per document — the RAG/embedding
+    chunking primitive (every retrieval pipeline cuts documents into
+    ~N-token pieces with a small overlap before embedding them).
+
+    Windows start every ``chunk_tokens - overlap`` tokens and cover
+    ``tokens[start : start + chunk_tokens]``; the last window is short
+    rather than padded. Output: (id, chunk_id, n_tokens, chunk_text)
+    with ``chunk_id`` 0-based in document order. Zero-token documents
+    emit no chunks. Tokenization is the engine-wide ``functions.text
+    .tokens`` contract (lowercase, whitespace runs, empties dropped).
+
+    Scale shape: pure per-row Catalyst — tokenize once, generate the
+    start offsets with ``sequence`` and ``posexplode`` them, slice the
+    token array per chunk. No shuffle at all (explode is map-side);
+    output rows ≈ corpus tokens / stride, bounded per input row by
+    document length. A downstream embedding stage sees chunk rows
+    already co-partitioned with their documents.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    tk = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return (df.select(F.col(id_col), tk.alias("_tk"),
+                      F.size(tk).alias("_n"))
+              .filter(F.col("_n") > 0)
+              .select(id_col, "_tk", "_n",
+                      F.posexplode(starts).alias("chunk_id", "_start"))
+              .select(id_col,
+                      F.col("chunk_id").cast("int").alias("chunk_id"),
+                      F.least(F.lit(chunk_tokens),
+                              F.col("_n") - F.col("_start"))
+                       .cast("int").alias("n_tokens"),
+                      F.array_join(
+                          F.slice("_tk", F.col("_start") + 1,
+                                  F.lit(chunk_tokens)),
+                          " ").alias("chunk_text")))

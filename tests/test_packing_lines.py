@@ -144,3 +144,42 @@ def test_term_frequencies_counts_and_min_count(spark):
                 term_frequencies(df, "text", "doc_id", min_count=2)
                 .collect()}
     assert filtered == {"the", "cat"}
+
+
+# --- document chunking (RAG windows) -------------------------------------
+
+def test_chunk_documents_windows(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
+        Row(doc_id=2, text="a b"),        # shorter than one chunk
+        Row(doc_id=3, text="   "),        # zero tokens -> no chunks
+    ])
+    got = sorted(
+        chunk_documents(df, "text", "doc_id",
+                        chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id))
+    assert [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+            for r in got] == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),   # stride 3: starts 0,3,6,9
+        (1, 2, 4, "w6 w7 w8 w9"),
+        (1, 3, 1, "w9"),            # short tail, not padded
+        (2, 0, 2, "a b"),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
