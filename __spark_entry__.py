@@ -1668,6 +1668,46 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(fwd.union(rev), iters=3)
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (2 rounds) over the
+    same symmetrized supplier↔part graph as ``pagerank`` — community
+    detection with the most-frequent-neighbor-label update, ties to the
+    largest label (total order, so the differential oracle can pin the
+    result; the textbook async coin-flip variant cannot be oracled)."""
+    from nyctaxidatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    fwd = (li.select(F.concat(F.lit("s"), "l_suppkey").alias("src"),
+                     F.concat(F.lit("p"), "l_partkey").alias("dst"))
+             .distinct())
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return label_propagation(fwd.union(rev), iters=2)
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-order graph (parts
+    appearing in the same order with l_quantity >= 45 are linked).
+    The engine runs the degree-ordered compact-forward enumeration
+    (out-degree bounded O(sqrt m) — the power-law-safe layout); the
+    twin uses the simple id-ordered triple join, valid because the
+    count is enumeration-order-independent."""
+    from nyctaxidatapipeline_spark.operators.graph import triangle_count
+
+    li = (_lineitem(spark, sf_dir)
+          .filter(F.col("l_quantity") >= 45)
+          .select("l_orderkey", "l_partkey").distinct())
+    b = li.select(F.col("l_orderkey").alias("l_orderkey"),
+                  F.col("l_partkey").alias("p2"))
+    edges = (li.join(b, "l_orderkey")
+               .filter(F.col("l_partkey") < F.col("p2"))
+               .select(F.col("l_partkey").alias("src"),
+                       F.col("p2").alias("dst"))
+               .distinct())
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1775,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "doc_spans": _q_doc_spans,
         "chunk_documents": _q_chunk_documents,
+        "label_propagation": _q_label_propagation,
+        "triangle_count": _q_triangle_count,
     }
 
 
@@ -2295,6 +2337,34 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
                  FROM nodes LEFT JOIN s{i} ON node = s{i}.dst, cnt)""")
     return (f"WITH {','.join(ctes)}\n"
             f"        SELECT node, rank FROM r{iters}")
+
+
+def _lpa_oracle_sql(iters: int = 2) -> str:
+    """DuckDB twin of the deterministic synchronous label propagation:
+    identical most-frequent-in-neighbor-label update with ties to the
+    largest label, unrolled one CTE triple per round, no-in-neighbor
+    nodes keeping their previous label via the same left-join
+    coalesce."""
+    ctes = ["""
+        f AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                              'p' || l_partkey AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+                 FROM e JOIN l{i - 1} l ON e.src = l.node
+                 GROUP BY e.dst, l.label),
+        b{i} AS (SELECT node, label FROM (
+                   SELECT node, label, row_number() OVER (
+                       PARTITION BY node
+                       ORDER BY cnt DESC, label DESC) AS rk
+                   FROM c{i}) WHERE rk = 1),
+        l{i} AS (SELECT p.node, COALESCE(b.label, p.label) AS label
+                 FROM l{i - 1} p LEFT JOIN b{i} b ON p.node = b.node)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"        SELECT node, label FROM l{iters}")
 
 
 def _kmeans_seed_ctes(k: int) -> str:
@@ -3217,6 +3287,28 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token HAVING COUNT(*) >= 5
         """,
         "pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
+        "label_propagation": _lpa_oracle_sql(iters=2),
+        # Twin of the degree-ordered compact-forward triangle counter:
+        # the id-ordered triple join is valid because per-node triangle
+        # counts are independent of the enumeration order.
+        "triangle_count": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem WHERE l_quantity >= 45),
+            e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1 JOIN e e2 ON e2.u = e1.v
+                        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            x AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT node, COUNT(*) AS triangles FROM x GROUP BY node
+        """,
         "dsir_weights": _dsir_oracle_sql(),
         "curation_flags": _curation_flags_oracle_sql(),
         "curate_corpus": _curate_corpus_oracle_sql(),

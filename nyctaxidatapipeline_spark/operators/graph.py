@@ -1,4 +1,5 @@
-"""Graph operators over edge-list DataFrames: PageRank.
+"""Graph operators over edge-list DataFrames: PageRank, label
+propagation, triangle counting.
 
 Web-corpus curation ranks pages/domains by link authority (Common Crawl
 releases harmonic/PageRank centrality per domain; quality filters use it
@@ -102,6 +103,109 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 2,
+                      checkpoint_every: int = 2) -> DataFrame:
+    """Synchronous label propagation (community detection) over a
+    directed edge list — pass a symmetrized list for the usual
+    undirected semantics.
+
+    Every node starts in its own community (label = node id). Each
+    round, a node adopts the most frequent label among its in-
+    neighbors, ties broken by the LARGEST label (a total order, so the
+    update is deterministic — the classic async-LPA coin-flip tie is
+    exactly what a differential oracle cannot pin); nodes with no
+    in-neighbors keep their label. Output: (node, label) after
+    ``iters`` rounds.
+
+    Scale shape: the edge table is pinned hash-partitioned by src (the
+    per-round labels join reuses it, only the labels side moves); each
+    round then pays the (dst, label) frequency aggregate and the
+    per-dst argmax — count tables bounded by the distinct labels per
+    node, not corpus size. Same checkpoint cadence as ``pagerank``.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .repartition(F.col("src"))
+              .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct()
+              .localCheckpoint(eager=False))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iters):
+        cnts = (e.join(labels.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst", "label")
+                 .agg(F.count("*").alias("_cnt")))
+        best = (cnts.groupBy("dst")
+                    .agg(F.max_by(
+                        "label",
+                        F.struct(F.col("_cnt"), F.col("label")))
+                        .alias("_new")))
+        labels = (labels.join(best.withColumnRenamed("dst", "node"),
+                              "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("_new"), F.col("label"))
+                           .alias("label")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    (input direction ignored; self-loops and duplicate edges dropped).
+    Output: (node, triangles) for every node in >= 1 triangle.
+
+    Implementation is the degree-ordered compact-forward algorithm:
+    direct every canonical edge from the endpoint that is LOWER in the
+    (degree, node) total order to the higher one, enumerate wedges by
+    self-joining the out-adjacency on its source, and close each wedge
+    with one semi-join back to the directed edge set. Directing by
+    degree bounds every node's out-degree by O(sqrt(m)) — the classic
+    result that keeps the wedge join at O(m^1.5) worst case instead of
+    sum-of-degrees-squared, which is what dies on power-law graphs at
+    100 TB (a celebrity node with degree 10^7 would otherwise emit
+    10^14 wedges). The count itself is enumeration-order-independent,
+    so the DuckDB twin can use the simple id-ordered formulation.
+    """
+    uv = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                       F.greatest(F.col(src), F.col(dst)).alias("v"))
+               .filter(F.col("u") != F.col("v"))
+               .distinct())
+    deg = (uv.select(F.col("u").alias("node"))
+             .union(uv.select(F.col("v").alias("node")))
+             .groupBy("node").agg(F.count("*").alias("_deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("_deg").alias("_dv"))
+    ku = F.struct(F.col("_du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("_dv").alias("d"), F.col("v").alias("n"))
+    # direct low -> high in (degree, id) order; carry the target's key
+    # so the wedge join can order its two legs without re-joining deg
+    o = (uv.join(du, "u").join(dv, "v")
+           .select(F.when(ku < kv, F.col("u")).otherwise(F.col("v"))
+                    .alias("a"),
+                   F.when(ku < kv, F.col("v")).otherwise(F.col("u"))
+                    .alias("b"),
+                   F.when(ku < kv, kv).otherwise(ku).alias("kb"))
+           .localCheckpoint(eager=False))
+    o1 = o.select(F.col("a"), F.col("b").alias("v"),
+                  F.col("kb").alias("kv"))
+    o2 = o.select(F.col("a"), F.col("b").alias("w"),
+                  F.col("kb").alias("kw"))
+    wedges = (o1.join(o2, "a")
+                .filter(F.col("kv") < F.col("kw"))
+                .select(F.col("a").alias("t_u"), "v", "w"))
+    closed = wedges.join(
+        o.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"], "left_semi")
+    tri_nodes = (closed.select(F.explode(
+        F.array("t_u", "v", "w")).alias("node")))
+    return tri_nodes.groupBy("node").agg(
+        F.count("*").alias("triangles"))
 
 
 def top_ranked(edges: DataFrame, k: int = 20, **kwargs) -> DataFrame:

@@ -112,3 +112,55 @@ def test_deep_iteration_bounded_and_converged(spark):
             break
     assert sum(true.values()) == pytest.approx(1.0, abs=1e-9)
     assert all(abs(out[v] - true[v]) < 5e-5 for v in nodes)
+
+
+# --- label propagation ----------------------------------------------------
+
+def test_lpa_two_cliques_converge(spark):
+    from nyctaxidatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+    # two triangles joined by one bridge edge; symmetrize
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("c", "x")]
+    sym = pairs + [(b, a) for a, b in pairs]
+    out = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, sym),
+                                      iters=4).collect()}
+    # deterministic max-label tie-break: each triangle's nodes share a
+    # label; both cliques end up labeled from the bridge-side maxima
+    assert out["a"] == out["b"]
+    assert out["x"] == out["y"] == out["z"]
+
+
+def test_lpa_isolated_direction_keeps_label(spark):
+    from nyctaxidatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+    # directed edge a->b only: a has no in-neighbors and must keep its
+    # own label; b adopts a's
+    out = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, [("a", "b")]),
+                                      iters=1).collect()}
+    assert out == {"a": "a", "b": "a"}
+
+
+# --- triangle counting ----------------------------------------------------
+
+def test_triangle_count_known_graph(spark):
+    from nyctaxidatapipeline_spark.operators.graph import triangle_count
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; node 5
+    # hangs off node 1 and is in none
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    out = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_ignores_direction_dupes_loops(spark):
+    from nyctaxidatapipeline_spark.operators.graph import triangle_count
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    out = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
