@@ -435,6 +435,30 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    rerank=50, dim=embedding_dim(emb), codebooks=books)
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 — the composed FAISS IVFPQ shape:
+    coarse quantizer (16 lists, nprobe=4) prunes the scan, PQ/ADC
+    (m=4 x 16 codes) scores the probed candidates without touching a
+    float vector, exact rerank of 50. Registered with md5-PORTABLE
+    seeds for BOTH quantizers so the DuckDB twin rebuilds the exact
+    centroid and codebook doubles and the whole
+    assign->probe->ADC->rerank pipeline is value-hash-checked;
+    kmeans-refined quantizers stay the non-oracle default, and
+    exhaustive parity with brute force is unit-tested."""
+    from nyctaxidatapipeline_spark.operators.pq import (
+        ivfpq_topk,
+        pq_seed_codebooks_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
+    books = pq_seed_codebooks_portable(emb, n_codes=16, m=4,
+                                       dim=embedding_dim(emb))
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                      nprobe=4, rerank=50, dim=embedding_dim(emb),
+                      centroids=cents, codebooks=books)
+
+
 def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup GROUPS: connected components over the exact
     3-gram-Jaccard ≥ 0.5 pair graph; group_id = min doc_id reachable.
@@ -1817,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
+        "ann_ivfpq": _q_ann_ivfpq,
     }
 
 
@@ -2829,6 +2854,112 @@ def oracle_sql() -> dict[str, str]:
                           AND q2.query_id = q0.query_id
               JOIN qtab q3 ON q3.m = 3 AND q3.cid = cd.c3
                           AND q3.query_id = q0.query_id),
+            cand AS (
+              SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+                FROM adc) WHERE rn <= 50),
+            scored AS (
+              SELECT cd.query_id, cd.vec_id,
+                     ROUND(list_dot_product(q.vec, c.vec)
+                           / (q.nrm * c.nrm), 6) AS cosine
+              FROM cand cd
+              JOIN corpus c ON c.vec_id = cd.vec_id
+              JOIN corpus q ON q.vec_id = cd.query_id)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
+        # Twin of ivfpq_topk with portable seeds for BOTH quantizers:
+        # IVF centroids = the 16 smallest-(md5(id), id) non-zero
+        # vectors L2-normalized (same CTE as ann_ivf), PQ codebooks =
+        # the same picks raw, sliced 4x16 (same CTEs as ann_pq). ADC
+        # candidates are restricted to each query's 4 probed lists;
+        # the ADC sum keeps the explicit 0.0-seeded left-fold
+        # parenthesization; rerank 50, k 10, queries vec_id < 5.
+        "ann_ivfpq": """
+            WITH pseeds AS (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         - 1 AS INTEGER) AS cid,
+                     embedding::DOUBLE[] AS cv
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+              QUALIFY row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+            cents AS (
+              SELECT cid, list_transform(cv,
+                         x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+              FROM pseeds),
+            corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+            assigned AS (
+              SELECT vec_id, cid AS list_id FROM (
+                SELECT c.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus c, cents s) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cid AS list_id FROM (
+                SELECT q.vec_id AS query_id, s.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus q, cents s WHERE q.vec_id < 5)
+              WHERE rn <= 4),
+            subs AS (SELECT UNNEST(range(4)) AS m),
+            escore AS (
+              SELECT c.vec_id, s.m, sd.cid,
+                     list_dot_product(sd.cv[s.m*16+1 : s.m*16+16],
+                                      sd.cv[s.m*16+1 : s.m*16+16])
+                     - 2 * list_dot_product(c.vec[s.m*16+1 : s.m*16+16],
+                                            sd.cv[s.m*16+1 : s.m*16+16])
+                       AS score
+              FROM corpus c CROSS JOIN subs s CROSS JOIN pseeds sd),
+            codes AS (
+              SELECT vec_id,
+                     MAX(CASE WHEN m = 0 THEN code END) AS c0,
+                     MAX(CASE WHEN m = 1 THEN code END) AS c1,
+                     MAX(CASE WHEN m = 2 THEN code END) AS c2,
+                     MAX(CASE WHEN m = 3 THEN code END) AS c3
+              FROM (
+                SELECT vec_id, m, cid AS code FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY vec_id, m ORDER BY score, cid) AS rn
+                  FROM escore) WHERE rn = 1)
+              GROUP BY vec_id),
+            qtab AS (
+              SELECT q.vec_id AS query_id, s.m, sd.cid,
+                     list_dot_product(sd.cv[s.m*16+1 : s.m*16+16],
+                                      sd.cv[s.m*16+1 : s.m*16+16])
+                     - 2 * list_dot_product(q.vec[s.m*16+1 : s.m*16+16],
+                                            sd.cv[s.m*16+1 : s.m*16+16])
+                       AS d
+              FROM corpus q CROSS JOIN subs s CROSS JOIN pseeds sd
+              WHERE q.vec_id < 5),
+            adc AS (
+              SELECT q0.query_id, cd.vec_id,
+                     ROUND((((0.0 + q0.d) + q1.d) + q2.d) + q3.d, 6)
+                         AS approx
+              FROM codes cd
+              JOIN assigned a ON a.vec_id = cd.vec_id
+              JOIN probes p ON p.list_id = a.list_id
+              JOIN qtab q0 ON q0.query_id = p.query_id
+                          AND q0.m = 0 AND q0.cid = cd.c0
+              JOIN qtab q1 ON q1.m = 1 AND q1.cid = cd.c1
+                          AND q1.query_id = p.query_id
+              JOIN qtab q2 ON q2.m = 2 AND q2.cid = cd.c2
+                          AND q2.query_id = p.query_id
+              JOIN qtab q3 ON q3.m = 3 AND q3.cid = cd.c3
+                          AND q3.query_id = p.query_id),
             cand AS (
               SELECT query_id, vec_id FROM (
                 SELECT *, row_number() OVER (

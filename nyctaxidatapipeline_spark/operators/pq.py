@@ -46,8 +46,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.operators.similarity import (
+    _centroid_dots,
     as_double,
     dot,
+    ivf_kmeans_centroids,
     l2_norm,
 )
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
@@ -227,6 +229,108 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     exact = (cand.join(cvecs, id_col)
                  .join(F.broadcast(q.select(query_id_col, "q_vec",
                                             "q_norm")), query_id_col)
+                 .select(query_id_col, id_col,
+                         F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                                 / (F.col("q_norm") * F.col("c_norm")), 6)
+                          .alias("cosine")))
+    return top_k_per_group(
+        exact, [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k, desc=False, rank_col="rank")
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               n_centroids: int = 16, nprobe: int = 4,
+               n_codes: int = 16, m: int = 4, rerank: int = 50,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id", dim: int | None = None,
+               kmeans_iters: int = 2, pq_kmeans_iters: int = 4,
+               centroids: list[list[float]] | None = None,
+               codebooks: Codebooks | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k — the full FAISS ``IVFPQ`` shape: a
+    coarse quantizer prunes the scan to ``nprobe`` of ``n_centroids``
+    inverted lists per query, and within the probed lists the candidate
+    scores are PQ/ADC table lookups over ``m`` small codes — the scan
+    touches neither most of the corpus (IVF) nor any float vector (PQ)
+    until the exact rerank of ``rerank`` candidates.
+
+    This variant PQ-encodes the RAW vectors (FAISS ``by_residual=
+    false``); residual encoding (subtracting the assigned centroid
+    before PQ) improves code precision at the same bitrate but makes
+    the ADC table per-(query, probed-list) instead of per-query — the
+    documented upgrade path, not needed for the recall targets here.
+
+    Index = ONE projection per corpus row producing (id, list_id,
+    codes) — the coarse argmax and the ``m`` code argmins share the
+    scan, and the result is ``m`` ints + 1 int per vector. At 100 TB
+    write it out partitioned by ``list_id``: probes then prune at the
+    file level and the candidate scan reads ~``nprobe/n_centroids *
+    m/dim/4`` of the corpus bytes. Output contract matches
+    ``brute_force_topk``; with ``nprobe == n_centroids`` and ``rerank
+    >= |corpus|`` results equal brute force (unit-tested parity).
+    ``centroids``/``codebooks`` override training (pass the portable
+    seed variants for SQL-oracle reproducibility).
+    """
+    if centroids is None:
+        centroids = ivf_kmeans_centroids(corpus, n_centroids,
+                                         kmeans_iters, id_col, vec_col,
+                                         dim=dim)
+    if codebooks is None:
+        codebooks = pq_kmeans_codebooks(corpus, n_codes, m,
+                                        pq_kmeans_iters, dim, id_col,
+                                        vec_col)
+    mm = len(codebooks)
+    sub = len(codebooks[0][0]) if mm else 0
+    vec_d = as_double(F.col(vec_col))
+
+    # index build: coarse list + PQ codes in one pass over the vectors
+    base = (fan_out(corpus, id_col)
+            .filter(F.size(F.col(vec_col)) > 0)
+            .select(F.col(id_col), vec_d.alias("_v"))
+            .withColumn("_dots", _centroid_dots("_v", centroids))
+            .withColumn("list_id",
+                        (F.expr("array_position(_dots, array_max(_dots))")
+                          - 1).cast("int")))
+    score_cols = {f"_s{mi}": F.expr(_sub_scores("_v", codebooks[mi],
+                                                mi, sub))
+                  for mi in range(mm)}
+    code = [(F.expr(f"array_position(_s{mi}, array_min(_s{mi}))") - 1)
+            .cast("int") for mi in range(mm)]
+    index = (base.withColumns(score_cols)
+                 .select(F.col(id_col), "list_id",
+                         F.array(*code).alias("codes")))
+    cvecs = corpus.select(F.col(id_col), vec_d.alias("c_vec"),
+                          l2_norm(vec_d, dim).alias("c_norm"))
+
+    # queries: nprobe probed lists + the per-query ADC table
+    probes = F.expr(
+        f"transform(slice(array_sort(zip_with(_cdots, "
+        f"sequence(0, {len(centroids) - 1}), (d, i) -> struct(-d AS nd, "
+        f"i AS cid))), 1, {min(nprobe, len(centroids))}), s -> s.cid)")
+    tab = F.expr("array(" + ", ".join(
+        _sub_scores("q_vec", codebooks[mi], mi, sub)
+        for mi in range(mm)) + ")")
+    q = (queries.select(F.col(id_col).alias(query_id_col),
+                        vec_d.alias("q_vec"),
+                        l2_norm(vec_d, dim).alias("q_norm"))
+                .withColumn("_cdots", _centroid_dots("q_vec", centroids))
+                .withColumn("_t", tab)
+                .withColumn("_probe", F.explode(probes))
+                .withColumn("list_id", F.col("_probe").cast("int"))
+                .drop("_cdots", "_probe"))
+    adc = F.expr("aggregate(zip_with(codes, _t, (c, t) -> "
+                 "element_at(t, c + 1)), 0.0D, (acc, x) -> acc + x)")
+    scored_codes = (index.join(
+        F.broadcast(q.select(query_id_col, "list_id", "_t")), "list_id")
+        .select(query_id_col, id_col, F.round(adc, 6).alias("_approx")))
+    cand = top_k_per_group(
+        scored_codes, [query_id_col],
+        [F.col("_approx").asc(), F.col(id_col).asc()],
+        k=rerank, desc=False, rank_col="_crank").drop("_crank", "_approx")
+    exact = (cand.join(cvecs, id_col)
+                 .join(F.broadcast(q.select(query_id_col, "q_vec",
+                                            "q_norm").distinct()),
+                       query_id_col)
                  .select(query_id_col, id_col,
                          F.round(dot(F.col("q_vec"), F.col("c_vec"))
                                  / (F.col("q_norm") * F.col("c_norm")), 6)

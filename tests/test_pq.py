@@ -101,3 +101,41 @@ def test_kmeans_codebooks_do_not_regress_seed_recall(spark):
         rec[iters] = len(got & exact) / len(exact)
     assert rec[4] >= rec[0]
     assert rec[4] >= 0.9
+
+
+def test_ivfpq_exhaustive_equals_brute_force(spark):
+    """nprobe = n_centroids and rerank >= |corpus| makes IVF-PQ exact:
+    every list is probed and every candidate is exact-reranked."""
+    from nyctaxidatapipeline_spark.operators.pq import ivfpq_topk
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        ivf_seed_centroids_portable,
+    )
+    emb = load_table(spark, SF, "embeddings")
+    dim = embedding_dim(emb)
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=8)
+    books = pq_seed_codebooks_portable(emb, n_codes=8, m=4, dim=dim)
+    full = ivfpq_topk(emb, q, k=5, n_centroids=8, nprobe=8,
+                      rerank=10 ** 6, dim=dim, centroids=cents,
+                      codebooks=books)
+    bf = brute_force_topk(emb, q, k=5, dim=dim)
+    assert full.exceptAll(bf).count() == 0
+    assert bf.exceptAll(full).count() == 0
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """Composed pruning (4/8 lists probed, ADC candidates, rerank 40)
+    must still recover >= 90% of the exact top-10 on clustered data —
+    the regime both quantizers are designed for."""
+    from nyctaxidatapipeline_spark.operators.pq import ivfpq_topk
+    df = _clustered(spark, seed=23)
+    dim = 32
+    q = df.filter(F.col("vec_id") % 40 == 2).limit(6)
+    bf = brute_force_topk(df, q, k=10, dim=dim)
+    approx = ivfpq_topk(df, q, k=10, n_centroids=8, nprobe=4,
+                        rerank=40, dim=dim, kmeans_iters=2,
+                        pq_kmeans_iters=4)
+    exact = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(got & exact) / len(exact) >= 0.9, \
+        len(got & exact) / len(exact)
