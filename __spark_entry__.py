@@ -1631,6 +1631,24 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text"))
 
 
+def _q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-pre-passed twin of ``incremental_dedup`` — same split
+    (corpus < 250, batch >= 250), same oracle, same admitted set: the
+    broadcast bloom_filter_agg sketch rules most of the batch in with
+    no join; only filter-positive rows take the exact anti-join. The
+    shared oracle IS the exactness gate (no false negatives)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_fingerprint_dedup_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return (incremental_fingerprint_dedup_bloom(new, corpus, "text",
+                                                "doc_id")
+            .select("doc_id", "text"))
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (users with ≥ 0.05% of all events): one hash
     aggregate (map-side partials absorb the hot keys) + broadcast
@@ -1761,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "keep_latest": _q_keep_latest,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_dedup_bloom": _q_incremental_dedup_bloom,
         "funnel": _q_funnel,
         "interval_join": _q_interval_join,
         "correlations": _q_correlations,
@@ -3545,6 +3564,27 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1
         """,
         "incremental_dedup": """
+            WITH fp AS (
+              SELECT doc_id, text,
+                     md5(array_to_string(
+                         list_filter(string_split_regex(lower(trim(text)),
+                                                        '\\s+'),
+                                     t -> t <> ''), ' ')) AS f
+              FROM documents),
+            corpus_fps AS (
+              SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+            batch_reps AS (
+              SELECT f, MIN(doc_id) AS doc_id FROM fp
+              WHERE doc_id >= 250 GROUP BY f),
+            admitted AS (
+              SELECT doc_id FROM batch_reps
+              WHERE f NOT IN (SELECT f FROM corpus_fps))
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN admitted USING (doc_id)
+        """,
+        # The Bloom-pre-passed variant admits the IDENTICAL set (no
+        # false negatives); it shares the exact-semantics twin above.
+"incremental_dedup_bloom": """
             WITH fp AS (
               SELECT doc_id, text,
                      md5(array_to_string(

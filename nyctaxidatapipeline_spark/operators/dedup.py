@@ -592,3 +592,104 @@ def incremental_fingerprint_dedup(new: DataFrame, corpus: DataFrame,
     admitted = (batch_reps.join(corpus_fps, "fingerprint", "left_anti")
                 .select(id_col))
     return new.join(admitted, id_col, "left_semi")
+
+
+def bloom_words(keys: DataFrame, key_col: str, num_bits: int,
+                n_hashes: int = 2) -> DataFrame:
+    """Build a Bloom filter as a RELATION: (w, bits) — the non-zero
+    64-bit words of an ``num_bits``-bit array with ``n_hashes``
+    positions set per key (position_i = pmod(xxhash64(key, i),
+    num_bits)). One explode + one bit_or aggregate, fully mergeable
+    (appending keys just ORs in more words); the result is at most
+    ``num_bits/64`` rows regardless of key count — the broadcastable
+    sketch of an arbitrarily large key set.
+
+    Spark's internal ``bloom_filter_agg``/``might_contain`` expressions
+    are not exposed through the public function registry, so this is
+    the same data structure expressed relationally — which also makes
+    the probe side a plain broadcast hash join instead of an opaque
+    binary blob.
+    """
+    pos = [F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
+                  F.lit(num_bits)) for i in range(n_hashes)]
+    return (keys.select(F.explode(F.array(*pos)).alias("_pos"))
+                .select(F.expr("_pos div 64").alias("w"),
+                        F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+                         .alias("_b"))
+                .groupBy("w").agg(F.expr("bit_or(_b)").alias("bits")))
+
+
+def bloom_maybe_contains(df: DataFrame, key_col: str,
+                         words: DataFrame, num_bits: int,
+                         n_hashes: int = 2,
+                         alias: str = "_maybe") -> DataFrame:
+    """Tag each row with whether the Bloom relation MIGHT contain its
+    key (no false negatives; false-positive rate ~(1-e^(-jn/m))^j).
+    ``n_hashes`` broadcast hash joins against the tiny word table —
+    no Python, no driver traffic."""
+    out = df
+    checks = []
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
+                   F.lit(num_bits))
+        out = (out.withColumn(f"_p{i}", p)
+                  .withColumn(f"_w{i}", F.expr(f"_p{i} div 64"))
+                  .join(F.broadcast(
+                      words.select(F.col("w").alias(f"_w{i}"),
+                                   F.col("bits").alias(f"_bits{i}"))),
+                      f"_w{i}", "left"))
+        checks.append(
+            F.expr(f"coalesce(_bits{i}, 0L) & "
+                   f"shiftleft(1L, cast(_p{i} % 64 as int))") != 0)
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    drop = [c for i in range(n_hashes)
+            for c in (f"_p{i}", f"_w{i}", f"_bits{i}")]
+    return out.withColumn(alias, cond).drop(*drop)
+
+
+def incremental_fingerprint_dedup_bloom(new: DataFrame, corpus: DataFrame,
+                                        text_col: str, id_col: str,
+                                        num_bits: int = 1 << 23,
+                                        n_hashes: int = 2) -> DataFrame:
+    """``incremental_fingerprint_dedup`` with a Bloom-filter pre-pass —
+    EXACT same output (value-hash-gated against the same oracle), but
+    the shuffled anti-join only sees the batch rows the filter cannot
+    rule out.
+
+    The corpus fingerprint set folds into the ``bloom_words`` relation
+    (<= ``num_bits/64`` rows no matter the corpus size) and broadcasts;
+    ``bloom_maybe_contains`` splits the batch executor-side:
+
+      * filter-negative rows are DEFINITELY new (Bloom filters have no
+        false negatives) — admitted with no shuffled join at all;
+      * filter-positive rows (true duplicates + ~fpp of the rest) take
+        the exact anti-join, so only that sliver shuffles.
+
+    At 100 TB the batch-side shuffle shrinks from |batch| to
+    ~|dups| + fpp*|batch|; a production deployment persists the word
+    table between increments instead of re-aggregating (bit_or is
+    mergeable, so appends just OR in the new partials). Size
+    ``num_bits ~= 16x expected corpus keys`` for ~1.4% fpp at the
+    default two hashes. Both this and the plain variant keep corpus
+    TEXT out of every shuffle; they differ only in how much of the
+    BATCH shuffles.
+    """
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        fingerprint,
+    )
+
+    corpus_fps = (fingerprint(corpus, text_col, id_col)
+                  .select("fingerprint").distinct())
+    words = bloom_words(corpus_fps, "fingerprint", num_bits, n_hashes)
+    new_fp = fingerprint(new, text_col, id_col)
+    batch_reps = (new_fp.groupBy("fingerprint")
+                  .agg(F.min(id_col).alias(id_col)))
+    tagged = bloom_maybe_contains(batch_reps, "fingerprint", words,
+                                  num_bits, n_hashes)
+    fresh = tagged.filter(~F.col("_maybe")).select(id_col)
+    checked = (tagged.filter(F.col("_maybe"))
+               .join(corpus_fps, "fingerprint", "left_anti")
+               .select(id_col))
+    return new.join(fresh.union(checked), id_col, "left_semi")

@@ -315,3 +315,62 @@ def test_incremental_fingerprint_dedup(spark):
            incremental_fingerprint_dedup(new, corpus, "text",
                                          "doc_id").collect()}
     assert got == {11, 13}                   # min-id wins in batch
+
+
+# --- relational Bloom filter (incremental dedup pre-pass) -----------------
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        bloom_maybe_contains,
+        bloom_words,
+    )
+    keys = spark.createDataFrame(
+        [Row(k=f"key-{i}") for i in range(500)])
+    words = bloom_words(keys, "k", num_bits=1 << 13)
+    tagged = bloom_maybe_contains(keys, "k", words, num_bits=1 << 13)
+    assert tagged.filter(~F.col("_maybe")).count() == 0
+
+
+def test_bloom_fpp_is_small(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        bloom_maybe_contains,
+        bloom_words,
+    )
+    keys = spark.createDataFrame(
+        [Row(k=f"in-{i}") for i in range(500)])
+    others = spark.createDataFrame(
+        [Row(k=f"out-{i}") for i in range(2000)])
+    # m = 8192 bits for n=500, j=2 -> fpp ~ (1-e^(-2*500/8192))^2 ~ 1.3%
+    words = bloom_words(keys, "k", num_bits=1 << 13)
+    fp = (bloom_maybe_contains(others, "k", words, num_bits=1 << 13)
+          .filter(F.col("_maybe")).count())
+    assert fp / 2000 < 0.05, fp
+
+
+def test_bloom_incremental_dedup_equals_plain(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_fingerprint_dedup,
+        incremental_fingerprint_dedup_bloom,
+    )
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i % 40}") for i in range(100)])
+    new = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"doc number {i % 60}")
+         for i in range(120)])
+    plain = incremental_fingerprint_dedup(new, corpus, "text", "doc_id")
+    bloom = incremental_fingerprint_dedup_bloom(new, corpus, "text",
+                                                "doc_id",
+                                                num_bits=1 << 12)
+    assert plain.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(plain).count() == 0
+    # the admitted set must be exactly the batch texts unseen in corpus
+    got = {r.doc_id for r in bloom.collect()}
+    assert got == {100 + i for i in range(40, 60)}
