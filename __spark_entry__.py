@@ -1482,6 +1482,38 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ["ts", "value"])
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over plain DataFrames, all three clauses firing on
+    real data: target = customer balances; source = balances debited by
+    each customer's exact-decimal order total, plus synthetic brand-new
+    customers (key + 1,000,000). Matched rows: DELETE when the debited
+    balance < -3M (~27%), UPDATE when > -2M (~30%), keep target
+    otherwise (~43% — every clause fires on real data);
+    unmatched source rows INSERT. The oracle composes the identical
+    clause logic from anti-joins + a CASE'd inner join."""
+    from nyctaxidatapipeline_spark.operators.cdc import merge_upsert
+
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal"))
+    tot = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.round(F.sum(F.col("o_totalprice")
+                              .cast("decimal(38,10)")).cast("double"), 2)
+                 .alias("_tot")))
+    upd = (cust.join(tot, cust.c_custkey == tot.o_custkey)
+               .select("c_custkey", "c_name",
+                       (F.col("c_acctbal") - F.col("_tot"))
+                        .alias("c_acctbal")))
+    new_rows = (cust.filter(F.col("c_custkey") <= 100)
+                .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                        F.concat(F.lit("new "), "c_name").alias("c_name"),
+                        F.lit(0.0).alias("c_acctbal")))
+    return merge_upsert(cust, upd.unionByName(new_rows),
+                        ["c_custkey"],
+                        update_condition="s.c_acctbal > -2000000",
+                        delete_condition="s.c_acctbal < -3000000")
+
+
 def _q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-row trailing moving average of purchase values per user
     (rows-frame window; event_id ordering is unique, so the frame
@@ -1791,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _q_incremental_rollup,
         "moving_avg": _q_moving_avg,
         "snapshot_diff": _q_snapshot_diff,
+        "merge_upsert": _q_merge_upsert,
         "fuzzy_names": _q_fuzzy_supplier_names,
         "cohort_retention": _q_cohort_retention,
         "dataset_mix": _q_dataset_mix,
@@ -3825,6 +3858,47 @@ def oracle_sql() -> dict[str, str]:
                        WHEN (b.ts IS DISTINCT FROM a.ts)
                          OR (b.value IS DISTINCT FROM a.value)
                        THEN 'changed' END IS NOT NULL
+        """,
+        # Twin of cdc.merge_upsert: identical clause order (matched
+        # DELETE before UPDATE, keep-target fallback, unmatched-source
+        # INSERT) composed from anti-joins + a CASE'd inner join; order
+        # totals as exact DECIMAL sums so both engines debit identical
+        # doubles.
+        "merge_upsert": """
+            WITH tgt AS (
+              SELECT c_custkey, c_name, c_acctbal FROM customer),
+            tot AS (
+              SELECT o_custkey,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                                AS DOUBLE), 2) AS t
+              FROM orders GROUP BY o_custkey),
+            upd AS (
+              SELECT c.c_custkey, c.c_name, c.c_acctbal - tot.t AS c_acctbal
+              FROM tgt c JOIN tot ON c.c_custkey = tot.o_custkey),
+            ins AS (
+              SELECT c_custkey + 1000000 AS c_custkey,
+                     'new ' || c_name AS c_name,
+                     CAST(0.0 AS DOUBLE) AS c_acctbal
+              FROM tgt WHERE c_custkey <= 100),
+            src AS (
+              SELECT * FROM upd UNION ALL SELECT * FROM ins),
+            matched AS (
+              SELECT s.c_custkey,
+                     CASE WHEN s.c_acctbal > -2000000 THEN s.c_name
+                          ELSE t.c_name END AS c_name,
+                     CASE WHEN s.c_acctbal > -2000000 THEN s.c_acctbal
+                          ELSE t.c_acctbal END AS c_acctbal
+              FROM src s JOIN tgt t USING (c_custkey)
+              WHERE NOT (s.c_acctbal < -3000000)),
+            unmatched AS (
+              SELECT * FROM tgt
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM src)),
+            inserts AS (
+              SELECT * FROM src
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM tgt))
+            SELECT * FROM unmatched
+            UNION ALL SELECT * FROM matched
+            UNION ALL SELECT * FROM inserts
         """,
         "moving_avg": """
             SELECT event_id, user_id, value,

@@ -106,3 +106,55 @@ def diff_tables(before: DataFrame, after: DataFrame,
     return (joined.withColumn("change", change)
                   .filter(F.col("change").isNotNull())
                   .select(*key_cols, "change"))
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 key_cols: Sequence[str],
+                 update_condition: str | None = None,
+                 delete_condition: str | None = None,
+                 insert_condition: str | None = None) -> DataFrame:
+    """MERGE INTO semantics over plain DataFrames — what Delta/Iceberg
+    MERGE compiles to underneath (this image ships no lake-format
+    jars, the same constraint as ``scd2_merge``):
+
+      WHEN MATCHED [AND delete_condition] THEN DELETE
+      WHEN MATCHED [AND update_condition] THEN UPDATE SET * (source
+        values win; a matched row failing both conditions keeps the
+        TARGET values)
+      WHEN NOT MATCHED [AND insert_condition] THEN INSERT *
+
+    Clause order follows Delta: DELETE is evaluated before UPDATE for
+    matched rows. Conditions are SQL strings over the joined pair with
+    aliases ``t`` (target) and ``s`` (source) — e.g. ``"s.balance <
+    t.balance"``. ``source`` must be unique per key (the MERGE
+    cardinality rule; violations make the matched arm multiply rows
+    exactly as Delta would error on).
+
+    Output columns = target columns. Scale shape: ONE shuffle join of
+    target⋈source on the key for the matched arm plus an anti-join per
+    unmatched side — with both tables bucketed by key all three are
+    exchange-free. The whole result is a pure function of the two
+    inputs (no ordering sensitivity), so it replays identically on any
+    layout.
+    """
+    keys = list(key_cols)
+    cols = target.columns
+    t, s = target.alias("t"), source.alias("s")
+    j = t.join(s, keys, "inner")
+    arm_del = F.expr(delete_condition) if delete_condition \
+        else F.lit(False)
+    arm_upd = F.expr(update_condition) if update_condition \
+        else F.lit(True)
+    matched = (j.filter(~arm_del)
+                .select(*keys,
+                        *[F.when(arm_upd, F.col(f"s.{c}"))
+                           .otherwise(F.col(f"t.{c}")).alias(c)
+                          for c in cols if c not in keys])
+                .select(*cols))
+    unmatched_tgt = t.join(s.select(*keys).distinct(), keys, "left_anti")
+    inserts = s.join(t.select(*keys).distinct(), keys, "left_anti")
+    if insert_condition:
+        inserts = inserts.alias("s").filter(F.expr(insert_condition))
+    return (unmatched_tgt.select(*cols)
+            .unionByName(matched)
+            .unionByName(inserts.select(*cols)))

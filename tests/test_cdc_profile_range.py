@@ -149,3 +149,46 @@ def test_diff_tables_classification(spark):
     got = {r["k"]: r["change"]
            for r in diff_tables(before, after, ["k"], ["v", "w"]).collect()}
     assert got == {1: "changed", 2: "removed", 3: "changed", 6: "added"}
+
+
+# --- MERGE INTO semantics -------------------------------------------------
+
+def test_merge_upsert_all_clauses(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([
+        Row(k=1, v="a", n=10),    # matched, update fires
+        Row(k=2, v="b", n=20),    # matched, delete fires
+        Row(k=3, v="c", n=30),    # matched, neither -> keep target
+        Row(k=4, v="d", n=40),    # unmatched target -> pass through
+    ])
+    source = spark.createDataFrame([
+        Row(k=1, v="A", n=11),
+        Row(k=2, v="B", n=-1),
+        Row(k=3, v="C", n=30),
+        Row(k=5, v="E", n=50),    # not matched -> insert
+        Row(k=6, v="F", n=-6),    # not matched, insert_condition false
+    ])
+    out = merge_upsert(target, source, ["k"],
+                       update_condition="s.n > t.n",
+                       delete_condition="s.n < 0",
+                       insert_condition="s.n > 0")
+    got = {r.k: (r.v, r.n) for r in out.collect()}
+    assert got == {1: ("A", 11),   # updated
+                   3: ("c", 30),   # kept target (s.n == t.n)
+                   4: ("d", 40),   # untouched
+                   5: ("E", 50)}   # inserted; 2 deleted, 6 filtered
+
+
+def test_merge_upsert_default_is_plain_upsert(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")])
+    source = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="ins")])
+    got = {r.k: r.v for r in
+           merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
