@@ -36,9 +36,6 @@ from nyctaxidatapipeline_spark.operators.lines import dedup_lines
 from nyctaxidatapipeline_spark.operators.text_analysis import (
     fingerprint_dedup,
     pii_redact,
-    pii_stats,
-    quality_score,
-    repetition_stats,
 )
 
 
@@ -53,25 +50,40 @@ def curation_flags(df: DataFrame, text_col: str, id_col: str,
     have n-grams pass ``ok_repetition`` vacuously (the length rule is
     the one that judges them). ``has_pii`` is informational — the
     pipeline REDACTS rather than drops (the Dolma convention).
+
+    ONE row-local projection, zero shuffles: every rule surface
+    (quality, repetition, PII) is a per-document expression, built from
+    the same ``_quality_exprs``/``_repetition_exprs``/``_pii_flag``
+    Columns the standalone operators use — the previous shape joined
+    three separate scans of the corpus on the id (two shuffle joins +
+    the old repetition explode-aggregate pair) to compute what one
+    projection can.
     """
-    q = quality_score(df, text_col, id_col).select(
-        id_col, "n_tokens", "quality_score")
-    r = repetition_stats(df, text_col, id_col, n=2).select(
-        id_col, "dup_ngram_frac")
-    p = pii_stats(df, text_col, id_col).select(id_col, "has_pii")
-    ok_length = F.col("n_tokens") >= min_tokens
-    ok_quality = F.col("quality_score") >= min_quality
-    ok_repetition = F.coalesce(
-        F.col("dup_ngram_frac") <= max_dup_frac, F.lit(True))
-    return (q.join(r, id_col, "left")
-             .join(p, id_col)
-             .select(id_col, "n_tokens", "quality_score",
-                     "dup_ngram_frac", "has_pii",
-                     ok_length.alias("ok_length"),
-                     ok_quality.alias("ok_quality"),
-                     ok_repetition.alias("ok_repetition"),
-                     (ok_length & ok_quality & ok_repetition)
-                     .alias("keep")))
+    from nyctaxidatapipeline_spark.functions.text import shingles, tokens
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        _pii_flag,
+        _quality_exprs,
+        _repetition_exprs,
+    )
+
+    q = _quality_exprs(text_col)
+    r = _repetition_exprs()
+    dup = F.when(F.size("_sh") > 0, r["dup_ngram_frac"])
+    ok_length = q["n_tokens"] >= min_tokens
+    ok_quality = q["quality_score"] >= min_quality
+    ok_repetition = F.coalesce(dup <= max_dup_frac, F.lit(True))
+    return (df.withColumn("_tk", tokens(text_col))
+              .withColumn("_sh", shingles(F.col("_tk"), 2))
+              .select(id_col,
+                      q["n_tokens"].alias("n_tokens"),
+                      q["quality_score"].alias("quality_score"),
+                      dup.alias("dup_ngram_frac"),
+                      _pii_flag(text_col).alias("has_pii"),
+                      ok_length.alias("ok_length"),
+                      ok_quality.alias("ok_quality"),
+                      ok_repetition.alias("ok_repetition"),
+                      (ok_length & ok_quality & ok_repetition)
+                      .alias("keep")))
 
 
 def curate_corpus(df: DataFrame, text_col: str, id_col: str,
@@ -87,8 +99,16 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str,
     (MinHash-LSH, portable hash family) duplicates, keeping the min-id
     representative of every duplicate group.
     """
+    # The checkpoint below is a PUSHDOWN BARRIER, not (only) a reuse
+    # cache: filtering the flags projection directly lets Catalyst push
+    # the `keep` predicate beneath the _tk/_sh projections, inlining
+    # the full rule expression (with its interpreted array lambdas,
+    # which get no common-subexpression reuse) into a non-codegen
+    # Filter — measured 8x slower than just materializing the flags
+    # and filtering the result.
     kept_ids = (curation_flags(df, text_col, id_col, min_tokens,
                                min_quality, max_dup_frac)
+                .localCheckpoint(eager=False)
                 .filter("keep").select(id_col))
     kept = df.join(kept_ids, id_col, "left_semi")
     redacted = (pii_redact(kept, text_col, redacted_col="_red")

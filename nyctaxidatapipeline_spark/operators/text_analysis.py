@@ -113,15 +113,11 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
          .alias("avg_token_len")))
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Gopher/C4-style quality heuristics + one combined score.
-
-    Components (all NULL-guarded for empty text):
-      length_score   = min(n_tokens / 100, 1)        — reward substance
-      stopword_ratio = en-marker tokens / tokens      — prose-likeness
-      punct_ratio    = punct chars / chars            — structure signal
-      score = 0.5·length + 0.3·min(stop·5, 1) + 0.2·min(punct·20, 1)
-    """
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """The quality-heuristic expressions, over an in-scope ``_tk`` token
+    array — shared by ``quality_score`` and the single-projection
+    ``curation_flags`` (same Columns, so the composed pipeline cannot
+    drift from the standalone operator)."""
     tk = F.col("_tk")
     n = F.size(tk)
     chars = F.length(F.col(text_col))
@@ -135,14 +131,28 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                              F.lit(1.0))
              + 0.2 * F.least(F.coalesce(punct_ratio, F.lit(0.0)) * 20.0,
                              F.lit(1.0)))
+    return {
+        "n_tokens": n,
+        "length_score": F.round(length_score, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics + one combined score.
+
+    Components (all NULL-guarded for empty text):
+      length_score   = min(n_tokens / 100, 1)        — reward substance
+      stopword_ratio = en-marker tokens / tokens      — prose-likeness
+      punct_ratio    = punct chars / chars            — structure signal
+      score = 0.5·length + 0.3·min(stop·5, 1) + 0.2·min(punct·20, 1)
+    """
+    q = _quality_exprs(text_col)
     return (df.withColumn("_tk", tokens(text_col))  # tokenize once
-              .select(
-        id_col,
-        n.alias("n_tokens"),
-        F.round(length_score, 6).alias("length_score"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score")))
+              .select(id_col,
+                      *[c.alias(name) for name, c in q.items()]))
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -175,6 +185,17 @@ PII_PATTERNS = {
 }
 
 
+def _pii_flag(text_col: str) -> Column:
+    """Boolean any-PII expression (the ``has_pii`` column of
+    ``pii_stats``) — shared with the single-projection
+    ``curation_flags``."""
+    total = None
+    for p in PII_PATTERNS.values():
+        c = F.regexp_count(F.col(text_col), F.lit(p))
+        total = c if total is None else total + c
+    return total > 0
+
+
 def pii_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document PII surface counts + flag.
 
@@ -204,6 +225,22 @@ def pii_redact(df: DataFrame, text_col: str,
     return df.withColumn(redacted_col, out)
 
 
+def _repetition_exprs() -> dict[str, Column]:
+    """Row-local repetition signals over an in-scope ``_sh`` shingle
+    array (callers guard empty arrays) — the ``dup_ngram_frac`` rule
+    surface for the single-projection ``curation_flags``. The
+    standalone ``repetition_stats`` (which also needs the top-n-gram
+    count) uses the codegen'd aggregate shape instead — see its
+    docstring for the measured tradeoff."""
+    n_ngrams = F.size("_sh").cast("bigint")
+    n_distinct = F.size(F.array_distinct("_sh")).cast("bigint")
+    return {
+        "n_ngrams": n_ngrams,
+        "n_distinct": n_distinct,
+        "dup_ngram_frac": F.round(1.0 - n_distinct / n_ngrams, 6),
+    }
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str,
                      n: int = 2) -> DataFrame:
     """Gopher-style repetition signals per document.
@@ -223,6 +260,15 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     per-document so no key is hotter than the longest single document.
     Documents with fewer than ``n`` tokens produce no n-grams and are
     absent.
+
+    A fully row-local variant (sorted run-length fold per document, no
+    shuffle at all) was measured 6x SLOWER at bench scale: Spark's
+    higher-order-function lambdas run interpreted with no
+    common-subexpression reuse, while this shape stays inside
+    whole-stage-codegen'd hash aggregates whose shuffle volume is the
+    map-side-combined per-document distinct mass. ``_repetition_exprs``
+    keeps the row-local ``dup_ngram_frac`` for ``curation_flags``,
+    which needs only that one signal.
     """
     from nyctaxidatapipeline_spark.functions.text import shingles
 
