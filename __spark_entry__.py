@@ -1681,6 +1681,23 @@ def _q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text"))
 
 
+def _q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling, weights -> corpus: keep each document
+    with probability proportional to its (rounded) quality score
+    (scale 1.2, certainty-clamped) via the md5-uniform admit rule —
+    the resample step of the DSIR/DoReMi recipe, shuffle-free. The
+    oracle applies the identical hash threshold to the identical
+    rounded weights."""
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs, "text", "doc_id").select("doc_id",
+                                                     "quality_score")
+    return weighted_sample(q, "doc_id", "quality_score", scale=1.2)
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (users with ≥ 0.05% of all events): one hash
     aggregate (map-side partials absorb the hot keys) + broadcast
@@ -1874,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "contamination_check": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "importance_resample": _q_importance_resample,
         "dataset_split": _q_dataset_split,
         "pivot_qty": _q_pivot_qty,
         "melt_measures": _q_melt_measures,
@@ -3106,6 +3124,45 @@ def oracle_sql() -> dict[str, str]:
                          + 0.2 * least(COALESCE(punct_ratio, 0.0) * 20.0,
                                        1.0), 6) AS quality_score
             FROM comp
+        """,
+        # Twin of sampling.weighted_sample over the rounded quality
+        # score: identical md5-uniform (first 8 md5 hex chars mod 1e6)
+        # and identical clamped FLOOR threshold.
+        "importance_resample": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), comp AS (
+              SELECT doc_id,
+                     least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+                         AS length_score,
+                     CASE WHEN len(tk) > 0 THEN
+                          CAST(len(list_filter(tk, t -> list_contains(
+                            ['the','a','is','and','of','to','in','that','it',
+                             'for'], t))) AS DOUBLE) / len(tk) END
+                         AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                          CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                               AS DOUBLE) / length(text) END AS punct_ratio
+              FROM toks)
+            SELECT doc_id,
+                   ROUND(0.5 * length_score
+                         + 0.3 * least(COALESCE(stopword_ratio, 0.0) * 5.0,
+                                       1.0)
+                         + 0.2 * least(COALESCE(punct_ratio, 0.0) * 20.0,
+                                       1.0), 6) AS quality_score
+            FROM comp
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000
+                  < FLOOR(least(greatest(
+                        ROUND(0.5 * length_score
+                              + 0.3 * least(COALESCE(stopword_ratio, 0.0)
+                                            * 5.0, 1.0)
+                              + 0.2 * least(COALESCE(punct_ratio, 0.0)
+                                            * 20.0, 1.0), 6) * 1.2,
+                        0.0), 1.0) * 1000000)
         """,
         "fingerprint_dedup": """
             WITH toks AS (

@@ -177,3 +177,24 @@ def cap_per_group(df: DataFrame, group_cols: Sequence[str], id_col: str,
     return (df.withColumn("_rk", F.row_number().over(w))
               .filter(F.col("_rk") <= max_rows)
               .drop("_rk"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    scale: float = 1.0) -> DataFrame:
+    """Deterministic importance resampling — the step that turns
+    per-document importance weights (DSIR ratios, quality scores,
+    domain re-weights) into an actual resampled corpus: each row
+    survives iff its md5-uniform < min(1, scale * weight), i.e.
+    P(keep) proportional to weight with certainty-clamping above
+    1/scale (the standard rejection-sampling admit rule; DoReMi/DSIR
+    resample exactly this way).
+
+    Pure function of (key, weight): stable under reruns, repartitions
+    and appends, and rows never interact — a narrow pushdown-friendly
+    filter with no shuffle, like ``deterministic_sample``. Negative
+    weights drop with certainty.
+    """
+    n = 1_000_000
+    p = F.least(F.greatest(F.col(weight_col) * F.lit(float(scale)),
+                           F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_bucket(F.col(key_col), n) < F.floor(p * n))

@@ -165,3 +165,37 @@ def test_cap_per_group_deterministic(spark):
     ids2 = {r["id"] for r in
             cap_per_group(df.repartition(7), ["g"], "id", 5).collect()}
     assert ids1 == ids2
+
+
+# --- importance resampling ------------------------------------------------
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    df = spark.createDataFrame(
+        [Row(k=i, w=1.0) for i in range(200)]
+        + [Row(k=1000 + i, w=0.0) for i in range(200)]
+        + [Row(k=2000 + i, w=-0.5) for i in range(50)])
+    out = weighted_sample(df, "k", "w")
+    kept = {r.k for r in out.collect()}
+    # weight 1 -> certainty; weight <= 0 -> dropped
+    assert kept == set(range(200))
+    # deterministic under repartition
+    kept2 = {r.k for r in weighted_sample(df.repartition(7), "k", "w")
+             .collect()}
+    assert kept2 == kept
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    df = spark.createDataFrame([Row(k=i, w=0.25) for i in range(4000)])
+    n = weighted_sample(df, "k", "w").count()
+    assert 800 <= n <= 1200, n       # ~25% of 4000
