@@ -292,3 +292,72 @@ def run_incremental_rollup(stream: DataFrame, state_dir: str,
     q = w.start()
     q.processAllAvailable()
     return q
+
+
+def dedup_admit_fn(corpus_dir: str, text_col: str, id_col: str):
+    """The ``foreachBatch`` function for ``run_incremental_dedup``:
+    admit only batch documents that are not fingerprint-duplicates of
+    the already-admitted corpus (nor of each other — min-id wins), and
+    APPEND the admitted rows as a new epoch partition.
+
+    Exactly-once under replays, the append-shaped variant of
+    ``rollup_merge_fn``'s swap: each epoch's admissions land in their
+    own ``epoch=N`` directory via write-tmp-then-rename, so the rename
+    IS the commit — a crash between sink commit and offset commit
+    re-delivers the same epoch, which is a no-op because its directory
+    already exists. Unlike the rollup (whole-state swap), nothing ever
+    rewrites: per-batch cost is the batch anti-join against the corpus
+    fingerprint set (via the Bloom pre-pass, so only filter-positive
+    rows shuffle), plus the admitted rows' write.
+    """
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_fingerprint_dedup_bloom,
+    )
+
+    def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
+        if os.path.exists(edir):
+            return                       # replayed epoch — committed
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        if os.path.isdir(corpus_dir) and any(
+                e.startswith("epoch=") for e in os.listdir(corpus_dir)):
+            corpus = (spark.read
+                      .option("basePath", corpus_dir)
+                      .parquet(corpus_dir)
+                      .select(id_col, text_col))
+        else:
+            corpus = spark.createDataFrame([], batch.schema)
+        admitted = incremental_fingerprint_dedup_bloom(
+            batch, corpus, text_col, id_col)
+        tmp = os.path.join(
+            os.path.dirname(corpus_dir.rstrip("/")) or ".",
+            f".tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        admitted.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(corpus_dir, exist_ok=True)
+        os.rename(tmp, edir)
+
+    return admit_batch
+
+
+def run_incremental_dedup(stream: DataFrame, corpus_dir: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          checkpoint_dir: str | None = None):
+    """foreachBatch streaming corpus admission: documents arriving on
+    the stream are admitted into ``corpus_dir`` only if new (see
+    ``dedup_admit_fn``). The admitted corpus after draining a finite
+    stream equals the batch ``incremental_fingerprint_dedup`` result
+    applied batch-by-batch — gated e2e in ``tests/test_streaming_ext``.
+    """
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(dedup_admit_fn(corpus_dir, text_col, id_col)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q

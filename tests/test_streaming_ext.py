@@ -204,3 +204,62 @@ def test_incremental_rollup_replay_is_exactly_once(spark, tmp_path):
                  for r in spark.read.parquet(state).collect()}
     assert after_new == {k: 2 * v for k, v in committed_n.items()}
     assert applied_epoch(state) == last + 1
+
+
+def test_streaming_dedup_admission_equals_batch(spark, tmp_path):
+    """Streamed corpus admission == sequential batch incremental dedup:
+    documents drained through foreachBatch produce the same admitted
+    corpus as applying incremental_fingerprint_dedup batch-by-batch
+    (for a single micro-batch: within-batch min-id dedup)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_fingerprint_dedup,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_incremental_dedup,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = str(tmp_path / "corpus")
+    docs = stream_table(spark, sf, "documents")
+    q = run_incremental_dedup(docs, corpus,
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    got = {tuple(r) for r in (spark.read
+                              .option("basePath", corpus)
+                              .parquet(corpus)
+                              .select("doc_id", "text").collect())}
+    all_docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    empty = spark.createDataFrame([], all_docs.schema)
+    want = {tuple(r) for r in
+            incremental_fingerprint_dedup(all_docs, empty, "text",
+                                          "doc_id").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_replay_and_increment(spark, tmp_path):
+    """Replayed epochs are no-ops (the epoch directory is the commit);
+    a genuinely new epoch admits only documents unseen so far."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import dedup_admit_fn
+
+    corpus = str(tmp_path / "corpus")
+    fn = dedup_admit_fn(corpus, "text", "doc_id")
+    b0 = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text="alpha  BETA"),   # normalized dup of 1
+        Row(doc_id=3, text="gamma delta")])
+    fn(b0, 0)
+    read = lambda: {r.doc_id for r in
+                    spark.read.option("basePath", corpus)
+                    .parquet(corpus).collect()}
+    assert read() == {1, 3}
+    fn(b0, 0)                                 # replay -> no-op
+    assert read() == {1, 3}
+    b1 = spark.createDataFrame([
+        Row(doc_id=4, text="ALPHA beta"),     # dup of corpus doc 1
+        Row(doc_id=5, text="epsilon zeta")])
+    fn(b1, 1)
+    assert read() == {1, 3, 5}
