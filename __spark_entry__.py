@@ -1759,6 +1759,22 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(fwd.union(rev), iters=3)
 
 
+def _q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration multi-source BFS (4 hops) from suppliers s1-s5
+    over the symmetrized supplier-part graph — (node, dist) for every
+    node reached; the twin unrolls one relax-and-min CTE per round."""
+    from nyctaxidatapipeline_spark.operators.graph import shortest_paths
+
+    li = _lineitem(spark, sf_dir)
+    fwd = (li.select(F.concat(F.lit("s"), "l_suppkey").alias("src"),
+                     F.concat(F.lit("p"), "l_partkey").alias("dst"))
+             .distinct())
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sources = spark.createDataFrame(
+        [(f"s{i}",) for i in range(1, 6)], "node string")
+    return shortest_paths(fwd.union(rev), sources, iters=4)
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (2 rounds) over the
     same symmetrized supplier↔part graph as ``pagerank`` — community
@@ -1911,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
+        "shortest_paths": _q_shortest_paths,
         "ann_ivfpq": _q_ann_ivfpq,
     }
 
@@ -2432,6 +2449,28 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
                  FROM nodes LEFT JOIN s{i} ON node = s{i}.dst, cnt)""")
     return (f"WITH {','.join(ctes)}\n"
             f"        SELECT node, rank FROM r{iters}")
+
+
+def _bfs_oracle_sql(iters: int = 4) -> str:
+    """DuckDB twin of the fixed-iteration BFS: one relax-and-min CTE
+    per round over the symmetrized supplier-part graph, sources s1-s5,
+    reached-only frontier semantics (no infinity sentinel)."""
+    ctes = ["""
+        f AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                              'p' || l_partkey AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+        d0 AS (SELECT node, 0 AS dist FROM (VALUES ('s1'), ('s2'),
+                   ('s3'), ('s4'), ('s5')) v(node))"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+                   SELECT node, dist FROM d{i - 1}
+                   UNION ALL
+                   SELECT e.dst AS node, d.dist + 1 AS dist
+                   FROM e JOIN d{i - 1} d ON e.src = d.node)
+                 GROUP BY node)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"        SELECT node, dist FROM d{iters}")
 
 
 def _lpa_oracle_sql(iters: int = 2) -> str:
@@ -3528,6 +3567,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         "label_propagation": _lpa_oracle_sql(iters=2),
+        "shortest_paths": _bfs_oracle_sql(iters=4),
         # Twin of the degree-ordered compact-forward triangle counter:
         # the id-ordered triple join is valid because per-node triangle
         # counts are independent of the enumeration order.

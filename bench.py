@@ -70,8 +70,11 @@ def main() -> None:
         "near_dup_embedding": {"exact": "embedding_near_dup",
                                "scale": "ann_lsh"},
         "ann_topk": {"exact": "ann_topk", "scale": "ann_ivf"},
+        "ann_compressed": {"exact": "ann_topk", "scale": "ann_ivfpq"},
         "near_dup_semantic": {"exact": "embedding_near_dup",
                               "scale": "semantic_dedup"},
+        "incremental_dedup": {"exact": "incremental_dedup",
+                              "scale": "incremental_dedup_bloom"},
     }
     # Mechanically-trackable headline per path class: regressions on the
     # scale members must be visible round-over-round without re-deriving

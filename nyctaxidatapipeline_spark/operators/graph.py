@@ -214,3 +214,38 @@ def top_ranked(edges: DataFrame, k: int = 20, **kwargs) -> DataFrame:
     r = pagerank(edges, **kwargs)
     return (r.orderBy(F.col("rank").desc(), F.col("node"))
              .limit(k))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   node_col: str = "node", iters: int = 4,
+                   checkpoint_every: int = 2) -> DataFrame:
+    """Fixed-iteration BFS (unweighted single/multi-source shortest
+    paths): ``iters`` rounds of distance relaxation over a directed
+    edge list. Output: (node, dist) for every node REACHED within
+    ``iters`` hops (unreached nodes are absent — the frontier
+    semantics an oracle can pin without an infinity sentinel).
+
+    Scale shape mirrors ``pagerank``: the edge table is pinned
+    hash-partitioned by src once; each round is one join that reuses
+    that layout (only the distance side moves) plus one min-aggregate
+    by node. The distance table only ever holds reached nodes, so
+    early rounds are as small as the frontier — the Pregel BFS cost
+    profile, not |V| per round.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .repartition(F.col("src"))
+              .localCheckpoint(eager=False))
+    d = (sources.select(F.col(node_col).alias("node"))
+                .distinct()
+                .select("node", F.lit(0).alias("dist")))
+    for i in range(iters):
+        relaxed = (e.join(d.withColumnRenamed("node", "src"), "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("dist") + 1).alias("dist")))
+        d = (d.unionByName(relaxed)
+              .groupBy("node").agg(F.min("dist").alias("dist")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            d = d.localCheckpoint(eager=False)
+    return d

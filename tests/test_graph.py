@@ -164,3 +164,24 @@ def test_triangle_count_ignores_direction_dupes_loops(spark):
     df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
     out = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+# --- BFS shortest paths ---------------------------------------------------
+
+def test_bfs_distances_path_graph(spark):
+    from nyctaxidatapipeline_spark.operators.graph import shortest_paths
+    # a -> b -> c -> d chain plus shortcut a -> c
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"]
+           for r in shortest_paths(e, src, iters=4).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_frontier_is_bounded_by_iters(spark):
+    from nyctaxidatapipeline_spark.operators.graph import shortest_paths
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"]
+           for r in shortest_paths(e, src, iters=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}   # d is beyond 2 hops -> absent
