@@ -1824,9 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covered (line_dedup..corpus_report + the original 13-entry TPC-H
     pack) are rotated to the front here so round 4's window verifies
     them; the previously driver-verified 50 follow. Queries newer than
-    the rotation (the 8 TPC-H additions beyond q2/q11, ann_pq, ...)
-    queue behind the front 48 — harness-verified until a later rotation
-    brings them into a driver window."""
+    the rotation (the TPC-H completions, ann_pq/ann_ivfpq, the round-4
+    additions at the tail) queue behind the front 48 — harness-verified
+    until a later rotation brings them into a driver window; round 5
+    should rotate the tail (demand_heatmap..shortest_paths) forward."""
     return {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
