@@ -75,8 +75,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .localCheckpoint(eager=False))
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    ew = (e.repartition(F.col("src"))
-           .join(outdeg, "src")
+    # The shuffle join on src leaves ew hash-partitioned by src — no
+    # explicit repartition needed (it would be one more exchange).
+    ew = (e.join(outdeg, "src")
            .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
