@@ -85,6 +85,29 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: T.StructType | str | None = None,
+             **options) -> DataFrame:
+    """Spark 4's native XML source (no external spark-xml jar needed).
+    ``row_tag`` names the repeated element that maps to one row; like
+    CSV/JSON, prefer an explicit schema over inference at scale, and
+    land as parquet (``convert_to_parquet``) before real query work —
+    XML is a row-at-a-time text format with no pushdown or pruning."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format("xml").load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    (df.write.mode(mode)
+       .option("rowTag", row_tag).option("rootTag", root_tag)
+       .format("xml").save(path))
+
+
 def convert_to_parquet(spark: SparkSession, src: DataFrame, out_path: str,
                        partition_by: list[str] | None = None) -> DataFrame:
     """Land a row-format source as (optionally partitioned) parquet and

@@ -90,3 +90,25 @@ def test_cli_end_to_end(spark, tmp_path, monkeypatch):
     assert got[0].n_trips == 3
     import os
     assert len(os.listdir(out)) == 7
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """Spark 4 native XML: write with row/root tags, read back by
+    rowTag with an explicit schema — values and row count survive."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.sources.formats import (
+        read_xml,
+        write_xml,
+    )
+    df = spark.createDataFrame([
+        Row(k=1, name="alpha", price=1.5),
+        Row(k=2, name="beta", price=2.25),
+        Row(k=3, name=None, price=0.0),
+    ])
+    path = str(tmp_path / "xmlout")
+    write_xml(df, path, row_tag="item", root_tag="items")
+    back = read_xml(spark, path, row_tag="item",
+                    schema="k bigint, name string, price double")
+    assert {tuple(r) for r in back.collect()} == \
+           {tuple(r) for r in df.collect()}
