@@ -1139,6 +1139,30 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_tokens=32, overlap=8)
 
 
+def _q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal, oracle-gated cross-engine: each
+    document is wrapped in deterministic markup (title heading, style
+    and script payloads keyed off doc_id, a comment, entity-encoded
+    ampersands) and ``strip_html`` recovers the clean text through the
+    RE2-compatible regexp chain; the twin runs the byte-identical
+    chain (with DuckDB's explicit 'g' flag) on the same wrapped
+    input."""
+    from nyctaxidatapipeline_spark.functions.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><style>body{margin:"),
+        F.col("doc_id").cast("string"),
+        F.lit("px}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"), F.col("text"),
+        F.lit(" &amp; more</p><script>var id="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><!-- crawl --></body></html>"))
+    return (docs.withColumn("_h", html)
+                .select("doc_id", strip_html("_h").alias("clean_text")))
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Dolma-style corpus-level line dedup: a line >= 10 chars
     survives only in the document where it first occurs (order by
@@ -1926,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "doc_spans": _q_doc_spans,
         "chunk_documents": _q_chunk_documents,
+        "html_strip": _q_html_strip,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
         "shortest_paths": _q_shortest_paths,
@@ -3482,6 +3507,45 @@ def oracle_sql() -> dict[str, str]:
                        ' ') AS chunk_text
             FROM n, LATERAL (
               SELECT unnest(generate_series(0, (n - 1) // 24)) AS i) i
+        """,
+        # Twin of functions.text.strip_html over the same synthesized
+        # markup: identical RE2 patterns, DuckDB's 'g' flag standing in
+        # for Java's replace-all default.
+        "html_strip": """
+            WITH wrapped AS (
+              SELECT doc_id,
+                     '<html><head><style>body{margin:' || doc_id ||
+                     'px}</style></head><body><h1>Doc ' || doc_id ||
+                     '</h1>' || chr(10) || '<p>' || text ||
+                     ' &amp; more</p><script>var id=' || doc_id ||
+                     ';</script><!-- crawl --></body></html>' AS h
+              FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                      regexp_replace(
+                       regexp_replace(
+                        regexp_replace(
+                         regexp_replace(
+                          regexp_replace(
+                           regexp_replace(
+                            regexp_replace(
+                             regexp_replace(
+                              regexp_replace(h,
+                                '(?is)<script[^>]*>.*?</script\\s*>',
+                                ' ', 'g'),
+                              '(?is)<style[^>]*>.*?</style\\s*>',
+                              ' ', 'g'),
+                             '(?s)<!--.*?-->', ' ', 'g'),
+                            '(?s)<[^>]*>', ' ', 'g'),
+                           '&nbsp;', ' ', 'g'),
+                          '&amp;', '&', 'g'),
+                         '&lt;', '<', 'g'),
+                        '&gt;', '>', 'g'),
+                       '&quot;', '"', 'g'),
+                      '&#39;', '''', 'g'),
+                     '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
+            FROM wrapped
         """,
         "pack_sequences": """
             WITH toks AS (

@@ -67,3 +67,32 @@ def bpe_tokens(col: str | Column) -> Column:
 
 def bpe_token_count(col: str | Column) -> Column:
     return F.size(bpe_tokens(col))
+
+
+def strip_html(col: str | Column) -> Column:
+    """Plain text from HTML markup — the simplified trafilatura/jusText
+    extraction step every web-corpus pipeline runs before quality
+    scoring: drop <script>/<style> payloads and comments entirely,
+    strip remaining tags, decode the common entities, collapse
+    whitespace. One chain of codegen'd ``regexp_replace`` — scan-speed,
+    no Python — and every pattern is RE2-compatible (lazy quantifiers,
+    (?is) flags, explicit whitespace classes) so a DuckDB twin can run
+    the byte-identical chain.
+
+    Deliberately NOT a parser: malformed nesting degrades to extra
+    whitespace, never an error — the right failure mode for crawl data.
+    A DOM-accurate extraction (readability/trafilatura) is a Pandas-UDF
+    slot-in at the same place.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # two explicit container patterns, not one with a </\1> backref —
+    # RE2 (the DuckDB twin's engine) has no backreferences
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"[ \t\r\n]+", " ")
+    return F.trim(out)

@@ -167,3 +167,39 @@ def test_winnow_short_doc_single_min(spark):
     rows = winnow_fingerprints(df, "text", "doc_id", k=7,
                                window=16).collect()
     assert len(rows) == 1
+
+
+# --- HTML boilerplate stripping -------------------------------------------
+
+def test_strip_html_drops_payloads_and_decodes(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.text import strip_html
+
+    df = spark.createDataFrame([Row(h=(
+        '<html><head><style>p {color: red}</style></head>'
+        '<body><h1>Title</h1><p>Hello &amp; &lt;world&gt;</p>'
+        '<script type="text/javascript">var s = "<p>not text</p>";'
+        '</script><!-- comment --> Tail &quot;q&quot; &#39;a&#39;'
+        '</body></html>'))])
+    got = df.select(strip_html("h").alias("t")).collect()[0]["t"]
+    assert got == 'Title Hello & <world> Tail "q" \'a\''
+
+
+def test_strip_html_malformed_degrades_to_whitespace(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.text import strip_html
+
+    df = spark.createDataFrame([
+        Row(h="plain text, no markup"),
+        Row(h="<p>unclosed <b>nested"),
+        Row(h="a < b and c > d"),      # bare comparators survive...
+    ])
+    got = [r["t"] for r in
+           df.select(strip_html("h").alias("t")).collect()]
+    assert got[0] == "plain text, no markup"
+    assert got[1] == "unclosed nested"
+    # "< b and c >" parses as one pseudo-tag — the documented
+    # degradation mode (extra whitespace, never an error)
+    assert got[2] == "a d"
