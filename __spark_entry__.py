@@ -1139,6 +1139,28 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_tokens=32, overlap=8)
 
 
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL feature extraction over synthesized crawl URLs (scheme
+    alternates by doc_id parity, host from the source column, path
+    depth doc_id mod 3, params doc_id mod 2): RE2-parity regexps on
+    both engines — Spark's parse_url is deliberately avoided (its
+    java.net.URI normalization has no DuckDB twin)."""
+    from nyctaxidatapipeline_spark.functions.url import url_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                         "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")
+               ).otherwise(F.lit("http")),
+        F.lit("://www."), F.col("source"), F.lit(".example.com"),
+        F.expr("repeat('/seg', doc_id % 3)"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("?a=1&b=2")
+               ).otherwise(F.lit("")))
+    return (url_features(docs.withColumn("url", url))
+            .select("doc_id", "scheme", "host", "domain",
+                    "path_depth", "n_params", "is_https"))
+
+
 def _q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate removal, oracle-gated cross-engine: each
     document is wrapped in deterministic markup (title heading, style
@@ -1951,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans": _q_doc_spans,
         "chunk_documents": _q_chunk_documents,
         "html_strip": _q_html_strip,
+        "url_features": _q_url_features,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
         "shortest_paths": _q_shortest_paths,
@@ -3546,6 +3569,41 @@ def oracle_sql() -> dict[str, str]:
                       '&#39;', '''', 'g'),
                      '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
             FROM wrapped
+        """,
+        # Twin of functions.url.url_features over the same synthesized
+        # URLs: identical RE2 patterns and empty-match conventions.
+        "url_features": """
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'https'
+                           ELSE 'http' END) ||
+                     '://www.' || source || '.example.com' ||
+                     repeat('/seg', CAST(doc_id % 3 AS INTEGER)) ||
+                     (CASE WHEN doc_id % 2 = 1 THEN '?a=1&b=2'
+                           ELSE '' END) AS url
+              FROM documents),
+            x AS (
+              SELECT doc_id, url,
+                     regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1)
+                         AS scheme,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)', 2)
+                         AS host,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                         AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u)
+            SELECT doc_id, scheme, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   CAST(len(list_filter(string_split(path, '/'),
+                                        s -> s <> '')) AS INTEGER)
+                       AS path_depth,
+                   CAST(CASE WHEN query = '' THEN 0
+                        ELSE len(string_split(query, '&')) END
+                        AS INTEGER) AS n_params,
+                   scheme = 'https' AS is_https
+            FROM x
         """,
         "pack_sequences": """
             WITH toks AS (

@@ -203,3 +203,29 @@ def test_strip_html_malformed_degrades_to_whitespace(spark):
     # "< b and c >" parses as one pseudo-tag — the documented
     # degradation mode (extra whitespace, never an error)
     assert got[2] == "a d"
+
+
+# --- URL features ----------------------------------------------------------
+
+def test_url_features_parses_components(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.url import url_features
+
+    df = spark.createDataFrame([
+        Row(k=1, url="https://user@www.sub.example.co:8080/a/b/c?x=1&y=2#f"),
+        Row(k=2, url="http://example.org"),
+        Row(k=3, url="not a url"),
+        Row(k=4, url="ftp://files.example.net/pub/"),
+    ])
+    got = {r.k: r for r in url_features(df).collect()}
+    r1 = got[1]
+    assert (r1.scheme, r1.host, r1.domain) == (
+        "https", "www.sub.example.co", "example.co")
+    assert (r1.path_depth, r1.n_params, r1.is_https) == (3, 2, True)
+    r2 = got[2]
+    assert (r2.host, r2.path_depth, r2.n_params, r2.is_https) == (
+        "example.org", 0, 0, False)
+    r3 = got[3]
+    assert (r3.scheme, r3.host, r3.path_depth) == ("", "", 0)
+    assert (got[4].scheme, got[4].path_depth) == ("ftp", 1)
