@@ -459,6 +459,33 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       centroids=cents, codebooks=books)
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full d x d population covariance of the embedding corpus — the
+    one-pass sufficient-statistics aggregate behind distributed PCA
+    (``operators.pca``): row-local array-lambda moment generator, ONE
+    map-side-combined shuffle of O(d^2) groups, covariance assembled by
+    broadcast joins. The twin computes the identical
+    ``(Sxy - Sx*Sy/n)/n`` expression from lateral-unnested pairs."""
+    from nyctaxidatapipeline_spark.operators.pca import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", decimals=6)
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component scores for every vector — the
+    tall-skinny PCA pipeline end to end: distributed moments → bounded
+    d x d driver collect → power iteration (24 fixed steps, 9 dp
+    re-rounded each step so cross-engine matvec drift cannot
+    accumulate) → shuffle-free literal-array projection. The oracle
+    unrolls the IDENTICAL iteration as generated CTEs
+    (``_pca_oracle_sql``), PageRank-twin style."""
+    from nyctaxidatapipeline_spark.operators.pca import pca_project_top
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project_top(emb, "embedding", id_col="vec_id", iters=24)
+
+
 def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup GROUPS: connected components over the exact
     3-gram-Jaccard ≥ 0.5 pair graph; group_id = min doc_id reachable.
@@ -1978,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "shortest_paths": _q_shortest_paths,
         "ann_ivfpq": _q_ann_ivfpq,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_project": _q_pca_project,
     }
 
 
@@ -1991,6 +2020,79 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-portability tax can be confined to CORRECTNESS without
     touching bench.py."""
     return queries()
+
+
+def _pca_covariance_ctes(dim: int, decimals: int) -> str:
+    """Shared CTE block building the FULL symmetric covariance (i, j,
+    cov) of the ``embeddings`` table at ``decimals`` dp — the exact
+    ``(Sxy - Sx*Sy/n)/n`` expression ``operators.pca`` computes."""
+    return f"""
+            e AS (SELECT vec_id, embedding FROM embeddings),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+            sums AS (
+              SELECT a.i AS i, SUM(CAST(embedding[a.i + 1] AS DOUBLE)) AS s
+              FROM e, range(0, {dim}) a(i) GROUP BY 1),
+            cross_ut AS (
+              SELECT a.i AS i, b.i AS j,
+                     SUM(CAST(embedding[a.i + 1] AS DOUBLE)
+                         * CAST(embedding[b.i + 1] AS DOUBLE)) AS sxy
+              FROM e, range(0, {dim}) a(i), range(0, {dim}) b(i)
+              WHERE b.i >= a.i GROUP BY 1, 2),
+            cov_ut AS (
+              SELECT c.i, c.j,
+                     ROUND((c.sxy - si.s * sj.s / n.n) / n.n,
+                           {decimals}) AS cov
+              FROM cross_ut c, n, sums si, sums sj
+              WHERE si.i = c.i AND sj.i = c.j),
+            cov AS MATERIALIZED (
+                    SELECT i, j, cov FROM cov_ut
+                    UNION ALL
+                    SELECT j AS i, i AS j, cov FROM cov_ut WHERE i < j)"""
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 24,
+                    fit_decimals: int = 9, out_decimals: int = 6) -> str:
+    """DuckDB twin of ``pca.pca_project_top``: the same covariance
+    statistics rounded to ``fit_decimals`` BEFORE iterating, then the
+    power iteration unrolled as ``iters`` generated CTE pairs (matvec →
+    infinity-norm normalize → re-round), the same largest-|coordinate|
+    sign rule, one final L2 normalization, and the per-vector
+    projection. Per-step re-rounding on BOTH engines is what makes a
+    24-step float iteration value-hash comparable — drift from
+    different summation orders (~1e-16/step) is snapped away before it
+    can compound (same trick as PageRank's per-round 6 dp rounding)."""
+    import math as _math
+
+    v0 = round(1.0 / _math.sqrt(dim), fit_decimals)
+    steps = [f"""
+            v0 AS (SELECT a.i AS i, CAST({v0!r} AS DOUBLE) AS x
+                   FROM range(0, {dim}) a(i))"""]
+    # Each v{t} is MATERIALIZED and normalizes via a window MAX so every
+    # CTE references its predecessor exactly once — DuckDB inlines plain
+    # CTEs, and a doubly-referenced 24-step chain would expand 2^24-fold.
+    for t in range(1, iters + 1):
+        steps.append(f"""
+            v{t} AS MATERIALIZED (
+              SELECT i, ROUND(x / MAX(ABS(x)) OVER (),
+                              {fit_decimals}) AS x
+              FROM (SELECT c.i AS i, SUM(c.cov * v.x) AS x
+                    FROM cov c JOIN v{t - 1} v ON v.i = c.j
+                    GROUP BY 1))""")
+    last = f"v{iters}"
+    return f"""
+            WITH {_pca_covariance_ctes(dim, fit_decimals)},
+            {",".join(steps)},
+            pick AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+                     FROM {last} ORDER BY ABS(x) DESC, i ASC LIMIT 1),
+            nrm AS (SELECT SQRT(SUM(x * x)) AS nrm FROM {last}),
+            vf AS (SELECT v.i, ROUND(p.s * v.x / q.nrm,
+                                     {fit_decimals}) AS x
+                   FROM {last} v, pick p, nrm q)
+            SELECT e.vec_id,
+                   ROUND(SUM(CAST(e.embedding[vf.i + 1] AS DOUBLE) * vf.x),
+                         {out_decimals}) AS pc1
+            FROM e, vf GROUP BY e.vec_id
+        """
 
 
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
@@ -4345,6 +4447,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(sr), 6) AS avg_stopword_ratio
             FROM per
         """,
+        # Twin of covariance_matrix at 6 dp: identical statistics
+        # expression over lateral-unnested embedding pairs.
+        "embedding_covariance": f"""
+            WITH {_pca_covariance_ctes(64, 6)}
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, cov
+            FROM cov
+        """,
+        "pca_project": _pca_oracle_sql(dim=64, iters=24),
         **{name: sql.format(**{t: t for t in _TPCH_TABLES})
            for name, sql in _TPCH_SQL.items()},
     }
