@@ -486,6 +486,54 @@ def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project_top(emb, "embedding", id_col="vec_id", iters=24)
 
 
+def _q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (1%/99% exact-quantile-clipped) price stats per
+    return flag — robust scaling before features enter a model. ONE
+    percentile aggregate → 1-row broadcast bounds → narrow clip
+    (``cleaning.winsorize``); the twin clips against DuckDB's
+    ``quantile_cont`` (same continuous-quantile definition as
+    ``F.percentile``)."""
+    from nyctaxidatapipeline_spark.operators.cleaning import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", 0.01, 0.99, out_col="_p")
+    return (w.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("_p"), 6).alias("avg_price"),
+                  F.round(F.min("_p"), 6).alias("min_price"),
+                  F.round(F.max("_p"), 6).alias("max_price")))
+
+
+def _q_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision census over events(event_type, user_id)
+    → 64 buckets: occupancy n_rows + distinct raw values per bucket
+    (``featurize.bucket_collision_profile``). Vocabulary-free,
+    append-stable md5 indices — the twin recomputes the identical
+    ``md5('col:' || value)`` bucketing."""
+    from nyctaxidatapipeline_spark.operators.featurize import (
+        bucket_collision_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return bucket_collision_profile(ev, ["event_type", "user_id"],
+                                    n_buckets=64)
+
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training batches (batch_size=16, longest-first)
+    over documents with per-batch padding-waste accounting
+    (``packing.length_bucketed_batches``). Global order comes from the
+    distributed two-pass prefix sum — no single-task window; the twin
+    uses a plain ROW_NUMBER over the same (n_tokens DESC, doc_id)
+    order."""
+    from nyctaxidatapipeline_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucketed_batches(docs, "text", "doc_id", batch_size=16)
+
+
 def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup GROUPS: connected components over the exact
     3-gram-Jaccard ≥ 0.5 pair graph; group_id = min doc_id reachable.
@@ -2007,6 +2055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "embedding_covariance": _q_embedding_covariance,
         "pca_project": _q_pca_project,
+        "winsorized_prices": _q_winsorized_prices,
+        "feature_hash_counts": _q_feature_hash_counts,
+        "length_buckets": _q_length_buckets,
     }
 
 
@@ -4455,6 +4506,65 @@ def oracle_sql() -> dict[str, str]:
             FROM cov
         """,
         "pca_project": _pca_oracle_sql(dim=64, iters=24),
+        # Twin of cleaning.winsorize: quantile_cont == F.percentile
+        # (both the continuous (n-1)*p interpolated definition).
+        "winsorized_prices": """
+            WITH b AS (
+              SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                     quantile_cont(l_extendedprice, 0.99) AS hi
+              FROM lineitem),
+            c AS (
+              SELECT l_returnflag,
+                     LEAST(GREATEST(l_extendedprice, b.lo), b.hi) AS p
+              FROM lineitem, b)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(AVG(p), 6) AS avg_price,
+                   ROUND(MIN(p), 6) AS min_price,
+                   ROUND(MAX(p), 6) AS max_price
+            FROM c GROUP BY l_returnflag
+        """,
+        # Twin of featurize.bucket_collision_profile: identical salted
+        # md5 bucketing (sampling.hash_bucket scheme).
+        "feature_hash_counts": """
+            WITH f AS (
+              SELECT ('0x' || substr(md5('event_type:' || event_type),
+                                     1, 8))::BIGINT % 64 AS bucket,
+                     'event_type:' || event_type AS val
+              FROM events WHERE event_type IS NOT NULL
+              UNION ALL
+              SELECT ('0x' || substr(md5('user_id:'
+                                         || CAST(user_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 64 AS bucket,
+                     'user_id:' || CAST(user_id AS VARCHAR) AS val
+              FROM events WHERE user_id IS NOT NULL)
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT val) AS n_values
+            FROM f GROUP BY 1
+        """,
+        # Twin of packing.length_bucketed_batches: plain ROW_NUMBER
+        # over the same (n_tokens DESC, doc_id) total order.
+        "length_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(trim(text)),
+                                                        '\\s+'),
+                                     t -> t <> '')) AS n
+              FROM documents),
+            r AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, doc_id) AS rn
+              FROM toks),
+            b AS (
+              SELECT CAST(FLOOR((rn - 1) / 16) AS INTEGER) AS batch_id, n
+              FROM r)
+            SELECT batch_id, COUNT(*) AS n_docs,
+                   CAST(MAX(n) AS INTEGER) AS max_tokens,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                   CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT)
+                       AS padding_tokens,
+                   ROUND(1 - SUM(n) / (COUNT(*) * MAX(n)), 6) AS pad_ratio
+            FROM b GROUP BY batch_id
+        """,
         **{name: sql.format(**{t: t for t in _TPCH_TABLES})
            for name, sql in _TPCH_SQL.items()},
     }

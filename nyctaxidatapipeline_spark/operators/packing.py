@@ -181,3 +181,42 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                           F.slice("_tk", F.col("_start") + 1,
                                   F.lit(chunk_tokens)),
                           " ").alias("chunk_text")))
+
+
+def length_bucketed_batches(df: DataFrame, text_col: str, id_col: str,
+                            batch_size: int = 16) -> DataFrame:
+    """Dynamic (length-bucketed) batching: fixed-size training batches
+    of length-sorted documents, so same-batch sequences have similar
+    token counts and padding-to-max waste is minimized — the standard
+    alternative to ``pack_sequences`` when examples must stay intact.
+
+    Order is (n_tokens DESC, id ASC), encoded as the single numeric key
+    ``id - n_tokens * 10^12`` so the global row number comes from
+    ``distributed_prefix_sum`` (two-pass parallel scan — no
+    single-task global window). Requires ``id_col`` integral, unique,
+    non-negative and < 10^12 (same order-key contract as
+    ``pack_sequences``).
+
+    Output per batch: (batch_id, n_docs, max_tokens, sum_tokens,
+    padding_tokens, pad_ratio) — padding = n_docs * max - sum, the
+    tokens a pad-to-longest collator would burn.
+    """
+    t = (with_token_count(df, text_col, "_n")
+         .select(F.col(id_col).cast("bigint").alias("_id"),
+                 F.col("_n"))
+         .withColumn("_ord", F.col("_id")
+                     - F.col("_n").cast("bigint") * F.lit(10**12)))
+    r = distributed_prefix_sum(t, F.lit(1), "_ord", alias="_rn")
+    out = (r.withColumn("batch_id",
+                        F.floor((F.col("_rn") - 1) / batch_size)
+                        .cast("int"))
+           .groupBy("batch_id")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.max("_n").alias("max_tokens"),
+                F.sum("_n").cast("bigint").alias("sum_tokens")))
+    waste = (F.col("n_docs") * F.col("max_tokens")
+             - F.col("sum_tokens")).cast("bigint")
+    ratio = F.round(F.lit(1.0) - F.col("sum_tokens")
+                    / (F.col("n_docs") * F.col("max_tokens")), 6)
+    return (out.withColumn("padding_tokens", waste)
+               .withColumn("pad_ratio", ratio))
