@@ -52,3 +52,40 @@ def test_zorder_bounds_both_dims(spark, tmp_path):
     assert zx <= 0.5 and zy <= 0.5, (zx, zy)
     # rows survive intact
     assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+class TestCompaction:
+    """sinks.compact_parquet: the small-files rewrite."""
+
+    def test_compact_merges_and_preserves_data(self, spark, tmp_path):
+        src = str(tmp_path / "frag")
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df.repartition(40).write.parquet(src)
+        import os
+        n_before = len([f for f in os.listdir(src)
+                        if f.endswith(".parquet")])
+        assert n_before >= 30  # genuinely fragmented
+        before = sorted(map(tuple, spark.read.parquet(src).collect()))
+
+        from nyctaxidatapipeline_spark.sinks import compact_parquet
+        stats = compact_parquet(spark, src,
+                                target_file_bytes=64 * 1024 * 1024)
+        n_after = len([f for f in os.listdir(src)
+                       if f.endswith(".parquet")])
+        assert n_after == 1  # tiny table -> one file
+        assert stats["files_before"] == n_before
+        assert stats["files_after"] == 1
+        after = sorted(map(tuple, spark.read.parquet(src).collect()))
+        assert after == before
+        # no leftover tmp/bak dirs
+        assert not [p for p in os.listdir(tmp_path)
+                    if "_compact_" in p]
+
+    def test_compact_even_sizes_path(self, spark, tmp_path):
+        src = str(tmp_path / "frag2")
+        spark.range(10_000).write.parquet(src)
+        from nyctaxidatapipeline_spark.sinks import compact_parquet
+        stats = compact_parquet(spark, src, target_file_bytes=10_000,
+                                even_sizes=True)
+        assert stats["files_after"] >= 2  # split to target size
+        assert (spark.read.parquet(src).count() == 10_000)
