@@ -1946,9 +1946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pack) are rotated to the front here so round 4's window verifies
     them; the previously driver-verified 50 follow. Queries newer than
     the rotation (the TPC-H completions, ann_pq/ann_ivfpq, the round-4
-    additions at the tail) queue behind the front 48 — harness-verified
-    until a later rotation brings them into a driver window; round 5
-    should rotate the tail (demand_heatmap..shortest_paths) forward."""
+    additions at the tail through length_buckets) queue behind the
+    front 48 — harness-verified until a later rotation brings them into
+    a driver window; round 5 should rotate the tail
+    (demand_heatmap..length_buckets) forward."""
     return {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
