@@ -534,6 +534,38 @@ def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucketed_batches(docs, "text", "doc_id", batch_size=16)
 
 
+def _q_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window per user over events — count
+    + mean of value in [t-1h, t] (``windows.time_range_agg``): the
+    time-predicate complement of the rows-frame ``moving_avg``. Peer
+    rows (same epoch second) see each other symmetrically in BOTH
+    engines — RANGE semantics are deterministic without a unique
+    ordering key."""
+    from nyctaxidatapipeline_spark.operators.windows import (
+        time_range_agg,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts",
+                                       "value")
+    out = time_range_agg(ev, ["user_id"], "ts", "value",
+                         window_seconds=3600, prefix="v1h")
+    return out.select("event_id", "user_id", "v1h_n", "v1h_avg")
+
+
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 deterministic contrastive negatives per document
+    (``sampling.negative_samples``): dense rank via the distributed
+    prefix sum, md5-drawn partner rank with the skip-self shift,
+    resolved by a rank equi-join — a pure function of the ids, so the
+    twin redraws the identical pairs."""
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", k=4)
+
+
 def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup GROUPS: connected components over the exact
     3-gram-Jaccard ≥ 0.5 pair graph; group_id = min doc_id reachable.
@@ -2059,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_prices": _q_winsorized_prices,
         "feature_hash_counts": _q_feature_hash_counts,
         "length_buckets": _q_length_buckets,
+        "time_range_avg": _q_time_range_avg,
+        "negative_samples": _q_negative_samples,
     }
 
 
@@ -4542,6 +4576,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    COUNT(DISTINCT val) AS n_values
             FROM f GROUP BY 1
+        """,
+        # Twin of windows.time_range_agg: numeric RANGE frame on the
+        # same floor(epoch) seconds (X2 convention).
+        "time_range_avg": """
+            WITH t AS (
+              SELECT event_id, user_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events)
+            SELECT event_id, user_id,
+                   COUNT(value) OVER w AS v1h_n,
+                   ROUND(AVG(value) OVER w, 6) AS v1h_avg
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        # Twin of sampling.negative_samples: same rank order, same
+        # md5('id:j') draw, same skip-self shift.
+        "negative_samples": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY doc_id) AS rn
+              FROM documents),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            d AS (
+              SELECT r.doc_id, r.rn, j.j,
+                     1 + ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)
+                                             || ':'
+                                             || CAST(j.j AS VARCHAR)),
+                                         1, 8))::BIGINT % (n.n - 1)
+                         AS draw
+              FROM r, range(0, 4) j(j), n),
+            m AS (
+              SELECT doc_id, j,
+                     CASE WHEN draw >= rn THEN draw + 1 ELSE draw END
+                         AS neg
+              FROM d)
+            SELECT m.doc_id AS anchor_id, CAST(m.j AS INTEGER) AS j,
+                   r2.doc_id AS negative_id
+            FROM m JOIN r r2 ON r2.rn = m.neg
         """,
         # Twin of packing.length_bucketed_batches: plain ROW_NUMBER
         # over the same (n_tokens DESC, doc_id) total order.

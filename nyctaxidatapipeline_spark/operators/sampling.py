@@ -198,3 +198,47 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     p = F.least(F.greatest(F.col(weight_col) * F.lit(float(scale)),
                            F.lit(0.0)), F.lit(1.0))
     return df.filter(hash_bucket(F.col(key_col), n) < F.floor(p * n))
+
+
+def negative_samples(df: DataFrame, id_col: str, k: int = 4,
+                     anchor_col: str = "anchor_id",
+                     neg_col: str = "negative_id") -> DataFrame:
+    """k deterministic pseudo-random negatives per row (with
+    replacement, never the anchor itself) — the negative-sampling step
+    of contrastive / triplet training data, as a pure function of the
+    ids so every engine, rerun and repartition draws the same pairs.
+
+    Construction: a dense rank 1..n over ``id_col`` (distributed
+    two-pass prefix sum — no single-task window), then for draw j the
+    partner rank is ``1 + md5(id:j) % (n-1)``, shifted past the
+    anchor's own rank (the classic skip-self trick, uniform over the
+    other n-1 rows), resolved back to an id by an equi-join on rank.
+    Shuffles: the prefix sum's bucketed exchanges + one rank join;
+    the n scalar rides as a 1-row broadcast. Requires ≥ 2 rows and a
+    unique integral non-negative ``id_col``.
+
+    Output: (anchor_id, j, negative_id), k rows per anchor.
+    """
+    from nyctaxidatapipeline_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    base = (df.select(F.col(id_col).cast("bigint").alias("_id"))
+              .withColumn("_ord", F.col("_id")))
+    ranked = distributed_prefix_sum(base, F.lit(1), "_ord",
+                                    alias="_rn").drop("_ord")
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    e = (ranked.crossJoin(F.broadcast(n))
+         .select("_id", "_rn", "_n",
+                 F.explode(F.sequence(F.lit(0),
+                                      F.lit(k - 1))).alias("j")))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("_id").cast("string"), F.lit(":"),
+                       F.col("j").cast("string"))), 1, 8), 16, 10)
+    draw = F.lit(1) + h.cast("bigint") % (F.col("_n") - 1)
+    neg_rn = F.when(draw >= F.col("_rn"), draw + 1).otherwise(draw)
+    pairs = e.select(F.col("_id").alias(anchor_col), "j",
+                     neg_rn.alias("_neg_rn"))
+    lookup = ranked.select(F.col("_rn").alias("_neg_rn"),
+                           F.col("_id").alias(neg_col))
+    return pairs.join(lookup, "_neg_rn").drop("_neg_rn")

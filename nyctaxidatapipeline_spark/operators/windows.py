@@ -74,3 +74,31 @@ def moving_avg(df: DataFrame, partition_by: Sequence[str], order_by: str,
          .rowsBetween(-(window_rows - 1), Window.currentRow))
     return df.withColumn(alias or f"{col}_ma{window_rows}",
                          F.round(F.avg(col).over(w), 6))
+
+
+def time_range_agg(df: DataFrame, partition_by: Sequence[str],
+                   ts_col: str, value_col: str,
+                   window_seconds: int = 3600,
+                   prefix: str | None = None) -> DataFrame:
+    """Trailing TIME-based window per group: count + mean of
+    ``value_col`` over [t - window_seconds, t] — a RANGE frame on epoch
+    seconds, the complement of ``moving_avg``'s rows-frame (here ragged
+    timestamps DO change the window population, which is the point:
+    "events in the last hour" is a time predicate, not a row count).
+
+    RANGE frames include all peer rows of the current ordering value,
+    so same-second events see each other symmetrically — deterministic
+    without a unique ordering key (unlike rows-frames). One hash
+    exchange on the group key; per-task frame state is bounded by the
+    densest window, not the partition.
+
+    Epoch-second truncation follows the engine's X2 convention
+    (``unix_timestamp`` == DuckDB ``floor(epoch(ts))``).
+    """
+    p = prefix or f"{value_col}_{window_seconds}s"
+    ep = F.unix_timestamp(ts_col)
+    w = (Window.partitionBy(*partition_by).orderBy(ep.cast("long"))
+         .rangeBetween(-window_seconds, 0))
+    return (df.withColumn(f"{p}_n", F.count(value_col).over(w))
+              .withColumn(f"{p}_avg",
+                          F.round(F.avg(value_col).over(w), 6)))

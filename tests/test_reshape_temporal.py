@@ -285,3 +285,39 @@ def test_cohort_retention_triangle(spark):
     assert len(out) == 4
     with pytest.raises(ValueError, match="unsupported unit"):
         cohort_retention(spark.createDataFrame(rows), "u", "ts", "decade")
+
+
+class TestTimeRangeAgg:
+    """windows.time_range_agg — trailing time-based RANGE frame."""
+
+    def test_window_population(self, spark):
+        import datetime as dt
+
+        from nyctaxidatapipeline_spark.operators.windows import (
+            time_range_agg,
+        )
+        base = dt.datetime(2024, 1, 1)
+        rows = [("u", base + dt.timedelta(seconds=s), float(v))
+                for s, v in [(0, 1), (1800, 2), (3600, 3), (7201, 4)]]
+        df = spark.createDataFrame(rows, "u string, ts timestamp, v double")
+        got = {r["ts"].second + r["ts"].minute * 60 + r["ts"].hour * 3600:
+               (r["v_3600s_n"], r["v_3600s_avg"])
+               for r in time_range_agg(df, ["u"], "ts", "v").collect()}
+        assert got[0] == (1, 1.0)
+        assert got[1800] == (2, 1.5)
+        assert got[3600] == (3, 2.0)      # [0, 3600] inclusive
+        assert got[7201] == (1, 4.0)      # 3600 fell out of [3601, 7201]
+
+    def test_same_second_peers_symmetric(self, spark):
+        import datetime as dt
+
+        from nyctaxidatapipeline_spark.operators.windows import (
+            time_range_agg,
+        )
+        t = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("u", t, 10.0), ("u", t, 20.0)],
+            "u string, ts timestamp, v double")
+        got = [(r["v_3600s_n"], r["v_3600s_avg"])
+               for r in time_range_agg(df, ["u"], "ts", "v").collect()]
+        assert got == [(2, 15.0), (2, 15.0)]

@@ -199,3 +199,34 @@ def test_weighted_sample_rate_tracks_weight(spark):
     df = spark.createDataFrame([Row(k=i, w=0.25) for i in range(4000)])
     n = weighted_sample(df, "k", "w").count()
     assert 800 <= n <= 1200, n       # ~25% of 4000
+
+
+class TestNegativeSamples:
+    """sampling.negative_samples — deterministic contrastive draws."""
+
+    def _df(self, spark, n=30):
+        return spark.range(n).withColumnRenamed("id", "doc_id")
+
+    def test_shape_and_no_self(self, spark):
+        from nyctaxidatapipeline_spark.operators.sampling import (
+            negative_samples,
+        )
+        rows = negative_samples(self._df(spark), "doc_id", k=3).collect()
+        assert len(rows) == 30 * 3
+        assert all(r["anchor_id"] != r["negative_id"] for r in rows)
+        assert all(0 <= r["negative_id"] < 30 for r in rows)
+        per = {}
+        for r in rows:
+            per.setdefault(r["anchor_id"], set()).add(r["j"])
+        assert all(js == {0, 1, 2} for js in per.values())
+
+    def test_repartition_deterministic(self, spark):
+        from nyctaxidatapipeline_spark.operators.sampling import (
+            negative_samples,
+        )
+        df = self._df(spark, 50)
+        a = sorted(map(tuple, negative_samples(df, "doc_id", 2).collect()))
+        b = sorted(map(tuple,
+                       negative_samples(df.repartition(7), "doc_id",
+                                        2).collect()))
+        assert a == b
