@@ -51,6 +51,7 @@ from nyctaxidatapipeline_spark.operators.similarity import (
     embedding_near_dup_blocked,
     ivf_seed_centroids_portable,
     ivf_topk,
+    knn_graph,
     rp_lsh_near_dup,
 )
 from nyctaxidatapipeline_spark.operators.pq import (
@@ -416,6 +417,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_seed_centroids_portable(emb, n_centroids=16)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
                     nprobe=4, dim=embedding_dim(emb), centroids=cents)
+
+
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 kNN graph over the WHOLE embeddings table (self
+    excluded) — ``similarity.knn_graph``: the block-pair BLAS kernel
+    emits per-group partial top-5s (candidate sets partition per
+    anchor, so the union provably contains the global top-5), one
+    anchor-keyed window merges them. No driver collect, no corpus
+    broadcast; window input is O(n·n_blocks·k), never O(n²) rows.
+    The sublinear scale paths for this contract are ``ivf_topk`` /
+    ``ivfpq_topk`` with queries=corpus (both oracle-gated)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_blocks=4)
 
 
 def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,15 +1987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records the
     first 50 entries, and rounds 2-3 both recorded the same 50 (then
-    demand_heatmap..doc_spans). The 48 queries those artifacts never
-    covered (line_dedup..corpus_report + the original 13-entry TPC-H
-    pack) are rotated to the front here so round 4's window verifies
-    them; the previously driver-verified 50 follow. Queries newer than
-    the rotation (the TPC-H completions, ann_pq/ann_ivfpq, the round-4
-    additions at the tail through length_buckets) queue behind the
-    front 48 — harness-verified until a later rotation brings them into
-    a driver window; round 5 should rotate the tail
-    (demand_heatmap..length_buckets) forward."""
+    demand_heatmap..doc_spans). The front of the dict is therefore the
+    queries with the weakest prior driver coverage: 29 of the round-3
+    additions those artifacts never recorded, plus the COMPLETE
+    22-query TPC-H pack minus q1 (q1 was driver-verified in r02/r03) —
+    so round 4's window records the full correlated-subquery /
+    decorrelation surface. Eight simple round-3 aggregates
+    (resample_hourly..rank_normalized) were bumped just past the
+    window to make room; they, the round-4 additions
+    (ann_pq..negative_samples and newer), and the previously
+    driver-verified 50 queue behind — harness-verified until a later
+    rotation brings them into a driver window; round 5 should rotate
+    the tail (resample_hourly.., then demand_heatmap..) forward."""
     return {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -1995,34 +2012,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "bm25_scores": _q_bm25_scores,
         "lm_perplexity": _q_lm_perplexity,
-        "resample_hourly": _q_resample_hourly,
-        "heavy_hitters": _q_heavy_hitters,
         "keep_latest": _q_keep_latest,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_dedup_bloom": _q_incremental_dedup_bloom,
-        "funnel": _q_funnel,
         "interval_join": _q_interval_join,
         "correlations": _q_correlations,
         "winnow_dedup": _q_winnow_dedup,
         "bpe_token_stats": _q_bpe_token_stats,
         "pmi_collocations": _q_pmi_collocations,
         "data_quality": _q_data_quality,
-        "histogram_prices": _q_histogram_prices,
         "incremental_rollup": _q_incremental_rollup,
-        "moving_avg": _q_moving_avg,
-        "snapshot_diff": _q_snapshot_diff,
         "merge_upsert": _q_merge_upsert,
         "fuzzy_names": _q_fuzzy_supplier_names,
         "cohort_retention": _q_cohort_retention,
         "dataset_mix": _q_dataset_mix,
-        "daily_top_events": _q_daily_top_events,
         "quantize_embeddings": _q_quantize_embeddings,
         "domain_cap": _q_domain_cap,
         "image_features": _q_image_features,
         "frame_sample": _q_frame_sample,
-        "rank_normalized": _q_rank_normalized,
         "corpus_report": _q_corpus_report,
         **{name: _tpch_sql_query(name) for name in _TPCH_SQL},
+        # --- bumped past the window for the TPC-H completions
+        # (harness-verified; rotate forward next round) ---
+        "resample_hourly": _q_resample_hourly,
+        "heavy_hitters": _q_heavy_hitters,
+        "funnel": _q_funnel,
+        "histogram_prices": _q_histogram_prices,
+        "moving_avg": _q_moving_avg,
+        "snapshot_diff": _q_snapshot_diff,
+        "daily_top_events": _q_daily_top_events,
+        "rank_normalized": _q_rank_normalized,
         # --- round-4 additions (harness-verified; rotate forward next) ---
         "ann_pq": _q_ann_pq,
         "frame_sample_avi": _q_frame_sample_avi,
@@ -2093,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "time_range_avg": _q_time_range_avg,
         "negative_samples": _q_negative_samples,
+        "knn_graph": _q_knn_graph,
     }
 
 
@@ -3080,6 +3100,27 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        # Twin of similarity.knn_graph: exact all-corpus top-5 with self
+        # excluded; the blocked kernel's per-group partials merge to
+        # exactly this full-candidate-set ranking.
+        "knn_graph": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings),
+                 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 scored AS (
+                   SELECT query_id, vec_id,
+                          ROUND(list_dot_product(qv, cv) /
+                                (sqrt(list_dot_product(qv, qv)) *
+                                 sqrt(list_dot_product(cv, cv))), 6) AS cosine
+                   FROM c, q WHERE query_id <> vec_id)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         # Twin of ivf_topk with ivf_seed_centroids_portable: seeds are
         # the 16 non-zero vectors with smallest (md5(id), id), unit-

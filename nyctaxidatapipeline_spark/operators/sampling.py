@@ -217,6 +217,11 @@ def negative_samples(df: DataFrame, id_col: str, k: int = 4,
     the n scalar rides as a 1-row broadcast. Requires ≥ 2 rows and a
     unique integral non-negative ``id_col``.
 
+    The ranked table feeds BOTH sides (anchor expansion and the
+    rank→id lookup), so it is ``localCheckpoint``-ed: without it the
+    whole prefix-sum subtree — its shuffles and its 1-row bounds
+    broadcast — plans and executes twice.
+
     Output: (anchor_id, j, negative_id), k rows per anchor.
     """
     from nyctaxidatapipeline_spark.operators.packing import (
@@ -225,8 +230,9 @@ def negative_samples(df: DataFrame, id_col: str, k: int = 4,
 
     base = (df.select(F.col(id_col).cast("bigint").alias("_id"))
               .withColumn("_ord", F.col("_id")))
-    ranked = distributed_prefix_sum(base, F.lit(1), "_ord",
-                                    alias="_rn").drop("_ord")
+    ranked = (distributed_prefix_sum(base, F.lit(1), "_ord", alias="_rn")
+              .drop("_ord")
+              .localCheckpoint(eager=False))
     n = ranked.agg(F.count(F.lit(1)).alias("_n"))
     e = (ranked.crossJoin(F.broadcast(n))
          .select("_id", "_rn", "_n",

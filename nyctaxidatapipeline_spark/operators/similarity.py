@@ -710,3 +710,112 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                                 / (F.col("norm_a") * F.col("norm_b")), 6)
                          .alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
+
+
+def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              n_blocks: int = 8) -> DataFrame:
+    """Exact k-nearest-neighbor graph: for EVERY vector, its top-k
+    neighbors by cosine (self excluded) — the all-corpus analogue of
+    ``brute_force_topk`` and the substrate for kNN-graph clustering,
+    SemDeDup-style curation and hard-negative mining.
+
+    Same distribution strategy as ``embedding_near_dup_blocked`` (no
+    driver collect, no broadcast of the corpus): vectors replicate to
+    deterministic block PAIRS, each of the n_blocks·(n_blocks+1)/2
+    groups computes one |A|x|B| BLAS matmul in ``applyInPandas`` — but
+    instead of thresholding, each group emits ONLY its per-anchor
+    partial top-k (both orientations of a cross-block pair). Because
+    the block pairs PARTITION each anchor's candidate set, the union
+    of partials provably contains the global top-k, which one ordinary
+    (anchor-keyed, never single-partition) window then extracts. The
+    window input is O(n·n_blocks·k) rows — independent of corpus size
+    per anchor — versus O(n²) had the kernel emitted full rows.
+
+    The O(n²d) flops are inherent to the EXACT contract; the sublinear
+    scale paths are ``ivf_topk`` / ``pq.ivfpq_topk`` with
+    queries=corpus. Ties break by candidate id (rounded-6dp cosine
+    desc, id asc) — deterministic and oracle-comparable.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per anchor.
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                 F.lit(n_blocks)).cast("int")
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_vec"), blk.alias("_blk"))
+    side_a = (base.withColumn("_pb",
+                              F.explode(F.sequence(F.col("_blk"),
+                                                   F.lit(n_blocks - 1))))
+                  .select(F.col("_blk").alias("_pa"), "_pb",
+                          F.lit("a").alias("_side"), "_id", "_vec"))
+    side_b = (base.filter(F.col("_blk") > 0)
+                  .withColumn("_pa", F.explode(F.sequence(F.lit(0),
+                                                          F.col("_blk") - 1)))
+                  .select("_pa", F.col("_blk").alias("_pb"),
+                          F.lit("b").alias("_side"), "_id", "_vec"))
+    tagged = side_a.unionByName(side_b)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                              "vec_id": pd.array([], dtype="int64"),
+                              "cosine": pd.array([], dtype="float64")})
+        diagonal = pdf["_pa"].iat[0] == pdf["_pb"].iat[0]
+        a_pdf = pdf[pdf["_side"] == "a"]
+        b_pdf = a_pdf if diagonal else pdf[pdf["_side"] == "b"]
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+
+        def prep(part):
+            ids = part["_id"].to_numpy()
+            order = np.argsort(ids)          # ascending-id columns make
+            ids = ids[order]                 # stable argsort break ties
+            mat = np.stack(part["_vec"].to_numpy())[order].astype(
+                np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        a_ids, a_mat = prep(a_pdf)
+        b_ids, b_mat = (a_ids, a_mat) if diagonal else prep(b_pdf)
+
+        def topk_rows(anchor_ids, anchor_mat, cand_ids, cand_mat,
+                      exclude_self):
+            sims = anchor_mat @ cand_mat.T
+            # SQL half-away rounding, not np.round's half-even: the
+            # rounded value is OUTPUT (hash-compared), not just an
+            # ordering key, so a midpoint flip would break parity.
+            _round6_half_away(sims, np.empty_like(sims))
+            if exclude_self:
+                sims[np.equal.outer(anchor_ids, cand_ids)] = -np.inf
+            kk = min(k, sims.shape[1])
+            # stable argsort over descending sims; candidate columns are
+            # id-ascending, so equal values resolve to the lowest id.
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(anchor_ids, kk)
+            cols = cand_ids[idx.ravel()]
+            vals = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = vals > -np.inf
+            return rows[keep], cols[keep], vals[keep]
+
+        ra, ca, va = topk_rows(a_ids, a_mat, b_ids, b_mat, diagonal)
+        if diagonal:
+            rows = np.concatenate([ra])
+            cols, vals = ca, va
+        else:
+            rb, cb, vb = topk_rows(b_ids, b_mat, a_ids, a_mat, False)
+            rows = np.concatenate([ra, rb])
+            cols = np.concatenate([ca, cb])
+            vals = np.concatenate([va, vb])
+        return pd.DataFrame({"query_id": rows, "vec_id": cols,
+                             "cosine": vals})
+
+    import numpy as np  # noqa: F401  (kernel import is per-executor)
+
+    partial = tagged.groupBy("_pa", "_pb").applyInPandas(
+        kernel, schema="query_id long, vec_id long, cosine double")
+    return top_k_per_group(
+        partial, ["query_id"],
+        [F.col("cosine").desc(), F.col("vec_id").asc()],
+        k=k, desc=False, rank_col="rank")

@@ -374,3 +374,44 @@ def test_bloom_incremental_dedup_equals_plain(spark):
     # the admitted set must be exactly the batch texts unseen in corpus
     got = {r.doc_id for r in bloom.collect()}
     assert got == {100 + i for i in range(40, 60)}
+
+
+def test_knn_graph_matches_brute_force(spark):
+    # knn_graph's merged per-block partials must equal brute_force_topk
+    # run with queries=corpus and self-pairs dropped — for every anchor,
+    # under any block count (1 block = single matmul; 5 blocks = every
+    # pair shape including sparse diagonals).
+    import random
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph,
+    )
+
+    rnd = random.Random(11)
+    rows = [Row(vec_id=i,
+                embedding=[rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(37)]
+    rows[20] = Row(vec_id=20, embedding=rows[3].embedding)  # exact dup
+    df = spark.createDataFrame(rows)
+    # reference: exact top-(k+1) incl. self, re-ranked after dropping self
+    ref = brute_force_topk(df, df, k=4, dim=8)
+    expect = {}
+    for r in ref.collect():
+        if r.query_id != r.vec_id:
+            expect.setdefault(r.query_id, []).append(
+                (r.vec_id, r.cosine))
+    # brute k=4 incl. self leaves >=3 non-self rows; compare top-3
+    for nb in (1, 5):
+        got = {}
+        for r in knn_graph(df, k=3, n_blocks=nb).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.vec_id, r.cosine, r.rank))
+        assert set(got) == set(range(37))
+        for qid, lst in got.items():
+            lst.sort(key=lambda t: t[2])
+            assert [t[:2] for t in lst] == expect[qid][:3], qid
+    # the exact duplicate pair must be each other's rank-1 at cosine 1.0
+    g = {r.query_id: (r.vec_id, r.cosine)
+         for r in knn_graph(df, k=1, n_blocks=5).collect()}
+    assert g[3] == (20, 1.0) and g[20] == (3, 1.0)
