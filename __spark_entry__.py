@@ -77,7 +77,12 @@ from nyctaxidatapipeline_spark.operators.clustering import (
 from nyctaxidatapipeline_spark.operators.graph import pagerank
 from nyctaxidatapipeline_spark.operators.lines import dedup_lines
 from nyctaxidatapipeline_spark.operators.lm import dsir_weights, lm_score
-from nyctaxidatapipeline_spark.operators.relevance import bm25_scores
+from nyctaxidatapipeline_spark.operators.relevance import (
+    bm25_multi,
+    bm25_scores,
+    rrf_fuse,
+    top_query_terms,
+)
 from nyctaxidatapipeline_spark.operators.packing import (
     pack_sequences,
     packed_doc_spans,
@@ -1355,6 +1360,30 @@ def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "text", "doc_id")
 
 
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical and a
+    dense ranking for 5 queries (doc/vec id < 5). Lexical list =
+    ``bm25_multi`` over per-query term bags derived by
+    ``top_query_terms`` (3 longest distinct tokens of each query doc);
+    dense list = ``brute_force_topk`` over the embeddings; both top-20,
+    fused by ``rrf_fuse`` (score = Σ 1/(60+rank)) into a top-10. One
+    union-wide aggregate + query-keyed windows — no outer-join chain,
+    generalizes to N lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = top_query_terms(docs.filter(F.col("doc_id") < 5),
+                             "text", "doc_id", n_terms=3)
+    lex = bm25_multi(docs, qterms, "text", "doc_id")
+    lexr = top_k_per_group(
+        lex, ["query_id"],
+        [F.col("bm25").desc(), F.col("doc_id").asc()],
+        k=20, desc=False, rank_col="rank")
+    dense = (brute_force_topk(emb, emb.filter(F.col("vec_id") < 5),
+                              k=20, dim=embedding_dim(emb))
+             .withColumnRenamed("vec_id", "doc_id"))
+    return rrf_fuse([lexr, dense], k=10)
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under a corpus-trained add-one bigram LM
     (the CCNet perplexity-filter dataflow with the KenLM call replaced
@@ -2113,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_avg": _q_time_range_avg,
         "negative_samples": _q_negative_samples,
         "knn_graph": _q_knn_graph,
+        "rrf_fusion": _q_rrf_fusion,
     }
 
 
@@ -4001,6 +4031,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
                    ROUND(SUM(c), 6) AS bm25
             FROM contrib GROUP BY doc_id
+        """,
+        # Twin of relevance.top_query_terms + bm25_multi + rrf_fuse
+        # composed with the dense brute-force ranking: same term
+        # derivation (3 longest distinct tokens per query doc), same
+        # corpus-level doc_freq (computed BEFORE the query join), same
+        # Σ 1/(60+rank) fusion and (rrf DESC, id) tie order.
+        "rrf_fusion": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+             dls AS (SELECT doc_id, len(tk) AS dl, tk FROM base),
+             stats AS (SELECT COUNT(*) AS n_docs,
+                              ROUND(AVG(dl), 6) AS avgdl FROM dls),
+             qt AS (
+               SELECT query_id, term FROM (
+                 SELECT doc_id AS query_id, term,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY length(term) DESC, term) AS trn
+                 FROM (SELECT DISTINCT doc_id, unnest(tk) AS term
+                       FROM base WHERE doc_id < 5))
+               WHERE trn <= 3),
+             toks AS (SELECT doc_id, dl, unnest(tk) AS term FROM dls),
+             tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+                    FROM toks WHERE term IN (SELECT term FROM qt)
+                    GROUP BY doc_id, term),
+             dfr AS (SELECT *, COUNT(*) OVER (PARTITION BY term)
+                                AS doc_freq FROM tf),
+             contrib AS (
+               SELECT q.query_id, d.doc_id,
+                      ROUND(ln(1.0 + (n_docs - doc_freq + 0.5)
+                               / (doc_freq + 0.5))
+                            * (tf * (1.2 + 1.0))
+                            / (tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl / avgdl)), 6) AS c
+               FROM dfr d JOIN qt q USING (term) CROSS JOIN stats),
+             lex AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25
+                     FROM contrib GROUP BY query_id, doc_id),
+             lexr AS (
+               SELECT query_id, doc_id, rnk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rnk
+                 FROM lex) WHERE rnk <= 20),
+             qv AS (SELECT vec_id AS query_id,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 5),
+             cv AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+             denser AS (
+               SELECT query_id, doc_id, rnk FROM (
+                 SELECT q.query_id, c.vec_id AS doc_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY ROUND(list_dot_product(q.v, c.v)
+                                   / (sqrt(list_dot_product(q.v, q.v))
+                                    * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC, c.vec_id) AS rnk
+                 FROM cv c, qv q) WHERE rnk <= 20),
+             u AS (SELECT * FROM lexr UNION ALL SELECT * FROM denser),
+             fused AS (
+               SELECT query_id, doc_id,
+                      CAST(COUNT(*) AS INTEGER) AS n_lists,
+                      ROUND(SUM(1.0 / (60.0 + rnk)), 6) AS rrf
+               FROM u GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, n_lists, rrf, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+              FROM fused)
+            WHERE rank <= 10
         """,
         "lm_perplexity": """
             WITH base AS (

@@ -105,3 +105,110 @@ def bm25_scores(df: DataFrame, query_terms: Sequence[str],
                   .groupBy(id_col)
                   .agg(F.count("*").cast("int").alias("n_terms"),
                        F.round(F.sum("_contrib"), 6).alias("bm25")))
+
+
+def top_query_terms(df: DataFrame, text_col: str, id_col: str,
+                    n_terms: int = 3,
+                    query_id_col: str = "query_id",
+                    term_col: str = "term") -> DataFrame:
+    """Derive a deterministic per-document query bag: the ``n_terms``
+    distinct tokens of each document ranked by (length DESC, token ASC)
+    — a stand-in for tf-idf keyword extraction that both engines of the
+    differential oracle can reproduce exactly. Output: (query_id, term).
+    """
+    tok = (df.select(F.col(id_col).alias(query_id_col),
+                     F.explode(tokens(text_col)).alias(term_col))
+             .distinct())
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.length(term_col).desc(), F.col(term_col).asc()))
+    return (tok.withColumn("_trn", F.row_number().over(w))
+               .filter(F.col("_trn") <= n_terms).drop("_trn"))
+
+
+def bm25_multi(df: DataFrame, queries_df: DataFrame, text_col: str,
+               id_col: str, query_id_col: str = "query_id",
+               term_col: str = "term",
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 of every document against MANY query bags at once — the
+    batch-retrieval shape (one ranked list per query id in
+    ``queries_df`` = (query_id, term) rows).
+
+    Scale shape: the DISTINCT term set across all queries is collected
+    once to the driver (bounded by contract — query workloads are
+    thousands of terms, never corpus-sized) so the token filter stays
+    INSIDE the array before explode, exactly like ``bm25_scores``;
+    per-term doc frequencies come from a window over the per-(doc,
+    term) tf rows BEFORE the query join (corpus-level df, unpolluted
+    by query multiplicity); ``queries_df`` broadcasts into the hit
+    rows; one final groupBy((query, doc)) sums contributions.
+
+    Output: (query_id, id, n_terms, bm25) for pairs with ≥ 1 match.
+    """
+    terms = sorted({r[0] for r in
+                    queries_df.select(F.lower(F.col(term_col)))
+                              .distinct().collect()})
+    base = (fan_out(df, id_col)
+            .select(id_col, tokens(text_col).alias("_tk"))
+            .select(id_col, F.size("_tk").alias("dl"), F.col("_tk")))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.round(F.avg("dl"), 6).alias("avgdl"))
+    matched = (base.select(
+                   id_col, "dl",
+                   F.explode(F.filter(
+                       F.col("_tk"),
+                       lambda t: t.isin(*terms))).alias(term_col)))
+    tf = (matched.groupBy(id_col, term_col)
+                 .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+    dfreq_w = Window.partitionBy(term_col)
+    scored = (tf.withColumn("doc_freq", F.count("*").over(dfreq_w))
+                .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5))
+    contrib = F.round(
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                               / F.col("avgdl"))), 6)
+    q = (queries_df.select(query_id_col,
+                           F.lower(F.col(term_col)).alias(term_col))
+                   .distinct())
+    return (scored.withColumn("_contrib", contrib)
+                  .join(F.broadcast(q), term_col)
+                  .groupBy(query_id_col, id_col)
+                  .agg(F.count("*").cast("int").alias("n_terms"),
+                       F.round(F.sum("_contrib"), 6).alias("bm25")))
+
+
+def rrf_fuse(ranked: Sequence[DataFrame], k: int = 10, c: int = 60,
+             query_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of N ranked
+    lists — the standard hybrid-retrieval merge of a lexical (BM25)
+    and a dense (ANN) ranking. Each input holds (query, id, rank);
+    score(q, d) = Σ_lists 1/(c + rank). Items missing from a list
+    simply contribute nothing (no outer-join NULL arms needed — a
+    union + one aggregate, which also generalizes to N lists where a
+    chain of full outer joins would not).
+
+    Shuffles: one union-wide hash aggregate on (query, id) + the
+    query-keyed rank window; list sizes are already top-k'd upstream,
+    so the shuffle is O(queries·k·lists). Output: (query_id, doc_id,
+    n_lists, rrf, rank) — rank 1..k by (rrf DESC, id ASC).
+    """
+    from functools import reduce
+
+    from nyctaxidatapipeline_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    parts = [r.select(F.col(query_col), F.col(id_col),
+                      F.col(rank_col).alias("_r")) for r in ranked]
+    tagged = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = (tagged.groupBy(query_col, id_col)
+                   .agg(F.count("*").cast("int").alias("n_lists"),
+                        F.round(F.sum(1.0 / (F.lit(float(c))
+                                             + F.col("_r"))), 6)
+                         .alias("rrf")))
+    return top_k_per_group(
+        fused, [query_col],
+        [F.col("rrf").desc(), F.col(id_col).asc()],
+        k=k, desc=False, rank_col=rank_col)

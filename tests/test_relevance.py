@@ -65,3 +65,74 @@ def test_tfidf_min_doc_freq_prunes(spark):
             tfidf_weights(docs, "text", "doc_id",
                           min_doc_freq=2).collect()}
     assert "rare" not in toks and "common" in toks
+
+
+def test_bm25_multi_single_query_matches_bm25_scores(spark):
+    # One query bag through the multi-query path must reproduce the
+    # proven single-bag operator score-for-score.
+    from nyctaxidatapipeline_spark.operators.relevance import bm25_multi
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spark joins vectors with spark"),
+        Row(doc_id=2, text="vectors and joins"),
+        Row(doc_id=3, text="nothing relevant here"),
+        Row(doc_id=4, text="spark spark spark"),
+    ])
+    single = {r.doc_id: (r.n_terms, r.bm25)
+              for r in bm25_scores(docs, ["spark", "joins"],
+                                   "text", "doc_id").collect()}
+    q = spark.createDataFrame([Row(query_id=7, term="spark"),
+                               Row(query_id=7, term="joins")])
+    multi = {r.doc_id: (r.n_terms, r.bm25)
+             for r in bm25_multi(docs, q, "text", "doc_id").collect()}
+    assert multi == single and set(multi) == {1, 2, 4}
+
+
+def test_bm25_multi_docfreq_is_corpus_level(spark):
+    # A term shared by two queries must keep its corpus doc_freq — the
+    # window runs before the query join, so duplicated query rows can't
+    # inflate it (scores for both queries must be identical).
+    from nyctaxidatapipeline_spark.operators.relevance import bm25_multi
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text="alpha gamma"),
+    ])
+    q = spark.createDataFrame([Row(query_id=1, term="alpha"),
+                               Row(query_id=2, term="alpha")])
+    out = bm25_multi(docs, q, "text", "doc_id").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+    assert by_q[1] == by_q[2] and set(by_q[1]) == {1, 2}
+
+
+def test_top_query_terms_longest_distinct(spark):
+    from nyctaxidatapipeline_spark.operators.relevance import (
+        top_query_terms,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="bb aaaa aaaa cc dddd"),
+    ])
+    got = sorted((r.term for r in
+                  top_query_terms(docs, "text", "doc_id",
+                                  n_terms=3).collect()))
+    # longest first (aaaa, dddd), then 2-char ties break
+    # alphabetically (bb before cc); duplicates collapse
+    assert got == ["aaaa", "bb", "dddd"]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from nyctaxidatapipeline_spark.operators.relevance import rrf_fuse
+
+    a = spark.createDataFrame([Row(query_id=1, doc_id=10, rank=1),
+                               Row(query_id=1, doc_id=11, rank=2)])
+    b = spark.createDataFrame([Row(query_id=1, doc_id=11, rank=1),
+                               Row(query_id=1, doc_id=12, rank=2)])
+    out = {r.doc_id: (r.n_lists, r.rrf, r.rank)
+           for r in rrf_fuse([a, b], k=3, c=60).collect()}
+    # doc 11: 1/62 + 1/61; docs 10/12: 1/61 and 1/62 alone
+    assert out[11] == (2, round(1 / 62 + 1 / 61, 6), 1)
+    assert out[10] == (1, round(1 / 61, 6), 2)
+    assert out[12] == (1, round(1 / 62, 6), 3)
