@@ -101,7 +101,10 @@ from nyctaxidatapipeline_spark.operators.curation import (
     curate_corpus,
     curation_flags,
 )
-from nyctaxidatapipeline_spark.operators.profile import profile_numeric
+from nyctaxidatapipeline_spark.operators.profile import (
+    mad_outliers,
+    profile_numeric,
+)
 from nyctaxidatapipeline_spark.operators.rangejoin import range_join_recent
 from nyctaxidatapipeline_spark.operators.sampling import (
     deterministic_sample,
@@ -1903,6 +1906,19 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", min_share=0.0005)
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outliers by modified z-score
+    (``profile.mad_outliers``): two sequential grouped exact-percentile
+    aggregates (median, then MAD — the second depends on the first) with
+    broadcast join-backs; |0.6745·(x−med)/MAD| > 3.5 flags rows the
+    mean/σ z-score would let mask themselves."""
+    ev = _events(spark, sf_dir)
+    out = mad_outliers(ev.select("event_id", "event_type", "value"),
+                       ["event_type"], "value", k=3.5)
+    return out.select("event_id", "event_type", "value",
+                      "median", "mad", "robust_z")
+
+
 def _q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly resampling per event_type over the corpus span —
     missing buckets zero-filled, per-bucket value sums forward-filled
@@ -2143,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _q_negative_samples,
         "knn_graph": _q_knn_graph,
         "rrf_fusion": _q_rrf_fusion,
+        "mad_outliers": _q_mad_outliers,
     }
 
 
@@ -4602,6 +4619,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 8
+        """,
+        # Twin of profile.mad_outliers on events: same 6-dp-rounded
+        # median and MAD (quantile_cont == F.percentile, the
+        # winsorized_prices-proven pairing), same flag predicate.
+        "mad_outliers": """
+            WITH med AS (
+              SELECT event_type,
+                     ROUND(quantile_cont(value, 0.5), 6) AS median
+              FROM events GROUP BY event_type),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.median,
+                     abs(e.value - m.median) AS adev
+              FROM events e JOIN med m USING (event_type)),
+            mad AS (
+              SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+              FROM dev GROUP BY event_type)
+            SELECT event_id, event_type, value, median, mad,
+                   ROUND(0.6745 * (value - median) / mad, 6) AS robust_z
+            FROM dev JOIN mad USING (event_type)
+            WHERE mad > 0
+              AND abs(ROUND(0.6745 * (value - median) / mad, 6)) > 3.5
         """,
         "correlations": """
             SELECT col_a, col_b, ROUND(corr_v, 6) AS corr FROM (

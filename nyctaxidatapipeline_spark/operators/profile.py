@@ -62,6 +62,44 @@ def outliers_zscore(df: DataFrame, group_cols: Sequence[str],
               .drop("_mu", "_sigma"))
 
 
+def mad_outliers(df: DataFrame, group_cols: Sequence[str],
+                 value_col: str, k: float = 3.5) -> DataFrame:
+    """Robust per-group outliers by the modified z-score
+    (Iglewicz–Hoaglin): |0.6745·(x − median)/MAD| > ``k``. Unlike
+    ``outliers_zscore``, the median/MAD location-scale pair is itself
+    insensitive to the outliers being hunted (a few extreme rows can
+    inflate σ enough to mask themselves; they cannot move the median).
+
+    Two sequential grouped EXACT percentile aggregates (median, then
+    median absolute deviation) — inherently two shuffles, since the MAD
+    depends on the first median; both produce |groups| rows that join
+    back broadcast-sized. At 100 TB swap ``F.percentile`` for
+    ``approx_percentile`` (the ``grouped_percentiles`` twin pattern);
+    the rest of the shape is unchanged. Medians/MAD round 6 dp so the
+    flag predicate is engine-reproducible; groups with MAD = 0 (over
+    half the rows at the median) flag nothing, NULL values are ignored
+    by the percentiles and never flagged.
+
+    Output: input columns + (median, mad, robust_z) for flagged rows.
+    """
+    gcols = list(group_cols)
+    med = (df.groupBy(*gcols)
+             .agg(F.round(F.percentile(value_col, F.lit(0.5)), 6)
+                   .alias("median")))
+    dev = (df.join(med, gcols)
+             .withColumn("_adev", F.abs(F.col(value_col)
+                                        - F.col("median"))))
+    mad = (dev.groupBy(*gcols)
+              .agg(F.round(F.percentile("_adev", F.lit(0.5)), 6)
+                    .alias("mad")))
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("median")) / F.col("mad")
+    return (dev.join(mad, gcols)
+               .filter(F.col("mad") > 0)
+               .withColumn("robust_z", F.round(z, 6))
+               .filter(F.abs(F.col("robust_z")) > k)
+               .drop("_adev"))
+
+
 def correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Pearson correlation for every column pair — one global aggregate
     computing all C(n,2) ``corr`` measures in a single pass (no per-pair

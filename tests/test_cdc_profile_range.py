@@ -192,3 +192,26 @@ def test_merge_upsert_default_is_plain_upsert(spark):
     got = {r.k: r.v for r in
            merge_upsert(target, source, ["k"]).collect()}
     assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_mad_outliers_hand_computed(spark):
+    # group a: values 1..9 plus a wild 1000. median of the 10 values is
+    # 5.5, adevs are {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5} with
+    # median 2.5 -> z(1000) = .6745*994.5/2.5 = 268.3161; z(9) = .944
+    # so ONLY the planted point flags at k=3.5. group b has MAD 0
+    # (constant) and must flag nothing even with one deviant row far
+    # from the median... (b is 5 constants + 1 deviant: median sits on
+    # the constant, MAD = 0 -> skipped). NULLs are ignored, not flagged.
+    from nyctaxidatapipeline_spark.operators.profile import mad_outliers
+
+    rows = [Row(g="a", i=i, v=float(x))
+            for i, x in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    rows += [Row(g="b", i=100 + i, v=5.0) for i in range(5)]
+    rows += [Row(g="b", i=199, v=9999.0), Row(g="a", i=200, v=None)]
+    df = spark.createDataFrame(rows)
+    out = mad_outliers(df, ["g"], "v", k=3.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g, r.i, r.v) == ("a", 9, 1000.0)
+    assert r.median == 5.5 and r.mad == 2.5
+    assert abs(r.robust_z - round(0.6745 * 994.5 / 2.5, 6)) < 1e-9
