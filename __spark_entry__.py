@@ -1784,6 +1784,20 @@ def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, "text", "doc_id", min_count=5)
 
 
+def _q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence counts (window=3) — the
+    word2vec/GloVe training matrix. Pair generation is map-side array
+    lambdas (no position self-join); the only shuffle is the (w1, w2)
+    count aggregate with map-side combine absorbing Zipf-hot pairs.
+    The DuckDB twin cross-checks with the OTHER formulation (position
+    range self-join)."""
+    from nyctaxidatapipeline_spark.operators.lm import skipgram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skipgram_counts(docs, "text", "doc_id", window=3,
+                           min_count=5)
+
+
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM token-budget estimation: per-doc BPE-ish pre-tokenizer count
     (letters/digits/symbol runs with leading-space absorption — the
@@ -2160,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "rrf_fusion": _q_rrf_fusion,
         "mad_outliers": _q_mad_outliers,
+        "skipgram_counts": _q_skipgram_counts,
     }
 
 
@@ -4536,6 +4551,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Twin of lm.pmi_collocations (min_count=5): same whitespace
         # tokens, same adjacent bigrams, PMI = ln((n12/N)/(p1*p2)).
+        # Twin of lm.skipgram_counts — DELIBERATELY the other
+        # formulation: positions from generate_series, pairs via a
+        # position-range self-join (vs Spark's map-side array lambdas),
+        # so the differential check exercises semantics, not a shared
+        # plan shape.
+        "skipgram_counts": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            pos AS (SELECT doc_id, g.i AS ord, tk[g.i] AS term
+                    FROM base,
+                         unnest(generate_series(1, len(tk))) AS g(i)),
+            pairs AS (
+              SELECT a.term AS w1, b.term AS w2
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+               AND b.ord BETWEEN a.ord + 1 AND a.ord + 3)
+            SELECT w1, w2, COUNT(*) AS n_pair
+            FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
+        """,
         "pmi_collocations": """
             WITH tok AS (
               SELECT doc_id,

@@ -203,3 +203,36 @@ def pmi_collocations(df: DataFrame, text_col: str, id_col: str,
                              F.col("c_w").alias("c2")), "w2")
             .crossJoin(n_bg).crossJoin(n_tok)
             .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")))
+
+
+def skipgram_counts(df: DataFrame, text_col: str, id_col: str,
+                    window: int = 3, min_count: int = 5) -> DataFrame:
+    """Windowed (skip-gram) co-occurrence counts: for every token, its
+    pairings with the next ``window`` tokens of the same document —
+    the directional co-occurrence matrix behind word2vec/GloVe-style
+    embedding training and PPMI vector spaces (``pmi_collocations`` is
+    the special case window=1).
+
+    Scale shape: pair generation is entirely MAP-SIDE — a per-row
+    array lambda (transform × slice × flatten) emits ≤ window·tokens
+    struct pairs, so there is NO position self-join and NO shuffle
+    until the single (w1, w2) count aggregate, whose map-side partial
+    combine absorbs the Zipf-hot stopword pairs before they travel.
+    The DuckDB twin deliberately uses the OTHER formulation (ordinality
+    self-join on position range) so the two engines cross-check the
+    semantics, not a shared plan shape.
+
+    Output: (w1, w2, n_pair) for pairs occurring ≥ ``min_count``.
+    """
+    tk = tokens(text_col)
+    pair_structs = F.flatten(F.transform(
+        tk,
+        lambda t, i: F.transform(
+            F.slice(tk, i + F.lit(2), F.lit(window)),
+            lambda u: F.struct(t.alias("w1"), u.alias("w2")))))
+    pairs = (fan_out(df, id_col)
+             .select(F.explode(pair_structs).alias("p"))
+             .select("p.w1", "p.w2"))
+    return (pairs.groupBy("w1", "w2")
+                 .agg(F.count("*").alias("n_pair"))
+                 .filter(F.col("n_pair") >= min_count))

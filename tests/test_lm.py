@@ -88,3 +88,25 @@ def test_lm_score_under_unseen_bigrams_smoothed(spark):
     out = lm_score_under(model, score, "text", "doc_id").collect()
     # completely unseen bigram and context: P = (0+1)/(0+V), V={a,b}=2
     assert out[0]["avg_logp"] == round(math.log(1 / 2), 6)
+
+
+def test_skipgram_counts_window_semantics(spark):
+    # "a b c a b": window=2 directional pairs are
+    # a->(b,c) b->(c,a) c->(a,b) a->(b) — so (a,b) x2, (b,c) x1, ...
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.lm import skipgram_counts
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c a b")])
+    got = {(r.w1, r.w2): r.n_pair
+           for r in skipgram_counts(df, "text", "doc_id", window=2,
+                                    min_count=1).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
+                   ("b", "a"): 1, ("c", "a"): 1, ("c", "b"): 1}
+    # pairs never cross document boundaries
+    df2 = spark.createDataFrame([Row(doc_id=1, text="x y"),
+                                 Row(doc_id=2, text="y z")])
+    got2 = {(r.w1, r.w2): r.n_pair
+            for r in skipgram_counts(df2, "text", "doc_id", window=5,
+                                     min_count=1).collect()}
+    assert got2 == {("x", "y"): 1, ("y", "z"): 1}
