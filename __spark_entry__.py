@@ -1395,6 +1395,34 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", "doc_id")
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning: corpus-LM perplexity
+    tertiles assigned by threshold from a 1-row broadcast of the two
+    exact boundaries — one percentile aggregate + a shuffle-free
+    projection, never a global ntile sort (single-task at scale)."""
+    from nyctaxidatapipeline_spark.operators.lm import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id")
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: global 1-based position sorting docs by
+    perplexity tertile (easy first) with a deterministic md5 shuffle
+    inside each tertile — position from the distributed two-pass
+    prefix sum over the packed (level, md5-48) key with the id as
+    window tiebreak; no single-task global window."""
+    from nyctaxidatapipeline_spark.operators.lm import perplexity_buckets
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = perplexity_buckets(docs, "text", "doc_id")
+    out = curriculum_order(b, "bucket_idx", "doc_id")
+    return out.select("doc_id", "ppl", "bucket", "pos")
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: users completing each prefix
     with strictly increasing first-occurrence timestamps — one filtered
@@ -2175,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "mad_outliers": _q_mad_outliers,
         "skipgram_counts": _q_skipgram_counts,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "curriculum_order": _q_curriculum_order,
     }
 
 
@@ -4161,6 +4191,97 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(logp), 6) AS avg_logp,
                    ROUND(exp(-ROUND(AVG(logp), 6)), 6) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # Twins of lm.perplexity_buckets / sampling.curriculum_order:
+        # the lm_perplexity pipeline + exact tertile thresholds
+        # (quantile_cont == F.percentile), then for curriculum the
+        # (tertile, md5-48, id) total order as one ranking — equal by
+        # construction to Spark's packed-key distributed prefix sum.
+        "perplexity_buckets": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+             bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+              FROM base WHERE len(tk) >= 2),
+             bgc AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+             ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS ctx
+                     FROM bgc GROUP BY 1),
+             vocab AS (SELECT COUNT(DISTINCT token) AS v FROM
+                       (SELECT unnest(tk) AS token FROM base)),
+             lp AS (
+              SELECT doc_id, ln((c + 1.0) / (ctx + v)) AS logp
+              FROM bg JOIN bgc USING (bigram)
+                      JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.w1
+                      CROSS JOIN vocab),
+             ppls AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     ROUND(exp(-ROUND(AVG(logp), 6)), 6) AS ppl
+              FROM lp GROUP BY doc_id),
+             bounds AS (
+              SELECT ROUND(quantile_cont(ppl, 1.0::DOUBLE / 3), 6) AS q1,
+                     ROUND(quantile_cont(ppl, 2.0::DOUBLE / 3), 6) AS q2
+              FROM ppls)
+            SELECT doc_id, n_bigrams, ppl,
+                   CAST(CASE WHEN ppl <= q1 THEN 0
+                             WHEN ppl <= q2 THEN 1
+                             ELSE 2 END AS INTEGER) AS bucket_idx,
+                   CASE WHEN ppl <= q1 THEN 'head'
+                        WHEN ppl <= q2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppls CROSS JOIN bounds
+        """,
+        "curriculum_order": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+             bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+              FROM base WHERE len(tk) >= 2),
+             bgc AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+             ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS ctx
+                     FROM bgc GROUP BY 1),
+             vocab AS (SELECT COUNT(DISTINCT token) AS v FROM
+                       (SELECT unnest(tk) AS token FROM base)),
+             lp AS (
+              SELECT doc_id, ln((c + 1.0) / (ctx + v)) AS logp
+              FROM bg JOIN bgc USING (bigram)
+                      JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.w1
+                      CROSS JOIN vocab),
+             ppls AS (
+              SELECT doc_id,
+                     ROUND(exp(-ROUND(AVG(logp), 6)), 6) AS ppl
+              FROM lp GROUP BY doc_id),
+             bounds AS (
+              SELECT ROUND(quantile_cont(ppl, 1.0::DOUBLE / 3), 6) AS q1,
+                     ROUND(quantile_cont(ppl, 2.0::DOUBLE / 3), 6) AS q2
+              FROM ppls),
+             lab AS (
+              SELECT doc_id, ppl,
+                     CASE WHEN ppl <= q1 THEN 0
+                          WHEN ppl <= q2 THEN 1 ELSE 2 END AS bidx,
+                     CASE WHEN ppl <= q1 THEN 'head'
+                          WHEN ppl <= q2 THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                         AS h
+              FROM ppls CROSS JOIN bounds)
+            SELECT doc_id, ppl, bucket,
+                   CAST(row_number() OVER (ORDER BY bidx, h, doc_id)
+                        AS BIGINT) AS pos
+            FROM lab
         """,
         "heavy_hitters": """
             WITH t AS (SELECT COUNT(*) AS total FROM events),

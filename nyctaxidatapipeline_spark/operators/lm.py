@@ -236,3 +236,37 @@ def skipgram_counts(df: DataFrame, text_col: str, id_col: str,
     return (pairs.groupBy("w1", "w2")
                  .agg(F.count("*").alias("n_pair"))
                  .filter(F.col("n_pair") >= min_count))
+
+
+def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
+                       labels: tuple[str, str, str] = ("head", "middle",
+                                                      "tail")) -> DataFrame:
+    """CCNet-style quality partitioning: score every document under the
+    corpus bigram LM (``lm_score``) and split the corpus into
+    head/middle/tail perplexity TERTILES — the bucketing CCNet uses to
+    keep/LM-filter/drop web data (lowest perplexity = cleanest).
+
+    The bucket rule is threshold assignment from a 1-row broadcast of
+    the two exact tertile boundaries (the ``winsorize`` shape), NOT a
+    global ntile window — an ntile over the corpus is a single-task
+    sort at scale, while this is one percentile aggregate plus a
+    shuffle-free projection. Boundaries round 6 dp so the rule is
+    engine-reproducible; docs exactly on a boundary fall to the lower
+    bucket on both engines.
+
+    Output: (id, n_bigrams, ppl, bucket_idx, bucket).
+    """
+    scored = lm_score(df, text_col, id_col)
+    bounds = scored.agg(
+        F.round(F.percentile("ppl", F.lit(1.0 / 3)), 6).alias("_q1"),
+        F.round(F.percentile("ppl", F.lit(2.0 / 3)), 6).alias("_q2"))
+    idx = (F.when(F.col("ppl") <= F.col("_q1"), 0)
+            .when(F.col("ppl") <= F.col("_q2"), 1)
+            .otherwise(2))
+    label = (F.when(F.col("ppl") <= F.col("_q1"), labels[0])
+              .when(F.col("ppl") <= F.col("_q2"), labels[1])
+              .otherwise(labels[2]))
+    return (scored.crossJoin(F.broadcast(bounds))
+                  .select(id_col, "n_bigrams", "ppl",
+                          idx.cast("int").alias("bucket_idx"),
+                          label.alias("bucket")))

@@ -32,6 +32,8 @@ surface (BASELINE.json north star) the same way dedup/sampling do.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,11 +45,16 @@ __all__ = ["distributed_prefix_sum", "pack_sequences", "packed_doc_spans",
 
 def distributed_prefix_sum(df: DataFrame, value_col: str | Column,
                            order_col: str, n_buckets: int = 64,
-                           alias: str = "prefix_sum") -> DataFrame:
+                           alias: str = "prefix_sum",
+                           tiebreak_cols: Sequence[str] = ()) -> DataFrame:
     """Adds ``alias`` = inclusive running sum of ``value_col`` in
     ``order_col`` order, computed as a two-pass parallel scan (module
-    docstring). ``order_col`` must be a total order (unique values) —
-    with ties the running sum within a tie group is not well defined.
+    docstring). ``(order_col, *tiebreak_cols)`` must be a total order
+    (unique) — with ties the running sum within a tie group is not well
+    defined. Ties on ``order_col`` alone are safe WITH tiebreaks:
+    bucket assignment is a pure function of ``order_col``, so a tie
+    group can never straddle a bucket boundary, and the within-bucket
+    window resolves it.
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     rng = df.agg(F.min(order_col).alias("_lo"),
@@ -59,7 +66,8 @@ def distributed_prefix_sum(df: DataFrame, value_col: str | Column,
         F.lit(0))
     b = (df.crossJoin(F.broadcast(rng))
            .withColumn("_bk", bucket).drop("_lo", "_hi"))
-    w_in = (Window.partitionBy("_bk").orderBy(order_col)
+    w_in = (Window.partitionBy("_bk")
+            .orderBy(order_col, *tiebreak_cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     b = b.withColumn("_run", F.sum(v).over(w_in))
     totals = b.groupBy("_bk").agg(F.sum(v).alias("_tot"))

@@ -248,3 +248,38 @@ def negative_samples(df: DataFrame, id_col: str, k: int = 4,
     lookup = ranked.select(F.col("_rn").alias("_neg_rn"),
                            F.col("_id").alias(neg_col))
     return pairs.join(lookup, "_neg_rn").drop("_neg_rn")
+
+
+def curriculum_order(df: DataFrame, level_col: str, id_col: str,
+                     pos_col: str = "pos") -> DataFrame:
+    """Deterministic curriculum ordering: a global 1-based position
+    that sorts rows by difficulty ``level_col`` (ascending int levels
+    — e.g. perplexity tertile 0/1/2) while SHUFFLING uniformly within
+    each level by an md5 draw on the id — the standard
+    curriculum-learning layout (easy levels first, no intra-level
+    order bias), as a pure function of (level, id): stable across
+    reruns, repartitions and engines.
+
+    Scale shape: the global position comes from the distributed
+    two-pass prefix sum over the combined numeric key
+    ``level·2^50 + md5_48(id)`` (48-bit draws collide eventually, so
+    ``id_col`` rides as the window tiebreak — bucket assignment only
+    reads the key, and a tie group can't straddle a bucket boundary).
+    NO single-task global window, no ntile. One bounds aggregate + the
+    bucketed exchanges.
+
+    Output: input columns + (pos_col). ``level_col`` must be a small
+    non-negative int (< 8192) for the key packing to stay in 63 bits.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+               16, 10).cast("bigint")
+    keyed = df.withColumn(
+        "_ck", F.col(level_col).cast("bigint") * F.lit(1 << 50) + h)
+    from nyctaxidatapipeline_spark.operators.packing import (
+        distributed_prefix_sum,
+    )
+
+    return (distributed_prefix_sum(keyed, F.lit(1), "_ck",
+                                   alias=pos_col,
+                                   tiebreak_cols=(id_col,))
+            .drop("_ck"))

@@ -110,3 +110,32 @@ def test_skipgram_counts_window_semantics(spark):
             for r in skipgram_counts(df2, "text", "doc_id", window=5,
                                      min_count=1).collect()}
     assert got2 == {("x", "y"): 1, ("y", "z"): 1}
+
+
+def test_perplexity_buckets_tertiles(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.lm import perplexity_buckets
+
+    # 30 docs with varying repetitiveness -> spread of perplexities
+    rows = [Row(doc_id=i,
+                text=" ".join(f"w{j % (i + 2)}" for j in range(20)))
+            for i in range(30)]
+    out = perplexity_buckets(spark.createDataFrame(rows),
+                             "text", "doc_id").collect()
+    assert len(out) == 30
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        assert r.bucket == ("head", "middle", "tail")[r.bucket_idx]
+    # every bucket populated (tie groups may skew exact tertile sizes —
+    # equal ppls land in one bucket by design)
+    assert set(sizes) == {"head", "middle", "tail"}
+    # buckets partition the ppl axis in order
+    by = {b: [r.ppl for r in out if r.bucket == b] for b in sizes}
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+    # equal perplexities always share a bucket
+    seen = {}
+    for r in out:
+        assert seen.setdefault(r.ppl, r.bucket) == r.bucket

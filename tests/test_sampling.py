@@ -230,3 +230,29 @@ class TestNegativeSamples:
                        negative_samples(df.repartition(7), "doc_id",
                                         2).collect()))
         assert a == b
+
+
+def test_curriculum_order_levels_then_shuffle(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [Row(doc_id=i, lvl=i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = curriculum_order(df, "lvl", "doc_id").collect()
+    # positions are a permutation of 1..n
+    assert sorted(r.pos for r in out) == list(range(1, 61))
+    by_pos = sorted(out, key=lambda r: r.pos)
+    # levels are non-decreasing along the curriculum
+    lvls = [r.lvl for r in by_pos]
+    assert lvls == sorted(lvls)
+    # within a level the md5 draw shuffles: not plain id order
+    lvl0 = [r.doc_id for r in by_pos if r.lvl == 0]
+    assert lvl0 != sorted(lvl0)
+    # pure function of (level, id): repartition changes nothing
+    out2 = curriculum_order(df.repartition(7), "lvl",
+                            "doc_id").collect()
+    assert {(r.doc_id, r.pos) for r in out2} == {(r.doc_id, r.pos)
+                                                 for r in out}
