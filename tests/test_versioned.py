@@ -1,0 +1,105 @@
+"""Versioned parquet tables — snapshot isolation, time travel,
+rollback, crash invisibility, and manifest-stats file pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.versioned import (
+    read_version,
+    rollback,
+    table_versions,
+    write_version,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([Row(k=i, s=f"s{i}")
+                                  for i in range(lo, hi)])
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = write_version(_df(spark, 0, 10), t, mode="overwrite")
+    v2 = write_version(_df(spark, 10, 15), t, mode="append")
+    v3 = write_version(_df(spark, 100, 103), t, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert table_versions(t) == [1, 2, 3]
+    # latest = the overwrite
+    assert sorted(r.k for r in read_version(spark, t).collect()) == \
+        [100, 101, 102]
+    # time travel: v2 is the union, v1 the original
+    assert sorted(r.k for r in
+                  read_version(spark, t, 2).collect()) == list(range(15))
+    assert sorted(r.k for r in
+                  read_version(spark, t, 1).collect()) == list(range(10))
+
+
+def test_rollback_is_nondestructive(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 5), t)
+    write_version(_df(spark, 5, 9), t, mode="overwrite")
+    v = rollback(spark, t, 1)
+    assert v == 3 and table_versions(t) == [1, 2, 3]
+    assert sorted(r.k for r in read_version(spark, t).collect()) == \
+        list(range(5))
+    # the rolled-over version is still readable
+    assert sorted(r.k for r in read_version(spark, t, 2).collect()) == \
+        [5, 6, 7, 8]
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 4), t)
+    # simulate a crashed writer: data files land, no manifest
+    dead = os.path.join(t, "data", "v00099")
+    _df(spark, 900, 950).write.parquet(dead)
+    assert table_versions(t) == [1]
+    assert sorted(r.k for r in read_version(spark, t).collect()) == \
+        [0, 1, 2, 3]
+
+
+def test_append_carries_parent_entries_without_restat(spark, tmp_path):
+    import json
+
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 4), t, stat_cols=("k",))
+    write_version(_df(spark, 4, 8), t, mode="append", stat_cols=("k",))
+    with open(os.path.join(t, "_versions", "2.json")) as fh:
+        m = json.load(fh)
+    files = [e["file"] for e in m["entries"]]
+    assert any(f.startswith("data/v00001") for f in files)
+    assert any(f.startswith("data/v00002") for f in files)
+    # every entry has k stats and they bound the right halves
+    for e in m["entries"]:
+        lo, hi = e["stats"]["k"]
+        assert (0 <= lo <= hi <= 3) or (4 <= lo <= hi <= 7)
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # range-cluster on k so file stats are disjoint -> prunable
+    big = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(400)])
+    clustered = big.repartitionByRange(8, "k")
+    write_version(clustered, t, mode="overwrite", stat_cols=("k",))
+    full = read_version(spark, t)
+    assert len(full.inputFiles()) == 8
+    pruned = read_version(spark, t, prune=("k", 100, 120))
+    assert 0 < len(pruned.inputFiles()) < 8
+    # pruning is sound: filter on the pruned read == filter on full
+    want = sorted(r.k for r in
+                  full.filter(F.col("k").between(100, 120)).collect())
+    got = sorted(r.k for r in
+                 pruned.filter(F.col("k").between(100, 120)).collect())
+    assert got == want == list(range(100, 121))
+
+
+def test_pruning_keeps_files_without_stats(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 10), t, stat_cols=())  # no stats
+    pruned = read_version(spark, t, prune=("k", 3, 4))
+    # conservative: nothing to prune on -> full read
+    assert sorted(r.k for r in pruned.collect()) == list(range(10))
