@@ -2069,24 +2069,37 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+#: Queries with NO green row in any CORRECTNESS_r01..r04 artifact, in the
+#: order they should hit the round-5 driver window. Everything here passed
+#: the local differential harness (tools/check_correctness.py, sf0.01) and
+#: the round-4 judge's independent run — the rotation exists purely so the
+#: driver's own artifact finally records them. New round-5 queries are
+#: appended here too (they are by definition never-driver-verified).
+_ROUND5_FRONT = [
+    "resample_hourly", "heavy_hitters", "funnel", "histogram_prices",
+    "moving_avg", "snapshot_diff", "daily_top_events", "rank_normalized",
+    "ann_pq", "frame_sample_avi", "audio_features", "importance_resample",
+    "chunk_documents", "html_strip", "url_features", "label_propagation",
+    "triangle_count", "shortest_paths", "ann_ivfpq", "embedding_covariance",
+    "pca_project", "winsorized_prices", "feature_hash_counts",
+    "length_buckets", "time_range_avg", "negative_samples", "knn_graph",
+    "rrf_fusion", "mad_outliers", "skipgram_counts", "perplexity_buckets",
+    "curriculum_order",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records the
-    first 50 entries, and rounds 2-3 both recorded the same 50 (then
-    demand_heatmap..doc_spans). The front of the dict is therefore the
-    queries with the weakest prior driver coverage: 29 of the round-3
-    additions those artifacts never recorded, plus the COMPLETE
-    22-query TPC-H pack minus q1 (q1 was driver-verified in r02/r03) —
-    so round 4's window records the full correlated-subquery /
-    decorrelation surface. Eight simple round-3 aggregates
-    (resample_hourly..rank_normalized) were bumped just past the
-    window to make room; they, the round-4 additions
-    (ann_pq..negative_samples and newer), and the previously
-    driver-verified 50 queue behind — harness-verified until a later
-    rotation brings them into a driver window; round 5 should rotate
-    the tail (resample_hourly.., then demand_heatmap..) forward."""
-    return {
+    first 50 entries. Rounds 1-4 together drove 100 of the 132 queries
+    green; the 32 in ``_ROUND5_FRONT`` have never appeared in a driver
+    window (all pass the local harness and the round-4 judge's
+    independent run). The dict below is therefore reordered at the end:
+    ``_ROUND5_FRONT`` first, then every remaining query in its prior
+    relative order — so the round-5 window records exactly the
+    never-driver-verified set plus the first 18 already-green entries."""
+    full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
         "line_dedup": _q_line_dedup,
@@ -2206,6 +2219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "curriculum_order": _q_curriculum_order,
     }
+    ordered = {name: full[name] for name in _ROUND5_FRONT}
+    ordered.update(full)
+    return ordered
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
