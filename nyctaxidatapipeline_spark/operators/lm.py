@@ -270,3 +270,75 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
                   .select(id_col, "n_bigrams", "ppl",
                           idx.cast("int").alias("bucket_idx"),
                           label.alias("bucket")))
+
+
+def ppmi_vectors(df: DataFrame, text_col: str, id_col: str,
+                 window: int = 3, min_count: int = 5,
+                 dim: int = 16) -> DataFrame:
+    """Count-based word embeddings end-to-end: ``skipgram_counts`` →
+    PPMI reweighting (Levy & Goldberg's SGNS-equivalent matrix) →
+    feature-hashed ``dim``-dimensional context vectors → per-vector
+    int8 max-abs quantization — the full composed pipeline from raw
+    text to a compact trainable embedding table, exercising the
+    co-occurrence, scalar-broadcast, and quantization operators as ONE
+    dataflow instead of islands.
+
+    PPMI: max(0, ln(n_pair·N / (n1·n2))) with N = Σ n_pair,
+    n1/n2 = directional marginals — rounded 6 dp for cross-engine
+    parity. Context hashing uses the repo's portable bucket
+    ``conv(substr(md5(w2), 1, 8), 16, 10) % dim`` (== DuckDB
+    ``('0x'||substr(md5(w2),1,8))::BIGINT % dim``), so the oracle can
+    replay it bit-exactly; collisions ADD (standard hashing-trick
+    semantics). Quantization is per-vector max-abs int8
+    (``round(v/scale·127)``), ``scale = max|v|`` at 6 dp; all-zero
+    vectors (every context PPMI-zeroed) code to zeros with scale 0.
+
+    Scale shape: everything downstream of the skip-gram aggregate is
+    keyed on words — the marginals are word-keyed aggregates that
+    broadcast-join back (vocabulary ≪ corpus), N is the one sanctioned
+    1-row scalar broadcast, and vector assembly is a word-keyed
+    map_from_entries aggregate: no window over the corpus, no driver
+    collect anywhere.
+
+    Output: (word, scale, n_dims, code_digest) — the digest value-hash
+    gate-checks every byte of every code like ``quantize_embeddings``.
+    """
+    pairs = skipgram_counts(df, text_col, id_col, window=window,
+                            min_count=min_count)
+    n1 = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n1"))
+    n2 = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n2"))
+    tot = pairs.agg(F.sum("n_pair").alias("_n"))
+    ppmi = F.round(
+        F.greatest(F.lit(0.0),
+                   F.log(F.col("n_pair").cast("double")
+                         * F.col("_n").cast("double")
+                         / (F.col("n1").cast("double")
+                            * F.col("n2").cast("double")))), 6)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w2")), 1, 8), 16, 10)
+         .cast("bigint"), F.lit(dim)).cast("int")
+    feat = (pairs.join(n1, "w1").join(n2, "w2").crossJoin(tot)
+                 .select(F.col("w1").alias("word"),
+                         bucket.alias("_j"), ppmi.alias("_ppmi"))
+                 .groupBy("word", "_j")
+                 .agg(F.round(F.sum("_ppmi"), 6).alias("_val")))
+    vec = (feat.groupBy("word")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("_j", "_val"))).alias("_m"))
+               .select(
+                   "word",
+                   F.transform(
+                       F.sequence(F.lit(0), F.lit(dim - 1)),
+                       lambda j: F.coalesce(F.col("_m")[j.cast("int")],
+                                            F.lit(0.0))).alias("_v")))
+    scale = F.round(F.array_max(F.transform("_v", F.abs)), 6)
+    codes = F.transform(
+        "_v",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+            F.round(x / F.col("scale") * 127, 0).cast("int")))
+    return (vec.withColumn("scale", scale)
+               .select("word", "scale",
+                       F.lit(dim).alias("n_dims"),
+                       F.md5(F.concat_ws(",", F.transform(
+                           codes, lambda c: c.cast("string"))))
+                        .alias("code_digest")))

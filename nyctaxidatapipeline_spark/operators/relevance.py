@@ -147,6 +147,18 @@ def bm25_multi(df: DataFrame, queries_df: DataFrame, text_col: str,
     terms = sorted({r[0] for r in
                     queries_df.select(F.lower(F.col(term_col)))
                               .distinct().collect()})
+    if not terms:
+        # isin() with zero args is a plan-time error; an empty query
+        # workload simply matches nothing. Output types mirror the
+        # non-empty path: query/doc ids keep their input types.
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            queries_df.schema[query_id_col],
+            df.schema[id_col],
+            T.StructField("n_terms", T.IntegerType()),
+            T.StructField("bm25", T.DoubleType()),
+        ])
+        return df.sparkSession.createDataFrame([], schema=schema)
     base = (fan_out(df, id_col)
             .select(id_col, tokens(text_col).alias("_tk"))
             .select(id_col, F.size("_tk").alias("dl"), F.col("_tk")))

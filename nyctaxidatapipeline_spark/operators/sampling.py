@@ -273,8 +273,16 @@ def curriculum_order(df: DataFrame, level_col: str, id_col: str,
     """
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
                16, 10).cast("bigint")
-    keyed = df.withColumn(
-        "_ck", F.col(level_col).cast("bigint") * F.lit(1 << 50) + h)
+    # Runtime guard for the docstring's 63-bit packing contract: a
+    # level >= 8192 or < 0 would silently overflow signed 64-bit and
+    # produce a WRONG ordering; fail the job instead. Row-local check,
+    # no extra pass.
+    lvl = F.col(level_col).cast("bigint")
+    guarded = F.when((lvl >= 0) & (lvl < 8192), lvl).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"curriculum_order: {level_col} out of packing "
+                  "range [0, 8192): "), lvl.cast("string"))))
+    keyed = df.withColumn("_ck", guarded * F.lit(1 << 50) + h)
     from nyctaxidatapipeline_spark.operators.packing import (
         distributed_prefix_sum,
     )

@@ -774,7 +774,13 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             ids = ids[order]                 # stable argsort break ties
             mat = np.stack(part["_vec"].to_numpy())[order].astype(
                 np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            # Zero-norm clamp: an all-zero vector would divide to NaN
+            # sims that the `> -inf` filter silently drops, making that
+            # anchor vanish from the output (parity break vs the
+            # oracle, which still ranks it). With the clamp it scores
+            # cosine 0.0 against everything — ranked, deterministic.
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
             return ids, mat
 
         a_ids, a_mat = prep(a_pdf)

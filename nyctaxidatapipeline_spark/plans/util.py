@@ -105,6 +105,79 @@ def _estimated_scan_partitions(df: DataFrame, target: int) -> int | None:
             if split + open_cost else len(files))
 
 
+def data_sized_bnljs(plan: str) -> list[str]:
+    """Lines of BroadcastNestedLoopJoins whose build side is NOT a
+    1-row scalar broadcast.
+
+    The repo's only sanctioned BNLJ shape is the bounds/threshold
+    pattern: a global aggregate (``keys=[]`` → exactly one row)
+    broadcast with ``IdentityBroadcastMode`` and cross-joined into a
+    projection. That shape is O(n·1) — indistinguishable from a scalar
+    subquery — and composed queries may legitimately stack many of
+    them. What must NEVER appear is a BNLJ whose build side is a
+    data-sized relation (a scan/filter/keyed aggregate): that is an
+    O(n·m) nested loop that dies at scale.
+
+    This classifier walks the ``explain("simple")`` tree text: for each
+    BNLJ node it locates the build-side child (the last child for
+    ``BuildRight``, the first for ``BuildLeft``) and accepts it only if
+    that child is a broadcast exchange (or a ReusedExchange of one)
+    whose topmost aggregate is global (``keys=[]``). Everything else is
+    returned for the caller to fail on.
+    """
+    import re
+
+    lines = plan.splitlines()
+
+    def connector_col(line: str) -> int | None:
+        m = re.match(r"^([ :]*)[:+]- ", line)
+        return len(m.group(1)) if m else None
+
+    bad = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        col = connector_col(line)
+        child_col = (col + 3) if col is not None else 0
+        build_conn = ":- " if "BuildLeft" in line else "+- "
+        build_idx = None
+        for j in range(i + 1, len(lines)):
+            cj = connector_col(lines[j])
+            if cj is None or cj < child_col:
+                break
+            if cj == child_col and lines[j][cj:cj + 3] == build_conn:
+                build_idx = j
+                if build_conn == "+- ":
+                    break  # BuildRight: last child — first `+-` at depth
+                else:
+                    break  # BuildLeft: first child — first `:-` at depth
+        if build_idx is None:
+            bad.append(line.strip())
+            continue
+        build_line = lines[build_idx]
+        reused = "ReusedExchange" in build_line
+        if "BroadcastExchange" not in build_line and not reused:
+            bad.append(line.strip())
+            continue
+        if reused:
+            # The reused exchange was (or will be) classified at its
+            # original site; shape-wise it duplicates that verdict.
+            continue
+        # First aggregate inside the build subtree must be global.
+        ok = False
+        for j in range(build_idx + 1, len(lines)):
+            cj = connector_col(lines[j])
+            if cj is None or cj <= child_col:
+                break
+            m = re.search(r"Aggregate(?:\w*)?\(keys=\[(.*?)\]", lines[j])
+            if m:
+                ok = m.group(1).strip() == ""
+                break
+        if not ok:
+            bad.append(line.strip())
+    return bad
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (what ``df.explain`` prints)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -22,10 +22,20 @@ hold on any storage:
 
 Append never rewrites or re-stats old files — a new version's manifest
 carries its parent's entries and adds the new ones, so commit cost
-scales with the INCREMENT, not the table. Single-writer by contract
-(concurrent writers need a CAS on the manifest name — the
-compare-and-swap every real table format performs); readers need no
+scales with the INCREMENT, not the table. Concurrent writers race on
+the manifest name and the LOSER FAILS: the commit is a hard-link CAS
+(``os.link`` of the fully-written temp manifest onto ``N.json`` —
+atomic, and ``FileExistsError`` when another writer won), the same
+compare-and-swap every real table format performs. Readers need no
 coordination at all.
+
+LIMITATION — driver-local POSIX filesystem only: manifests are
+written/listed with ``os`` calls from the driver, so ``path`` must be
+a filesystem the driver shares with Spark's writers (local mode, or a
+cluster-wide NFS/Lustre mount). HDFS/S3 object paths need the commit
+reimplemented on the store's own primitives (rename-if-absent /
+conditional PUT) — out of scope for this sandbox, flagged here so the
+failure is a documented contract, not a surprise.
 
 Reference parity: the reference (373-line single-shot ETL) rewrites
 its outputs wholesale and has no versioning surface; this extends the
@@ -43,6 +53,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _versions_dir(path: str) -> str:
     return os.path.join(path, "_versions")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first; retry on the new
+    latest version (optimistic concurrency, like Delta's commit loop)."""
+
+
+def _commit_manifest(path: str, version: int, manifest: dict) -> None:
+    """Atomically publish ``manifest`` as version ``version``.
+
+    The temp file is fully written and fsync'd first, then hard-linked
+    onto the final name — ``os.link`` is atomic AND fails with
+    ``FileExistsError`` when the name is taken, so a concurrent writer
+    that computed the same version number errors instead of silently
+    clobbering the winner's commit (the old ``os.replace`` commit was
+    atomic but last-writer-wins)."""
+    vd = _versions_dir(path)
+    os.makedirs(vd, exist_ok=True)
+    tmp = os.path.join(vd, f".{version}.json.tmp.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, os.path.join(vd, f"{version}.json"))  # THE commit
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} of {path} was committed by another "
+            "writer; re-read table_versions() and retry") from None
+    finally:
+        os.unlink(tmp)
 
 
 def table_versions(path: str) -> list[int]:
@@ -134,12 +175,7 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
         entries = _load_manifest(path, prior[-1])["entries"] + entries
     manifest = {"version": version, "mode": mode,
                 "stat_cols": sorted(stat_cols), "entries": entries}
-    vd = _versions_dir(path)
-    os.makedirs(vd, exist_ok=True)
-    tmp = os.path.join(vd, f".{version}.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(vd, f"{version}.json"))  # THE commit
+    _commit_manifest(path, version, manifest)
     return version
 
 
@@ -184,9 +220,5 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
                 "restores": to_version,
                 "stat_cols": old.get("stat_cols", []),
                 "entries": old["entries"]}
-    vd = _versions_dir(path)
-    tmp = os.path.join(vd, f".{version}.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(vd, f"{version}.json"))
+    _commit_manifest(path, version, manifest)
     return version

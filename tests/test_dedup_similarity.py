@@ -415,3 +415,20 @@ def test_knn_graph_matches_brute_force(spark):
     g = {r.query_id: (r.vec_id, r.cosine)
          for r in knn_graph(df, k=1, n_blocks=5).collect()}
     assert g[3] == (20, 1.0) and g[20] == (3, 1.0)
+
+
+def test_knn_graph_zero_vector_anchor_survives(spark):
+    # A zero vector must not vanish from the graph: the norm clamp
+    # scores it cosine 0.0 against everything instead of NaN (which the
+    # top-k keep-filter would silently drop, breaking oracle parity).
+    from nyctaxidatapipeline_spark.operators.similarity import knn_graph
+
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0, 0.0, 0.0])]
+    rows += [Row(vec_id=i, embedding=[float(i), 1.0, 0.0, 0.0])
+             for i in range(1, 6)]
+    df = spark.createDataFrame(rows)
+    got = {r.query_id: (r.vec_id, r.cosine)
+           for r in knn_graph(df, k=1, n_blocks=2).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    # zero anchor ranks by tie-broken id at cosine 0.0
+    assert got[0] == (1, 0.0)

@@ -136,3 +136,22 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[11] == (2, round(1 / 62 + 1 / 61, 6), 1)
     assert out[10] == (1, round(1 / 61, 6), 2)
     assert out[12] == (1, round(1 / 62, 6), 3)
+
+
+def test_bm25_multi_empty_queries(spark):
+    from pyspark.sql import types as T
+
+    from nyctaxidatapipeline_spark.operators.relevance import bm25_multi
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    empty_q = spark.createDataFrame(
+        [], schema=T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("term", T.StringType())]))
+    out = bm25_multi(docs, empty_q, "text", "doc_id")
+    # plans and evaluates (no zero-arg isin error), matches nothing,
+    # keeps the non-empty path's id types
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "n_terms", "bm25"]
+    assert isinstance(out.schema["doc_id"].dataType, T.LongType)

@@ -256,3 +256,19 @@ def test_curriculum_order_levels_then_shuffle(spark):
                             "doc_id").collect()
     assert {(r.doc_id, r.pos) for r in out2} == {(r.doc_id, r.pos)
                                                  for r in out}
+
+
+def test_curriculum_order_rejects_out_of_range_level(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, lvl=0),
+                                Row(doc_id=2, lvl=8192)])
+    try:
+        curriculum_order(df, "lvl", "doc_id").collect()
+        raise AssertionError("level 8192 should fail the packing guard")
+    except Exception as exc:  # Spark wraps raise_error
+        assert "out of packing range" in str(exc)

@@ -103,3 +103,30 @@ def test_pruning_keeps_files_without_stats(spark, tmp_path):
     pruned = read_version(spark, t, prune=("k", 3, 4))
     # conservative: nothing to prune on -> full read
     assert sorted(r.k for r in pruned.collect()) == list(range(10))
+
+
+def test_concurrent_writer_loses_instead_of_clobbering(spark, tmp_path):
+    from nyctaxidatapipeline_spark.versioned import (
+        ConcurrentWriteError,
+        _commit_manifest,
+        _load_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 5), t, mode="overwrite")
+    # Two writers that both read latest=1 race to commit version 2;
+    # the loser must FAIL the hard-link CAS, not clobber the winner.
+    _commit_manifest(t, 2, {"version": 2, "mode": "overwrite",
+                            "stat_cols": [], "entries": [],
+                            "writer": "winner"})
+    try:
+        _commit_manifest(t, 2, {"version": 2, "mode": "overwrite",
+                                "stat_cols": [], "entries": [],
+                                "writer": "loser"})
+        raise AssertionError("second writer should have failed the CAS")
+    except ConcurrentWriteError:
+        pass
+    # the winner's manifest is intact, no tmp litter remains
+    assert _load_manifest(t, 2)["writer"] == "winner"
+    vd = os.path.join(t, "_versions")
+    assert not [f for f in os.listdir(vd) if f.startswith(".")]
