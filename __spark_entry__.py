@@ -16,6 +16,7 @@ order-sensitive — see ``plans.util.round_doubles``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2069,6 +2070,98 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _scratch_table_path(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, fixture) scratch dir for queries that
+    must WRITE a table to exercise the sink/versioning surface. Keyed
+    by sf_dir so concurrent harness runs at different scales don't
+    collide; recreated from scratch on every call so the query is a
+    pure function of the fixture."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ntdp_{name}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel (versioned.py): commit the
+    English documents as version 1, APPEND the rest as version 2, then
+    read version 1 AFTER the table grew — the returned frame must be
+    exactly the v1 snapshot (= the oracle's view of English docs), no
+    matter what later commits added. The manifest-as-commit design
+    (atomic hard-link CAS, readers never list the filesystem) is what
+    makes this O(1)-coordination at 100 TB."""
+    from nyctaxidatapipeline_spark.versioned import (
+        read_version,
+        write_version,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars"))
+    path = _scratch_table_path("timetravel", sf_dir)
+    write_version(docs.filter(F.col("lang") == "en"), path,
+                  mode="overwrite", stat_cols=("doc_id",))
+    write_version(docs.filter(F.col("lang") != "en"), path,
+                  mode="append", stat_cols=("doc_id",))
+    return read_version(spark, path, version=1)
+
+
+def _q_version_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping (versioned.py): write the documents
+    range-clustered on doc_id so per-file [min, max] stats are
+    disjoint, then answer a doc_id range predicate from a PRUNED read —
+    the manifest alone decides which files to open (no listing, no
+    footer reads at query time). Soundness is the differential gate:
+    pruned-read + filter must equal the oracle's plain WHERE."""
+    from nyctaxidatapipeline_spark.versioned import (
+        read_version,
+        write_version,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars"))
+    path = _scratch_table_path("prunedscan", sf_dir)
+    write_version(docs.repartitionByRange(8, "doc_id"), path,
+                  mode="overwrite", stat_cols=("doc_id",))
+    pruned = read_version(spark, path, prune=("doc_id", 100, 200))
+    return pruned.filter(F.col("doc_id").between(100, 200))
+
+
+def _q_ppmi_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed count-based embedding pipeline: skipgram_counts → PPMI
+    → feature-hashed 16-dim vectors → per-vector int8 quantization, as
+    ONE dataflow (VERDICT r4 item 8 — wiring skipgram_counts into a
+    consumer). The oracle replays every stage including the md5 hash
+    buckets and the code digest."""
+    from nyctaxidatapipeline_spark.operators.lm import ppmi_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppmi_vectors(docs, "text", "doc_id", window=3, min_count=5,
+                        dim=16)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scoring (the fastText/CCNet curation model as a
+    dataflow): full-batch logistic regression trained on the corpus
+    (each GD step = ONE map-side-combined aggregate, driver holds only
+    the weight vector), then scored as a pure projection. Per-step
+    9 dp re-rounding (the PCA recipe) makes the 8-iteration training
+    loop bit-reproducible, so the oracle unrolls the SAME loop as
+    generated CTEs and hash-checks every doc's score."""
+    from nyctaxidatapipeline_spark.operators.classifier import (
+        quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier(
+        docs, "text", "doc_id",
+        label_expr=F.col("lang").eqNullSafe(F.lit("en")), iters=8,
+        lr=1.0)
+
+
 #: Queries with NO green row in any CORRECTNESS_r01..r04 artifact, in the
 #: order they should hit the round-5 driver window. Everything here passed
 #: the local differential harness (tools/check_correctness.py, sf0.01) and
@@ -2085,6 +2178,9 @@ _ROUND5_FRONT = [
     "length_buckets", "time_range_avg", "negative_samples", "knn_graph",
     "rrf_fusion", "mad_outliers", "skipgram_counts", "perplexity_buckets",
     "curriculum_order",
+    # round-5 additions — new this round, so never driver-verified
+    "time_travel_read", "version_pruned_scan", "ppmi_vectors",
+    "quality_classifier",
 ]
 
 
@@ -2218,6 +2314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_counts": _q_skipgram_counts,
         "perplexity_buckets": _q_perplexity_buckets,
         "curriculum_order": _q_curriculum_order,
+        # --- round 5: versioned-table surface + composed PPMI pipeline ---
+        "time_travel_read": _q_time_travel_read,
+        "version_pruned_scan": _q_version_pruned_scan,
+        "ppmi_vectors": _q_ppmi_vectors,
+        "quality_classifier": _q_quality_classifier,
     }
     ordered = {name: full[name] for name in _ROUND5_FRONT}
     ordered.update(full)
@@ -2262,6 +2363,59 @@ def _pca_covariance_ctes(dim: int, decimals: int) -> str:
                     SELECT i, j, cov FROM cov_ut
                     UNION ALL
                     SELECT j AS i, i AS j, cov FROM cov_ut WHERE i < j)"""
+
+
+def _logreg_oracle_sql(iters: int = 8, lr: float = 1.0,
+                       dp: int = 9, out_decimals: int = 6) -> str:
+    """DuckDB twin of ``classifier.quality_classifier``: the identical
+    feature map (length/1000, whitespace/100, label = lang=='en'),
+    then the full-batch GD loop UNROLLED as ``iters`` generated CTE
+    pairs (per-row sigmoid at ``dp`` decimals → averaged gradient at
+    ``dp`` → weight update at ``dp``) — the PCA-twin recipe: per-step
+    re-rounding on both engines makes an 8-step float training loop
+    value-hash comparable."""
+    ctes = ["""
+            feat AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+                         AS label,
+                     ROUND(length(text) / 1000.0, {dp}) AS x_len,
+                     ROUND((length(text)
+                            - length(replace(text, ' ', ''))) / 100.0,
+                           {dp}) AS x_ws
+              FROM documents),
+            w0(b, wl, ww) AS (SELECT 0.0, 0.0, 0.0)""".format(dp=dp)]
+    for i in range(iters):
+        ctes.append(f"""
+            p{i} AS (
+              SELECT label, x_len, x_ws,
+                     ROUND(1 / (1 + EXP(-ROUND(w.b + w.wl * x_len
+                                               + w.ww * x_ws, {dp}))),
+                           {dp}) AS p
+              FROM feat, w{i} w),
+            g{i} AS (
+              SELECT ROUND(AVG(p - label), {dp}) AS gb,
+                     ROUND(AVG((p - label) * x_len), {dp}) AS gl,
+                     ROUND(AVG((p - label) * x_ws), {dp}) AS gw
+              FROM p{i}),
+            w{i + 1} AS (
+              SELECT ROUND(w.b - {lr} * g.gb, {dp}) AS b,
+                     ROUND(w.wl - {lr} * g.gl, {dp}) AS wl,
+                     ROUND(w.ww - {lr} * g.gw, {dp}) AS ww
+              FROM w{i} w, g{i} g)""")
+    return f"""
+            WITH {','.join(ctes)},
+            scored AS (
+              SELECT doc_id, label,
+                     ROUND(1 / (1 + EXP(-ROUND(w.b + w.wl * x_len
+                                               + w.ww * x_ws, {dp}))),
+                           {dp}) AS p
+              FROM feat, w{iters} w)
+            SELECT doc_id, CAST(label AS INTEGER) AS label,
+                   ROUND(p, {out_decimals}) AS score,
+                   CAST(p >= 0.5 AS INTEGER) AS pred
+            FROM scored
+        """
 
 
 def _pca_oracle_sql(dim: int = 64, iters: int = 24,
@@ -4710,6 +4864,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, COUNT(*) AS n_pair
             FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
         """,
+        # Twin of lm.ppmi_vectors: the skipgram self-join formulation
+        # again, then PPMI, the portable md5 hash bucket
+        # (Spark conv(substr(md5,1,8),16,10) == ('0x'||...)::BIGINT),
+        # dense 16-dim vector assembly, and the per-vector max-abs int8
+        # codes digested exactly like quantize_embeddings.
+        "ppmi_vectors": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            pos AS (SELECT doc_id, g.i AS ord, tk[g.i] AS term
+                    FROM base,
+                         unnest(generate_series(1, len(tk))) AS g(i)),
+            pairs_raw AS (
+              SELECT a.term AS w1, b.term AS w2
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+               AND b.ord BETWEEN a.ord + 1 AND a.ord + 3),
+            pairs AS (
+              SELECT w1, w2, COUNT(*) AS n_pair
+              FROM pairs_raw GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            m1 AS (SELECT w1, SUM(n_pair) AS n1 FROM pairs GROUP BY w1),
+            m2 AS (SELECT w2, SUM(n_pair) AS n2 FROM pairs GROUP BY w2),
+            tot AS (SELECT SUM(n_pair)::DOUBLE AS n FROM pairs),
+            scored AS (
+              SELECT p.w1 AS word,
+                     CAST(('0x' || substr(md5(p.w2), 1, 8))::BIGINT % 16
+                          AS INTEGER) AS j,
+                     ROUND(GREATEST(0.0,
+                           LN(p.n_pair::DOUBLE * t.n
+                              / (x.n1::DOUBLE * y.n2::DOUBLE))), 6)
+                         AS ppmi
+              FROM pairs p, tot t, m1 x, m2 y
+              WHERE x.w1 = p.w1 AND y.w2 = p.w2),
+            feat AS (
+              SELECT word, j, ROUND(SUM(ppmi), 6) AS val
+              FROM scored GROUP BY 1, 2),
+            words AS (SELECT DISTINCT word FROM feat),
+            grid AS (
+              SELECT w.word, g.j
+              FROM words w,
+                   (SELECT unnest(generate_series(0, 15)) AS j) g),
+            dense AS (
+              SELECT gr.word, gr.j, COALESCE(f.val, 0.0) AS val
+              FROM grid gr LEFT JOIN feat f
+                ON f.word = gr.word AND f.j = gr.j),
+            vec AS (
+              SELECT word, list(val ORDER BY j) AS v
+              FROM dense GROUP BY word),
+            q AS (
+              SELECT word,
+                     ROUND(list_max(list_transform(v, x -> ABS(x))), 6)
+                         AS scale,
+                     v
+              FROM vec)
+            SELECT word, scale, CAST(16 AS INTEGER) AS n_dims,
+                   md5(array_to_string(list_transform(v, x ->
+                       CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(ROUND(x / scale * 127, 0)
+                                      AS INTEGER) END), ','))
+                       AS code_digest
+            FROM q
+        """,
+        # Twins of the versioned-table queries: the oracle never sees
+        # the scratch table — time travel to v1 must equal the plain
+        # filter that PRODUCED v1, and the pruned scan must equal the
+        # plain WHERE (pruning soundness is exactly this equality).
+        "time_travel_read": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents WHERE lang = 'en'
+        """,
+        "version_pruned_scan": """
+            SELECT doc_id, source, n_chars
+            FROM documents WHERE doc_id BETWEEN 100 AND 200
+        """,
         "pmi_collocations": """
             WITH tok AS (
               SELECT doc_id,
@@ -4894,6 +5124,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cov
         """,
         "pca_project": _pca_oracle_sql(dim=64, iters=24),
+        "quality_classifier": _logreg_oracle_sql(iters=8, lr=1.0),
         # Twin of cleaning.winsorize: quantile_cont == F.percentile
         # (both the continuous (n-1)*p interpolated definition).
         "winsorized_prices": """

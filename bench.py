@@ -46,6 +46,32 @@ def main() -> None:
     # variants they'd have swapped in); it exists as the hook where a
     # future oracle-portability tax could be confined out of the bench.
     qset = getattr(entrymod, "bench_queries", entrymod.queries)()
+    # Optional subset run (e.g. the sf1 scale validation):
+    # SPARK_GRAFT_QUERIES="pagerank,ann_ivfpq" limits the timed set.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qset = {n: qset[n] for n in names}
+
+    # Session warmup (r4 postmortem): the "unexplained regressions"
+    # (line_dedup 0.71→2.91 s, vocab 0.97→3.11 s, image_features
+    # 1.30→2.43 s) were pure ORDERING artifacts — whichever queries run
+    # first in the JVM pay the one-time codegen/JIT/Arrow-init cost.
+    # The r5 rotation moved all three out of the front and they fell
+    # back to 0.53/0.65/0.75 s with no code change, while the new
+    # front-runners inherited the inflation. Run a few cheap,
+    # shape-diverse queries untimed (agg, window, text-kernel, Arrow
+    # batch) so per-query timers measure steady-state compute
+    # regardless of dict order.
+    t0 = time.perf_counter()
+    for wname in ("demand_heatmap", "moving_avg", "token_stats",
+                  "image_features"):
+        if wname in qset:
+            _force(qset[wname](spark, SF_DIR))
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()  # noqa: SLF001
+    warmup_sec = round(time.perf_counter() - t0, 3)
+
     times: dict[str, float] = {}
     for name, fn in qset.items():
         t = time.perf_counter()
@@ -94,8 +120,9 @@ def main() -> None:
         "queries": times,
         "paths": paths,
         "path_totals": path_totals,
-        "experiments": _skew_experiment(spark),
+        "experiments": {} if only else _skew_experiment(spark),
         "load_sec": load_sec,
+        "warmup_sec": warmup_sec,
         "sf": sf,
     }
     # The driver records only a ~2 KB tail of stdout, and the full
@@ -103,15 +130,16 @@ def main() -> None:
     # artifact was an unparseable truncated string. Persist the full
     # object to BENCH_FULL.json and keep stdout to ONE compact line
     # (headline totals + the slowest queries) that fits the capture.
+    out_name = "BENCH_SUBSET.json" if only else "BENCH_FULL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
     print(json.dumps({
         **{k: v for k, v in full.items() if k not in ("queries", "paths")},
         "queries": slowest,
         "n_queries": len(times),
-        "queries_full": "BENCH_FULL.json",
+        "queries_full": out_name,
     }))
     spark.stop()
 

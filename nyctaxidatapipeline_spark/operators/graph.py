@@ -64,14 +64,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # localCheckpoint truncates their lineage and pins the computed
     # partitions (the single-query equivalent of persisting the
     # partitioned edge table). Two layout choices keep each iteration
-    # at EXACTLY ONE shuffle (the contribution aggregate by dst):
+    # at EXACTLY ONE EDGE-SIZED shuffle (the contribution aggregate by
+    # dst, map-side combined — pinned structurally by
+    # tests/test_graph.py::test_pagerank_one_edge_sized_shuffle_per_round):
     #   * out-degree is folded into the edge table before the loop —
     #     the per-round edges⋈outdeg join would otherwise repeat
     #     identical work every iteration;
-    #   * the folded edge table is hash-partitioned by src and the
-    #     node set by node BEFORE checkpointing, so the per-round
-    #     joins (edges⋈ranks on src; nodes⋈sums on node) reuse the
-    #     pinned partitioning — only the ranks/sums side moves.
+    #   * the folded edge table's src-hash exchange is computed once
+    #     and AQE-reuses across rounds (Spark's localCheckpoint does
+    #     NOT preserve outputPartitioning metadata, so the plan still
+    #     SHOWS per-round exchanges for the ranks/nodes sides — but
+    #     those move O(nodes) bytes per round, never O(edges); the
+    #     edge bytes cross the wire once per round, in the aggregate).
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .localCheckpoint(eager=False))
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))

@@ -361,3 +361,47 @@ def run_incremental_dedup(stream: DataFrame, corpus_dir: str,
     q = w.start()
     q.processAllAvailable()
     return q
+
+
+def run_versioned_append(stream: DataFrame, table_path: str):
+    """foreachBatch sink committing each micro-batch as a VERSION of a
+    ``versioned`` table — streaming ingestion with snapshot isolation:
+    readers time-travel to any committed epoch, and a replayed epoch
+    (restart after crash, before checkpoint advance) is a NO-OP instead
+    of a duplicate append, because the epoch id is stored in the
+    manifest at commit time and checked before writing.
+
+    Composition note: the epoch id travels INSIDE the manifest
+    (``write_version(extra={"epoch": ...})``), so it commits in the
+    same hard-link CAS as the file list — a crash can never leave a
+    committed version without its epoch, and if two concurrent
+    drivers replay the same epoch one loses the CAS and nothing
+    duplicates.
+    """
+    from nyctaxidatapipeline_spark.versioned import (
+        ConcurrentWriteError,
+        _load_manifest,
+        table_versions,
+        write_version,
+    )
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = set()
+        for v in table_versions(table_path):
+            e = _load_manifest(table_path, v).get("epoch")
+            if e is not None:
+                applied.add(int(e))
+        if int(epoch_id) in applied:
+            return  # replayed epoch: already committed, exactly-once
+        try:
+            write_version(batch_df, table_path, mode="append",
+                          extra={"epoch": int(epoch_id)})
+        except ConcurrentWriteError:
+            return  # a concurrent replayer won the CAS for this commit
+
+    q = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(commit_batch)
+         .start())
+    q.processAllAvailable()
+    return q

@@ -152,11 +152,15 @@ def _file_stats(files: Sequence[str], stat_cols: Sequence[str]) -> dict:
 
 
 def write_version(df: DataFrame, path: str, mode: str = "append",
-                  stat_cols: Sequence[str] = ()) -> int:
+                  stat_cols: Sequence[str] = (),
+                  extra: dict | None = None) -> int:
     """Commit ``df`` as the table's next version. ``mode='append'``
     adds to the parent snapshot; ``'overwrite'`` replaces it (old
     versions stay readable — overwrite is logical, nothing is
-    deleted). Returns the committed version number."""
+    deleted). ``extra`` merges caller metadata (e.g. a streaming
+    epoch id) into the manifest ATOMICALLY with the commit — it lands
+    in the same hard-link CAS, so metadata and file list can never
+    disagree after a crash. Returns the committed version number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     prior = table_versions(path)
@@ -175,6 +179,12 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
         entries = _load_manifest(path, prior[-1])["entries"] + entries
     manifest = {"version": version, "mode": mode,
                 "stat_cols": sorted(stat_cols), "entries": entries}
+    if extra:
+        for k in extra:
+            if k in manifest:
+                raise ValueError(f"extra key {k!r} collides with a "
+                                 "reserved manifest field")
+        manifest.update(extra)
     _commit_manifest(path, version, manifest)
     return version
 

@@ -185,3 +185,36 @@ def test_bfs_frontier_is_bounded_by_iters(spark):
     out = {r["node"]: r["dist"]
            for r in shortest_paths(e, src, iters=2).collect()}
     assert out == {"a": 0, "b": 1, "c": 2}   # d is beyond 2 hops -> absent
+
+
+def test_pagerank_one_edge_sized_shuffle_per_round(spark):
+    """Structural pin of the scale claim (VERDICT r4 item 5): each
+    PageRank round shuffles the EDGE-sized contribution stream exactly
+    once — the groupBy(dst) aggregate, map-side combined. The plan also
+    re-exchanges node-sized bookkeeping per round (ranks into the src
+    join, nodes into the left join, the 1-row count) because Spark's
+    localCheckpoint does not preserve outputPartitioning — those move
+    O(nodes)/O(1) bytes, not O(edges), and the pre-partitioned edge
+    exchange itself is computed once and AQE-reused across rounds. If a
+    refactor un-folds the out-degree join back into the loop (or adds
+    any second edge-sized shuffle), the per-round deltas below jump and
+    this test fails."""
+    import re
+
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    edges = _edges(spark, [(i, (i * 3 + 1) % 20) for i in range(40)])
+
+    def counts(iters):
+        p = explain_str(pagerank(edges, iters=iters, checkpoint_every=0),
+                        "simple")
+        dst = len(re.findall(r"Exchange hashpartitioning\(dst#", p))
+        total = len(re.findall(
+            r"Exchange (?:hashpartitioning|SinglePartition)", p))
+        return dst, total
+
+    (d1, t1), (d2, t2), (d3, t3) = counts(1), counts(2), counts(3)
+    # exactly ONE edge-sized (dst) shuffle per round
+    assert (d1, d2, d3) == (1, 2, 3)
+    # per-round total is a pinned constant (1 edge-sized + 3 node-sized)
+    assert t2 - t1 == t3 - t2 == 4, (t1, t2, t3)

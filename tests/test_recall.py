@@ -161,3 +161,38 @@ def test_quantized_ann_recall(spark):
                   deq, queries.select("vec_id", "embedding"),
                   k=10).collect()}
     assert _recall(approx, exact) >= RECALL_FLOOR
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    # PQ/ADC candidate selection + exact rerank must recover >= 90% of
+    # the exact top-10 on clustered data (the m=4 x 16-code operating
+    # point the registered ann_pq query runs).
+    from nyctaxidatapipeline_spark.operators.pq import pq_topk
+
+    df, _ = _clustered_corpus(spark)
+    queries = df.filter(F.col("vec_id") % 37 == 0).limit(8)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(df, queries, k=10, dim=32).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in pq_topk(df, queries, k=10, n_codes=16, m=4,
+                               rerank=50, dim=32).collect()}
+    assert _recall(approx, exact) >= RECALL_FLOOR
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    # The composed IVF->PQ/ADC->rerank pipeline (the registered
+    # ann_ivfpq shape: 16 lists, nprobe=4, m=4 x 16 codes, rerank=50)
+    # bounds the compression + pruning error jointly: recall@10 vs
+    # full-precision brute force >= floor — so the hash-match at sf0.01
+    # is backed by a geometric guarantee, not just reproducibility.
+    from nyctaxidatapipeline_spark.operators.pq import ivfpq_topk
+
+    df, _ = _clustered_corpus(spark)
+    queries = df.filter(F.col("vec_id") % 37 == 0).limit(8)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(df, queries, k=10, dim=32).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivfpq_topk(df, queries, k=10, n_centroids=16,
+                                  nprobe=4, n_codes=16, m=4, rerank=50,
+                                  dim=32).collect()}
+    assert _recall(approx, exact) >= RECALL_FLOOR

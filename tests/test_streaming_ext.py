@@ -263,3 +263,47 @@ def test_streaming_dedup_replay_and_increment(spark, tmp_path):
         Row(doc_id=5, text="epsilon zeta")])
     fn(b1, 1)
     assert read() == {1, 3, 5}
+
+
+def test_versioned_append_stream_epochs_and_replay(spark, tmp_path):
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_versioned_append,
+    )
+    from nyctaxidatapipeline_spark.versioned import (
+        _load_manifest,
+        read_version,
+        table_versions,
+    )
+
+    t = str(tmp_path / "vtable")
+    stream = stream_table(spark, SF, "events")
+    q = run_versioned_append(
+        stream.filter(F.col("event_type") == "purchase")
+              .select("user_id", "event_type", "value"), t)
+    try:
+        vs = table_versions(t)
+        assert vs, "no versions committed"
+        # every committed version carries its epoch atomically
+        epochs = [_load_manifest(t, v)["epoch"] for v in vs]
+        assert len(set(epochs)) == len(epochs)
+        # latest snapshot == the batch-filtered fixture
+        want = (load_table(spark, SF, "events")
+                .filter(F.col("event_type") == "purchase").count())
+        assert read_version(spark, t).count() == want
+        # snapshot isolation: version 1 stays exactly batch-1-sized
+        v1 = read_version(spark, t, version=vs[0]).count()
+        assert 0 < v1 <= want
+        # restart-replay is a no-op: a fresh query (new temp checkpoint)
+        # re-delivers every file batch with epochs from 0 again; the
+        # manifest epoch check must skip them all — no duplicates, no
+        # new versions
+        n_versions = len(table_versions(t))
+        q2 = run_versioned_append(
+            stream_table(spark, SF, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_type", "value"), t)
+        q2.stop()
+        assert len(table_versions(t)) == n_versions
+        assert read_version(spark, t).count() == want
+    finally:
+        q.stop()
