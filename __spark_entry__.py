@@ -2162,6 +2162,29 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=1.0)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing at alpha=0.5 (the XLM-R/mT5
+    upsampling recipe): p_i ∝ sqrt(n_i/N), deterministic
+    without-replacement quota draw. The fixture's 20 sources are
+    uniform (25 rows each — flattening would be a no-op), so sources
+    group into 60/30/10% TIERS first; sqrt-flattening then keeps the
+    small tier whole while downsampling the big one — the behavior the
+    recipe exists for. alpha=0.5 is the registered point because IEEE
+    sqrt is exactly rounded on both engines — the oracle reproduces
+    the proportions bit-for-bit."""
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    num = F.substring("source", 4, 10).cast("int")
+    tier = (F.when(num < 12, "big")
+             .when(num < 18, "mid").otherwise("small"))
+    tiered = docs.select("doc_id", tier.alias("tier"))
+    return (temperature_mix(tiered, "tier", "doc_id", alpha=0.5)
+            .select("doc_id", "tier"))
+
+
 #: Queries with NO green row in any CORRECTNESS_r01..r04 artifact, in the
 #: order they should hit the round-5 driver window. Everything here passed
 #: the local differential harness (tools/check_correctness.py, sf0.01) and
@@ -2180,7 +2203,7 @@ _ROUND5_FRONT = [
     "curriculum_order",
     # round-5 additions — new this round, so never driver-verified
     "time_travel_read", "version_pruned_scan", "ppmi_vectors",
-    "quality_classifier",
+    "quality_classifier", "temperature_mix",
 ]
 
 
@@ -2319,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_pruned_scan": _q_version_pruned_scan,
         "ppmi_vectors": _q_ppmi_vectors,
         "quality_classifier": _q_quality_classifier,
+        "temperature_mix": _q_temperature_mix,
     }
     ordered = {name: full[name] for name in _ROUND5_FRONT}
     ordered.update(full)
@@ -4650,6 +4674,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE source IN (SELECT source FROM m))
             SELECT r.doc_id, r.source
             FROM ranked r JOIN quota q USING (source)
+            WHERE r.rk <= q.k
+        """,
+        # Twin of sampling.temperature_mix(alpha=0.5): 9 dp-rounded
+        # sqrt proportions (IEEE-exact on both engines), then the
+        # dataset_mix quota/draw machinery.
+        "temperature_mix": """
+            WITH tiered AS (
+              SELECT doc_id,
+                     CASE WHEN CAST(substr(source, 4) AS INTEGER) < 12
+                          THEN 'big'
+                          WHEN CAST(substr(source, 4) AS INTEGER) < 18
+                          THEN 'mid' ELSE 'small' END AS tier
+              FROM documents),
+            c AS (
+              SELECT tier, COUNT(*) AS n FROM tiered GROUP BY tier),
+            tot AS (SELECT SUM(n)::DOUBLE AS nn FROM c),
+            w AS (
+              SELECT tier, n, ROUND(POW(n / t.nn, 0.5), 9) AS w
+              FROM c, tot t),
+            s AS (SELECT ROUND(SUM(w), 9) AS sw FROM w),
+            p AS (
+              SELECT tier, n, ROUND(w.w / s.sw, 9) AS p FROM w, s),
+            b AS (SELECT MIN(n / p) AS t FROM p),
+            q AS (
+              SELECT tier, CAST(FLOOR(b.t * p.p) AS BIGINT) AS k
+              FROM p, b),
+            ranked AS (
+              SELECT doc_id, tier, row_number() OVER (
+                  PARTITION BY tier
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM tiered)
+            SELECT r.doc_id, r.tier
+            FROM ranked r JOIN q USING (tier)
             WHERE r.rk <= q.k
         """,
         "cohort_retention": """

@@ -156,6 +156,57 @@ def mix_sources(df: DataFrame, source_col: str, id_col: str,
               .drop("_rk"))
 
 
+def temperature_mix(df: DataFrame, source_col: str, id_col: str,
+                    alpha: float = 0.5) -> DataFrame:
+    """Temperature-flattened source mixing — the multilingual /
+    multi-source LLM sampling recipe (XLM-R, mT5): target proportions
+    ``p_i ∝ (n_i/N)^alpha`` upweight low-resource sources as ``alpha``
+    drops below 1 (alpha=1 = natural proportions, alpha→0 = uniform),
+    then the same deterministic without-replacement quota draw as
+    ``mix_sources`` fills them.
+
+    Determinism: the exponentiated weights, their sum, and the final
+    proportions are each rounded to 9 dp before use — and the
+    REGISTERED operating point is alpha=0.5, where ``pow(x, 0.5)`` is
+    IEEE-exactly-rounded sqrt on both engines, so the oracle reproduces
+    the proportions bit-for-bit (arbitrary alpha carries the usual
+    measure-zero libm-pow boundary caveat). Weight summation runs in
+    sorted-source order on the driver; the oracle's unordered SUM can
+    differ by 1 ulp pre-rounding — snapped by the 9 dp round like every
+    other cross-engine float path in this repo.
+
+    Plan: one tiny count aggregate (collected — |sources| rows), one
+    rank window per source partition, one filter. Same shape as
+    ``mix_sources``; scales identically.
+    """
+    import math
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql import Window
+
+    counts = {r[source_col]: r["n"]
+              for r in (df.groupBy(source_col)
+                          .agg(F.count("*").alias("n"))).collect()}
+    if not counts:
+        return df
+    total = sum(counts.values())
+    srcs = sorted(counts)
+    w = {s: round(math.pow(counts[s] / total, alpha), 9) for s in srcs}
+    sw = round(math.fsum(w[s] for s in srcs), 9)
+    p = {s: round(w[s] / sw, 9) for s in srcs}
+    budget = min(counts[s] / p[s] for s in srcs)
+    quota = F.create_map(*[x for s in srcs
+                           for x in (F.lit(s),
+                                     F.lit(int(math.floor(budget
+                                                          * p[s]))))])
+    win = (Window.partitionBy(source_col)
+           .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.withColumn("_rk", F.row_number().over(win))
+              .filter(F.col("_rk") <= quota[F.col(source_col)])
+              .drop("_rk"))
+
+
 def cap_per_group(df: DataFrame, group_cols: Sequence[str], id_col: str,
                   max_rows: int) -> DataFrame:
     """Deterministically cap each group at ``max_rows`` rows — the

@@ -272,3 +272,42 @@ def test_curriculum_order_rejects_out_of_range_level(spark):
         raise AssertionError("level 8192 should fail the packing guard")
     except Exception as exc:  # Spark wraps raise_error
         assert "out of packing range" in str(exc)
+
+
+def test_temperature_mix_flattens_and_keeps_small_source(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [Row(doc_id=i, src="big") for i in range(300)]
+    rows += [Row(doc_id=300 + i, src="small") for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = temperature_mix(df, "src", "doc_id", alpha=0.5)
+    got = {r[0]: r[1] for r in
+           out.groupBy("src").count().collect()}
+    # replicate the quota math
+    w = {s: round(math.pow(n / 350, 0.5), 9)
+         for s, n in (("big", 300), ("small", 50))}
+    sw = round(math.fsum(w.values()), 9)
+    p = {s: round(x / sw, 9) for s, x in w.items()}
+    budget = min(300 / p["big"], 50 / p["small"])
+    assert got["small"] == int(math.floor(budget * p["small"]))
+    assert got["big"] == int(math.floor(budget * p["big"]))
+    # flattening: small's output share strictly exceeds its 1/7 natural
+    # share; the small source is the budget binder (kept ~whole)
+    share = got["small"] / (got["small"] + got["big"])
+    assert share > 50 / 350
+    assert got["small"] == 50
+    # alpha=1 reduces to (near-)natural proportions: everything kept
+    nat = temperature_mix(df, "src", "doc_id", alpha=1.0)
+    assert nat.count() >= 349  # floor rounding may drop <= 1 row
+    # determinism across repartition
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               temperature_mix(df.repartition(7), "src", "doc_id",
+                               alpha=0.5).collect())
+    assert a == b
