@@ -246,7 +246,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                query_id_col: str = "query_id", dim: int | None = None,
                kmeans_iters: int = 2, pq_kmeans_iters: int = 4,
                centroids: list[list[float]] | None = None,
-               codebooks: Codebooks | None = None) -> DataFrame:
+               codebooks: Codebooks | None = None,
+               by_residual: bool = False) -> DataFrame:
     """IVF-PQ approximate top-k — the full FAISS ``IVFPQ`` shape: a
     coarse quantizer prunes the scan to ``nprobe`` of ``n_centroids``
     inverted lists per query, and within the probed lists the candidate
@@ -254,11 +255,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     touches neither most of the corpus (IVF) nor any float vector (PQ)
     until the exact rerank of ``rerank`` candidates.
 
-    This variant PQ-encodes the RAW vectors (FAISS ``by_residual=
-    false``); residual encoding (subtracting the assigned centroid
-    before PQ) improves code precision at the same bitrate but makes
-    the ADC table per-(query, probed-list) instead of per-query — the
-    documented upgrade path, not needed for the recall targets here.
+    ``by_residual=False`` PQ-encodes the RAW vectors; ``True`` encodes
+    the RESIDUAL ``v - centroid[list_id]`` (FAISS's default): residuals
+    are smaller than raw vectors on clustered data, so the same m x
+    n_codes bitrate carries more precision (recall-gated >= the raw
+    variant in ``tests/test_recall.py``). The cost is an ADC table per
+    (query, PROBED LIST) instead of per query — still only
+    nprobe·m·n_codes doubles per query in the broadcast — plus the
+    per-probe ``||q - c_l||^2`` constant folded into the score so
+    candidate distances stay comparable ACROSS probed lists.
 
     Index = ONE projection per corpus row producing (id, list_id,
     codes) — the coarse argmax and the ``m`` code argmins share the
@@ -275,13 +280,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         centroids = ivf_kmeans_centroids(corpus, n_centroids,
                                          kmeans_iters, id_col, vec_col,
                                          dim=dim)
-    if codebooks is None:
-        codebooks = pq_kmeans_codebooks(corpus, n_codes, m,
-                                        pq_kmeans_iters, dim, id_col,
-                                        vec_col)
-    mm = len(codebooks)
-    sub = len(codebooks[0][0]) if mm else 0
     vec_d = as_double(F.col(vec_col))
+    cent_mat = "array(" + ", ".join(_lit_arr(c) for c in centroids) + ")"
 
     # index build: coarse list + PQ codes in one pass over the vectors
     base = (fan_out(corpus, id_col)
@@ -291,7 +291,22 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("list_id",
                         (F.expr("array_position(_dots, array_max(_dots))")
                           - 1).cast("int")))
-    score_cols = {f"_s{mi}": F.expr(_sub_scores("_v", codebooks[mi],
+    enc_col = "_v"
+    if by_residual:
+        base = base.withColumn(
+            "_r", F.expr(f"zip_with(_v, element_at({cent_mat}, "
+                         "list_id + 1), (x, c) -> x - c)"))
+        enc_col = "_r"
+    if codebooks is None:
+        train = (base.select(F.col(id_col),
+                             F.col(enc_col).alias(vec_col))
+                 if by_residual else corpus)
+        codebooks = pq_kmeans_codebooks(train, n_codes, m,
+                                        pq_kmeans_iters, dim, id_col,
+                                        vec_col)
+    mm = len(codebooks)
+    sub = len(codebooks[0][0]) if mm else 0
+    score_cols = {f"_s{mi}": F.expr(_sub_scores(enc_col, codebooks[mi],
                                                 mi, sub))
                   for mi in range(mm)}
     code = [(F.expr(f"array_position(_s{mi}, array_min(_s{mi}))") - 1)
@@ -307,22 +322,39 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         f"transform(slice(array_sort(zip_with(_cdots, "
         f"sequence(0, {len(centroids) - 1}), (d, i) -> struct(-d AS nd, "
         f"i AS cid))), 1, {min(nprobe, len(centroids))}), s -> s.cid)")
-    tab = F.expr("array(" + ", ".join(
-        _sub_scores("q_vec", codebooks[mi], mi, sub)
-        for mi in range(mm)) + ")")
     q = (queries.select(F.col(id_col).alias(query_id_col),
                         vec_d.alias("q_vec"),
                         l2_norm(vec_d, dim).alias("q_norm"))
                 .withColumn("_cdots", _centroid_dots("q_vec", centroids))
-                .withColumn("_t", tab)
                 .withColumn("_probe", F.explode(probes))
                 .withColumn("list_id", F.col("_probe").cast("int"))
                 .drop("_cdots", "_probe"))
-    adc = F.expr("aggregate(zip_with(codes, _t, (c, t) -> "
-                 "element_at(t, c + 1)), 0.0D, (acc, x) -> acc + x)")
+    if by_residual:
+        # per-(query, probed list) table over the query residual, plus
+        # the ||q - c_l||^2 constant that makes ADC distances
+        # comparable across lists
+        q = (q.withColumn(
+                "_qr", F.expr(f"zip_with(q_vec, element_at({cent_mat}, "
+                              "list_id + 1), (x, c) -> x - c)"))
+              .withColumn("_t", F.expr("array(" + ", ".join(
+                  _sub_scores("_qr", codebooks[mi], mi, sub)
+                  for mi in range(mm)) + ")"))
+              .withColumn("_qc", F.expr(_fold_dot("_qr", "_qr")))
+              .drop("_qr"))
+        probe_cols = [query_id_col, "list_id", "_t", "_qc"]
+        approx = "aggregate(zip_with(codes, _t, (c, t) -> " \
+                 "element_at(t, c + 1)), 0.0D, (acc, x) -> acc + x) + _qc"
+    else:
+        q = q.withColumn("_t", F.expr("array(" + ", ".join(
+            _sub_scores("q_vec", codebooks[mi], mi, sub)
+            for mi in range(mm)) + ")"))
+        probe_cols = [query_id_col, "list_id", "_t"]
+        approx = "aggregate(zip_with(codes, _t, (c, t) -> " \
+                 "element_at(t, c + 1)), 0.0D, (acc, x) -> acc + x)"
     scored_codes = (index.join(
-        F.broadcast(q.select(query_id_col, "list_id", "_t")), "list_id")
-        .select(query_id_col, id_col, F.round(adc, 6).alias("_approx")))
+        F.broadcast(q.select(*probe_cols)), "list_id")
+        .select(query_id_col, id_col,
+                F.round(F.expr(approx), 6).alias("_approx")))
     cand = top_k_per_group(
         scored_codes, [query_id_col],
         [F.col("_approx").asc(), F.col(id_col).asc()],

@@ -139,3 +139,45 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
     got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(got & exact) / len(exact) >= 0.9, \
         len(got & exact) / len(exact)
+
+
+def test_ivfpq_residual_exhaustive_equals_brute_force(spark):
+    """The residual variant is exact under full probe + full rerank
+    too — residual encoding changes candidate SELECTION only."""
+    from nyctaxidatapipeline_spark.operators.pq import ivfpq_topk
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        ivf_seed_centroids_portable,
+    )
+    emb = load_table(spark, SF, "embeddings")
+    dim = embedding_dim(emb)
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=8)
+    full = ivfpq_topk(emb, q, k=5, n_centroids=8, nprobe=8,
+                      rerank=10 ** 6, dim=dim, centroids=cents,
+                      by_residual=True)
+    bf = brute_force_topk(emb, q, k=5, dim=dim)
+    assert full.exceptAll(bf).count() == 0
+    assert bf.exceptAll(full).count() == 0
+
+
+def test_ivfpq_residual_recall_not_worse_than_raw(spark):
+    """FAISS's by_residual rationale, verified: residual codes carry
+    more precision at the same m x n_codes bitrate on clustered data,
+    so recall@10 must be >= the raw-vector variant (and clear the 0.9
+    floor) at identical index parameters."""
+    from nyctaxidatapipeline_spark.operators.pq import ivfpq_topk
+    df = _clustered(spark, seed=23)
+    dim = 32
+    q = df.filter(F.col("vec_id") % 40 == 2).limit(6)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(df, q, k=10, dim=dim).collect()}
+    rec = {}
+    for res in (False, True):
+        got = {(r["query_id"], r["vec_id"])
+               for r in ivfpq_topk(df, q, k=10, n_centroids=8,
+                                   nprobe=4, rerank=40, dim=dim,
+                                   kmeans_iters=2, pq_kmeans_iters=4,
+                                   by_residual=res).collect()}
+        rec[res] = len(got & exact) / len(exact)
+    assert rec[True] >= rec[False], rec
+    assert rec[True] >= 0.9, rec
