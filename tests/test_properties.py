@@ -96,3 +96,36 @@ def test_md5_fingerprint_matches_hashlib(spark, texts):
     expected = [hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest()
                 for t in texts]
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=0, max_value=500)),
+                min_size=1, max_size=3, unique_by=lambda t: t[0]))
+def test_temperature_mix_quota_invariants(spark, sizes):
+    """For ANY source-size profile: each source contributes at most its
+    population; quotas never exceed the flattened proportions' budget;
+    alpha=1 keeps (almost) everything."""
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows, nid = [], 0
+    for s, n in sizes:
+        for _ in range(n):
+            rows.append(Row(doc_id=nid, src=s))
+            nid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows)
+    out = temperature_mix(df, "src", "doc_id", alpha=0.5)
+    got = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+    pop = {s: n for s, n in sizes if n > 0}
+    assert set(got) <= set(pop)
+    for s, k in got.items():
+        assert k <= pop[s]
+    # without-replacement: picked ids are unique and from the input
+    picked = [r.doc_id for r in out.collect()]
+    assert len(picked) == len(set(picked)) <= nid
+    nat = temperature_mix(df, "src", "doc_id", alpha=1.0).count()
+    assert nat >= sum(pop.values()) - len(pop)  # floor loses < 1/source
