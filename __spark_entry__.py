@@ -2162,6 +2162,54 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=1.0)
 
 
+def _q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed semantic-community pipeline (VERDICT r4 item 8's
+    knn_graph consumer): exact kNN graph over the embedding corpus
+    (mutual top-3 edges, symmetrized + distinct) → deterministic label
+    propagation (2 rounds) — the SemDeDup-adjacent 'cluster the corpus
+    by embedding neighborhoods' step, as ONE dataflow. The oracle
+    replays the brute-force ranking, the edge symmetrization, and the
+    unrolled LPA rounds."""
+    from nyctaxidatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_graph(emb, k=3, n_blocks=8)
+    fwd = knn.select(F.col("query_id").alias("src"),
+                     F.col("vec_id").alias("dst"))
+    sym = (fwd.union(fwd.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+              .distinct())
+    return label_propagation(sym, iters=2)
+
+
+_KNN_COMMUNITY_GRAPH_CTES = """
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          FROM c, q WHERE query_id <> vec_id),
+        knn AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored)
+          WHERE rank <= 3),
+        e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT query_id AS src, vec_id AS dst FROM knn
+            UNION ALL
+            SELECT vec_id AS src, query_id AS dst FROM knn))"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing at alpha=0.5 (the XLM-R/mT5
     upsampling recipe): p_i ∝ sqrt(n_i/N), deterministic
@@ -2203,7 +2251,7 @@ _ROUND5_FRONT = [
     "curriculum_order",
     # round-5 additions — new this round, so never driver-verified
     "time_travel_read", "version_pruned_scan", "ppmi_vectors",
-    "quality_classifier", "temperature_mix",
+    "quality_classifier", "temperature_mix", "knn_communities",
 ]
 
 
@@ -2343,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppmi_vectors": _q_ppmi_vectors,
         "quality_classifier": _q_quality_classifier,
         "temperature_mix": _q_temperature_mix,
+        "knn_communities": _q_knn_communities,
     }
     ordered = {name: full[name] for name in _ROUND5_FRONT}
     ordered.update(full)
@@ -3016,16 +3065,20 @@ def _bfs_oracle_sql(iters: int = 4) -> str:
             f"        SELECT node, dist FROM d{iters}")
 
 
-def _lpa_oracle_sql(iters: int = 2) -> str:
+def _lpa_oracle_sql(iters: int = 2, graph_ctes: str | None = None) -> str:
     """DuckDB twin of the deterministic synchronous label propagation:
     identical most-frequent-in-neighbor-label update with ties to the
     largest label, unrolled one CTE triple per round, no-in-neighbor
     nodes keeping their previous label via the same left-join
-    coalesce."""
-    ctes = ["""
+    coalesce. ``graph_ctes`` supplies the edge construction (must
+    define ``e(src, dst)``); default is the supplier↔part co-order
+    graph of the ``label_propagation`` query."""
+    if graph_ctes is None:
+        graph_ctes = """
         f AS (SELECT DISTINCT 's' || l_suppkey AS src,
                               'p' || l_partkey AS dst FROM lineitem),
-        e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+        e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f)"""
+    ctes = [graph_ctes + """,
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         l0 AS (SELECT node, node AS label FROM nodes)"""]
     for i in range(1, iters + 1):
@@ -4205,6 +4258,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(iters=3, damping=0.85),
         "label_propagation": _lpa_oracle_sql(iters=2),
+        "knn_communities": _lpa_oracle_sql(
+            iters=2, graph_ctes=_KNN_COMMUNITY_GRAPH_CTES),
         "shortest_paths": _bfs_oracle_sql(iters=4),
         # Twin of the degree-ordered compact-forward triangle counter:
         # the id-ordered triple join is valid because per-node triangle
