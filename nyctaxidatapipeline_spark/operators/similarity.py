@@ -615,6 +615,50 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         k=k, desc=False, rank_col="rank")
 
 
+def rp_lsh_params(n: int, threshold: float = 0.95,
+                  target_recall: float = 0.9,
+                  max_bands: int = 128) -> tuple[int, int]:
+    """Corpus-size-aware (planes, bands) for ``rp_lsh_near_dup`` — the
+    textbook S-curve parameterization, addressing the fixed-parameter
+    scaling law measured in PLANS.md #12 (ann_lsh 11.6x at 10x data):
+
+    * band width ``w = ceil(log2 n)`` pins the EXPECTED random
+      collisions per band at ``~n²·(1/2)^w ≈ n`` on isotropic data, so
+      candidate volume grows linearly with the corpus instead of
+      quadratically;
+    * a true pair at cosine ``threshold`` agrees on one plane with
+      ``p = 1 - acos(threshold)/π``, on a whole band with ``p^w``, and
+      is recalled by ≥1 of ``b`` bands with ``1 - (1-p^w)^b`` — so
+      ``b = ceil(ln(1-target_recall) / ln(1-p^w))``, capped at
+      ``max_bands`` (the cap trades recall for bounded signature
+      cost; hit only at extreme n·threshold combinations).
+
+    Pure function of (n, threshold, target) — callers at 100 TB feed
+    it the corpus count and pass the result through; the REGISTERED
+    ann_lsh query keeps its fixed operating point for oracle
+    reproducibility.
+    """
+    import math
+
+    if n < 2:
+        return 4, 1
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1), got "
+                         f"{target_recall}")
+    w = max(4, math.ceil(math.log2(n)))
+    p = 1.0 - math.acos(threshold) / math.pi
+    p_band = p ** w
+    if p_band >= 1.0:
+        bands = 1
+    else:
+        bands = math.ceil(math.log(1.0 - target_recall)
+                          / math.log(1.0 - p_band))
+    bands = max(1, min(bands, max_bands))
+    return w * bands, bands
+
+
 def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                     planes: int = 16, bands: int = 4,
                     id_col: str = "vec_id",

@@ -192,12 +192,16 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
 def read_version(spark: SparkSession, path: str,
                  version: int | None = None,
                  prune: tuple[str, object, object] | None = None,
-                 ) -> DataFrame:
+                 merge_schema: bool = False) -> DataFrame:
     """Read a snapshot (latest when ``version`` is None) from its
     manifest — never by listing the filesystem. ``prune=(col, lo, hi)``
     keeps only files whose manifest [min, max] for ``col`` overlaps
     [lo, hi] (files without stats are kept — pruning is always sound,
-    filtering is still the caller's job)."""
+    filtering is still the caller's job). ``merge_schema=True`` unions
+    the file schemas (schema evolution: versions appended with added
+    columns read back with NULLs for files that predate the column —
+    the Delta/Iceberg widening-read semantics via Spark's own
+    ``mergeSchema``)."""
     vs = table_versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -214,7 +218,10 @@ def read_version(spark: SparkSession, path: str,
     if not files:
         raise ValueError("pruning removed every file; read without "
                          "prune and filter instead")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def rollback(spark: SparkSession, path: str, to_version: int) -> int:

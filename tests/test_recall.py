@@ -196,3 +196,50 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
                                   nprobe=4, n_codes=16, m=4, rerank=50,
                                   dim=32).collect()}
     assert _recall(approx, exact) >= RECALL_FLOOR
+
+
+def test_rp_lsh_params_scaling_laws(spark):
+    """The auto-parameterization's three contracts: random-candidate
+    volume stays ~linear in n, the recall formula clears the target,
+    and parameters grow monotonically with corpus size."""
+    import math
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_params,
+    )
+
+    prev_planes = 0
+    for n in (1_000, 100_000, 10_000_000):
+        planes, bands = rp_lsh_params(n, threshold=0.95,
+                                      target_recall=0.9)
+        w = planes // bands
+        assert planes % bands == 0
+        # expected random collisions per band ~ n^2 / 2^w <= 2n
+        assert n * n * (0.5 ** w) <= 2 * n
+        # recall formula >= target at the chosen (w, b)
+        p = 1.0 - math.acos(0.95) / math.pi
+        recall = 1.0 - (1.0 - p ** w) ** bands
+        assert recall >= 0.9 or bands == 128  # cap is the only out
+        assert planes >= prev_planes
+        prev_planes = planes
+    # degenerate corpus
+    assert rp_lsh_params(1) == (4, 1)
+
+
+def test_rp_lsh_params_drive_recall_on_planted_dups(spark):
+    # end-to-end: params chosen FROM the corpus size still clear the
+    # recall floor on the planted-near-dup workload
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_params,
+    )
+
+    df, _ = _clustered_corpus(spark)
+    n = df.count()
+    planes, bands = rp_lsh_params(n, threshold=0.95, target_recall=0.9)
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup(df, 0.95, dim=32).collect()}
+    sketch = {(r.id_a, r.id_b)
+              for r in rp_lsh_near_dup(df, 0.95, planes=planes,
+                                       bands=bands, dim=32).collect()}
+    assert _recall(sketch, exact) >= RECALL_FLOOR
+    assert sketch <= exact

@@ -130,3 +130,19 @@ def test_concurrent_writer_loses_instead_of_clobbering(spark, tmp_path):
     assert _load_manifest(t, 2)["writer"] == "winner"
     vd = os.path.join(t, "_versions")
     assert not [f for f in os.listdir(vd) if f.startswith(".")]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 5), t, mode="overwrite")
+    evolved = _df(spark, 5, 8).withColumn("extra", F.col("k") * 10)
+    write_version(evolved, t, mode="append")
+    # widened read: old files surface NULL for the added column
+    out = read_version(spark, t, merge_schema=True)
+    assert set(out.columns) == {"k", "s", "extra"}
+    rows = {r.k: r.extra for r in out.collect()}
+    assert len(rows) == 8
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == k * 10 for k in range(5, 8))
+    # time travel to v1 still reads the ORIGINAL schema
+    assert set(read_version(spark, t, version=1).columns) == {"k", "s"}
