@@ -135,12 +135,27 @@ def main() -> None:
                            out_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
-    print(json.dumps({
+    line = {
         **{k: v for k, v in full.items() if k not in ("queries", "paths")},
         "queries": slowest,
         "n_queries": len(times),
         "queries_full": out_name,
-    }))
+    }
+    # Surface the committed 10x scale validation (BENCH_SF1.json,
+    # produced by tools/make_sf1.py + a full sf1 bench run) in the
+    # driver-recorded line, so the per-round artifact carries the
+    # scale evidence without re-running the 10x fixture each round.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SF1.json")) as f:
+            sf1 = json.load(f)
+        line["sf1"] = {"total_sec": sf1.get("value"),
+                       "n_queries": len(sf1.get("queries", {})),
+                       "note": "full table + per-query ratios in "
+                               "BENCH_SF1.json / PLANS.md #12"}
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(line))
     spark.stop()
 
 

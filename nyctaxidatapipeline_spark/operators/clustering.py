@@ -172,6 +172,28 @@ def kmeans_objective(df: DataFrame, centroids: list[list[float]],
     return float(row["obj"])
 
 
+def semdedup_n_clusters(n: int, target_cluster_size: int = 200) -> int:
+    """Corpus-size-aware cluster count for SemDeDup — the fix-in-code
+    for the full-suite sf1 finding (PLANS.md #12: `semantic_dedup`
+    18.7x at 10x data with a FIXED k): within-cluster candidate pairs
+    scale as ``n²/k`` for fixed k, so 10x corpus = 100x pairs. With
+    ``k = ceil(n / target_cluster_size)`` the expected cluster size is
+    pinned and pair volume stays ``~n·target/2`` — LINEAR in the
+    corpus — which is exactly how SemDeDup deployments size their
+    FAISS k-means (k grows with n, cluster size stays constant).
+    Centroid state is k×dim doubles on the driver: at n = 10 B docs and
+    target 200 that is 50 M × dim — past that, swap the driver k-means
+    for a hierarchical/two-level quantizer; the pair math downstream
+    is unchanged. Registered queries keep fixed k for oracle
+    reproducibility."""
+    import math
+
+    if target_cluster_size < 1:
+        raise ValueError("target_cluster_size must be >= 1, got "
+                         f"{target_cluster_size}")
+    return max(1, math.ceil(n / target_cluster_size))
+
+
 def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
                          threshold: float = 0.95,
                          id_col: str = "vec_id",

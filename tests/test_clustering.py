@@ -103,3 +103,21 @@ def test_semantic_dedup_precision_and_recall(spark):
     assert sem <= exact
     # near-identical vectors land in the same cluster -> high recall
     assert len(sem & exact) / len(exact) >= 0.9
+
+
+def test_semdedup_n_clusters_pins_pair_volume(spark):
+    """The scaling contract: with k = semdedup_n_clusters(n), expected
+    within-cluster pair volume n²/k stays <= n * target — linear in
+    the corpus — at every scale; k is monotone in n."""
+    from nyctaxidatapipeline_spark.operators.clustering import (
+        semdedup_n_clusters,
+    )
+
+    prev = 0
+    for n in (100, 10_000, 1_000_000, 100_000_000):
+        k = semdedup_n_clusters(n, target_cluster_size=200)
+        assert n * n / k <= n * 200
+        assert k >= prev
+        prev = k
+    assert semdedup_n_clusters(1) == 1
+    assert semdedup_n_clusters(401, target_cluster_size=200) == 3
