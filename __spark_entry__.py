@@ -2210,6 +2210,20 @@ _KNN_COMMUNITY_GRAPH_CTES = """
             SELECT vec_id AS src, query_id AS dst FROM knn))"""
 
 
+def _q_lm_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff scoring CROSS-corpus: the model trains on the
+    English documents only, everything is scored under it — non-English
+    docs hit unseen bigrams and take the alpha·u(w2)/N backoff (the
+    Brants et al. web-LM scheme), so the backoff arm is genuinely
+    exercised (self-scoring never backs off). n_backoff doubles as the
+    model-coverage diagnostic."""
+    from nyctaxidatapipeline_spark.operators.lm import lm_score_backoff
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = docs.filter(F.col("lang") == "en")
+    return lm_score_backoff(model, docs, "text", "doc_id")
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing at alpha=0.5 (the XLM-R/mT5
     upsampling recipe): p_i ∝ sqrt(n_i/N), deterministic
@@ -2252,6 +2266,7 @@ _ROUND5_FRONT = [
     # round-5 additions — new this round, so never driver-verified
     "time_travel_read", "version_pruned_scan", "ppmi_vectors",
     "quality_classifier", "temperature_mix", "knn_communities",
+    "lm_backoff_scores",
 ]
 
 
@@ -2392,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "temperature_mix": _q_temperature_mix,
         "knn_communities": _q_knn_communities,
+        "lm_backoff_scores": _q_lm_backoff_scores,
     }
     ordered = {name: full[name] for name in _ROUND5_FRONT}
     ordered.update(full)
@@ -4412,6 +4428,60 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
               FROM fused)
             WHERE rank <= 10
+        """,
+        # Twin of lm.lm_score_backoff(model = English docs, score =
+        # all docs, alpha = 0.4): seen bigrams score raw relative
+        # frequency c/ctx, unseen back off to 0.4*u(w2)/N with the
+        # 0.4*1/N OOV floor; per-doc mean-log rounded 6 dp, ppl from
+        # the rounded mean.
+        "lm_backoff_scores": """
+            WITH sbase AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+             sbg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+              FROM sbase WHERE len(tk) >= 2),
+             sbg2 AS (
+              SELECT doc_id, bigram,
+                     split_part(bigram, ' ', 1) AS w1,
+                     split_part(bigram, ' ', 2) AS w2
+              FROM sbg),
+             mtok AS (
+              SELECT unnest(tk) AS t FROM sbase WHERE lang = 'en'),
+             n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM mtok),
+             uni AS (SELECT t AS w2, COUNT(*) AS u FROM mtok GROUP BY t),
+             mbg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+              FROM sbase WHERE lang = 'en' AND len(tk) >= 2),
+             bgc AS (SELECT bigram, COUNT(*) AS c FROM mbg GROUP BY bigram),
+             ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS ctx
+                     FROM bgc GROUP BY 1),
+             scored AS (
+              SELECT s.doc_id,
+                     CASE WHEN bgc.c IS NOT NULL
+                          THEN ln(CAST(bgc.c AS DOUBLE) / ctx.ctx)
+                          ELSE ln(0.4 * COALESCE(uni.u, 1) / n.n_tok)
+                     END AS logs,
+                     CASE WHEN bgc.c IS NULL THEN 1 ELSE 0 END AS bo
+              FROM sbg2 s
+              LEFT JOIN bgc USING (bigram)
+              LEFT JOIN ctx ON s.w1 = ctx.w1
+              LEFT JOIN uni ON s.w2 = uni.w2
+              CROSS JOIN n)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(bo) AS BIGINT) AS n_backoff,
+                   ROUND(AVG(logs), 6) AS avg_logs,
+                   ROUND(exp(-ROUND(AVG(logs), 6)), 6) AS ppl
+            FROM scored GROUP BY doc_id
         """,
         "lm_perplexity": """
             WITH base AS (

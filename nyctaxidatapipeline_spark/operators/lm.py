@@ -108,6 +108,55 @@ def lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return lm_score_under(df, df, text_col, id_col)
 
 
+def lm_score_backoff(model_df: DataFrame, score_df: DataFrame,
+                     text_col: str, id_col: str,
+                     alpha: float = 0.4) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007, the
+    web-scale LM recipe that replaced smoothed counts at Google): a
+    seen bigram scores its raw relative frequency ``c12/ctx1``; an
+    unseen one backs off to ``alpha · u(w2)/N`` (unigram relative
+    frequency); an unseen UNIGRAM takes the ``alpha · 1/N`` floor (the
+    scheme leaves OOV undefined — the floor is the count-1 convention,
+    documented so the oracle can replay it). Scores are not a
+    normalized distribution — the paper's point is that at corpus
+    scale the unnormalized score ranks as well as Kneser-Ney at a
+    fraction of the cost.
+
+    Meaningful only CROSS-corpus (self-scoring never backs off: every
+    bigram in a doc is in its own corpus's model). Same dataflow as
+    ``lm_score_under`` plus one unigram-keyed join: count tables
+    partial-aggregate map-side, N and the vocab floor ride the one
+    sanctioned 1-row broadcast. Output: (id, n_bigrams, n_backoff,
+    avg_logs, ppl) — ``n_backoff`` = bigrams that took the backoff
+    path, the model-coverage diagnostic.
+    """
+    bg = (_doc_bigrams(score_df, text_col, id_col)
+          .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "),
+                                         F.lit(2))))
+    counts = bigram_counts(model_df, text_col, id_col)
+    ctx = counts.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    uni = (model_df.select(F.explode(tokens(text_col)).alias("w2"))
+           .groupBy("w2").agg(F.count("*").alias("u")))
+    n_tok = (model_df.select(F.explode(tokens(text_col)).alias("t"))
+             .agg(F.count("*").alias("n_tok")))
+    seen = F.col("c").isNotNull()
+    s = F.when(seen, F.col("c") / F.col("ctx")).otherwise(
+        F.lit(alpha) * F.coalesce(F.col("u"), F.lit(1))
+        / F.col("n_tok"))
+    avg_logs = F.round(F.avg("_logs"), 6)
+    return (bg.join(counts.drop("w1"), "bigram", "left")
+              .join(ctx, "w1", "left")
+              .join(uni, "w2", "left")
+              .crossJoin(F.broadcast(n_tok))
+              .withColumn("_logs", F.log(s))
+              .withColumn("_bo", (~seen).cast("int"))
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("_bo").alias("n_backoff"),
+                   avg_logs.alias("avg_logs"),
+                   F.round(F.exp(-avg_logs), 6).alias("ppl")))
+
+
 def dsir_weights(df: DataFrame, target: DataFrame, text_col: str,
                  id_col: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023,

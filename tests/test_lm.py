@@ -139,3 +139,27 @@ def test_perplexity_buckets_tertiles(spark):
     seen = {}
     for r in out:
         assert seen.setdefault(r.ppl, r.bucket) == r.bucket
+
+
+def test_stupid_backoff_arms_hand_computed(spark):
+    """All three scoring arms on a tiny corpus: seen bigram (raw
+    relative frequency), unseen bigram with seen unigram (alpha*u/N),
+    and OOV unigram (alpha*1/N floor)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.lm import lm_score_backoff
+
+    model = spark.createDataFrame([Row(doc_id=1, text="a b a b c")])
+    # "a b": seen (c=2, ctx(a)=2 -> s=1.0); "b z": unseen bigram, z
+    # OOV (floor 0.4*1/5); "z c": unseen bigram, c seen (0.4*1/5)
+    score = spark.createDataFrame([Row(doc_id=9, text="a b z c")])
+    out = {r.doc_id: r for r in
+           lm_score_backoff(model, score, "text", "doc_id").collect()}
+    r = out[9]
+    assert r.n_bigrams == 3 and r.n_backoff == 2
+    want = (math.log(1.0) + math.log(0.4 * 1 / 5)
+            + math.log(0.4 * 1 / 5)) / 3
+    assert abs(r.avg_logs - round(want, 6)) < 1e-9
+    assert abs(r.ppl - round(math.exp(-round(want, 6)), 6)) < 1e-9
