@@ -2429,17 +2429,24 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _pca_covariance_ctes(dim: int, decimals: int) -> str:
     """Shared CTE block building the FULL symmetric covariance (i, j,
     cov) of the ``embeddings`` table at ``decimals`` dp — the exact
-    ``(Sxy - Sx*Sy/n)/n`` expression ``operators.pca`` computes."""
+    ``(Sxy - Sx*Sy/n)/n`` expression ``operators.pca`` computes.
+
+    Like ``pca.embedding_moments``, the per-dim and cross-product sums
+    accumulate as DECIMAL(38,12) (exact, associative — order-independent
+    on both engines) and only then cast back to DOUBLE."""
     return f"""
             e AS (SELECT vec_id, embedding FROM embeddings),
             n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
             sums AS (
-              SELECT a.i AS i, SUM(CAST(embedding[a.i + 1] AS DOUBLE)) AS s
+              SELECT a.i AS i,
+                     CAST(SUM(CAST(CAST(embedding[a.i + 1] AS DOUBLE)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS s
               FROM e, range(0, {dim}) a(i) GROUP BY 1),
             cross_ut AS (
               SELECT a.i AS i, b.i AS j,
-                     SUM(CAST(embedding[a.i + 1] AS DOUBLE)
-                         * CAST(embedding[b.i + 1] AS DOUBLE)) AS sxy
+                     CAST(SUM(CAST(CAST(embedding[a.i + 1] AS DOUBLE)
+                                   * CAST(embedding[b.i + 1] AS DOUBLE)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS sxy
               FROM e, range(0, {dim}) a(i), range(0, {dim}) b(i)
               WHERE b.i >= a.i GROUP BY 1, 2),
             cov_ut AS (

@@ -85,11 +85,23 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ``(i, j>=i)`` rows hold sum(x_i * x_j); ``(i, -1)`` rows hold
     sum(x_i); the ``(-1, -1)`` row holds the row count. One aggregate,
     one tiny shuffle (d*(d+3)/2 + 1 groups).
+
+    The sum accumulates as DECIMAL(38,12), not DOUBLE: decimal addition
+    is exact and associative, so the aggregate is bit-identical under
+    ANY partitioning / reduction order (the ``profile.py``
+    order-independent decimal-sum recipe). A raw double sum drifts in
+    the last ulps with partition count, which intermittently crossed the
+    downstream 6-dp rounding boundary (CORRECTNESS_r05
+    ``embedding_covariance`` hash flake). 12 dp on unit-scale products
+    keeps ~1e-12 absolute resolution — far below the coarsest output
+    rounding (6 dp) — while 26 integer digits leave headroom for
+    corpus-scale sums.
     """
     return (df
             .select(F.explode(_moment_structs(vec_col)).alias("m"))
             .groupBy(F.col("m.i").alias("i"), F.col("m.j").alias("j"))
-            .agg(F.sum("m.v").alias("s")))
+            .agg(F.sum(F.col("m.v").cast("decimal(38,12)"))
+                  .cast("double").alias("s")))
 
 
 def covariance_matrix(df: DataFrame, vec_col: str = "embedding",

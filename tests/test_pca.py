@@ -95,6 +95,20 @@ def test_sign_convention_deterministic():
     assert abs(float(np.dot(v, main))) > 0.999
 
 
+def test_covariance_bit_identical_across_partitionings(emb):
+    """The decimal(38,12) moment sums are exact and associative, so the
+    covariance output is BIT-identical — not approximately equal — for
+    any partitioning (the CORRECTNESS_r05 embedding_covariance flake was
+    order-sensitive double reduction crossing a rounding boundary)."""
+    a = sorted(map(tuple,
+                   covariance_matrix(emb.repartition(1), "embedding",
+                                     decimals=6).collect()))
+    b = sorted(map(tuple,
+                   covariance_matrix(emb.repartition(97), "embedding",
+                                     decimals=6).collect()))
+    assert a == b  # exact float equality, no approx
+
+
 def test_repartition_invariance(emb):
     a = sorted(map(tuple, pca_project_top(emb, iters=24).collect()))
     b = sorted(map(tuple,
