@@ -366,7 +366,8 @@ def ppmi_vectors(df: DataFrame, text_col: str, id_col: str,
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("w2")), 1, 8), 16, 10)
          .cast("bigint"), F.lit(dim)).cast("int")
-    feat = (pairs.join(n1, "w1").join(n2, "w2").crossJoin(tot)
+    feat = (pairs.join(n1, "w1").join(n2, "w2")
+                 .crossJoin(F.broadcast(tot))
                  .select(F.col("w1").alias("word"),
                          bucket.alias("_j"), ppmi.alias("_ppmi"))
                  .groupBy("word", "_j")

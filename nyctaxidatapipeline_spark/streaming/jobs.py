@@ -374,9 +374,16 @@ def run_versioned_append(stream: DataFrame, table_path: str):
     Composition note: the epoch id travels INSIDE the manifest
     (``write_version(extra={"epoch": ...})``), so it commits in the
     same hard-link CAS as the file list — a crash can never leave a
-    committed version without its epoch, and if two concurrent
-    drivers replay the same epoch one loses the CAS and nothing
-    duplicates.
+    committed version without its epoch. Losing the CAS does NOT mean
+    this epoch was committed (the winner may be an unrelated
+    ``write_version`` caller, or a driver on a different epoch), so on
+    ``ConcurrentWriteError`` the sink re-scans the applied-epoch set
+    and retries until THIS epoch is confirmed committed — returning
+    early would advance the checkpoint past an uncommitted batch and
+    silently drop it. The applied-epoch set is cached in the closure
+    and extended incrementally (only manifests newer than the last
+    scan are read), so per-batch commit cost stays O(new versions),
+    not O(all versions).
     """
     from nyctaxidatapipeline_spark.versioned import (
         ConcurrentWriteError,
@@ -385,19 +392,32 @@ def run_versioned_append(stream: DataFrame, table_path: str):
         write_version,
     )
 
-    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        applied = set()
+    applied: set[int] = set()
+    scanned = 0  # highest version whose manifest we have read
+
+    def _refresh_applied() -> None:
+        nonlocal scanned
         for v in table_versions(table_path):
+            if v <= scanned:
+                continue
             e = _load_manifest(table_path, v).get("epoch")
             if e is not None:
                 applied.add(int(e))
-        if int(epoch_id) in applied:
-            return  # replayed epoch: already committed, exactly-once
-        try:
-            write_version(batch_df, table_path, mode="append",
-                          extra={"epoch": int(epoch_id)})
-        except ConcurrentWriteError:
-            return  # a concurrent replayer won the CAS for this commit
+            scanned = max(scanned, v)
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _refresh_applied()
+        while int(epoch_id) not in applied:
+            try:
+                write_version(batch_df, table_path, mode="append",
+                              extra={"epoch": int(epoch_id)})
+                applied.add(int(epoch_id))
+                return
+            except ConcurrentWriteError:
+                # Someone else won that version number — maybe with this
+                # very epoch (concurrent replayer), maybe not (unrelated
+                # writer). Re-scan and retry until this epoch is in.
+                _refresh_applied()
 
     q = (stream.writeStream
          .outputMode("append")

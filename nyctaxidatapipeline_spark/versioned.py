@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,7 +166,16 @@ def write_version(df: DataFrame, path: str, mode: str = "append",
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     prior = table_versions(path)
     version = (prior[-1] + 1) if prior else 1
-    data_dir = os.path.join(path, "data", f"v{version:05d}")
+    # Each commit ATTEMPT writes to its own unique directory (like the
+    # tmp manifest): two writers racing on the same next version must
+    # not share a data dir, or the CAS loser's mode('overwrite') write
+    # deletes the winner's already-committed files and the winner's
+    # manifest points at nothing. The winner's manifest references its
+    # own dir; a loser's orphan dir is invisible (only manifests count)
+    # and is garbage a vacuum can reclaim, exactly like crashed-writer
+    # leftovers.
+    attempt = f"v{version:05d}-{uuid.uuid4().hex[:8]}.{os.getpid()}"
+    data_dir = os.path.join(path, "data", attempt)
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)

@@ -132,6 +132,40 @@ def test_concurrent_writer_loses_instead_of_clobbering(spark, tmp_path):
     assert not [f for f in os.listdir(vd) if f.startswith(".")]
 
 
+def test_concurrent_write_version_data_race(spark, tmp_path,
+                                            monkeypatch):
+    """Two write_version callers racing on the same next version: the
+    loser must fail the CAS *without having touched the winner's data
+    files*. (Regression: a shared deterministic data dir let the
+    loser's mode('overwrite') write delete the winner's committed
+    parquet before the manifest CAS even ran.)"""
+    import nyctaxidatapipeline_spark.versioned as V
+
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 0, 5), t, mode="overwrite")
+    # Writer A commits version 2 normally.
+    write_version(_df(spark, 10, 15), t, mode="overwrite")
+    # Writer B read latest=1 BEFORE A committed (stale snapshot): force
+    # that interleaving by pinning table_versions to [1] inside B's
+    # write_version call only.
+    real = V.table_versions
+    monkeypatch.setattr(V, "table_versions", lambda p: [1])
+    try:
+        write_version(_df(spark, 900, 905), t, mode="overwrite")
+        raise AssertionError("stale writer should have lost the CAS")
+    except V.ConcurrentWriteError:
+        pass
+    finally:
+        monkeypatch.setattr(V, "table_versions", real)
+    # The winner's committed version 2 is fully intact and readable —
+    # every file its manifest references still exists.
+    m = V._load_manifest(t, 2)
+    for e in m["entries"]:
+        assert os.path.exists(os.path.join(t, e["file"]))
+    assert sorted(r.k for r in read_version(spark, t, 2).collect()) == \
+        [10, 11, 12, 13, 14]
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_version(_df(spark, 0, 5), t, mode="overwrite")
