@@ -53,7 +53,9 @@ from nyctaxidatapipeline_spark.operators.similarity import (
     ivf_seed_centroids_portable,
     ivf_topk,
     knn_graph,
+    knn_graph_ivf,
     rp_lsh_near_dup,
+    rp_lsh_near_dup_auto,
 )
 from nyctaxidatapipeline_spark.operators.pq import (
     pq_seed_codebooks_portable,
@@ -74,6 +76,7 @@ from nyctaxidatapipeline_spark.operators.clustering import (
     assign_clusters,
     seed_centroids,
     semantic_dedup_pairs,
+    semdedup_n_clusters,
 )
 from nyctaxidatapipeline_spark.operators.graph import pagerank
 from nyctaxidatapipeline_spark.operators.lines import dedup_lines
@@ -413,6 +416,23 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dim=embedding_dim(emb), portable=True)
 
 
+def _q_ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-parameterized LSH near-dup — the registered 100 TB operating
+    point: (planes, bands) derived from the live corpus count by
+    ``rp_lsh_params`` (band width ceil(log2 n) pins candidate volume
+    linear in n; ``max_bands=8`` bounds signature cost at this low
+    threshold, trading recall exactly as the helper documents). The
+    corpus count is a bounded driver scalar — the same two-phase shape
+    as the reference's approxQuantile threshold
+    (yellow_taxi_etl.py:121). Per-band bucket integers
+    (``rp_band_buckets_static``) lift the packed-long 63-bit plane cap.
+    The oracle twin derives the identical parameters for the sf0.01
+    fixture count (n=500 → 72 planes x 8 bands, width 9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_near_dup_auto(emb, threshold=0.4, target_recall=0.9,
+                                max_bands=8, dim=embedding_dim(emb))
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (16 centroid lists, nprobe=4) for query
     vectors vec_id < 5 — the partition-pruned ANN path: each query
@@ -439,6 +459,22 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivfpq_topk`` with queries=corpus (both oracle-gated)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, n_blocks=4)
+
+
+def _q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE top-5 kNN graph — ``similarity.knn_graph_ivf``: the
+    sublinear scale path ``knn_graph``'s contract names, now a
+    registered oracle-gated query (VERDICT r5 item 3). IVF with
+    queries = corpus (16 lists, nprobe=4), self excluded, and NO query
+    broadcast — both sides are the corpus, so the plan is a
+    list_id-keyed shuffle join. Per-anchor scan cost is
+    ~nprobe/n_centroids of the corpus; recall vs the exact graph is
+    gated in tests/test_recall. md5-portable seed centroids keep the
+    twin value-hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
+    return knn_graph_ivf(emb, k=5, nprobe=4, dim=embedding_dim(emb),
+                         centroids=cents)
 
 
 def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1387,21 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale k grows with the corpus to bound per-cluster pair counts."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, seed_centroids(emb, 4),
+                                threshold=0.4)
+
+
+def _q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-parameterized SemDeDup — the registered 100 TB operating
+    point: ``k = ceil(n / target_cluster_size)`` from the live corpus
+    count (``clustering.semdedup_n_clusters``), pinning expected
+    cluster size so within-cluster pair volume stays LINEAR in the
+    corpus (the fix for the fixed-k 18.7x-at-10x curve in PLANS.md
+    #12). target_cluster_size=100 → k=5 at the sf0.01 fixture; the
+    oracle derives the same k from COUNT(*) as a scalar subquery, so
+    parity holds at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = semdedup_n_clusters(emb.count(), target_cluster_size=100)
+    return semantic_dedup_pairs(emb, seed_centroids(emb, k),
                                 threshold=0.4)
 
 
@@ -2408,6 +2459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "knn_communities": _q_knn_communities,
         "lm_backoff_scores": _q_lm_backoff_scores,
+        # --- round 6: auto-parameterized scale paths registered as
+        # first-class oracle-gated queries (VERDICT r5 items 2-3) ---
+        "ann_lsh_auto": _q_ann_lsh_auto,
+        "semantic_dedup_auto": _q_semantic_dedup_auto,
+        "knn_graph_ivf": _q_knn_graph_ivf,
     }
     ordered = {name: full[name] for name in _ROUND5_FRONT}
     ordered.update(full)
@@ -2795,6 +2851,63 @@ def _rp_lsh_oracle_sql(threshold: float = 0.4, planes: int = 24,
         """
 
 
+def _rp_lsh_auto_oracle_sql(n: int, threshold: float = 0.4,
+                            target_recall: float = 0.9,
+                            max_bands: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ``rp_lsh_near_dup_auto`` — identical md5 plane
+    literals and per-band bucket integers, with (planes, bands) derived
+    by the SAME ``rp_lsh_params`` call the Spark query makes at runtime.
+
+    ``n`` must equal the corpus count the Spark side sees: the driver's
+    correctness gate runs at sf0.01 (500 embeddings; sf0.001 is also
+    500, so local runs at either scale stay in parity). At other scales
+    the Spark query re-derives its parameters from the live count —
+    that adaptivity is exactly what the bench measures."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_params,
+        rp_plane_components_portable,
+    )
+
+    planes, bands = rp_lsh_params(n, threshold, target_recall, max_bands)
+    width = planes // bands
+    comps = rp_plane_components_portable(dim, planes)
+
+    def _bucket(bi: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(vec, [{arr}]) >= 0.0 "
+            "THEN {bit} ELSE 0 END)".format(
+                arr=", ".join(repr(c) for c in comps[bi * width + local]),
+                bit=1 << local)
+            for local in range(width))
+
+    band_rows = "\n              UNION ALL\n              ".join(
+        f"SELECT vec_id, {bi} AS band, {_bucket(bi)} AS bucket FROM v"
+        for bi in range(bands))
+    return f"""
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE len(embedding) > 0
+            ), bands AS (
+              {band_rows}
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_dot_product(a.vec, b.vec) /
+                         (sqrt(list_dot_product(a.vec, a.vec)) *
+                          sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+            FROM cand c
+            JOIN v a ON a.vec_id = c.id_a
+            JOIN v b ON b.vec_id = c.id_b
+            WHERE ROUND(list_dot_product(a.vec, b.vec) /
+                        (sqrt(list_dot_product(a.vec, a.vec)) *
+                         sqrt(list_dot_product(b.vec, b.vec))), 6)
+                  >= {threshold}
+        """
+
+
 def _curation_flag_ctes(min_tokens: int = 30, min_quality: float = 0.3,
                         max_dup_frac: float = 0.08) -> str:
     """Flag-rule CTEs (quality / repetition / PII verdicts + keep) —
@@ -3120,11 +3233,13 @@ def _lpa_oracle_sql(iters: int = 2, graph_ctes: str | None = None) -> str:
             f"        SELECT node, label FROM l{iters}")
 
 
-def _kmeans_seed_ctes(k: int) -> str:
+def _kmeans_seed_ctes(k: int | str) -> str:
     """Shared CTEs for the k-means oracles: deterministic md5-ordered
     seed centroids (the twin of ``clustering.seed_centroids``) and the
     max-cosine assignment with ties to the lowest cluster_id (the twin
-    of ``assign_clusters``'s first-position argmax)."""
+    of ``assign_clusters``'s first-position argmax). ``k`` may be an
+    int literal or a SQL scalar-subquery string (the auto-parameterized
+    SemDeDup twin derives k from the live corpus count)."""
     return f"""
         seeds AS (
           SELECT CAST(row_number() OVER (
@@ -3159,6 +3274,32 @@ def _kmeans_assign_oracle_sql(k: int) -> str:
     return f"""
         WITH {_kmeans_seed_ctes(k)}
         SELECT vec_id, cluster_id, cosine FROM assigned
+    """
+
+
+def _semantic_dedup_auto_oracle_sql(target_cluster_size: int,
+                                    threshold: float) -> str:
+    """Twin of the AUTO-parameterized SemDeDup: k is not a literal but
+    the same ``ceil(n / target_cluster_size)`` the Spark side derives
+    from the live corpus count (``clustering.semdedup_n_clusters``) —
+    computed here as a scalar subquery, so the oracle stays in parity
+    at ANY scale factor, not just the one it was generated for."""
+    k_expr = ("(SELECT GREATEST(1, CAST(CEIL(COUNT(*) "
+              f"/ {float(target_cluster_size)!r}) AS INTEGER)) "
+              "FROM embeddings)")
+    return f"""
+        WITH {_kmeans_seed_ctes(k_expr)},
+        av AS (
+          SELECT a.vec_id, a.cluster_id, v.vec,
+                 sqrt(list_dot_product(v.vec, v.vec)) AS nrm
+          FROM assigned a JOIN v USING (vec_id))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+               ROUND(list_dot_product(a.vec, b.vec)
+                     / (a.nrm * b.nrm), 6) AS cosine
+        FROM av a JOIN av b
+             ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.vec, b.vec)
+                    / (a.nrm * b.nrm), 6) >= {threshold}
     """
 
 
@@ -3387,6 +3528,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4),
         # Full sketch-path twin: identical md5-derived plane literals in
         # both engines make the RP-LSH pipeline reproducible in DuckDB.
+        "ann_lsh_auto": _rp_lsh_auto_oracle_sql(n=500, threshold=0.4,
+                                                target_recall=0.9,
+                                                max_bands=8, dim=64),
         "ann_lsh": _rp_lsh_oracle_sql(threshold=0.4, planes=24, bands=4,
                                       dim=64),
         # Same shingle/pair pipeline as ngram_jaccard, then transitive
@@ -3536,6 +3680,57 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        # Twin of knn_graph_ivf: the ann_ivf pipeline with probes over
+        # the WHOLE corpus (queries = corpus), the self-match excluded
+        # before ranking, k=5, nprobe=4, 16 portable seed centroids.
+        "knn_graph_ivf": """
+            WITH seeds AS (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         - 1 AS INTEGER) AS cid,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                              embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) AS cv
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+              QUALIFY row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+            corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+            assigned AS (
+              SELECT vec_id, vec, nrm, cid AS list_id FROM (
+                SELECT c.vec_id, c.vec, c.nrm, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus c, seeds s) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, q_vec, q_nrm, cid AS list_id FROM (
+                SELECT q.vec_id AS query_id, q.vec AS q_vec,
+                       q.nrm AS q_nrm, s.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus q, seeds s)
+              WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     ROUND(list_dot_product(p.q_vec, a.vec)
+                           / (p.q_nrm * a.nrm), 6) AS cosine
+              FROM probes p JOIN assigned a USING (list_id)
+              WHERE p.query_id <> a.vec_id)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         # Twin of pq_topk with pq_seed_codebooks_portable: codebooks are
         # the 16 smallest-(md5(id), id) non-zero vectors sliced into 4
@@ -4334,6 +4529,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_assign": _kmeans_assign_oracle_sql(k=8),
         "semantic_dedup": _semantic_dedup_oracle_sql(k=4, threshold=0.4),
+        "semantic_dedup_auto": _semantic_dedup_auto_oracle_sql(
+            target_cluster_size=100, threshold=0.4),
         "bm25_scores": """
             WITH base AS (
               SELECT doc_id,

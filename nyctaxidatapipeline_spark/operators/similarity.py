@@ -568,7 +568,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              dim: int | None = None, kmeans_iters: int = 2,
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             broadcast_queries: bool = True,
+             exclude_self: bool = False) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists
     per query, exact-rerank only vectors in probed lists.
 
@@ -604,15 +606,44 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .withColumn("_probe", F.explode(probes))
                 .withColumn("list_id", F.col("_probe").cast("int"))
                 .drop("_dots", "_probe"))
-    scored = (c.join(F.broadcast(q), "list_id")
+    qj = F.broadcast(q) if broadcast_queries else q
+    scored = (c.join(qj, "list_id")
                .select(query_id_col, id_col,
                        F.round(dot(F.col("q_vec"), F.col("vec"))
                                / (F.col("q_norm") * F.col("norm")), 6)
                         .alias("cosine")))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
     return top_k_per_group(
         scored, [query_id_col],
         [F.col("cosine").desc(), F.col(id_col).asc()],
         k=k, desc=False, rank_col="rank")
+
+
+def knn_graph_ivf(df: DataFrame, k: int = 5, n_centroids: int = 16,
+                  nprobe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int | None = None,
+                  centroids: list[list[float]] | None = None) -> DataFrame:
+    """Approximate kNN graph — ``ivf_topk`` with queries = corpus and
+    the self-match excluded before ranking: the sublinear scale path
+    ``knn_graph``'s contract names (its exact kernel is O(n²d) by
+    contract; this scans ~nprobe/n_centroids of the corpus per anchor).
+
+    Same output contract as ``knn_graph``: (query_id, vec_id, cosine,
+    rank), rank 1..k per anchor, ties by cosine desc then id asc.
+    Recall < 1 by construction (neighbors in unprobed lists are
+    invisible) — gated against the exact graph in ``tests/test_recall``.
+    The query side is NOT broadcast here: with queries = corpus both
+    sides are the corpus, so the plan is a list_id-keyed shuffle join
+    (one shuffle per side, AQE may still broadcast at small scale) —
+    broadcasting the whole corpus would be the 100 TB anti-pattern.
+    Grow ``n_centroids`` with the corpus (e.g. ``semdedup_n_clusters``
+    sizing) to pin per-list scan cost."""
+    return ivf_topk(df, df, k=k, n_centroids=n_centroids, nprobe=nprobe,
+                    id_col=id_col, vec_col=vec_col,
+                    query_id_col="query_id", dim=dim,
+                    centroids=centroids, broadcast_queries=False,
+                    exclude_self=True)
 
 
 def rp_lsh_params(n: int, threshold: float = 0.95,
@@ -726,11 +757,19 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                  F.shiftright(F.col("sig"), bi * width)
                   .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"))
         for bi in range(bands)]
-    # Candidates are id-only (posting-list pair expansion per bucket), so
-    # vectors shuffle once per rerank side — not once per band through a
-    # bucket self-join.
     buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                   .select(id_col, "bb.band", "bb.bucket"))
+    return _posting_list_rerank(base, buckets, threshold, id_col)
+
+
+def _posting_list_rerank(base: DataFrame, buckets: DataFrame,
+                         threshold: float, id_col: str) -> DataFrame:
+    """Shared LSH tail: (band, bucket) posting lists → distinct candidate
+    id pairs → exact cosine rerank against ``base`` (id, vec, norm).
+
+    Candidates are id-only (posting-list pair expansion per bucket), so
+    vectors shuffle once per rerank side — not once per band through a
+    bucket self-join."""
     blists = (buckets.groupBy("band", "bucket")
                      .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
                      .filter(F.size("ids") >= 2))
@@ -754,6 +793,75 @@ def rp_lsh_near_dup(df: DataFrame, threshold: float = 0.95,
                                 / (F.col("norm_a") * F.col("norm_b")), 6)
                          .alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
+
+
+def rp_band_buckets_static(vec_name: str, components: list[list[float]],
+                           bands: int) -> list[F.Column]:
+    """Per-band bucket integers from literal plane components — one
+    expression per band, each packing only its own ``width`` sign bits.
+
+    Unlike ``rp_signature_static``'s single packed long (which caps the
+    total plane budget at 63 bits), per-band buckets support any
+    ``planes = width * bands`` — the shape ``rp_lsh_params`` produces at
+    corpus scale, where the band width grows as ceil(log2 n)."""
+    planes = len(components)
+    if planes % bands:
+        raise ValueError(f"planes ({planes}) must divide into bands "
+                         f"({bands})")
+    width = planes // bands
+    out = []
+    for bi in range(bands):
+        bits = []
+        for local in range(width):
+            comp = components[bi * width + local]
+            arr = "array(" + ", ".join(f"{c!r}D" for c in comp) + ")"
+            proj = (f"aggregate(zip_with({vec_name}, {arr}, "
+                    f"(x, r) -> x * r), 0.0D, (acc, x) -> acc + x)")
+            bits.append(f"IF(({proj}) >= 0.0D, {1 << local}L, 0L)")
+        out.append(F.expr("(" + " + ".join(bits) + ")"))
+    return out
+
+
+def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
+                         target_recall: float = 0.9,
+                         max_bands: int = 128,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int | None = None,
+                         n: int | None = None) -> DataFrame:
+    """Corpus-size-aware LSH near-dup — ``rp_lsh_near_dup`` with
+    (planes, bands) derived from the corpus count via ``rp_lsh_params``
+    instead of fixed by the caller.
+
+    ``n`` defaults to ``df.count()`` — a bounded driver scalar feeding
+    the plan, the same two-phase shape as the reference's
+    approxQuantile threshold (yellow_taxi_etl.py:121). Band width
+    ``ceil(log2 n)`` pins expected random collisions per band at ~n, so
+    candidate volume is LINEAR in the corpus at every scale (the fix
+    for the fixed-parameter super-linear curve measured in PLANS.md
+    #12); signature cost grows O(n log n · bands). Buckets come from
+    ``rp_band_buckets_static`` (per-band integers), so the plane budget
+    is not capped at the packed-long 63 bits. Always uses the portable
+    md5 plane matrix — oracle-twinnable at any operating point.
+    """
+    if n is None:
+        n = df.count()
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    planes, bands = rp_lsh_params(n, threshold, target_recall, max_bands)
+    comps = rp_plane_components_portable(dim, planes)
+    vec_d = as_double(F.col(vec_col))
+    base = (fan_out(df, id_col)
+              .filter(F.size(F.col(vec_col)) > 0)
+              .select(F.col(id_col), vec_d.alias("vec"),
+                      l2_norm(vec_d, dim).alias("norm")))
+    band_exprs = rp_band_buckets_static("vec", comps, bands)
+    band_cols = [F.struct(F.lit(bi).alias("band"), e.alias("bucket"))
+                 for bi, e in enumerate(band_exprs)]
+    buckets = (base.select(id_col,
+                           F.explode(F.array(*band_cols)).alias("bb"))
+                   .select(id_col, "bb.band", "bb.bucket"))
+    return _posting_list_rerank(base, buckets, threshold, id_col)
 
 
 def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",

@@ -226,6 +226,49 @@ def test_rp_lsh_params_scaling_laws(spark):
     assert rp_lsh_params(1) == (4, 1)
 
 
+def test_knn_graph_ivf_recall_on_clustered_corpus(spark):
+    # The approximate kNN graph (IVF, queries=corpus, self excluded)
+    # must recover >= 90% of the exact graph's edges on clustered data
+    # — the registered knn_graph_ivf shape (16 lists, nprobe=4) with
+    # Lloyd-refined centroids.
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_ivf,
+    )
+
+    df, _ = _clustered_corpus(spark)
+    exact = {(r.query_id, r.vec_id)
+             for r in knn_graph(df, k=5, n_blocks=4).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in knn_graph_ivf(df, k=5, n_centroids=16,
+                                     nprobe=4, dim=32).collect()}
+    assert _recall(approx, exact) >= RECALL_FLOOR
+    # every anchor keeps a full (or near-full) neighbor list
+    anchors = {q for q, _ in approx}
+    assert len(anchors) == df.count()
+
+
+def test_rp_lsh_auto_recall_on_planted_dups(spark):
+    # End-to-end auto operator (count -> rp_lsh_params -> banded
+    # buckets -> rerank): the default near-dup operating point must
+    # clear the recall floor on the planted-dup workload, with exact
+    # rerank guaranteeing zero false positives.
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_near_dup_auto,
+    )
+
+    df, _ = _clustered_corpus(spark)
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup(df, 0.95, dim=32).collect()}
+    assert len(exact) >= 25
+    sketch = {(r.id_a, r.id_b)
+              for r in rp_lsh_near_dup_auto(df, threshold=0.95,
+                                            target_recall=0.9,
+                                            dim=32).collect()}
+    assert _recall(sketch, exact) >= RECALL_FLOOR
+    assert sketch <= exact
+
+
 def test_rp_lsh_params_drive_recall_on_planted_dups(spark):
     # end-to-end: params chosen FROM the corpus size still clear the
     # recall floor on the planted-near-dup workload
