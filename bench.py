@@ -5,7 +5,10 @@ its attribution subtlety (SURVEY.md §3 EP3): the shared input is cached and
 explicitly materialized BEFORE the per-query timers, so each timer brackets
 that query's compute only. Queries are forced with the noop sink (full
 materialization of every column — ``.count()`` would let Catalyst prune the
-aggregate expressions).
+aggregate expressions). Each query is timed ``SPARK_GRAFT_RUNS`` times
+(default 3) and the MEDIAN reported, so one-time codegen/JIT cost landing in
+any single run cannot masquerade as a regression (the r5 rotation showed the
+warmup alone leaves 2-3.5x ordering artifacts on the front positions).
 """
 
 from __future__ import annotations
@@ -72,17 +75,32 @@ def main() -> None:
     spark._jvm.System.gc()  # noqa: SLF001
     warmup_sec = round(time.perf_counter() - t0, 3)
 
+    # Per-query MEDIAN-of-N (default 3): the r5 rotation proved the
+    # shape-diverse warmup alone is NOT sufficient — queries moved to
+    # the front of the dict inflated 2-3.5x with zero code change
+    # (resample_hourly 0.62→2.15 s) because whichever plans run first
+    # still pay residual codegen/JIT for their specific shapes. A
+    # median over repeated runs is robust to that one-time cost landing
+    # in any single run, so round-over-round per-query comparisons stop
+    # manufacturing phantom regressions from CORRECTNESS-window
+    # rotation. SPARK_GRAFT_RUNS=1 restores the old single-shot mode.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in qset.items():
-        t = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t, 3)
-        # Per-query isolation: drop cached frames and force a JVM GC —
-        # Spark's ContextCleaner reclaims shuffle files / broadcast blobs
-        # only when the JVM collects the dropped references, and a
-        # backlog slows later heavy queries 3-6x.
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()  # noqa: SLF001
+        runs = []
+        for _ in range(n_runs):
+            t = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t, 3))
+            # Per-run isolation: drop cached frames and force a JVM GC —
+            # Spark's ContextCleaner reclaims shuffle files / broadcast
+            # blobs only when the JVM collects the dropped references,
+            # and a backlog slows later heavy queries 3-6x.
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()  # noqa: SLF001
+        times[name] = sorted(runs)[len(runs) // 2]
+        all_runs[name] = runs
 
     total = round(sum(times.values()), 3)
     # Exact/scale twins: the "exact" member is the brute-force
@@ -117,6 +135,8 @@ def main() -> None:
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
+        "timing": {"runs_per_query": n_runs, "stat": "median"},
+        "runs": all_runs,
         "queries": times,
         "paths": paths,
         "path_totals": path_totals,
@@ -136,7 +156,8 @@ def main() -> None:
         json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
     line = {
-        **{k: v for k, v in full.items() if k not in ("queries", "paths")},
+        **{k: v for k, v in full.items()
+           if k not in ("queries", "paths", "runs")},
         "queries": slowest,
         "n_queries": len(times),
         "queries_full": out_name,

@@ -71,6 +71,10 @@ def distributed_prefix_sum(df: DataFrame, value_col: str | Column,
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     b = b.withColumn("_run", F.sum(v).over(w_in))
     totals = b.groupBy("_bk").agg(F.sum(v).alias("_tot"))
+    # This unpartitioned window triggers Spark's "No Partition Defined"
+    # warning at runtime — DELIBERATE and bounded: its input is the
+    # per-bucket totals frame, exactly n_buckets (<= 64) rows, never the
+    # corpus. The corpus-sized window above (w_in) is bucket-partitioned.
     w_off = (Window.orderBy("_bk")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = (totals

@@ -28,8 +28,15 @@ SF = "/root/testdata/sf0.001"
 #: queries allowed an Arrow-batched pandas kernel — the documented BLAS
 #: wins plus the multimodal decode zone (real codecs run in Python by
 #: design; media synthesis + decode are both mapInPandas stages there)
-ARROW_OK = {"embedding_near_dup", "image_features", "frame_sample",
-            "frame_sample_avi", "audio_features"}
+ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
+            "frame_sample", "frame_sample_avi", "audio_features"}
+
+#: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
+#: applyInPandas) — the two block-pair BLAS kernels (kNN partial top-k
+#: and the blocked near-dup's pair kernel). Kept separate from ARROW_OK
+#: so a future row-group Python kernel cannot slip past the gate under
+#: the mapInPandas whitelist.
+GROUPED_PANDAS_OK = {"knn_graph", "embedding_near_dup"}
 
 
 @pytest.fixture(scope="module")
@@ -52,6 +59,24 @@ def test_no_row_at_a_time_python(plans):
            if ("ArrowEvalPython" in p or "MapInPandas" in p)
            and n not in ARROW_OK]
     assert not bad, f"unexpected pandas kernels in: {bad}"
+    bad = [n for n, p in plans.items()
+           if "FlatMapGroupsInPandas" in p and n not in GROUPED_PANDAS_OK]
+    assert not bad, f"unexpected grouped pandas kernels in: {bad}"
+
+
+def test_grouped_pandas_gate_catches_unlisted_kernel(spark):
+    # Negative control: an applyInPandas plan NOT in GROUPED_PANDAS_OK
+    # must trip the sweep — proving the FlatMapGroupsInPandas gate has
+    # teeth (it is invisible to the ArrowEvalPython/MapInPandas checks).
+    from nyctaxidatapipeline_spark.sources import read_parquet
+
+    nation = read_parquet(spark, f"{SF}/nation.parquet")
+    df = nation.groupBy("n_regionkey").applyInPandas(
+        lambda pdf: pdf, schema=nation.schema)
+    plan = explain_str(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan, (
+        "fixture no longer plans applyInPandas as FlatMapGroupsInPandas; "
+        "rewrite the negative control")
 
 
 #: Queries whose plans carry BNLJs that are NOT the scalar-aggregate
