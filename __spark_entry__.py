@@ -563,6 +563,40 @@ def _q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.max("_p"), 6).alias("max_price")))
 
 
+def _q_winsorized_prices_approx(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """``winsorized_prices`` through the 100 TB quantile mode the exact
+    variant's docstring recommends: bounds from the mergeable
+    Greenwald-Khanna sketch (``percentile_approx``) instead of the
+    whole-column exact percentile buffer. accuracy=1,000,000 keeps the
+    sketch uncompressed at fixture group sizes, so the bounds are the
+    exact rank statistics and the twin clips against DuckDB
+    ``quantile_disc`` — full hash parity — while sf1-scale inputs
+    genuinely compress (bounded memory, rank error <= 1/accuracy)."""
+    from nyctaxidatapipeline_spark.operators.cleaning import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", 0.01, 0.99, out_col="_p",
+                  mode="approx", accuracy=1_000_000)
+    return (w.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("_p"), 6).alias("avg_price"),
+                  F.round(F.min("_p"), 6).alias("min_price"),
+                  F.round(F.max("_p"), 6).alias("max_price")))
+
+
+def _q_grouped_percentiles_approx(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-group percentiles through the mergeable sketch
+    (``grouped_percentiles(mode='approx')``) — same contract as the
+    exact query, bounded-memory per group. accuracy=1,000,000 ⇒ exact
+    rank statistics at fixture scale (twin: ``quantile_disc``),
+    genuine compression at sf1 group sizes."""
+    return grouped_percentiles(_lineitem(spark, sf_dir), ["l_returnflag"],
+                               "l_extendedprice", (0.5, 0.95),
+                               mode="approx", accuracy=1_000_000)
+
+
 def _q_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick collision census over events(event_type, user_id)
     → 64 buckets: occupancy n_rows + distinct raw values per bucket
@@ -2464,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_auto": _q_ann_lsh_auto,
         "semantic_dedup_auto": _q_semantic_dedup_auto,
         "knn_graph_ivf": _q_knn_graph_ivf,
+        "winsorized_prices_approx": _q_winsorized_prices_approx,
+        "grouped_percentiles_approx": _q_grouped_percentiles_approx,
     }
     ordered = {name: full[name] for name in _ROUND5_FRONT}
     ordered.update(full)
@@ -4173,6 +4209,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
+        # Twin of the GK-sketch mode at accuracy >= group size: the
+        # uncompressed sketch returns the exact RANK statistic, i.e.
+        # quantile_disc (an actual element), not the interpolated
+        # quantile_cont of the exact mode.
+        "grouped_percentiles_approx": """
+            SELECT l_returnflag,
+                   ROUND(quantile_disc(l_extendedprice, 0.50), 6) AS p50,
+                   ROUND(quantile_disc(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
         "distinct_parts": """
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
@@ -5517,6 +5564,23 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
               SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
                      quantile_cont(l_extendedprice, 0.99) AS hi
+              FROM lineitem),
+            c AS (
+              SELECT l_returnflag,
+                     LEAST(GREATEST(l_extendedprice, b.lo), b.hi) AS p
+              FROM lineitem, b)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(AVG(p), 6) AS avg_price,
+                   ROUND(MIN(p), 6) AS min_price,
+                   ROUND(MAX(p), 6) AS max_price
+            FROM c GROUP BY l_returnflag
+        """,
+        # Twin of the approx (GK-sketch) winsorize at accuracy >= n:
+        # bounds are exact rank statistics -> quantile_disc.
+        "winsorized_prices_approx": """
+            WITH b AS (
+              SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
+                     quantile_disc(l_extendedprice, 0.99) AS hi
               FROM lineitem),
             c AS (
               SELECT l_returnflag,

@@ -31,22 +31,42 @@ def quantile_bounds(df: DataFrame, col: str,
                   F.percentile(col, hi).alias("_hi"))
 
 
+def quantile_bounds_approx(df: DataFrame, col: str,
+                           lo: float = 0.01, hi: float = 0.99,
+                           accuracy: int = 100) -> DataFrame:
+    """1-row frame (_lo, _hi) via the mergeable Greenwald-Khanna sketch
+    (``percentile_approx``) — the 100 TB mode ``winsorize``'s docstring
+    recommends: the exact percentile buffers every value in one global
+    ObjectHashAggregate, the sketch is bounded at ~O(accuracy·log n)
+    and merges map-side. Rank error <= 1/accuracy; with accuracy >= n
+    the sketch stays uncompressed and the bounds are the exact rank
+    statistics (DuckDB ``quantile_disc`` — what keeps the registered
+    approx query hash-checkable at correctness scale)."""
+    fn = F.percentile_approx
+    return df.agg(fn(col, F.lit(lo), F.lit(accuracy)).alias("_lo"),
+                  fn(col, F.lit(hi), F.lit(accuracy)).alias("_hi"))
+
+
 def winsorize(df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
-              out_col: str | None = None) -> DataFrame:
-    """Clip ``col`` to its [lo, hi] exact quantiles — the standard
+              out_col: str | None = None, mode: str = "exact",
+              accuracy: int = 100) -> DataFrame:
+    """Clip ``col`` to its [lo, hi] quantiles — the standard
     robust-scaling guard against fat-tailed outliers before features
     enter a model (NULLs pass through unclipped).
 
-    100 TB shape: ONE exact-percentile aggregate produces a 1-row
-    bounds frame, broadcast back as a scalar cross join (the engine's
+    100 TB shape: ONE percentile aggregate produces a 1-row bounds
+    frame, broadcast back as a scalar cross join (the engine's
     established runtime-scalar pattern, cf. ``fare_anomalies``'s
     threshold and ``reshape.histogram``'s bin bounds); the clip itself
-    is a shuffle-free narrow projection. Exact percentile sorts per
-    group at scale — swap ``quantile_bounds`` for
-    ``approx_percentile`` when a bounded-error clip is acceptable.
+    is a shuffle-free narrow projection. ``mode='exact'`` (interpolated
+    ``F.percentile``) sorts the whole column into one aggregation
+    buffer — fine for oracle parity, not the 100 TB mode;
+    ``mode='approx'`` uses the bounded-memory mergeable sketch
+    (``quantile_bounds_approx``).
     """
     out = out_col or col
-    b = quantile_bounds(df, col, lo, hi)
+    b = (quantile_bounds(df, col, lo, hi) if mode == "exact"
+         else quantile_bounds_approx(df, col, lo, hi, accuracy))
     # least/greatest SKIP nulls (greatest(NULL, lo) = lo), so the NULL
     # passthrough needs an explicit guard.
     clipped = F.when(

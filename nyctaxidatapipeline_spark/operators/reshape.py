@@ -53,11 +53,20 @@ def cube_agg(df: DataFrame, group_cols: Sequence[str],
 
 def grouped_percentiles(df: DataFrame, group_cols: Sequence[str], col: str,
                         percentiles: Sequence[float] = (0.5, 0.95),
-                        mode: str = "exact") -> DataFrame:
+                        mode: str = "exact",
+                        accuracy: int = 100) -> DataFrame:
     """Per-group percentiles: ``exact`` (interpolated, oracle-parity with
-    quantile_cont) or ``approx`` (mergeable sketch — the 100 TB path)."""
+    quantile_cont) or ``approx`` (mergeable Greenwald-Khanna sketch —
+    the 100 TB path: exact percentile buffers the whole group in one
+    ObjectHashAggregate; the sketch is bounded at ~O(accuracy·log n)
+    per group and merges map-side). ``accuracy`` trades memory for rank
+    error 1/accuracy; with accuracy >= group size the sketch stays
+    uncompressed and the result is the EXACT rank statistic (DuckDB
+    ``quantile_disc``) — how the registered approx query keeps full
+    hash parity at correctness scale while compressing for real at sf1
+    group sizes."""
     fn = F.percentile if mode == "exact" else \
-        (lambda c, p: F.percentile_approx(c, p, F.lit(100)))
+        (lambda c, p: F.percentile_approx(c, p, F.lit(accuracy)))
     aggs = [F.round(fn(F.col(col), F.lit(p)), 6)
              .alias(f"p{int(p * 100)}")
             for p in percentiles]

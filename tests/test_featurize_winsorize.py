@@ -108,3 +108,54 @@ def test_length_buckets_repartition_invariant(spark):
                    length_bucketed_batches(df.repartition(11), "text",
                                            "doc_id", 8).collect()))
     assert a == b
+
+
+def test_approx_quantile_bounded_error(spark):
+    """The GK-sketch quantile mode in its REAL operating regime
+    (accuracy << n, compression active): returned values must be actual
+    data elements whose rank sits within the 1/accuracy guarantee of
+    the target percentile — the contract the 100 TB mode sells."""
+    from nyctaxidatapipeline_spark.operators.reshape import (
+        grouped_percentiles,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem") \
+        .select("l_returnflag", "l_extendedprice")
+    acc = 100  # rank error <= n/100 per group
+    approx = {r["l_returnflag"]: (r["p50"], r["p95"])
+              for r in grouped_percentiles(li, ["l_returnflag"],
+                                           "l_extendedprice", (0.5, 0.95),
+                                           mode="approx",
+                                           accuracy=acc).collect()}
+    # exact rank envelope per group: value at percentile p±1.5/acc
+    eps = 1.5 / acc
+    env = (li.groupBy("l_returnflag")
+             .agg(*[F.percentile("l_extendedprice", F.lit(q)).alias(n)
+                    for q, n in ((0.5 - eps, "lo50"), (0.5 + eps, "hi50"),
+                                 (0.95 - eps, "lo95"),
+                                 (0.95 + eps, "hi95"))])
+             .collect())
+    for r in env:
+        p50, p95 = approx[r["l_returnflag"]]
+        assert r["lo50"] <= p50 <= r["hi50"]
+        assert r["lo95"] <= p95 <= r["hi95"]
+
+
+def test_winsorize_approx_matches_exact_rank_at_high_accuracy(spark):
+    from nyctaxidatapipeline_spark.operators.cleaning import (
+        quantile_bounds_approx,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    b = quantile_bounds_approx(li, "l_extendedprice",
+                               0.01, 0.99, accuracy=10_000_000).first()
+    # uncompressed sketch -> exact rank statistics: both bounds are
+    # actual data values at the right ranks
+    vals = sorted(r["l_extendedprice"]
+                  for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    import math
+    assert b["_lo"] == vals[max(0, math.ceil(0.01 * n) - 1)]
+    assert b["_hi"] == vals[max(0, math.ceil(0.99 * n) - 1)]
