@@ -2,12 +2,14 @@
 
 North-star plumbing (BASELINE.json): the Spark-side architecture is real —
 schemas, Arrow batch flow, partitioning. Decode is ALSO real for PNG
-(pure-stdlib codec in ``functions.png``), AVI containers
-(``functions.avi`` RIFF walker) and WAV audio (stdlib ``wave`` via
-``functions.wav``) — no PIL/ffmpeg/librosa required; compressed formats
-(JPEG, MP3, H.264) still document the exact library call that slots in
-and raise ``NotImplementedError``, with the deterministic fake codec
-exercising their plumbing.
+(pure-stdlib codec in ``functions.png``), baseline JPEG
+(``functions.jpeg`` — SOF0, grayscale/YCbCr, 4:4:4 and 4:2:0; a real
+corpus is JPEG-first), AVI containers (``functions.avi`` RIFF walker)
+and WAV audio (stdlib ``wave`` via ``functions.wav``) — no
+PIL/ffmpeg/librosa required. The remaining compressed formats
+(progressive JPEG, MP3, H.264) document the exact library call that
+slots in and raise ``NotImplementedError``, with the deterministic fake
+codec exercising their plumbing.
 
 Design:
   * One row per asset: ``asset_id long, media binary, meta struct<...>``.
@@ -73,15 +75,19 @@ def image_features(df: DataFrame, media_col: str = "media",
     codec in ``functions.png`` (8-bit gray/RGB/RGBA, all five scanline
     filters) — no PIL needed, so this path executes end-to-end in this
     container; undecodable/None media yields NULL features, matching
-    the fake-codec convention. ``codec='real'`` is where
-    ``PIL.Image.open(io.BytesIO(b))`` slots in for full format breadth —
-    unavailable in this container, so it raises. ``codec='fake'`` parses
-    the deterministic 8-byte header (cheapest plumbing verification).
+    the fake-codec convention. ``codec='jpeg'`` likewise runs a REAL
+    decode through ``functions.jpeg`` (baseline SOF0, grayscale/YCbCr,
+    4:4:4 and 4:2:0 — a real corpus is JPEG-first). ``codec='real'`` is
+    where ``PIL.Image.open(io.BytesIO(b))`` slots in for full format
+    breadth (progressive JPEG, WebP, ...) — unavailable in this
+    container, so it raises. ``codec='fake'`` parses the deterministic
+    8-byte header (cheapest plumbing verification).
     """
-    if codec not in ("fake", "real", "png"):
+    if codec not in ("fake", "real", "png", "jpeg"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyctaxidatapipeline_spark.functions.jpeg import decode_jpeg
         from nyctaxidatapipeline_spark.functions.png import decode_png
 
         for pdf in batches:
@@ -91,9 +97,10 @@ def image_features(df: DataFrame, media_col: str = "media",
                     "PIL.Image.open(io.BytesIO(media)) here")
             out = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
-                if codec == "png":
+                if codec in ("png", "jpeg"):
+                    dec = decode_png if codec == "png" else decode_jpeg
                     try:
-                        w, h, _ch, px = decode_png(media or b"")
+                        w, h, _ch, px = dec(media or b"")
                     except ValueError:
                         out.append((aid, None, None, None, None))
                         continue

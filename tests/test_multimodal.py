@@ -195,3 +195,112 @@ def test_audio_features_8bit_and_24bit(spark):
     got = {r.asset_id: r for r in audio_features(df).collect()}
     assert got[1].mean_abs == 20 / 3 and got[1].peak == 10
     assert got[2].mean_abs == 1.0 and got[2].peak == 1
+
+
+def test_jpeg_constant_blocks_exact():
+    """DC-only blocks survive the lossy pipeline EXACTLY as the pinned
+    half-up arithmetic predicts — the contract the oracle twin uses."""
+    import math
+
+    import numpy as np
+
+    from nyctaxidatapipeline_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.zeros((16, 32), dtype=np.uint8)
+    consts = [(5 * 31 + b * 17) % 256 for b in range(8)]
+    for b, c in enumerate(consts):
+        by, bx = divmod(b, 4)
+        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = c
+    w, h, ch, out = decode_jpeg(encode_jpeg(32, 16, px.tobytes(), 1))
+    assert (w, h, ch) == (32, 16, 1)
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(16, 32)
+    for b, c in enumerate(consts):
+        by, bx = divmod(b, 4)
+        want = max(0, min(255, 2 * math.floor((c - 128) / 2 + 0.5) + 128))
+        assert (arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                == want).all()
+
+
+def test_jpeg_roundtrip_tolerance():
+    """General images through the full encoder/decoder (independent
+    transform implementations): reconstruction error must stay within
+    classic Q50-baseline bounds — a defect in either side explodes it."""
+    import numpy as np
+
+    from nyctaxidatapipeline_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth gradient, grayscale: near-lossless
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    w, h, ch, o = decode_jpeg(encode_jpeg(48, 32, grad.tobytes(), 1))
+    a = np.frombuffer(o, dtype=np.uint8).reshape(32, 48).astype(int)
+    assert np.abs(a - grad.astype(int)).max() <= 8
+    # noise, grayscale: bounded mean error (Q50 quantization loss)
+    noise = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    w, h, ch, o = decode_jpeg(encode_jpeg(40, 24, noise.tobytes(), 1))
+    a = np.frombuffer(o, dtype=np.uint8).reshape(24, 40).astype(int)
+    assert np.abs(a - noise.astype(int)).mean() < 32
+    # color, both sampling modes, odd dimensions (MCU padding + crop)
+    rgb = np.stack([grad, 255 - grad, grad // 2 + 60],
+                   axis=-1).astype(np.uint8)[:17, :13]
+    for sub in ("444", "420"):
+        w, h, ch, o = decode_jpeg(
+            encode_jpeg(13, 17, rgb.tobytes(), 3, subsampling=sub))
+        assert (w, h, ch) == (13, 17, 3)
+        a = np.frombuffer(o, dtype=np.uint8).reshape(17, 13, 3) \
+            .astype(int)
+        assert np.abs(a - rgb.astype(int)).mean() < (6 if sub == "444"
+                                                    else 14)
+
+
+def test_jpeg_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from nyctaxidatapipeline_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"")
+    # progressive (SOF2) must be rejected, not mis-decoded
+    good = bytearray(encode_jpeg(8, 8, bytes(64), 1))
+    sof0 = good.find(b"\xFF\xC0")
+    assert sof0 > 0
+    good[sof0 + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+    # truncated entropy stream
+    full = encode_jpeg(8, 8, np.arange(64, dtype=np.uint8).tobytes(), 1)
+    with _pytest.raises(ValueError):
+        decode_jpeg(full[:len(full) - 10])
+
+
+def test_image_features_jpeg_codec(spark):
+    """End-to-end through mapInPandas: real JPEG decode features, with
+    undecodable media yielding NULLs per the multimodal convention."""
+    import numpy as np
+
+    from nyctaxidatapipeline_spark.functions.jpeg import encode_jpeg
+
+    px = np.full((8, 16), 200, dtype=np.uint8)
+    rows = [Row(asset_id=1, media=bytearray(
+                encode_jpeg(16, 8, px.tobytes(), 1))),
+            Row(asset_id=2, media=bytearray(b"garbage")),
+            Row(asset_id=3, media=None)]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    got = {r["asset_id"]: r
+           for r in image_features(df, codec="jpeg").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (16, 8)
+    assert got[1]["mean_intensity"] == 200.0
+    assert got[2]["width"] is None and got[3]["width"] is None
