@@ -36,7 +36,7 @@ ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
 #: and the blocked near-dup's pair kernel). Kept separate from ARROW_OK
 #: so a future row-group Python kernel cannot slip past the gate under
 #: the mapInPandas whitelist.
-GROUPED_PANDAS_OK = {"knn_graph", "embedding_near_dup"}
+GROUPED_PANDAS_OK = {"knn_graph", "knn_graph_ivf", "embedding_near_dup"}
 
 
 @pytest.fixture(scope="module")
