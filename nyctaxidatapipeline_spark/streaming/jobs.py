@@ -363,28 +363,20 @@ def run_incremental_dedup(stream: DataFrame, corpus_dir: str,
     return q
 
 
-def run_versioned_append(stream: DataFrame, table_path: str):
-    """foreachBatch sink committing each micro-batch as a VERSION of a
-    ``versioned`` table — streaming ingestion with snapshot isolation:
-    readers time-travel to any committed epoch, and a replayed epoch
-    (restart after crash, before checkpoint advance) is a NO-OP instead
-    of a duplicate append, because the epoch id is stored in the
-    manifest at commit time and checked before writing.
+def versioned_append_fn(table_path: str):
+    """The ``foreachBatch`` function for ``run_versioned_append`` —
+    exposed as a factory (like ``dedup_admit_fn``/``rollup_merge_fn``)
+    so the CAS-loss retry contract is directly unit-testable.
 
-    Composition note: the epoch id travels INSIDE the manifest
-    (``write_version(extra={"epoch": ...})``), so it commits in the
-    same hard-link CAS as the file list — a crash can never leave a
-    committed version without its epoch. Losing the CAS does NOT mean
-    this epoch was committed (the winner may be an unrelated
-    ``write_version`` caller, or a driver on a different epoch), so on
-    ``ConcurrentWriteError`` the sink re-scans the applied-epoch set
-    and retries until THIS epoch is confirmed committed — returning
-    early would advance the checkpoint past an uncommitted batch and
-    silently drop it. The applied-epoch set is cached in the closure
-    and extended incrementally (only manifests newer than the last
-    scan are read), so per-batch commit cost stays O(new versions),
-    not O(all versions).
-    """
+    Losing the manifest CAS does NOT mean this epoch was committed (the
+    winner may be an unrelated ``write_version`` caller, or a driver on
+    a different epoch), so on ``ConcurrentWriteError`` the sink
+    re-scans the applied-epoch set and retries until THIS epoch is
+    confirmed committed — returning early would advance the checkpoint
+    past an uncommitted batch and silently drop it. The applied-epoch
+    set is cached in the closure and extended incrementally (only
+    manifests newer than the last scan are read), so per-batch commit
+    cost stays O(new versions), not O(all versions)."""
     from nyctaxidatapipeline_spark.versioned import (
         ConcurrentWriteError,
         _load_manifest,
@@ -419,9 +411,26 @@ def run_versioned_append(stream: DataFrame, table_path: str):
                 # writer). Re-scan and retry until this epoch is in.
                 _refresh_applied()
 
+    return commit_batch
+
+
+def run_versioned_append(stream: DataFrame, table_path: str):
+    """foreachBatch sink committing each micro-batch as a VERSION of a
+    ``versioned`` table — streaming ingestion with snapshot isolation:
+    readers time-travel to any committed epoch, and a replayed epoch
+    (restart after crash, before checkpoint advance) is a NO-OP instead
+    of a duplicate append, because the epoch id is stored in the
+    manifest at commit time and checked before writing.
+
+    Composition note: the epoch id travels INSIDE the manifest
+    (``write_version(extra={"epoch": ...})``), so it commits in the
+    same hard-link CAS as the file list — a crash can never leave a
+    committed version without its epoch. CAS-loss handling and the
+    epoch cache live in ``versioned_append_fn``.
+    """
     q = (stream.writeStream
          .outputMode("append")
-         .foreachBatch(commit_batch)
+         .foreachBatch(versioned_append_fn(table_path))
          .start())
     q.processAllAvailable()
     return q

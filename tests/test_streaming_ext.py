@@ -307,3 +307,48 @@ def test_versioned_append_stream_epochs_and_replay(spark, tmp_path):
         assert read_version(spark, t).count() == want
     finally:
         q.stop()
+
+
+def test_versioned_append_retries_after_unrelated_cas_loss(
+        spark, tmp_path, monkeypatch):
+    """CAS loss to an UNRELATED writer must not drop the micro-batch:
+    the sink re-scans the applied-epoch set and retries until THIS
+    epoch is committed (regression: the old handler swallowed
+    ConcurrentWriteError and returned, advancing the checkpoint past an
+    uncommitted batch)."""
+    import nyctaxidatapipeline_spark.versioned as V
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        versioned_append_fn,
+    )
+    from nyctaxidatapipeline_spark.versioned import (
+        ConcurrentWriteError,
+        read_version,
+        table_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    real_wv = V.write_version
+    calls = {"n": 0}
+
+    def flaky(df, path, mode="append", **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:   # epoch 1's FIRST attempt loses the race
+            other = df.sparkSession.createDataFrame(
+                [(99, "other")], "k long, s string")
+            real_wv(other, path, mode="append")   # unrelated winner
+            raise ConcurrentWriteError("lost CAS to unrelated writer")
+        return real_wv(df, path, mode=mode, **kw)
+
+    monkeypatch.setattr(V, "write_version", flaky)
+    fn = versioned_append_fn(t)
+    fn(spark.createDataFrame([(1, "a")], "k long, s string"), 0)
+    fn(spark.createDataFrame([(2, "b")], "k long, s string"), 1)
+    # epoch 1 took: 1 ok (epoch 0) + 1 CAS loss + 1 retry = 3 calls
+    assert calls["n"] == 3
+    # nothing lost: epoch 0 row, the unrelated writer's row, epoch 1 row
+    got = {(r["k"], r["s"]) for r in read_version(spark, t).collect()}
+    assert got == {(1, "a"), (99, "other"), (2, "b")}
+    # replayed epoch is still a no-op (cache + manifest check)
+    n_before = len(table_versions(t))
+    fn(spark.createDataFrame([(2, "b")], "k long, s string"), 1)
+    assert len(table_versions(t)) == n_before and calls["n"] == 3
