@@ -1432,11 +1432,19 @@ def _q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (the fix for the fixed-k 18.7x-at-10x curve in PLANS.md
     #12). target_cluster_size=100 → k=5 at the sf0.01 fixture; the
     oracle derives the same k from COUNT(*) as a scalar subquery, so
-    parity holds at any scale."""
+    parity holds at any scale. Runs the BLAS execution path
+    (``semantic_dedup_pairs_blas``): with k growing ~n/target, the
+    literal-centroid fold assignment is O(n·k) interpreted dots and
+    measured 17.8x at 10x data — the matmul assignment + per-cluster
+    pair kernels brought it back to ~linear."""
+    from nyctaxidatapipeline_spark.operators.clustering import (
+        semantic_dedup_pairs_blas,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     k = semdedup_n_clusters(emb.count(), target_cluster_size=100)
-    return semantic_dedup_pairs(emb, seed_centroids(emb, k),
-                                threshold=0.4)
+    return semantic_dedup_pairs_blas(emb, seed_centroids(emb, k),
+                                     threshold=0.4)
 
 
 def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

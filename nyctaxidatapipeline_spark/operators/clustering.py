@@ -194,6 +194,100 @@ def semdedup_n_clusters(n: int, target_cluster_size: int = 200) -> int:
     return max(1, math.ceil(n / target_cluster_size))
 
 
+def semantic_dedup_pairs_blas(df: DataFrame,
+                              centroids: list[list[float]],
+                              threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with BLAS kernels — the auto-parameterized operating
+    point's execution path. Identical semantics and output contract to
+    ``semantic_dedup_pairs``; the difference is WHERE the arithmetic
+    runs. With corpus-size-aware k (``semdedup_n_clusters``) the
+    literal-centroid argmax assignment costs n·k interpreted fold dots
+    — measured the dominant term at 10x bench scale (k grows with n,
+    so the fold path is O(n²/target) overall). Here:
+
+      * assignment is one Arrow-batched ``mapInPandas`` matmul against
+        the k x d centroid matrix (rounded 6 dp half-away, argmax ties
+        to the lowest cluster id — bit-matching the expression path's
+        first-position argmax and the DuckDB twin);
+      * within-cluster pairs are one |members|² matmul per cluster in
+        ``applyInPandas`` keyed by cluster_id (the ``knn_graph_ivf``
+        shape), emitting only pairs with rounded cosine >= threshold.
+
+    Zero vectors are dropped up front (no cosine signal), matching the
+    expression path and the oracle's norm filter.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        _round6_half_away,
+    )
+
+    cmat_list = [list(map(float, c)) for c in centroids]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cmat = np.array(cmat_list, dtype=np.float64)
+        cmat = cmat / np.maximum(
+            np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vm, axis=1)
+            keep = norms > 0
+            if not keep.any():
+                continue
+            vm = vm[keep] / norms[keep, None]
+            sims = vm @ cmat.T
+            _round6_half_away(sims, np.empty_like(sims))
+            cid = np.argmax(sims, axis=1)  # first max = lowest cluster
+            yield pd.DataFrame({
+                "cluster_id": cid.astype("int32"),
+                "_id": pdf["_id"].to_numpy()[keep],
+                "_vec": [list(v) for v in vm]})
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({
+            "id_a": pd.array([], dtype="int64"),
+            "id_b": pd.array([], dtype="int64"),
+            "cluster_id": pd.array([], dtype="int32"),
+            "cosine": pd.array([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["_vec"].to_numpy())[order]  # unit rows
+        sims = mat @ mat.T
+        _round6_half_away(sims, np.empty_like(sims))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        vals = sims[ia, ib]
+        keep = vals >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+            "cluster_id": np.full(int(keep.sum()),
+                                  int(pdf["cluster_id"].iat[0]),
+                                  dtype="int32"),
+            "cosine": vals[keep]})
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("_vec"))
+    assigned = base.mapInPandas(
+        assign, schema="cluster_id int, _id long, _vec array<double>")
+    out = assigned.groupBy("cluster_id").applyInPandas(
+        pairs,
+        schema="id_a long, id_b long, cluster_id int, cosine double")
+    return out.select("id_a", "id_b", "cluster_id", "cosine")
+
+
 def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
                          threshold: float = 0.95,
                          id_col: str = "vec_id",

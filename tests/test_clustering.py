@@ -121,3 +121,25 @@ def test_semdedup_n_clusters_pins_pair_volume(spark):
         prev = k
     assert semdedup_n_clusters(1) == 1
     assert semdedup_n_clusters(401, target_cluster_size=200) == 3
+
+
+def test_semdedup_blas_matches_expression_path(spark):
+    """The BLAS execution path must produce the identical pair set and
+    6-dp cosines as the expression path — same semantics, different
+    engine placement."""
+    from nyctaxidatapipeline_spark.operators.clustering import (
+        seed_centroids,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_blas,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = seed_centroids(emb, 5)
+    a = sorted(map(tuple,
+                   semantic_dedup_pairs(emb, cents,
+                                        threshold=0.4).collect()))
+    b = sorted(map(tuple,
+                   semantic_dedup_pairs_blas(emb, cents,
+                                             threshold=0.4).collect()))
+    assert a == b

@@ -29,14 +29,16 @@ SF = "/root/testdata/sf0.001"
 #: wins plus the multimodal decode zone (real codecs run in Python by
 #: design; media synthesis + decode are both mapInPandas stages there)
 ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
-            "frame_sample", "frame_sample_avi", "audio_features"}
+            "frame_sample", "frame_sample_avi", "audio_features",
+            "semantic_dedup_auto"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
 #: applyInPandas) — the two block-pair BLAS kernels (kNN partial top-k
 #: and the blocked near-dup's pair kernel). Kept separate from ARROW_OK
 #: so a future row-group Python kernel cannot slip past the gate under
 #: the mapInPandas whitelist.
-GROUPED_PANDAS_OK = {"knn_graph", "knn_graph_ivf", "embedding_near_dup"}
+GROUPED_PANDAS_OK = {"knn_graph", "knn_graph_ivf", "embedding_near_dup",
+                     "semantic_dedup_auto"}
 
 
 @pytest.fixture(scope="module")
