@@ -140,7 +140,8 @@ def main() -> None:
         "queries": times,
         "paths": paths,
         "path_totals": path_totals,
-        "experiments": {} if only else _skew_experiment(spark),
+        "experiments": {} if only else {**_skew_experiment(spark),
+                                        **_quantile_mode_experiment(spark)},
         "load_sec": load_sec,
         "warmup_sec": warmup_sec,
         "sf": sf,
@@ -233,6 +234,36 @@ def _skew_experiment(spark) -> dict[str, float]:
             conf.set(k, v)
         spark.catalog.clearCache()
         spark._jvm.System.gc()  # noqa: SLF001
+    return out
+
+
+def _quantile_mode_experiment(spark) -> dict[str, float]:
+    """Percentile mode A/B: exact (whole-group ObjectHashAggregate
+    buffer) vs the GK sketch at its PRODUCTION accuracy (100) and at
+    the ORACLE-PARITY accuracy (1e6, uncompressed at correctness
+    scale). Registered queries run the parity point so the DuckDB twin
+    can hash-check them; this experiment tracks what the production
+    point actually costs so the 'sketch is the 100 TB mode' claim is
+    measured, not asserted (PLANS.md #15). Warmup run first, best of 2
+    reported per arm."""
+    from nyctaxidatapipeline_spark.operators.reshape import (
+        grouped_percentiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out: dict[str, float] = {}
+    arms = (("quantile_exact_sec", "exact", 0),
+            ("quantile_sketch100_sec", "approx", 100),
+            ("quantile_sketch1e6_sec", "approx", 1_000_000))
+    for name, mode, acc in arms:
+        runs = []
+        for i in range(3):
+            t = time.perf_counter()
+            _force(grouped_percentiles(li, ["l_returnflag"],
+                                       "l_extendedprice", (0.5, 0.95),
+                                       mode=mode, accuracy=acc))
+            runs.append(time.perf_counter() - t)
+        out[name] = round(min(runs[1:]), 3)   # drop the warmup run
     return out
 
 
