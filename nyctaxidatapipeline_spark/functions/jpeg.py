@@ -404,7 +404,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline (SOF0) JPEG. Returns (width, height, channels,
     pixels) with pixels row-major, interleaved RGB for 3 components
     (JFIF YCbCr->RGB), gray bytes for 1. Raises ``ValueError`` on
-    non-JPEG input, progressive/arithmetic streams, or corruption."""
+    non-JPEG input, progressive/arithmetic streams, or corruption —
+    ONLY ValueError: the multimodal layer maps it to NULL features, so
+    a malformed stream must never surface a struct/index error that
+    would kill the executor kernel instead (fuzz-gated in tests)."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"jpeg: malformed stream ({exc})") from exc
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     pos = 2

@@ -568,9 +568,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              dim: int | None = None, kmeans_iters: int = 2,
-             centroids: list[list[float]] | None = None,
-             broadcast_queries: bool = True,
-             exclude_self: bool = False) -> DataFrame:
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists
     per query, exact-rerank only vectors in probed lists.
 
@@ -606,14 +604,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .withColumn("_probe", F.explode(probes))
                 .withColumn("list_id", F.col("_probe").cast("int"))
                 .drop("_dots", "_probe"))
-    qj = F.broadcast(q) if broadcast_queries else q
-    scored = (c.join(qj, "list_id")
+    scored = (c.join(F.broadcast(q), "list_id")
                .select(query_id_col, id_col,
                        F.round(dot(F.col("q_vec"), F.col("vec"))
                                / (F.col("q_norm") * F.col("norm")), 6)
                         .alias("cosine")))
-    if exclude_self:
-        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
     return top_k_per_group(
         scored, [query_id_col],
         [F.col("cosine").desc(), F.col(id_col).asc()],

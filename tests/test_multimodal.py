@@ -304,3 +304,39 @@ def test_image_features_jpeg_codec(spark):
     assert (got[1]["width"], got[1]["height"]) == (16, 8)
     assert got[1]["mean_intensity"] == 200.0
     assert got[2]["width"] is None and got[3]["width"] is None
+
+
+def test_jpeg_fuzz_only_valueerror():
+    """Malformed/truncated/mutated streams must raise ValueError and
+    nothing else — the multimodal layer only catches ValueError, so
+    any other exception class would crash the executor kernel."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nyctaxidatapipeline_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    base = encode_jpeg(16, 8, bytes(range(128)), 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:        # random bytes with a JPEG magic prefix
+            blob = b"\xFF\xD8" + data.draw(st.binary(max_size=200))
+        elif mode == 1:      # truncation of a valid stream
+            blob = base[:data.draw(st.integers(0, len(base) - 1))]
+        else:                # single-byte mutation of a valid stream
+            i = data.draw(st.integers(0, len(base) - 1))
+            b = data.draw(st.integers(0, 255))
+            blob = base[:i] + bytes([b]) + base[i + 1:]
+        try:
+            w, h, ch, px = decode_jpeg(blob)
+            assert len(px) == w * h * ch   # a survivor must be sane
+        except ValueError:
+            pass                            # the ONLY allowed failure
+
+    run()
