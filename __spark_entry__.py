@@ -1395,6 +1395,20 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, "text", "doc_id", min_dedup_len=10)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span removal (Lee et al. 2022): every 8-token
+    run occurring more than once corpus-wide is excised from all but
+    its globally-first occurrence, overlapping spans merged, documents
+    rebuilt from surviving tokens (``lines.substring_dedup``). The
+    span-level sibling of ``line_dedup`` — catches templated sentences
+    flowed into paragraphs that never align on line boundaries. Rebuilt
+    text is value-hash-checked byte-for-byte against the twin."""
+    from nyctaxidatapipeline_spark.operators.lines import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "text", "doc_id", min_gram=8)
+
+
 def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with corpus- and document-frequencies (tokens
     seen >= 5 times) — the counting pass behind vocab building / IDF /
@@ -2400,7 +2414,7 @@ _ROUND6_FRONT = [
     "embedding_covariance",
     "ann_lsh_auto", "semantic_dedup_auto", "knn_graph_ivf",
     "winsorized_prices_approx", "grouped_percentiles_approx",
-    "image_features_jpeg",
+    "image_features_jpeg", "substring_dedup",
 ]
 
 _ROUND5_FRONT = [
@@ -2565,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_prices_approx": _q_winsorized_prices_approx,
         "grouped_percentiles_approx": _q_grouped_percentiles_approx,
         "image_features_jpeg": _q_image_features_jpeg,
+        "substring_dedup": _q_substring_dedup,
     }
     ordered = {name: full[name] for name in _ROUND6_FRONT}
     ordered.update({name: full[name] for name in _ROUND5_FRONT})
@@ -4551,6 +4566,79 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of lines.substring_dedup (min_gram=8): same md5 gram
+        # hashes over 1-based inclusive list slices, the same
+        # (doc_id, pos)-ordered first-occurrence exemption, the same
+        # running-max interval merge (touching spans merged: new
+        # island only when s > max prior e), and the same
+        # single-space reassembly of surviving tokens.
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            tok AS (
+              SELECT doc_id, u.tok, CAST(u.pos AS INTEGER) AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(tk, (x, i) ->
+                           struct_pack(pos := i - 1, tok := x))) AS u
+                FROM toks)),
+            grams AS (
+              SELECT doc_id, CAST(p.p AS INTEGER) AS pos,
+                     md5(array_to_string(tk[p.p + 1 : p.p + 8], ' '))
+                         AS h
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(0, len(tk) - 8)) AS p) p
+              WHERE len(tk) >= 8),
+            occ AS (
+              SELECT doc_id, pos,
+                     COUNT(*) OVER (PARTITION BY h) AS c,
+                     ROW_NUMBER() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM grams),
+            spans AS (
+              SELECT doc_id, pos AS s, pos + 8 AS e
+              FROM occ WHERE c >= 2 AND rn >= 2),
+            isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN MAX(e) OVER w IS NULL
+                               OR s > MAX(e) OVER w
+                          THEN 1 ELSE 0 END AS ni
+              FROM spans
+              WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)),
+            isl2 AS (
+              SELECT *, SUM(ni) OVER (PARTITION BY doc_id
+                                      ORDER BY s, e
+                                      ROWS UNBOUNDED PRECEDING)
+                        AS island
+              FROM isl),
+            merged AS (
+              SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+              FROM isl2 GROUP BY doc_id, island),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM tok t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM merged m
+                WHERE m.doc_id = t.doc_id
+                  AND t.pos >= m.s AND t.pos < m.e)),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            nt AS (SELECT doc_id, len(tk) AS n_tokens FROM toks)
+            SELECT d.doc_id, COALESCE(r.text, '') AS text,
+                   CAST(nt.n_tokens AS INTEGER) AS n_tokens,
+                   CAST(nt.n_tokens - COALESCE(r.n_kept, 0) AS INTEGER)
+                       AS n_tokens_removed
+            FROM documents d
+            JOIN nt USING (doc_id)
+            LEFT JOIN reb r USING (doc_id)
         """,
         "line_dedup": """
             WITH lines AS (

@@ -1,4 +1,6 @@
-"""Corpus-level line deduplication (C4 / Dolma-style).
+"""Corpus-level line deduplication (C4 / Dolma-style) and
+repeated-substring span removal (Lee et al. 2022) — see
+``substring_dedup`` for the span-level operator.
 
 Web-scale corpora repeat boilerplate LINES across documents (nav bars,
 cookie banners, license footers) that document-level dedup never sees.
@@ -33,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["explode_lines", "dedup_lines"]
+__all__ = ["explode_lines", "dedup_lines", "substring_dedup"]
 
 
 def explode_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -68,3 +70,101 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
          .alias("text"),
         F.size("_ls").alias("n_lines"),
         (F.size("_ls") - F.size(kept)).alias("n_lines_removed"))
+
+
+def substring_dedup(df: DataFrame, text_col: str, id_col: str,
+                    min_gram: int = 8) -> DataFrame:
+    """Repeated-SUBSTRING span removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — the span-level
+    sibling of ``dedup_lines``: any run of ``min_gram`` whitespace
+    tokens that occurs more than once ANYWHERE in the corpus is excised
+    from every occurrence except the globally first (ordered by
+    (id, pos)), with overlapping flagged spans merged before removal.
+    Catches cross-document boilerplate that line dedup misses because
+    it doesn't align on line boundaries (templated sentences, licence
+    sentences flowed into paragraphs).
+
+    Spark-first plan, all relational:
+
+      1. tokenize once per doc (whitespace split, original case kept —
+         the output must rebuild the surviving text verbatim);
+      2. gram table from ONE array-lambda projection (no per-gram
+         explode of token text): position p -> md5 of the
+         space-joined L-token slice — rows out = tokens, not
+         tokens x L, and the shuffle key is a fixed-width digest;
+      3. duplicate decision: one window over ``md5(gram)`` gives each
+         occurrence its corpus-wide count and (id, pos)-ordered rank —
+         occurrences with count >= 2 and rank >= 2 become removal
+         spans [pos, pos+L). Like ``dedup_lines``, skew on a hot gram
+         is bounded: work is linear in that gram's occurrence list;
+      4. per-doc interval merge: classic running-max island detection
+         in one doc-keyed window (merged spans <= spans, doc-local);
+      5. removal: tokens LEFT ANTI range-join merged spans
+         (doc-equi key + pos-in-span residual — doc-local, never a
+         corpus cross product) — then per-doc ordered reassembly.
+
+    Whitespace is canonicalized to single spaces in the output (the
+    tokenizer's inverse). Every document survives; ``n_tokens`` /
+    ``n_tokens_removed`` make the excision auditable. Fully
+    oracle-expressible (``substring_dedup`` query twin).
+
+    Returns (id_col, text, n_tokens, n_tokens_removed).
+    """
+    toks = df.select(
+        id_col,
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("_tk"))
+    tok = toks.select(id_col,
+                      F.posexplode("_tk").alias("pos", "_tok"))
+    # sequence(0, size-L) counts DOWN for size < L (the shingles
+    # gotcha) — guard short docs to an empty gram list explicitly.
+    n = F.size("_tk")
+    positions = F.when(n >= min_gram,
+                       F.sequence(F.lit(0), n - min_gram)) \
+                 .otherwise(F.expr("array()").cast("array<int>"))
+    gram = F.transform(
+        positions,
+        lambda p: F.md5(F.array_join(
+            F.slice(F.col("_tk"), p + F.lit(1), F.lit(min_gram)), " ")))
+    grams = toks.select(id_col, F.posexplode(gram).alias("pos", "_h"))
+    wh = Window.partitionBy("_h")
+    occ = grams.select(
+        id_col, "pos",
+        F.count("*").over(wh).alias("_c"),
+        F.row_number().over(wh.orderBy(id_col, "pos")).alias("_rn"))
+    spans = (occ.filter((F.col("_c") >= 2) & (F.col("_rn") >= 2))
+                .select(id_col, F.col("pos").alias("_s"),
+                        (F.col("pos") + min_gram).alias("_e")))
+    wd = Window.partitionBy(id_col).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (spans
+              .withColumn("_ni", (prev_max.isNull()
+                                  | (F.col("_s") > prev_max)).cast("int"))
+              .withColumn("_isl", F.sum("_ni").over(
+                  wd.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy(id_col, "_isl")
+              .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+              .drop("_isl"))
+    kept = tok.join(
+        merged,
+        on=[tok[id_col] == merged[id_col],
+            tok["pos"] >= merged["_s"], tok["pos"] < merged["_e"]],
+        how="left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(
+                        F.collect_list(F.struct("pos", "_tok")))
+                    .alias("_ts"))
+               .select(id_col,
+                       F.concat_ws(" ", F.transform(
+                           F.col("_ts"), lambda x: x["_tok"]))
+                        .alias("text"),
+                       F.size("_ts").alias("_n_kept")))
+    base = toks.select(id_col, n.alias("n_tokens"))
+    return (base.join(rebuilt, id_col, "left")
+                .select(id_col,
+                        F.coalesce("text", F.lit("")).alias("text"),
+                        "n_tokens",
+                        (F.col("n_tokens")
+                         - F.coalesce("_n_kept", F.lit(0)))
+                        .alias("n_tokens_removed")))

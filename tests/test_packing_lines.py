@@ -183,3 +183,66 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def _sd(spark, rows, min_gram=4):
+    from nyctaxidatapipeline_spark.operators.lines import substring_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r
+            for r in substring_dedup(df, "text", "doc_id",
+                                     min_gram=min_gram).collect()}
+
+
+def test_substring_dedup_removes_second_occurrence(spark):
+    boiler = "all rights reserved by the site"   # 6 tokens
+    got = _sd(spark, [(1, f"alpha beta {boiler} gamma"),
+                      (2, f"delta {boiler} epsilon zeta"),
+                      (3, "totally unrelated text here")], min_gram=6)
+    # first occurrence (doc 1) keeps the run; doc 2 loses exactly it
+    assert got[1]["text"] == f"alpha beta {boiler} gamma"
+    assert got[1]["n_tokens_removed"] == 0
+    assert got[2]["text"] == "delta epsilon zeta"
+    assert got[2]["n_tokens_removed"] == 6
+    assert got[3]["n_tokens_removed"] == 0
+
+
+def test_substring_dedup_merges_overlapping_spans(spark):
+    # a 6-token duplicated run with min_gram=4 flags 3 overlapping
+    # 4-gram spans in doc 2 -> ONE merged span of 6 tokens (distinct
+    # pre/post context so no gram straddles the run boundary)
+    run = "one two three four five six"
+    got = _sd(spark, [(1, f"p1 q1 r1 s1 {run} t1 u1 v1 w1"),
+                      (2, f"p2 q2 r2 s2 {run} t2 u2 v2 w2")], min_gram=4)
+    assert got[2]["text"] == "p2 q2 r2 s2 t2 u2 v2 w2"
+    assert got[2]["n_tokens_removed"] == 6
+    assert got[1]["n_tokens_removed"] == 0
+
+
+def test_substring_dedup_short_docs_survive(spark):
+    got = _sd(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "")],
+              min_gram=4)
+    # below min_gram: no grams, nothing removed, text canonicalized
+    assert got[1]["text"] == "tiny doc" and got[2]["text"] == "tiny doc"
+    assert got[3]["text"] == "" and got[3]["n_tokens"] == 0
+
+
+def test_substring_dedup_within_doc_repetition(spark):
+    run = "la la la la"  # NOT self-overlapping ambiguity: distinct run
+    got = _sd(spark, [(1, "start a b c d end again a b c d close")],
+              min_gram=4)
+    assert got[1]["text"] == "start a b c d end again close"
+    assert got[1]["n_tokens_removed"] == 4
+
+
+def test_substring_dedup_repartition_invariant(spark):
+    from nyctaxidatapipeline_spark.operators.lines import substring_dedup
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple,
+                   substring_dedup(docs, "text", "doc_id", 8).collect()))
+    b = sorted(map(tuple,
+                   substring_dedup(docs.repartition(13), "text",
+                                   "doc_id", 8).collect()))
+    assert a == b
