@@ -1395,6 +1395,23 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, "text", "doc_id", min_dedup_len=10)
 
 
+def _q_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style wordlist filter verdicts
+    (``text_analysis.blocklist_stats``): per-doc blocked-token count /
+    ratio against a literal wordlist (shuffle-free row-local
+    projection) and the keep flag at max_ratio=0.02. The fixture has
+    no profanity, so the demo list blocks failure-vocabulary tokens —
+    the mechanics (case-folded exact token match, NULL-safe empty-doc
+    keep, unrounded-ratio threshold) are what the twin checks."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        blocklist_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_stats(docs, ["error", "null", "slow"],
+                           "text", "doc_id", max_ratio=0.02)
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring span removal (Lee et al. 2022): every 8-token
     run occurring more than once corpus-wide is excised from all but
@@ -2414,7 +2431,7 @@ _ROUND6_FRONT = [
     "embedding_covariance",
     "ann_lsh_auto", "semantic_dedup_auto", "knn_graph_ivf",
     "winsorized_prices_approx", "grouped_percentiles_approx",
-    "image_features_jpeg", "substring_dedup",
+    "image_features_jpeg", "substring_dedup", "blocklist_stats",
 ]
 
 _ROUND5_FRONT = [
@@ -2580,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles_approx": _q_grouped_percentiles_approx,
         "image_features_jpeg": _q_image_features_jpeg,
         "substring_dedup": _q_substring_dedup,
+        "blocklist_stats": _q_blocklist_stats,
     }
     ordered = {name: full[name] for name in _ROUND6_FRONT}
     ordered.update({name: full[name] for name in _ROUND5_FRONT})
@@ -4566,6 +4584,33 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of text_analysis.blocklist_stats: same case-folded
+        # whitespace tokens, exact-match count vs the literal list,
+        # keep = unrounded ratio <= 0.02 (empty docs keep).
+        "blocklist_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(tk) AS n,
+                     len(list_filter(tk, x -> list_contains(
+                         ['error', 'null', 'slow'], x))) AS nb
+              FROM t)
+            SELECT doc_id,
+                   CAST(n AS INTEGER) AS n_tokens,
+                   CAST(nb AS INTEGER) AS n_blocked,
+                   ROUND(CASE WHEN n > 0
+                              THEN CAST(nb AS DOUBLE) / n END, 6)
+                       AS blocked_ratio,
+                   COALESCE(CASE WHEN n > 0
+                                 THEN CAST(nb AS DOUBLE) / n END
+                            <= 0.02, TRUE) AS keep
+            FROM s
         """,
         # Twin of lines.substring_dedup (min_gram=8): same md5 gram
         # hashes over 1-based inclusive list slices, the same

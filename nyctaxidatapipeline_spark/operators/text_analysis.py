@@ -155,6 +155,47 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                       *[c.alias(name) for name, c in q.items()]))
 
 
+def blocklist_stats(df: DataFrame, words: list[str], text_col: str,
+                    id_col: str, max_ratio: float = 0.0) -> DataFrame:
+    """C4-style wordlist filter: per-doc count/ratio of tokens that
+    match a blocklist (case-insensitive exact token match), plus the
+    keep verdict. C4 drops any page containing a listed word
+    (``max_ratio=0.0`` — one hit kills); milder policies raise
+    ``max_ratio`` to tolerate incidental mentions.
+
+    The list rides as a literal array in the plan, so the scan is a
+    shuffle-free row-local projection (O(|list|) comparisons per token
+    under codegen — fine for the few-hundred-word lists these filters
+    actually use; a 100k-term list should instead broadcast-join a
+    words table against exploded tokens). Output:
+    (id, n_tokens, n_blocked, blocked_ratio, keep) — blocked_ratio is
+    NULL for empty docs (which are kept: nothing objectionable in
+    nothing).
+    """
+    if not words:
+        raise ValueError("blocklist must contain at least one word")
+    lst = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
+    tk = F.col("_tk")
+    n = F.size(tk)
+    hits = F.size(F.filter(tk, lambda t: F.array_contains(lst, t)))
+    ratio = F.when(n > 0, hits.cast("double") / n)
+    return (df.withColumn("_tk", tokens(text_col))
+              .select(id_col,
+                      n.alias("n_tokens"),
+                      hits.alias("n_blocked"),
+                      F.round(ratio, 6).alias("blocked_ratio"),
+                      F.coalesce(ratio <= max_ratio, F.lit(True))
+                       .alias("keep")))
+
+
+def blocklist_filter(df: DataFrame, words: list[str], text_col: str,
+                     id_col: str, max_ratio: float = 0.0) -> DataFrame:
+    """Rows of ``df`` surviving ``blocklist_stats``'s keep verdict."""
+    kept = (blocklist_stats(df, words, text_col, id_col, max_ratio)
+            .filter("keep").select(id_col))
+    return df.join(kept, id_col, "left_semi")
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """md5 fingerprint of the normalized token stream (case/whitespace
     insensitive content identity)."""

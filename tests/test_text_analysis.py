@@ -229,3 +229,41 @@ def test_url_features_parses_components(spark):
     r3 = got[3]
     assert (r3.scheme, r3.host, r3.path_depth) == ("", "", 0)
     assert (got[4].scheme, got[4].path_depth) == ("ftp", 1)
+
+
+def test_blocklist_stats_and_filter(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        blocklist_filter,
+        blocklist_stats,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="clean prose with useful words only"),
+        Row(doc_id=2, text="BADWORD appears once in long enough text "
+                           "so the ratio stays small here truly"),
+        Row(doc_id=3, text="badword badword badword"),
+        Row(doc_id=4, text=""),
+    ])
+    got = {r["doc_id"]: r
+           for r in blocklist_stats(df, ["BadWord"], "text", "doc_id",
+                                    max_ratio=0.1).collect()}
+    assert got[1]["n_blocked"] == 0 and got[1]["keep"]
+    # case-insensitive exact token match; 1/14 < 0.1 -> kept
+    assert got[2]["n_blocked"] == 1 and got[2]["keep"]
+    assert got[3]["n_blocked"] == 3 and not got[3]["keep"]
+    # empty doc: NULL ratio, kept
+    assert got[4]["blocked_ratio"] is None and got[4]["keep"]
+    kept = {r["doc_id"]
+            for r in blocklist_filter(df, ["badword"], "text", "doc_id",
+                                      max_ratio=0.1).collect()}
+    assert kept == {1, 2, 4}
+    # C4 default: one hit kills
+    strict = {r["doc_id"]
+              for r in blocklist_filter(df, ["badword"], "text",
+                                        "doc_id").collect()}
+    assert strict == {1, 4}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_stats(df, [], "text", "doc_id")
