@@ -465,14 +465,22 @@ def _q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE top-5 kNN graph — ``similarity.knn_graph_ivf``: the
     sublinear scale path ``knn_graph``'s contract names, now a
     registered oracle-gated query (VERDICT r5 item 3). IVF with
-    queries = corpus (16 lists, nprobe=4), self excluded, and NO query
-    broadcast — both sides are the corpus, so the plan is a
-    list_id-keyed shuffle join. Per-anchor scan cost is
-    ~nprobe/n_centroids of the corpus; recall vs the exact graph is
-    gated in tests/test_recall. md5-portable seed centroids keep the
-    twin value-hash-checkable."""
+    queries = corpus, nprobe=4, self excluded, scored by the list-keyed
+    BLAS kernel (no query broadcast — both sides ARE the corpus). The
+    list count is AUTO-sized from the live corpus count
+    (``knn_graph_ivf_n_centroids``: ceil(sqrt(nprobe·n)) — n=500 → 45
+    lists at correctness scale), balancing assignment vs probed scan
+    for Θ(n^1.5·d) total. Recall vs the exact graph is gated in
+    tests/test_recall at this auto-sized shape; md5-portable seed
+    centroids keep the twin value-hash-checkable (the twin derives the
+    identical list count via CEIL(SQRT(4*COUNT(*))))."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        knn_graph_ivf_n_centroids,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
+    k_lists = knn_graph_ivf_n_centroids(emb.count(), nprobe=4)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=k_lists)
     return knn_graph_ivf(emb, k=5, nprobe=4, dim=embedding_dim(emb),
                          centroids=cents)
 
@@ -3818,9 +3826,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Twin of knn_graph_ivf: the ann_ivf pipeline with probes over
         # the WHOLE corpus (queries = corpus), the self-match excluded
-        # before ranking, k=5, nprobe=4, 16 portable seed centroids.
+        # before ranking, k=5, nprobe=4, and the AUTO-sized list count
+        # (ceil(sqrt(4n)) — the same knn_graph_ivf_n_centroids the
+        # Spark side derives from its count; IEEE sqrt is correctly
+        # rounded on both engines) of portable seed centroids.
         "knn_graph_ivf": """
-            WITH seeds AS (
+            WITH kk AS (
+              SELECT CAST(CEIL(SQRT(4.0 * COUNT(*))) AS INTEGER) AS k
+              FROM embeddings),
+            seeds AS (
               SELECT CAST(row_number() OVER (
                          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                          - 1 AS INTEGER) AS cid,
@@ -3832,7 +3846,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE list_dot_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[]) > 0
               QUALIFY row_number() OVER (
-                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  <= (SELECT k FROM kk)),
             corpus AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,
                      sqrt(list_dot_product(embedding::DOUBLE[],

@@ -615,7 +615,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         k=k, desc=False, rank_col="rank")
 
 
-def knn_graph_ivf(df: DataFrame, k: int = 5, n_centroids: int = 16,
+def knn_graph_ivf_n_centroids(n: int, nprobe: int = 4) -> int:
+    """Corpus-size-aware list count for ``knn_graph_ivf``:
+    ``ceil(sqrt(nprobe·n))`` balances the two cost terms — assignment
+    is n·k centroid dots, probed scanning is n·nprobe·(n/k) pair dots —
+    for a total of Θ(n^1.5·d) (vs Θ(n²·d) exact). A pure function of
+    the count (IEEE sqrt is correctly rounded, so the SQL twin's
+    CEIL(SQRT(...)) lands on the identical integer)."""
+    import math
+
+    if n < 1:
+        return 1
+    return max(1, math.ceil(math.sqrt(nprobe * n)))
+
+
+def knn_graph_ivf(df: DataFrame, k: int = 5,
+                  n_centroids: int | None = None,
                   nprobe: int = 4, id_col: str = "vec_id",
                   vec_col: str = "embedding", dim: int | None = None,
                   centroids: list[list[float]] | None = None) -> DataFrame:
@@ -640,27 +655,57 @@ def knn_graph_ivf(df: DataFrame, k: int = 5, n_centroids: int = 16,
     same half-away 6 dp rounding, and an anchor-keyed window merges the
     ≤ nprobe partials per anchor (window input O(n·nprobe·k)). The
     probed lists partition each anchor's candidate set, so the merge
-    provably returns the IVF top-k. Grow ``n_centroids`` ~ sqrt(nprobe·n)
-    with the corpus to balance assignment vs scan (total Θ(n^1.5·d) —
-    vs Θ(n²·d) exact)."""
+    provably returns the IVF top-k. ``n_centroids`` defaults to the
+    corpus-size-aware ``knn_graph_ivf_n_centroids`` sizing
+    (ceil(sqrt(nprobe·n)) — balances assignment vs scan for a total of
+    Θ(n^1.5·d) vs Θ(n²·d) exact; a fixed list count would leave the
+    per-list pair volume quadratic)."""
     if dim is None:
         dim = embedding_dim(df, vec_col)
+    if n_centroids is None:
+        n_centroids = len(centroids) if centroids is not None else \
+            knn_graph_ivf_n_centroids(df.count(), nprobe)
     cents = centroids if centroids is not None else \
         ivf_kmeans_centroids(df, n_centroids, 2, id_col, vec_col, dim=dim)
-    c = (ivf_assign(df, cents, id_col, vec_col, dim)
-         .select("list_id", F.lit("c").alias("_side"),
-                 F.col(id_col).alias("_id"), F.col("vec").alias("_vec")))
-    probes = F.expr(
-        f"transform(slice(array_sort(zip_with(_dots, "
-        f"sequence(0, {len(cents) - 1}), (d, i) -> struct(-d AS nd, i AS "
-        f"cid))), 1, {min(nprobe, len(cents))}), s -> s.cid)")
-    vec_d = as_double(F.col(vec_col))
-    q = (df.select(F.col(id_col).alias("_id"), vec_d.alias("_vec"))
-           .withColumn("_dots", _centroid_dots("_vec", cents))
-           .withColumn("_probe", F.explode(probes))
-           .select(F.col("_probe").cast("int").alias("list_id"),
-                   F.lit("q").alias("_side"), "_id", "_vec"))
-    tagged = c.unionByName(q)
+    # Routing (corpus assignment + query probes) runs in ONE Arrow
+    # kernel pass over the corpus, not the literal-centroid fold
+    # expressions: with the auto-sized k ~ sqrt(n), n·k interpreted
+    # dots (and a 2·k·d-literal expression tree) measured as the
+    # dominant term at 10x bench scale — the same lesson as
+    # semantic_dedup's BLAS assignment. Same semantics as
+    # ``ivf_assign`` + the probe expression: raw (unrounded) centroid
+    # dots, argmax / stable top-nprobe with ties to the lowest cid.
+    cm_list = [list(map(float, c)) for c in cents]
+    npr = min(nprobe, len(cents))
+
+    def route(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(cm_list, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["_id"].to_numpy()
+            dots = vm @ cm.T
+            best = np.argmax(dots, axis=1)      # first max = lowest cid
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :npr]
+            out_ids = np.concatenate([ids, np.repeat(ids, npr)])
+            out_lists = np.concatenate([best, order.ravel()])
+            out_side = np.concatenate([np.full(len(ids), "c"),
+                                       np.full(len(ids) * npr, "q")])
+            vecs = [list(v) for v in vm]
+            out_vecs = vecs + [v for v in vecs for _ in range(npr)]
+            yield pd.DataFrame({
+                "list_id": out_lists.astype("int32"),
+                "_side": out_side, "_id": out_ids, "_vec": out_vecs})
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     as_double(F.col(vec_col)).alias("_vec"))
+    tagged = base.mapInPandas(
+        route,
+        schema="list_id int, _side string, _id long, _vec array<double>")
 
     def kernel(pdf):
         import numpy as np

@@ -30,7 +30,7 @@ SF = "/root/testdata/sf0.001"
 #: design; media synthesis + decode are both mapInPandas stages there)
 ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
             "frame_sample", "frame_sample_avi", "audio_features",
-            "semantic_dedup_auto"}
+            "semantic_dedup_auto", "knn_graph_ivf"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
 #: applyInPandas) — the two block-pair BLAS kernels (kNN partial top-k

@@ -229,8 +229,8 @@ def test_rp_lsh_params_scaling_laws(spark):
 def test_knn_graph_ivf_recall_on_clustered_corpus(spark):
     # The approximate kNN graph (IVF, queries=corpus, self excluded)
     # must recover >= 90% of the exact graph's edges on clustered data
-    # — the registered knn_graph_ivf shape (16 lists, nprobe=4) with
-    # Lloyd-refined centroids.
+    # — at the registered AUTO-sized shape (n_centroids =
+    # ceil(sqrt(nprobe*n)), the default) with Lloyd-refined centroids.
     from nyctaxidatapipeline_spark.operators.similarity import (
         knn_graph,
         knn_graph_ivf,
@@ -240,8 +240,8 @@ def test_knn_graph_ivf_recall_on_clustered_corpus(spark):
     exact = {(r.query_id, r.vec_id)
              for r in knn_graph(df, k=5, n_blocks=4).collect()}
     approx = {(r.query_id, r.vec_id)
-              for r in knn_graph_ivf(df, k=5, n_centroids=16,
-                                     nprobe=4, dim=32).collect()}
+              for r in knn_graph_ivf(df, k=5, nprobe=4,
+                                     dim=32).collect()}
     assert _recall(approx, exact) >= RECALL_FLOOR
     # every anchor keeps a full (or near-full) neighbor list
     anchors = {q for q, _ in approx}
