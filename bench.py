@@ -89,20 +89,24 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     for name, fn in qset.items():
         runs = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
             t = time.perf_counter()
             _force(fn(spark, SF_DIR))
             runs.append(round(time.perf_counter() - t, 3))
-        # Per-QUERY isolation (not per-run): drop cached frames and
-        # force a JVM GC — Spark's ContextCleaner reclaims shuffle
-        # files / broadcast blobs only when the JVM collects the
-        # dropped references, and a backlog slows later heavy queries
-        # 3-6x. The forced GC costs ~1.4 s, so paying it once per
-        # query instead of once per run keeps the median-of-N harness
-        # within ~1.3x of the old single-shot wall clock; back-to-back
-        # runs of the SAME query share little state worth isolating.
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()  # noqa: SLF001
+            # Isolation GC: drop cached frames and force a JVM GC —
+            # Spark's ContextCleaner reclaims shuffle files / broadcast
+            # blobs only when the JVM collects the dropped references,
+            # and a backlog slows later heavy queries 3-6x. The forced
+            # GC costs ~1.4 s, so between REPEATS of the same query it
+            # runs only when the run was heavy enough to both need it
+            # and amortize it (>1 s: unreclaimed state made
+            # dsir_weights climb 3.8→6.1→8.9 s across back-to-back
+            # runs); sub-second queries skip it and pay one GC after
+            # their last run, keeping the median-of-N harness within
+            # ~1.5x of single-shot wall clock.
+            if i == n_runs - 1 or runs[-1] > 1.0:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()  # noqa: SLF001
         times[name] = sorted(runs)[len(runs) // 2]
         all_runs[name] = runs
 
