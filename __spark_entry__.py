@@ -2649,9 +2649,12 @@ def _pca_covariance_ctes(dim: int, decimals: int) -> str:
               FROM e, range(0, {dim}) a(i), range(0, {dim}) b(i)
               WHERE b.i >= a.i GROUP BY 1, 2),
             cov_ut AS (
+              -- + 0.0 canonicalizes signed zero: DuckDB ROUND keeps -0.0
+              -- for tiny negative covariances while Spark rounds to +0.0
+              -- (the r5/r6 driver-red root cause; IEEE -0.0 + 0.0 = +0.0).
               SELECT c.i, c.j,
                      ROUND((c.sxy - si.s * sj.s / n.n) / n.n,
-                           {decimals}) AS cov
+                           {decimals}) + 0.0 AS cov
               FROM cross_ut c, n, sums si, sums sj
               WHERE si.i = c.i AND sj.i = c.j),
             cov AS MATERIALIZED (
@@ -2753,7 +2756,7 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 24,
                    FROM {last} v, pick p, nrm q)
             SELECT e.vec_id,
                    ROUND(SUM(CAST(e.embedding[vf.i + 1] AS DOUBLE) * vf.x),
-                         {out_decimals}) AS pc1
+                         {out_decimals}) + 0.0 AS pc1
             FROM e, vf GROUP BY e.vec_id
         """
 
@@ -3849,15 +3852,24 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                   <= (SELECT k FROM kk)),
             corpus AS (
+              -- zero-norm vectors dropped (cosine undefined); the Spark
+              -- kernel's route() filters them identically.
               SELECT vec_id, embedding::DOUBLE[] AS vec,
                      sqrt(list_dot_product(embedding::DOUBLE[],
                                            embedding::DOUBLE[])) AS nrm
-              FROM embeddings),
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0),
+            -- routing dots ROUNDed to 6 dp before ranking — mirrors the
+            -- Spark kernel's _round6_half_away(dots) pre-argmax, so BLAS
+            -- vs sequential-fold last-ulp drift can't flip a near-tied
+            -- list assignment between the engines.
             assigned AS (
               SELECT vec_id, vec, nrm, cid AS list_id FROM (
                 SELECT c.vec_id, c.vec, c.nrm, s.cid,
                        row_number() OVER (PARTITION BY c.vec_id
-                           ORDER BY list_dot_product(c.vec, s.cv) DESC,
+                           ORDER BY ROUND(list_dot_product(c.vec, s.cv),
+                                          6) DESC,
                                     s.cid) AS rn
                 FROM corpus c, seeds s) WHERE rn = 1),
             probes AS (
@@ -3865,7 +3877,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.vec_id AS query_id, q.vec AS q_vec,
                        q.nrm AS q_nrm, s.cid,
                        row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY list_dot_product(q.vec, s.cv) DESC,
+                           ORDER BY ROUND(list_dot_product(q.vec, s.cv),
+                                          6) DESC,
                                     s.cid) AS rn
                 FROM corpus q, seeds s)
               WHERE rn <= 4),

@@ -64,6 +64,9 @@ def winsorize(df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
     ``mode='approx'`` uses the bounded-memory mergeable sketch
     (``quantile_bounds_approx``).
     """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"winsorize mode must be 'exact' or 'approx', "
+                         f"got {mode!r}")
     out = out_col or col
     b = (quantile_bounds(df, col, lo, hi) if mode == "exact"
          else quantile_bounds_approx(df, col, lo, hi, accuracy))

@@ -125,10 +125,14 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
              .join(F.broadcast(sums.withColumnRenamed("k", "j")
                                    .withColumnRenamed("sk", "sj")), "j")
              .crossJoin(F.broadcast(n))
+             # + 0.0 canonicalizes signed zero: a tiny negative covariance
+             # rounds to -0.0 under DuckDB ROUND but +0.0 under Spark's,
+             # and the driver's value hash is byte-sensitive (r5/r6 red).
              .select("i", "j",
-                     F.round((F.col("s")
-                              - F.col("si") * F.col("sj") / F.col("n"))
-                             / F.col("n"), decimals).alias("cov")))
+                     (F.round((F.col("s")
+                               - F.col("si") * F.col("sj") / F.col("n"))
+                              / F.col("n"), decimals)
+                      + F.lit(0.0)).alias("cov")))
     lower = (upper.filter(F.col("i") < F.col("j"))
                   .select(F.col("j").alias("i"), F.col("i").alias("j"),
                           "cov"))
@@ -197,4 +201,5 @@ def pca_project_top(df: DataFrame, vec_col: str = "embedding",
         f"aggregate(zip_with({vec_col}, {lit}, "
         f"(a, b) -> CAST(a AS DOUBLE) * b), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-    return df.select(F.col(id_col), F.round(score, 6).alias(out_col))
+    return df.select(F.col(id_col),
+                     (F.round(score, 6) + F.lit(0.0)).alias(out_col))

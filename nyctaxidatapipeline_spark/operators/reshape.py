@@ -65,6 +65,9 @@ def grouped_percentiles(df: DataFrame, group_cols: Sequence[str], col: str,
     ``quantile_disc``) — how the registered approx query keeps full
     hash parity at correctness scale while compressing for real at sf1
     group sizes."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"grouped_percentiles mode must be 'exact' or "
+                         f"'approx', got {mode!r}")
     fn = F.percentile if mode == "exact" else \
         (lambda c, p: F.percentile_approx(c, p, F.lit(accuracy)))
     aggs = [F.round(fn(F.col(col), F.lit(p)), 6)
@@ -76,6 +79,9 @@ def grouped_percentiles(df: DataFrame, group_cols: Sequence[str], col: str,
 def distinct_counts(df: DataFrame, group_cols: Sequence[str], col: str,
                     mode: str = "exact") -> DataFrame:
     """Per-group distinct cardinality; ``approx`` = HLL sketch (rsd 5%)."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"distinct_counts mode must be 'exact' or "
+                         f"'approx', got {mode!r}")
     agg = (F.countDistinct(col) if mode == "exact"
            else F.approx_count_distinct(col))
     return (df.groupBy(*group_cols)
@@ -98,6 +104,9 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
     Output (exact): (value, n, share) ordered nowhere — sort downstream.
     Output (approx): (value,) candidates only.
     """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"heavy_hitters mode must be 'exact' or "
+                         f"'approx', got {mode!r}")
     if mode == "approx":
         row = df.freqItems([col], support=min_share).first()
         vals = row[f"{col}_freqItems"]

@@ -672,9 +672,16 @@ def knn_graph_ivf(df: DataFrame, k: int = 5,
     # expressions: with the auto-sized k ~ sqrt(n), n·k interpreted
     # dots (and a 2·k·d-literal expression tree) measured as the
     # dominant term at 10x bench scale — the same lesson as
-    # semantic_dedup's BLAS assignment. Same semantics as
-    # ``ivf_assign`` + the probe expression: raw (unrounded) centroid
-    # dots, argmax / stable top-nprobe with ties to the lowest cid.
+    # semantic_dedup's BLAS assignment. Routing dots are rounded to
+    # 6 dp (half-away, mirrored by ROUND(...,6) in the DuckDB twin's
+    # assigned/probes ranking) BEFORE argmax / stable top-nprobe:
+    # BLAS reorders the sum vs the twin's sequential fold, so
+    # near-tied raw dots could route a vector to a different list on
+    # the two engines — a data-dependent value-hash flake. Ties at
+    # 6 dp break to the lowest cid on both sides. Zero-norm vectors
+    # are dropped up front (the twin's corpus CTE filters them too;
+    # cosine against a zero vector is undefined — the SemDeDup paths
+    # set the same convention).
     cm_list = [list(map(float, c)) for c in cents]
     npr = min(nprobe, len(cents))
 
@@ -688,7 +695,12 @@ def knn_graph_ivf(df: DataFrame, k: int = 5,
                 continue
             vm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
             ids = pdf["_id"].to_numpy()
+            nz = np.einsum("ij,ij->i", vm, vm) > 0.0
+            vm, ids = vm[nz], ids[nz]
+            if not len(ids):
+                continue
             dots = vm @ cm.T
+            _round6_half_away(dots, np.empty_like(dots))
             best = np.argmax(dots, axis=1)      # first max = lowest cid
             order = np.argsort(-dots, axis=1, kind="stable")[:, :npr]
             out_ids = np.concatenate([ids, np.repeat(ids, npr)])

@@ -16,11 +16,19 @@ def round_doubles(df: DataFrame, ndigits: int = 6) -> DataFrame:
     rounds BOTH sides to the same precision (oracle SQL uses
     ``ROUND(x, n)``), making the value-hash comparison deterministic while
     still catching real errors (1e-6 ≪ any semantic difference).
+
+    SIGNED ZERO: a tiny negative value rounds to ``-0.0`` under DuckDB's
+    ``ROUND`` but ``+0.0`` under Spark's — numerically equal, byte-level
+    different, so a byte-sensitive value hash flags a mismatch (this cost
+    two rounds on ``embedding_covariance``). ``+ 0.0`` after the round
+    canonicalizes: IEEE 754 ``-0.0 + 0.0 = +0.0`` on every engine. The
+    oracle-SQL convention is the mirror image: ``ROUND(x, n) + 0.0``.
     """
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            cols.append(F.round(F.col(f.name).cast("double"), ndigits).alias(f.name))
+            cols.append((F.round(F.col(f.name).cast("double"), ndigits)
+                         + F.lit(0.0)).alias(f.name))
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)

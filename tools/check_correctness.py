@@ -6,6 +6,13 @@ and order-insensitive values (rows sorted by all columns, column order
 sorted by name). Exact comparison — the queries themselves are responsible
 for rounding computed doubles on both sides.
 
+BYTE-SENSITIVE for floats: the driver hashes canonicalized value BYTES, so
+``-0.0`` vs ``+0.0`` (numerically equal — pandas ``==`` passes) is a driver
+FAIL. Two rounds were lost to exactly that blind spot on
+``embedding_covariance`` (DuckDB ``ROUND`` preserves the sign of a tiny
+negative, Spark's doesn't). Float columns are therefore additionally
+compared via ``np.signbit`` after the numeric compare passes.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -14,6 +21,7 @@ from __future__ import annotations
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -28,6 +36,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+
+def signbit_mismatches(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns where the two (already numerically-equal, row-aligned)
+    frames differ in float sign bits — i.e. -0.0 on one side, +0.0 on
+    the other. Byte-level different, so a driver value-hash mismatch."""
+    bad = []
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if not (pd.api.types.is_float_dtype(av)
+                and pd.api.types.is_float_dtype(bv)):
+            continue
+        x = av.to_numpy(dtype="float64", na_value=np.nan)
+        y = bv.to_numpy(dtype="float64", na_value=np.nan)
+        ok = np.isnan(x) | (np.signbit(x) == np.signbit(y))
+        if not bool(ok.all()):
+            n = int((~ok).sum())
+            bad.append(f"{col} ({n} signed-zero/sign mismatches)")
+    return bad
 
 
 def main() -> int:
@@ -81,6 +108,12 @@ def main() -> int:
             except AssertionError as e:
                 print(f"{tag} VALUES differ: {str(e)[:500]}")
                 ok = False
+            if ok:
+                sign_bad = signbit_mismatches(s_n, d_n)
+                if sign_bad:
+                    print(f"{tag} SIGNBIT (driver hash would differ): "
+                          f"{', '.join(sign_bad)}")
+                    ok = False
         if ok:
             print(f"{tag} OK ({len(spark_pd)} rows)")
         else:
