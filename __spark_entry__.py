@@ -2630,22 +2630,30 @@ def _pca_covariance_ctes(dim: int, decimals: int) -> str:
     cov) of the ``embeddings`` table at ``decimals`` dp — the exact
     ``(Sxy - Sx*Sy/n)/n`` expression ``operators.pca`` computes.
 
-    Like ``pca.embedding_moments``, the per-dim and cross-product sums
-    accumulate as DECIMAL(38,12) (exact, associative — order-independent
-    on both engines) and only then cast back to DOUBLE."""
+    Like ``pca.embedding_moments``, each term is snapped to a 1e-12
+    grid as a scaled INT64 (``ROUND`` is half-away on doubles in both
+    engines; scaled unit-scale products ≪ 2^53 so the double math is
+    exact) and summed in integers — exact and associative, so both
+    engines produce bit-identical sums under any reduction order.
+    DuckDB's SUM(BIGINT) widens to HUGEINT internally (overflow-proof),
+    mirroring the Spark side's LONG-partials → DECIMAL(38,0) merge;
+    the final int→DOUBLE conversion and the /1e12 divide are single
+    correctly-rounded IEEE ops, identical on both engines."""
     return f"""
             e AS (SELECT vec_id, embedding FROM embeddings),
             n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
             sums AS (
               SELECT a.i AS i,
-                     CAST(SUM(CAST(CAST(embedding[a.i + 1] AS DOUBLE)
-                                   AS DECIMAL(38,12))) AS DOUBLE) AS s
+                     CAST(SUM(CAST(ROUND(CAST(embedding[a.i + 1] AS DOUBLE)
+                                         * 1e12, 0) AS BIGINT))
+                          AS DOUBLE) / 1e12 AS s
               FROM e, range(0, {dim}) a(i) GROUP BY 1),
             cross_ut AS (
               SELECT a.i AS i, b.i AS j,
-                     CAST(SUM(CAST(CAST(embedding[a.i + 1] AS DOUBLE)
-                                   * CAST(embedding[b.i + 1] AS DOUBLE)
-                                   AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+                     CAST(SUM(CAST(ROUND(CAST(embedding[a.i + 1] AS DOUBLE)
+                                         * CAST(embedding[b.i + 1] AS DOUBLE)
+                                         * 1e12, 0) AS BIGINT))
+                          AS DOUBLE) / 1e12 AS sxy
               FROM e, range(0, {dim}) a(i), range(0, {dim}) b(i)
               WHERE b.i >= a.i GROUP BY 1, 2),
             cov_ut AS (

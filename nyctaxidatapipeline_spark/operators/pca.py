@@ -83,25 +83,52 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(i, j, s): one-pass sufficient statistics for mean + covariance.
 
     ``(i, j>=i)`` rows hold sum(x_i * x_j); ``(i, -1)`` rows hold
-    sum(x_i); the ``(-1, -1)`` row holds the row count. One aggregate,
-    one tiny shuffle (d*(d+3)/2 + 1 groups).
+    sum(x_i); the ``(-1, -1)`` row holds the row count. One pass over
+    the corpus; shuffle volume is O(tasks · d²) partial-sum rows.
 
-    The sum accumulates as DECIMAL(38,12), not DOUBLE: decimal addition
-    is exact and associative, so the aggregate is bit-identical under
-    ANY partitioning / reduction order (the ``profile.py``
-    order-independent decimal-sum recipe). A raw double sum drifts in
-    the last ulps with partition count, which intermittently crossed the
-    downstream 6-dp rounding boundary (CORRECTNESS_r05
-    ``embedding_covariance`` hash flake). 12 dp on unit-scale products
-    keeps ~1e-12 absolute resolution — far below the coarsest output
-    rounding (6 dp) — while 26 integer digits leave headroom for
-    corpus-scale sums.
+    ORDER-INDEPENDENT BY SCALED-INTEGER SUMS: a raw double sum drifts
+    in the last ulps with partition count, which intermittently crossed
+    the downstream 6-dp rounding boundary (CORRECTNESS_r05
+    ``embedding_covariance`` hash flake). Each term is snapped to a
+    1e-12 grid as a scaled INT64 — ``CAST(ROUND(v * 1e12, 0) AS
+    BIGINT)`` (half-away ties, identical in Spark and DuckDB; the
+    scaled magnitude of a unit-scale product is ~1e12 ≪ 2^53, so the
+    double arithmetic is exact) — and integer addition is exact and
+    associative, so the aggregate is bit-identical under ANY
+    partitioning / reduction order. 1e-12 term resolution sits far
+    below the coarsest output rounding (6 dp).
+
+    Two-level aggregation keeps the hot adds in whole-stage-codegen
+    LONG arithmetic (a precision-38 decimal accumulator here measured
+    4× slower — BigDecimal-backed adds on every exploded term,
+    PLANS.md #17): per-Spark-partition LONG partial sums (exact while
+    a partition's |sum| < 2^63, i.e. < ~9e6 unit-scale terms · 1e12 —
+    a 128 MB partition of 64-dim embeddings holds ~5e5 rows, 18×
+    headroom), then a d²-group DECIMAL(38,0) merge that is overflow-
+    proof at any corpus size. The final ``CAST(... AS DOUBLE) / 1e12``
+    is one correctly-rounded int→double conversion and one IEEE divide,
+    bit-identical on both engines.
+
+    The half-away round itself is the SIGN·FLOOR(|x|+0.5) idiom, not
+    Spark's ``ROUND``: ROUND on DoubleType allocates a BigDecimal per
+    term (measured 2× on this aggregate), while the idiom stays in
+    primitive codegen AND is exactly round-half-away in our range —
+    0.5 is a power of two, so ``|x| + 0.5`` is computed exactly for
+    any |x| < 2^52 (ulp ≤ 0.5), and scaled terms are ~1e12-1e13.
+    DuckDB's native ``ROUND`` (std::round, exact half-away) therefore
+    produces the identical integer.
     """
-    return (df
-            .select(F.explode(_moment_structs(vec_col)).alias("m"))
-            .groupBy(F.col("m.i").alias("i"), F.col("m.j").alias("j"))
-            .agg(F.sum(F.col("m.v").cast("decimal(38,12)"))
-                  .cast("double").alias("s")))
+    term = "CAST(SIGN(m.v) AS BIGINT) * FLOOR(ABS(m.v * 1e12) + 0.5D)"
+    partials = (df
+                .select(F.explode(_moment_structs(vec_col)).alias("m"),
+                        F.spark_partition_id().alias("_p"))
+                .groupBy(F.col("m.i").alias("i"), F.col("m.j").alias("j"),
+                         F.col("_p"))
+                .agg(F.sum(F.expr(term)).alias("ps")))
+    return (partials
+            .groupBy("i", "j")
+            .agg((F.sum(F.col("ps").cast("decimal(38,0)")).cast("double")
+                  / F.lit(1e12)).alias("s")))
 
 
 def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
