@@ -2435,9 +2435,18 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: flake), now decimal-sum deterministic and needing a fresh green
 #: driver record. Everything else in the 50-entry window re-records
 #: already-green r5 entries.
+#: Round-7 driver window front: queries whose SEMANTICS changed this
+#: round (all locally hash-green, all needing a fresh driver record) —
+#: the signed-zero + scaled-int64 PCA pair, the rounded-routing kNN-IVF
+#: — plus new round-7 queries, plus the three r6-verified-but-rotated
+#: entries the r6 VERDICT asked to re-record.
+_ROUND7_FRONT = [
+    "embedding_covariance", "pca_project", "knn_graph_ivf",
+    "ann_pq", "frame_sample_avi", "audio_features",
+]
+
 _ROUND6_FRONT = [
-    "embedding_covariance",
-    "ann_lsh_auto", "semantic_dedup_auto", "knn_graph_ivf",
+    "ann_lsh_auto", "semantic_dedup_auto",
     "winsorized_prices_approx", "grouped_percentiles_approx",
     "image_features_jpeg", "substring_dedup", "blocklist_stats",
 ]
@@ -2463,12 +2472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
-    the first 50 entries. Rounds 1-5 together drove all prior queries
-    green (139/139 recorded, 138 green at latest record). The round-6
-    window leads with ``_ROUND6_FRONT`` — the six new round-6 queries
-    plus the one r5 red row (``embedding_covariance``, now
-    deterministic) — followed by ``_ROUND5_FRONT`` re-records and the
-    rest in prior relative order."""
+    the first 50 entries. Rounds 1-6 drove all 147 queries to a driver
+    record (146 green at latest; the one red — ``embedding_covariance``
+    — was the signed-zero class, fixed this round). The round-7 window
+    leads with ``_ROUND7_FRONT`` (changed-semantics + new + re-record
+    queries), then the r6/r5 fronts, then the rest in prior order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -2607,7 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "blocklist_stats": _q_blocklist_stats,
     }
-    ordered = {name: full[name] for name in _ROUND6_FRONT}
+    ordered = {name: full[name] for name in _ROUND7_FRONT}
+    ordered.update({name: full[name] for name in _ROUND6_FRONT})
     ordered.update({name: full[name] for name in _ROUND5_FRONT})
     ordered.update(full)
     return ordered
@@ -4445,36 +4454,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT l_quantity) AS n_distinct,
-                   ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) AS min_value,
-                   ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) AS max_value,
-                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity), 6) AS mean_value
+                   ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) + 0.0 AS min_value,
+                   ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) + 0.0 AS max_value,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity), 6) + 0.0 AS mean_value
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice' AS "column", COUNT(*) AS n,
                    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT l_extendedprice) AS n_distinct,
-                   ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS min_value,
-                   ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS max_value,
-                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS mean_value
+                   ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) + 0.0 AS min_value,
+                   ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) + 0.0 AS max_value,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice), 6) + 0.0 AS mean_value
             FROM lineitem
             UNION ALL
             SELECT 'l_discount' AS "column", COUNT(*) AS n,
                    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT l_discount) AS n_distinct,
-                   ROUND(CAST(MIN(l_discount) AS DOUBLE), 6) AS min_value,
-                   ROUND(CAST(MAX(l_discount) AS DOUBLE), 6) AS max_value,
-                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_discount), 6) AS mean_value
+                   ROUND(CAST(MIN(l_discount) AS DOUBLE), 6) + 0.0 AS min_value,
+                   ROUND(CAST(MAX(l_discount) AS DOUBLE), 6) + 0.0 AS max_value,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_discount), 6) + 0.0 AS mean_value
             FROM lineitem
             UNION ALL
             SELECT 'l_tax' AS "column", COUNT(*) AS n,
                    CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT l_tax) AS n_distinct,
-                   ROUND(CAST(MIN(l_tax) AS DOUBLE), 6) AS min_value,
-                   ROUND(CAST(MAX(l_tax) AS DOUBLE), 6) AS max_value,
-                   ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_tax), 6) AS mean_value
+                   ROUND(CAST(MIN(l_tax) AS DOUBLE), 6) + 0.0 AS min_value,
+                   ROUND(CAST(MAX(l_tax) AS DOUBLE), 6) + 0.0 AS max_value,
+                   ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_tax), 6) + 0.0 AS mean_value
             FROM lineitem
         """,
         # Twin of packing.chunk_documents: same token lists, starts
@@ -5461,7 +5470,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    ROUND(AVG(value) OVER (
                        PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) + 0.0
                        AS value_ma3
             FROM events WHERE event_type = 'purchase'
         """,
@@ -5649,7 +5658,7 @@ def oracle_sql() -> dict[str, str]:
                            (SELECT COUNT(*) FROM uni) AS n_tok)
             SELECT p.w1, p.w2, p.n_pair,
                    ROUND(ln((p.n_pair / t.n_bg)
-                         / ((u1.c_w / t.n_tok) * (u2.c_w / t.n_tok))), 6)
+                         / ((u1.c_w / t.n_tok) * (u2.c_w / t.n_tok))), 6) + 0.0
                        AS pmi
             FROM pairs p
             JOIN ucnt u1 ON u1.w = p.w1
@@ -5715,23 +5724,23 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": """
             WITH med AS (
               SELECT event_type,
-                     ROUND(quantile_cont(value, 0.5), 6) AS median
+                     ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS median
               FROM events GROUP BY event_type),
             dev AS (
               SELECT e.event_id, e.event_type, e.value, m.median,
                      abs(e.value - m.median) AS adev
               FROM events e JOIN med m USING (event_type)),
             mad AS (
-              SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+              SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) + 0.0 AS mad
               FROM dev GROUP BY event_type)
             SELECT event_id, event_type, value, median, mad,
-                   ROUND(0.6745 * (value - median) / mad, 6) AS robust_z
+                   ROUND(0.6745 * (value - median) / mad, 6) + 0.0 AS robust_z
             FROM dev JOIN mad USING (event_type)
             WHERE mad > 0
               AND abs(ROUND(0.6745 * (value - median) / mad, 6)) > 3.5
         """,
         "correlations": """
-            SELECT col_a, col_b, ROUND(corr_v, 6) AS corr FROM (
+            SELECT col_a, col_b, ROUND(corr_v, 6) + 0.0 AS corr FROM (
               SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                      corr(l_quantity, l_extendedprice) AS corr_v
               FROM lineitem

@@ -251,7 +251,8 @@ def pmi_collocations(df: DataFrame, text_col: str, id_col: str,
             .join(uni.select(F.col("w").alias("w2"),
                              F.col("c_w").alias("c2")), "w2")
             .crossJoin(n_bg).crossJoin(n_tok)
-            .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")))
+            .select("w1", "w2", "n_pair",
+                    (F.round(pmi, 6) + F.lit(0.0)).alias("pmi")))
 
 
 def skipgram_counts(df: DataFrame, text_col: str, id_col: str,

@@ -33,9 +33,10 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
             F.count("*").alias("n"),
             F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
             distinct.alias("n_distinct"),
-            F.round(F.min(c).cast("double"), 6).alias("min_value"),
-            F.round(F.max(c).cast("double"), 6).alias("max_value"),
-            F.round(dec_sum / F.count(F.col(c)), 6).alias("mean_value")))
+            (F.round(F.min(c).cast("double"), 6) + F.lit(0.0)).alias("min_value"),
+            (F.round(F.max(c).cast("double"), 6) + F.lit(0.0)).alias("max_value"),
+            (F.round(dec_sum / F.count(F.col(c)), 6)
+             + F.lit(0.0)).alias("mean_value")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -58,7 +59,7 @@ def outliers_zscore(df: DataFrame, group_cols: Sequence[str],
     z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
     return (df.join(stats, list(group_cols))
               .filter((F.col("_sigma") > 0) & (F.abs(z) > k))
-              .withColumn("z_score", F.round(z, 6))
+              .withColumn("z_score", F.round(z, 6) + F.lit(0.0))
               .drop("_mu", "_sigma"))
 
 
@@ -84,18 +85,18 @@ def mad_outliers(df: DataFrame, group_cols: Sequence[str],
     """
     gcols = list(group_cols)
     med = (df.groupBy(*gcols)
-             .agg(F.round(F.percentile(value_col, F.lit(0.5)), 6)
-                   .alias("median")))
+             .agg((F.round(F.percentile(value_col, F.lit(0.5)), 6)
+                    + F.lit(0.0)).alias("median")))
     dev = (df.join(med, gcols)
              .withColumn("_adev", F.abs(F.col(value_col)
                                         - F.col("median"))))
     mad = (dev.groupBy(*gcols)
-              .agg(F.round(F.percentile("_adev", F.lit(0.5)), 6)
-                    .alias("mad")))
+              .agg((F.round(F.percentile("_adev", F.lit(0.5)), 6)
+                     + F.lit(0.0)).alias("mad")))
     z = F.lit(0.6745) * (F.col(value_col) - F.col("median")) / F.col("mad")
     return (dev.join(mad, gcols)
                .filter(F.col("mad") > 0)
-               .withColumn("robust_z", F.round(z, 6))
+               .withColumn("robust_z", F.round(z, 6) + F.lit(0.0))
                .filter(F.abs(F.col("robust_z")) > k)
                .drop("_adev"))
 
@@ -115,7 +116,7 @@ def correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     # Positional aliases + a struct-array unpivot: immune to column
     # names containing backticks or a separator colliding with real
     # columns (no string-formatted SQL).
-    agg = df.agg(*[F.round(F.corr(a, b), 6).alias(f"_p{i}")
+    agg = df.agg(*[(F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(f"_p{i}")
                    for i, (a, b) in enumerate(pairs)])
     rows = F.array(*[
         F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),

@@ -73,7 +73,7 @@ def moving_avg(df: DataFrame, partition_by: Sequence[str], order_by: str,
     w = (Window.partitionBy(*partition_by).orderBy(order_by)
          .rowsBetween(-(window_rows - 1), Window.currentRow))
     return df.withColumn(alias or f"{col}_ma{window_rows}",
-                         F.round(F.avg(col).over(w), 6))
+                         F.round(F.avg(col).over(w), 6) + F.lit(0.0))
 
 
 def time_range_agg(df: DataFrame, partition_by: Sequence[str],
