@@ -1664,6 +1664,55 @@ def _q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("mean_intensity", 6).alias("mean_intensity")))
 
 
+def _q_image_features_jpeg_prog(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode, oracle-gated end-to-end —
+    the r6 VERDICT's top multimodal gap (a real web crawl is
+    majority-progressive). Same constant-block fixture as
+    ``image_features_jpeg``, but encoded through
+    ``encode_jpeg_progressive``'s default scan script: DC first at
+    Al=1 + DC refinement + per-band AC first/refinement scans — so the
+    driver gate runs the successive-approximation bit order, EOB-run
+    accounting, and multi-scan coefficient accumulation, not just the
+    baseline Huffman path. Constant blocks keep the roundtrip exactly
+    computable (all ACs are zero; the refined DC reaches full
+    precision, so decoded value = clamp(2*floor((c-128)/2+0.5)+128) —
+    identical twin arithmetic). General images are covered by the
+    byte-identical-to-baseline roundtrip gate in
+    tests/test_jpeg_progressive.py."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                px = np.zeros((16, 32), dtype=np.uint8)
+                for b in range(8):
+                    by, bx = divmod(b, 4)
+                    px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                        (int(d) * 31 + b * 17) % 256
+                media.append(encode_jpeg_progressive(32, 16,
+                                                     px.tobytes(), 1))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return (image_features(assets, codec="jpeg")
+            .select("asset_id", "width", "height",
+                    F.round("mean_intensity", 6).alias("mean_intensity")))
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-offset sampling, oracle-gated: each document row
     synthesizes a deterministic fake-codec video (8-byte header +
@@ -2441,6 +2490,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: — plus new round-7 queries, plus the three r6-verified-but-rotated
 #: entries the r6 VERDICT asked to re-record.
 _ROUND7_FRONT = [
+    "image_features_jpeg_prog",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
     "ann_pq", "frame_sample_avi", "audio_features",
 ]
@@ -2612,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_prices_approx": _q_winsorized_prices_approx,
         "grouped_percentiles_approx": _q_grouped_percentiles_approx,
         "image_features_jpeg": _q_image_features_jpeg,
+        "image_features_jpeg_prog": _q_image_features_jpeg_prog,
         "substring_dedup": _q_substring_dedup,
         "blocklist_stats": _q_blocklist_stats,
     }
@@ -5172,6 +5223,21 @@ def oracle_sql() -> dict[str, str]:
         # pinned half-up conventions (functions/jpeg.py docstring), so
         # mean_intensity is the average of the eight decoded constants.
         "image_features_jpeg": """
+            SELECT doc_id AS asset_id,
+                   CAST(32 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   (SELECT ROUND(AVG(LEAST(255, GREATEST(0,
+                       2 * FLOOR((((doc_id * 31 + b.b * 17) % 256)
+                                  - 128) / 2.0 + 0.5) + 128))), 6)
+                    FROM (SELECT unnest(generate_series(0, 7)) AS b) b)
+                       AS mean_intensity
+            FROM documents
+        """,
+        # Twin of the progressive-JPEG roundtrip: identical fixture and
+        # DC arithmetic as image_features_jpeg — the successive-
+        # approximation scans transmit full DC precision, so the
+        # decoded constants are the same (what the gate verifies).
+        "image_features_jpeg_prog": """
             SELECT doc_id AS asset_id,
                    CAST(32 AS INTEGER) AS width,
                    CAST(16 AS INTEGER) AS height,

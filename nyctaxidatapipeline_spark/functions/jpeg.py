@@ -1,9 +1,11 @@
 """Baseline-DCT JPEG codec — pure Python + numpy, no PIL/libjpeg.
 
 Fills the ``multimodal.py`` compressed-image slot (a real corpus is
-JPEG-first): sequential baseline JFIF (SOF0), 8-bit, grayscale or YCbCr
-with 4:4:4 / 4:2:0 sampling, standard Annex K quantization + Huffman
-tables, restart markers. Same design ground rules as the sibling PNG /
+JPEG-first): sequential baseline JFIF (SOF0) AND progressive (SOF2 —
+spectral selection, successive approximation, EOB runs; a real web
+crawl is majority-progressive), 8-bit, grayscale or YCbCr with 4:4:4 /
+4:2:0 sampling, standard Annex K quantization + Huffman tables, restart
+markers. Same design ground rules as the sibling PNG /
 AVI / WAV codecs (``png.py`` etc.): stdlib parsing, numpy only for the
 8x8 transforms (the feature math must not be Python-loop bound), every
 rounding step pinned to an explicit convention so decode results are
@@ -23,10 +25,19 @@ tolerance-bounded encode->decode roundtrip tests (the decoder and
 encoder are independent transform implementations, so a defect in
 either surfaces as large reconstruction error).
 
-Not supported (documented slots, like PNG's interlace): progressive
-(SOF2), arithmetic coding, 12-bit precision, CMYK — ``decode_jpeg``
-raises ``ValueError`` on them, which the multimodal layer maps to NULL
-features per its convention.
+Progressive decode accumulates per-component coefficient grids across
+scans (DC first/refine, AC band first/refine per ITU T.81 G.2, with
+the libjpeg-compatible EOB-run + correction-bit order) and runs one
+vectorized dequant+IDCT at EOI — so ``decode_jpeg`` transparently
+handles both SOF0 and SOF2 streams. ``encode_jpeg_progressive``
+produces SOF2 streams (default libjpeg-style scan script, custom
+scripts, restart markers) whose decode is byte-identical to the
+baseline encoding of the same image — the roundtrip gate.
+
+Not supported (documented slots, like PNG's interlace): arithmetic
+coding, lossless/hierarchical, 12-bit precision, CMYK —
+``decode_jpeg`` raises ``ValueError`` on them, which the multimodal
+layer maps to NULL features per its convention.
 """
 
 from __future__ import annotations
@@ -423,7 +434,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart = 0
-    while pos + 4 <= len(data):
+    coefs: list[np.ndarray] | None = None   # progressive coefficient store
+    scans_done = 0
+    # + 2, not + 4: the final EOI is exactly two bytes — progressive
+    # decode must still see it (segment reads past the end raise via
+    # struct.error -> ValueError in the decode_jpeg wrapper).
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
         marker = data[pos + 1]
@@ -431,6 +447,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if frame is not None and frame.get("prog") and scans_done:
+                return _finish_progressive(frame, coefs, qts)
             raise ValueError("jpeg: EOI before SOS")
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + seglen]
@@ -458,7 +476,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + n
         elif marker == 0xDD:                              # DRI
             restart = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:            # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):                # SOF0/1/2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision")
@@ -469,14 +487,22 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: progressive/extended coding "
-                             "unsupported (baseline decoder)")
+            raise ValueError("jpeg: lossless/arithmetic/hierarchical "
+                             "coding unsupported")
         elif marker == 0xDA:                              # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if frame.get("prog"):
+                if coefs is None:
+                    coefs = _prog_alloc(frame)
+                pos = _prog_scan(data, pos + seglen, seg, frame, coefs,
+                                 dc_tabs, ac_tabs, restart)
+                scans_done += 1
+                continue
             ns = seg[0]
             sel = {}
             for si in range(ns):
@@ -485,6 +511,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             return _decode_scan(data, pos + seglen, frame, sel, qts,
                                 dc_tabs, ac_tabs, restart)
         pos += seglen
+    if frame is not None and frame.get("prog") and scans_done:
+        # A truncated progressive stream could IDCT to a plausible
+        # partial (DC-only) image — require the EOI so silent partial
+        # features can never masquerade as a full decode (the
+        # multimodal layer maps this to NULL features instead).
+        raise ValueError("jpeg: truncated progressive stream (no EOI)")
     raise ValueError("jpeg: no SOS marker")
 
 
@@ -534,7 +566,18 @@ def _decode_scan(data, pos, frame, sel, qts, dc_tabs, ac_tabs, restart):
                         c0 = (mx * c["h"] + bx) * 8
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
             mcu_count += 1
-    # crop luma-resolution planes, upsample chroma by pixel replication
+    return _planes_to_pixels(frame, planes)
+
+
+def _planes_to_pixels(frame, planes) -> tuple[int, int, int, bytes]:
+    """Shared decode tail (baseline + progressive): crop each plane to
+    luma resolution, upsample chroma by pixel replication, apply the
+    JFIF inverse color transform with the pinned half-up rounding."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    nc = len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for ci, c in enumerate(comps):
         pl = planes[ci]
@@ -582,3 +625,549 @@ def _decode_block(br, qt, dc_tab, ac_tab, preds, ci):
     x = _C.T @ f @ _C
     # pinned half-up output rounding (see module docstring)
     return np.clip(np.floor(x + 128.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------- progressive decode
+
+def _prog_alloc(frame) -> list[np.ndarray]:
+    """Per-component coefficient store over the MCU-padded block grid:
+    int32 (blocks_y, blocks_x, 64) in ZIGZAG-scan index order.
+    Progressive scans accumulate into it; IDCT happens once at EOI."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            for c in comps]
+
+
+def _comp_block_dims(frame, c) -> tuple[int, int]:
+    """(blocks_wide, blocks_high) of a component's USED region for a
+    non-interleaved scan (A.2.2): ceil(ceil(dim·samp/sampmax) / 8)."""
+    comps = frame["comps"]
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _prog_dc_first(br, dc_tab, zz, preds, ci, al) -> None:
+    size = _huff_symbol(br, dc_tab)
+    diff = _extend(br.bits(size), size) if size else 0
+    preds[ci] += diff
+    zz[0] = preds[ci] << al
+
+
+def _prog_dc_refine(br, zz, al) -> None:
+    if br.bit():
+        zz[0] |= 1 << al           # two's-complement append (G.2.1)
+
+
+def _prog_ac_first(br, ac_tab, zz, ss, se, al, state) -> None:
+    """First AC scan of a band (G.2.2): EOB runs + new coefficients
+    scaled by 2^Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _huff_symbol(br, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:            # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow (progressive)")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(br, ac_tab, zz, ss, se, al, state) -> None:
+    """AC refinement scan (G.2.3 / libjpeg decode_mcu_AC_refine): one
+    correction bit per already-nonzero coefficient passed over; (run,1)
+    symbols place newly-nonzero ±2^Al values; EOB runs carry correction
+    bits for the remaining nonzero history."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = _huff_symbol(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                val = 0            # ZRL: skip 16 zero-history coefs
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: bad refinement coefficient size")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and br.bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_scan(data, pos, seg, frame, coefs, dc_tabs, ac_tabs,
+               restart) -> int:
+    """Decode one progressive SOS entropy segment; returns the position
+    of the next marker. DC scans may be interleaved (MCU order); AC
+    scans are single-component over the used block grid (A.2.2 /
+    G.1.1)."""
+    comps = frame["comps"]
+    ns = seg[0]
+    sel = []
+    for si in range(ns):
+        cid, tt = seg[1 + 2 * si:3 + 2 * si]
+        matches = [i for i, c in enumerate(comps) if c["id"] == cid]
+        if not matches:
+            raise ValueError("jpeg: scan references unknown component")
+        sel.append((matches[0], tt >> 4, tt & 0x0F))
+    ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: DC scan must have Se=0")
+    if ss > 0 and (ns != 1 or se < ss or se > 63):
+        raise ValueError("jpeg: bad AC band")
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    preds = [0] * len(comps)
+    mcu_count = 0
+
+    def do_restart():
+        nonlocal preds
+        br.align_to_marker()
+        p = br.pos
+        if p + 1 >= len(data) or data[p] != 0xFF or \
+                not (0xD0 <= data[p + 1] <= 0xD7):
+            raise ValueError("jpeg: expected RST marker")
+        br.pos = p + 2
+        preds = [0] * len(comps)
+        state["eobrun"] = 0
+
+    if ns == 1:
+        # non-interleaved: the component's used blocks in raster order
+        ci, dct, act = sel[0]
+        c = comps[ci]
+        bw, bh = _comp_block_dims(frame, c)
+        for bi in range(bw * bh):
+            if restart and bi and bi % restart == 0:
+                do_restart()
+            by, bx = divmod(bi, bw)
+            zz = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    _prog_dc_first(br, dc_tabs[dct], zz, preds, ci, al)
+                else:
+                    _prog_dc_refine(br, zz, al)
+            elif ah == 0:
+                _prog_ac_first(br, ac_tabs[act], zz, ss, se, al, state)
+            else:
+                _prog_ac_refine(br, ac_tabs[act], zz, ss, se, al, state)
+    else:
+        if ss != 0:
+            raise ValueError("jpeg: interleaved AC scan")
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    do_restart()
+                for ci, dct, _act in sel:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = coefs[ci][my * c["v"] + by,
+                                           mx * c["h"] + bx]
+                            if ah == 0:
+                                _prog_dc_first(br, dc_tabs[dct], zz,
+                                               preds, ci, al)
+                            else:
+                                _prog_dc_refine(br, zz, al)
+                mcu_count += 1
+    br.align_to_marker()
+    return br.pos
+
+
+def _finish_progressive(frame, coefs, qts) -> tuple[int, int, int, bytes]:
+    """Dequantize + IDCT every accumulated block (vectorized over the
+    whole component — one einsum per plane, not a Python loop per
+    block) and run the shared assembly tail."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qts.get(c["tq"])
+        if qt is None:
+            raise ValueError("jpeg: missing quantization table")
+        grid = coefs[ci]
+        by, bx = grid.shape[0], grid.shape[1]
+        zz_all = grid.reshape(by * bx, 64).astype(np.float64)
+        nat = np.zeros_like(zz_all)
+        nat[:, ZIGZAG] = zz_all            # scan order -> natural order
+        blocks = nat.reshape(-1, 8, 8) * qt
+        x = _C.T @ blocks @ _C
+        px = np.clip(np.floor(x + 128.0 + 0.5), 0, 255).astype(np.uint8)
+        plane = (px.reshape(by, bx, 8, 8)
+                   .transpose(0, 2, 1, 3)
+                   .reshape(by * 8, bx * 8))
+        planes.append(plane)
+    return _planes_to_pixels(frame, planes)
+
+
+# ------------------------------------------------------- progressive encode
+
+#: Generic AC Huffman table for progressive scans: 255 symbols at code
+#: length 9 plus one at length 10 (a BITS entry is one byte, so 256
+#: codes can't share a length; Kraft sum 255/512 + 1/1024 < 1 and the
+#: all-ones code stays unused). The Annex K baseline AC tables lack the
+#: EOBn symbols (0x10..0xE0) progressive EOB runs need; a fixed generic
+#: table keeps the encoder table-free at a compression cost tests don't
+#: care about.
+GENERIC_AC_HUFF = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+                   list(range(256)))
+
+
+class _AcFirstState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self):
+        self.eobrun = 0
+
+
+class _AcRefineState:
+    """Two correction-bit pools (libjpeg's BR/BE split): ``br`` holds
+    bits accumulated since the last emitted symbol of the CURRENT
+    block (flushed right after that symbol, where the decoder reads
+    them inline); ``be`` holds bits owned by the pending EOB run
+    (flushed after the eventual EOBn symbol, where the decoder reads
+    them while refining the run's blocks)."""
+    __slots__ = ("eobrun", "br", "be")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.br = []
+        self.be = []
+
+
+def _emit_eobrun_first(bw, ac_map, st) -> None:
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        code, length = ac_map[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(st.eobrun, nbits)
+        st.eobrun = 0
+
+
+def _emit_eobrun_refine(bw, ac_map, st) -> None:
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        code, length = ac_map[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(st.eobrun, nbits)
+        st.eobrun = 0
+        for b in st.be:
+            bw.write(b, 1)
+        st.be = []
+
+
+def _enc_dc_first(bw, zz, preds, ci, al, dc_map) -> None:
+    v = int(zz[0]) >> al                   # arithmetic shift (G.1.2.1)
+    diff = v - preds[ci]
+    preds[ci] = v
+    size = _category(diff)
+    code, length = dc_map[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _enc_dc_refine(bw, zz, al) -> None:
+    bw.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw, zz, ss, se, al, ac_map, st) -> None:
+    """G.1.2.2 / libjpeg encode_mcu_AC_first: point transform is
+    magnitude shift (truncation toward zero), runs + EOB runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun_first(bw, ac_map, st)
+        while r > 15:
+            code, length = ac_map[0xF0]
+            bw.write(code, length)
+            r -= 16
+        nbits = t.bit_length()
+        code, length = ac_map[(r << 4) | nbits]
+        bw.write(code, length)
+        bw.write(t if v >= 0 else ~t, nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun_first(bw, ac_map, st)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, ac_map, st) -> None:
+    """G.1.2.3 / libjpeg encode_mcu_AC_refine."""
+    absv = [0] * (se + 1)
+    eob = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (-v if v < 0 else v) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun_refine(bw, ac_map, st)
+            code, length = ac_map[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in st.br:
+                bw.write(b, 1)
+            st.br = []
+        if t > 1:                      # history coef: correction bit
+            st.br.append(t & 1)
+            continue
+        _emit_eobrun_refine(bw, ac_map, st)
+        code, length = ac_map[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in st.br:
+            bw.write(b, 1)
+        st.br = []
+        r = 0
+    if r > 0 or st.br:
+        st.eobrun += 1
+        st.be += st.br
+        st.br = []
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun_refine(bw, ac_map, st)
+
+
+def _quantized_coef_grids(width, height, pixels, channels, subsampling):
+    """Shared front half of encoding: color transform, subsample, pad,
+    batched DCT + quantization. Returns (coefs, samp) with ``coefs`` a
+    per-component int32 (blocks_y, blocks_x, 64) array in ZIGZAG scan
+    order — the progressive encoder's working set."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    luma_qt = np.array(STD_LUMA_QT, dtype=np.float64).reshape(8, 8)
+    chroma_qt = np.array(STD_CHROMA_QT, dtype=np.float64).reshape(8, 8)
+    if channels == 1:
+        planes, samp, qts = [arr.reshape(height, width)], [(1, 1)], \
+            [luma_qt]
+    else:
+        ycc = _rgb_to_ycbcr(arr.reshape(height, width, 3))
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "444":
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+        else:
+            eh, ew = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+            cbp = _pad_to(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2) \
+                                     .mean(axis=(1, 3))
+            crp = _pad_to(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2) \
+                                     .mean(axis=(1, 3))
+            planes, samp = [y, cbp, crp], [(2, 2), (1, 1), (1, 1)]
+        qts = [luma_qt, chroma_qt, chroma_qt]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    for pl, (h, v), qt in zip(planes, samp, qts):
+        by, bx = mcuy * v, mcux * h
+        padded = _pad_to(pl, by * 8, bx * 8)
+        blocks = (padded.reshape(by, 8, bx, 8)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(-1, 8, 8)) - 128.0
+        f = _C @ blocks @ _C.T
+        q = np.floor(np.round(f, 6) / qt + 0.5).astype(np.int32)
+        nat = q.reshape(-1, 64)
+        zz = nat[:, ZIGZAG]                # natural -> scan order
+        coefs.append(zz.reshape(by, bx, 64))
+    return coefs, samp
+
+
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            channels: int = 1, subsampling: str = "444",
+                            scans=None,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JFIF encode — spectral selection + successive
+    approximation, EOB runs, optional restart markers. Default scan
+    script (libjpeg-style): DC first at Al=1, DC refinement, then per
+    component AC bands 1-5 / 6-63 at Al=2 and two AC refinement passes
+    down to Al=0 — every scan reaches full precision, so the decode is
+    byte-identical to the baseline encoding of the same image (the
+    roundtrip gate in tests). ``scans`` overrides with a list of
+    (component_indices, Ss, Se, Ah, Al)."""
+    coefs, samp = _quantized_coef_grids(width, height, pixels,
+                                        channels, subsampling)
+    nc = channels
+    if scans is None:
+        scans = [(list(range(nc)), 0, 0, 0, 1),
+                 (list(range(nc)), 0, 0, 1, 0)]
+        for c in range(nc):
+            scans += [([c], 1, 5, 0, 2), ([c], 6, 63, 0, 2),
+                      ([c], 1, 63, 2, 1), ([c], 1, 63, 1, 0)]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    frame = {"w": width, "h": height,
+             "comps": [{"id": ci + 1, "h": samp[ci][0], "v": samp[ci][1],
+                        "tq": min(ci, 1)} for ci in range(nc)]}
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + \
+        b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, table):
+        zz = bytes(table[ZIGZAG[i]] for i in range(64))
+        return b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid]) + zz
+    out += dqt(0, STD_LUMA_QT)
+    if nc == 3:
+        out += dqt(1, STD_CHROMA_QT)
+    comp = b""
+    for ci in range(nc):
+        h, v = samp[ci]
+        comp += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * nc, 8,
+                                     height, width, nc) + comp
+
+    def dht(cls, tid, table):
+        bits, vals = table
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    out += dht(0, 0, DC_LUMA_HUFF)
+    if nc == 3:
+        out += dht(0, 1, DC_CHROMA_HUFF)
+    out += dht(1, 0, GENERIC_AC_HUFF)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    dc_maps = [_huff_encode_map(*DC_LUMA_HUFF)]
+    if nc == 3:
+        dc_maps.append(_huff_encode_map(*DC_CHROMA_HUFF))
+    ac_map = _huff_encode_map(*GENERIC_AC_HUFF)
+
+    for comps_idx, ss, se, ah, al in scans:
+        ns = len(comps_idx)
+        sel = b""
+        for ci in comps_idx:
+            t = min(ci, 1)
+            sel += bytes([ci + 1, (t << 4) | 0])
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ns, ns) + sel \
+            + bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        preds = [0] * nc
+        first_st = _AcFirstState()
+        ref_st = _AcRefineState()
+        rst_idx = 0
+
+        def do_restart():
+            nonlocal preds, first_st, ref_st, rst_idx
+            if ss > 0:
+                if ah == 0:
+                    _emit_eobrun_first(bw, ac_map, first_st)
+                else:
+                    _emit_eobrun_refine(bw, ac_map, ref_st)
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+            rst_idx += 1
+            preds = [0] * nc
+            first_st = _AcFirstState()
+            ref_st = _AcRefineState()
+
+        def unit(ci, zz):
+            if ss == 0:
+                if ah == 0:
+                    _enc_dc_first(bw, zz, preds, ci, al,
+                                  dc_maps[min(ci, 1)])
+                else:
+                    _enc_dc_refine(bw, zz, al)
+            elif ah == 0:
+                _enc_ac_first(bw, zz, ss, se, al, ac_map, first_st)
+            else:
+                _enc_ac_refine(bw, zz, ss, se, al, ac_map, ref_st)
+
+        if ns == 1:
+            ci = comps_idx[0]
+            bwid, bhei = _comp_block_dims(frame, frame["comps"][ci])
+            for bi in range(bwid * bhei):
+                if restart_interval and bi and \
+                        bi % restart_interval == 0:
+                    do_restart()
+                by, bx = divmod(bi, bwid)
+                unit(ci, coefs[ci][by, bx])
+        else:
+            if ss != 0:
+                raise ValueError("AC scans must be single-component")
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_count and \
+                            mcu_count % restart_interval == 0:
+                        do_restart()
+                    for ci in comps_idx:
+                        h, v = samp[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                unit(ci, coefs[ci][my * v + by,
+                                                   mx * h + bx])
+                    mcu_count += 1
+        if ss > 0:
+            if ah == 0:
+                _emit_eobrun_first(bw, ac_map, first_st)
+            else:
+                _emit_eobrun_refine(bw, ac_map, ref_st)
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -2,14 +2,14 @@
 
 North-star plumbing (BASELINE.json): the Spark-side architecture is real —
 schemas, Arrow batch flow, partitioning. Decode is ALSO real for PNG
-(pure-stdlib codec in ``functions.png``), baseline JPEG
-(``functions.jpeg`` — SOF0, grayscale/YCbCr, 4:4:4 and 4:2:0; a real
-corpus is JPEG-first), AVI containers (``functions.avi`` RIFF walker)
-and WAV audio (stdlib ``wave`` via ``functions.wav``) — no
-PIL/ffmpeg/librosa required. The remaining compressed formats
-(progressive JPEG, MP3, H.264) document the exact library call that
-slots in and raise ``NotImplementedError``, with the deterministic fake
-codec exercising their plumbing.
+(pure-stdlib codec in ``functions.png``), JPEG — baseline SOF0 AND
+progressive SOF2 (``functions.jpeg``; grayscale/YCbCr, 4:4:4 and
+4:2:0; a real corpus is JPEG-first and majority-progressive), AVI
+containers (``functions.avi`` RIFF walker) and WAV audio (stdlib
+``wave`` via ``functions.wav``) — no PIL/ffmpeg/librosa required. The
+remaining compressed formats (MP3, H.264) document the exact library
+call that slots in and raise ``NotImplementedError``, with the
+deterministic fake codec exercising their plumbing.
 
 Design:
   * One row per asset: ``asset_id long, media binary, meta struct<...>``.
@@ -76,12 +76,13 @@ def image_features(df: DataFrame, media_col: str = "media",
     filters) — no PIL needed, so this path executes end-to-end in this
     container; undecodable/None media yields NULL features, matching
     the fake-codec convention. ``codec='jpeg'`` likewise runs a REAL
-    decode through ``functions.jpeg`` (baseline SOF0, grayscale/YCbCr,
-    4:4:4 and 4:2:0 — a real corpus is JPEG-first). ``codec='real'`` is
-    where ``PIL.Image.open(io.BytesIO(b))`` slots in for full format
-    breadth (progressive JPEG, WebP, ...) — unavailable in this
-    container, so it raises. ``codec='fake'`` parses the deterministic
-    8-byte header (cheapest plumbing verification).
+    decode through ``functions.jpeg`` (baseline SOF0 AND progressive
+    SOF2, grayscale/YCbCr, 4:4:4 and 4:2:0 — a real corpus is
+    JPEG-first and majority-progressive). ``codec='real'`` is where
+    ``PIL.Image.open(io.BytesIO(b))`` slots in for full format breadth
+    (WebP, ...) — unavailable in this container, so it raises.
+    ``codec='fake'`` parses the deterministic 8-byte header (cheapest
+    plumbing verification).
     """
     if codec not in ("fake", "real", "png", "jpeg"):
         raise ValueError(f"unknown codec {codec!r}")

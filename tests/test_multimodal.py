@@ -273,11 +273,17 @@ def test_jpeg_rejects_unsupported():
         decode_jpeg(b"not a jpeg")
     with _pytest.raises(ValueError):
         decode_jpeg(b"")
-    # progressive (SOF2) must be rejected, not mis-decoded
+    # a baseline stream mislabeled as progressive (SOF2) carries a
+    # baseline SOS header (Ss=0, Se=63) — invalid for a DC scan, so it
+    # must still raise, never mis-decode
     good = bytearray(encode_jpeg(8, 8, bytes(64), 1))
     sof0 = good.find(b"\xFF\xC0")
     assert sof0 > 0
     good[sof0 + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+    # lossless (SOF3) stays rejected
+    good[sof0 + 1] = 0xC3
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(good))
     # truncated entropy stream
