@@ -1814,6 +1814,48 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(assets, codec="wav")
 
 
+def _q_audio_features_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 container parse, oracle-gated end-to-end (the r6
+    VERDICT stretch slot, AVI-precedent container-level parsing): each
+    document row synthesizes a structurally-valid MPEG1 Layer III
+    stream (doc_id%7+3 frames at 128 kbps/44100 Hz, mono when doc_id
+    is odd; every 3rd doc gets an ID3v2 prefix and every 5th an ID3v1
+    trailer, exercising both tag paths in the driver gate), and
+    ``audio_features(codec='mp3')`` walks the frame headers inside
+    mapInPandas. The twin computes sample_rate/channels/n_frames/
+    duration arithmetically (duration = n*1152/44100, the identical
+    IEEE divide); amplitude features are NULL by design — the PCM
+    decode is the documented library slot and this layer never
+    fabricates them."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.mp3 import synth_mp3_stream
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                media.append(synth_mp3_stream(
+                    d % 7 + 3, bitrate_kbps=128, sample_rate=44100,
+                    channels=1 if d % 2 else 2,
+                    id3v2_bytes=64 if d % 3 == 0 else 0,
+                    id3v1=d % 5 == 0))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return (audio_features(assets, codec="mp3")
+            .select("asset_id", "sample_rate", "channels", "n_frames",
+                    F.round("duration_sec", 6).alias("duration_sec"),
+                    "mean_abs", "peak"))
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: at most 10 documents per source, survivors
     picked by portable (md5(id), id) order — one WindowGroupLimit
@@ -2490,7 +2532,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: — plus new round-7 queries, plus the three r6-verified-but-rotated
 #: entries the r6 VERDICT asked to re-record.
 _ROUND7_FRONT = [
-    "image_features_jpeg_prog",
+    "image_features_jpeg_prog", "audio_features_mp3",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
     "ann_pq", "frame_sample_avi", "audio_features",
 ]
@@ -2574,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,
         "frame_sample_avi": _q_frame_sample_avi,
         "audio_features": _q_audio_features,
+        "audio_features_mp3": _q_audio_features_mp3,
         # --- previously driver-verified (CORRECTNESS_r02 + _r03) ---
         "demand_heatmap": _q_demand_heatmap,
         "tip_trends": _q_tip_trends,
@@ -5272,6 +5315,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(generate_series(
                   0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))
                   AS i) i
+        """,
+        # Twin of the MP3 frame-header walk: geometry is pure
+        # arithmetic (n = doc_id%7+3 MPEG1 Layer III frames at
+        # 44100 Hz -> duration n*1152/44100, one IEEE divide on both
+        # engines), channels alternate by parity, amplitude features
+        # NULL by design (PCM decode is the documented library slot).
+        "audio_features_mp3": """
+            SELECT doc_id AS asset_id,
+                   CAST(44100 AS INTEGER) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+                        AS INTEGER) AS channels,
+                   CAST(doc_id % 7 + 3 AS INTEGER) AS n_frames,
+                   ROUND((doc_id % 7 + 3) * 1152.0 / 44100.0, 6)
+                       AS duration_sec,
+                   CAST(NULL AS DOUBLE) AS mean_abs,
+                   CAST(NULL AS INTEGER) AS peak
+            FROM documents
         """,
         # Twin of the stdlib-WAV decode round-trip: expected features
         # computed arithmetically (sample i = ((doc_id*37+i*11) mod

@@ -185,9 +185,15 @@ def audio_features(df: DataFrame, media_col: str = "media",
     ``functions.wav`` (uncompressed PCM, any channel count / sample
     width) — no librosa/soundfile needed, so this path executes
     end-to-end in this container; undecodable/None media yields NULL
-    features. ``codec='real'`` is where soundfile/ffmpeg slots in for
-    compressed formats (MP3/FLAC/Opus) — unavailable here, so it
-    raises.
+    features. ``codec='mp3'`` runs a REAL container-level parse: the
+    ``functions.mp3`` frame-header walker (sync/version/layer, bitrate
+    + sample-rate tables, frame-length arithmetic, ID3 tags) yields
+    sample_rate / channels / n_frames (MPEG frames) / duration_sec;
+    amplitude features (mean_abs, peak) are NULL for MP3 by design —
+    they need the PCM decode that remains the library slot, and this
+    layer never fabricates them. ``codec='real'`` is where
+    soundfile/ffmpeg slots in for full compressed decode
+    (MP3 PCM/FLAC/Opus) — unavailable here, so it raises.
 
     Features (over the interleaved PCM stream, all channels pooled):
     ``mean_abs`` = mean absolute amplitude, ``peak`` = max absolute
@@ -196,10 +202,11 @@ def audio_features(df: DataFrame, media_col: str = "media",
     deviations from 128 there; 24-bit is decoded via sign-extension.
     ``duration_sec`` = n_frames / sample_rate (exact double division).
     """
-    if codec not in ("wav", "real"):
+    if codec not in ("wav", "mp3", "real"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyctaxidatapipeline_spark.functions.mp3 import parse_mp3
         from nyctaxidatapipeline_spark.functions.wav import parse_wav
 
         for pdf in batches:
@@ -208,6 +215,17 @@ def audio_features(df: DataFrame, media_col: str = "media",
                     "compressed audio decode needs soundfile/ffmpeg")
             out = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
+                if codec == "mp3":
+                    try:
+                        meta = parse_mp3(media or b"")
+                    except ValueError:
+                        out.append((aid, None, None, None, None, None,
+                                    None))
+                        continue
+                    out.append((aid, meta["sample_rate"],
+                                meta["channels"], meta["n_frames"],
+                                meta["duration_sec"], None, None))
+                    continue
                 try:
                     meta = parse_wav(media or b"")
                 except ValueError:
