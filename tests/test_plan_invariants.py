@@ -29,7 +29,9 @@ SF = "/root/testdata/sf0.001"
 #: wins plus the multimodal decode zone (real codecs run in Python by
 #: design; media synthesis + decode are both mapInPandas stages there)
 ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
+            "image_features_jpeg_prog",
             "frame_sample", "frame_sample_avi", "audio_features",
+            "audio_features_mp3",
             "semantic_dedup_auto", "knn_graph_ivf"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
