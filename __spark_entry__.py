@@ -1776,6 +1776,41 @@ def _q_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(assets, every_n=2, codec="avi")
 
 
+def _q_frame_sample_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a REAL compressed-video bitstream format:
+    each document row synthesizes a structurally-valid H.264 Annex-B
+    stream (baseline SPS for 64x48 + PPS + ``doc_id mod 7 + 3`` slice
+    NALs, IDR every 4th) via ``functions.h264``;
+    ``frame_sample(codec='h264')`` walks start codes, classifies NAL
+    types, and parses the SPS for real to locate every 2nd slice NAL's
+    absolute payload offset. The twin computes the offsets
+    arithmetically from the deterministic layout (23-byte SPS+PPS
+    header for this geometry, 3 + 64 = 67-byte slice stride) — a NAL
+    walker or SPS regression breaks the value hash. Pixel decode of
+    the sampled frames remains the documented PyAV/ffmpeg slot."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.h264 import (
+        synth_h264_stream,
+    )
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = [synth_h264_stream(64, 48, int(d) % 7 + 3,
+                                       idr_interval=4, slice_bytes=64)
+                     for d in pdf["doc_id"]]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return frame_sample(assets, every_n=2, codec="h264")
+
+
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, oracle-gated end-to-end: each document row
     synthesizes a deterministic mono 16-bit 8 kHz PCM WAV through the
@@ -2533,6 +2568,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: entries the r6 VERDICT asked to re-record.
 _ROUND7_FRONT = [
     "image_features_jpeg_prog", "audio_features_mp3",
+    "frame_sample_h264",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
     "ann_pq", "frame_sample_avi", "audio_features",
 ]
@@ -2615,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (harness-verified; rotate forward next) ---
         "ann_pq": _q_ann_pq,
         "frame_sample_avi": _q_frame_sample_avi,
+        "frame_sample_h264": _q_frame_sample_h264,
         "audio_features": _q_audio_features,
         "audio_features_mp3": _q_audio_features_mp3,
         # --- previously driver-verified (CORRECTNESS_r02 + _r03) ---
@@ -5311,6 +5348,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id,
                    CAST(i.i AS INTEGER) AS frame_index,
                    232 + (i.i * 2) * 776 AS frame_offset
+            FROM documents, LATERAL (
+              SELECT unnest(generate_series(
+                  0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))
+                  AS i) i
+        """,
+        # Twin of the H.264 NAL walk (functions/h264.py synth layout):
+        # 4+1+14-byte SPS + 8-byte PPS NAL = 23-byte prefix for the
+        # 64x48 baseline geometry -> first slice payload at 23; stride
+        # 3 (start code) + 64 (slice bytes) = 67. Every 2nd slice of
+        # doc_id%7+3: offset = 23 + (i*2)*67.
+        "frame_sample_h264": """
+            SELECT doc_id AS asset_id,
+                   CAST(i.i AS INTEGER) AS frame_index,
+                   23 + (i.i * 2) * 67 AS frame_offset
             FROM documents, LATERAL (
               SELECT unnest(generate_series(
                   0, CAST(ceil((doc_id % 7 + 3) / 2.0) AS BIGINT) - 1))

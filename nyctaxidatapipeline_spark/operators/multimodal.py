@@ -5,11 +5,14 @@ schemas, Arrow batch flow, partitioning. Decode is ALSO real for PNG
 (pure-stdlib codec in ``functions.png``), JPEG — baseline SOF0 AND
 progressive SOF2 (``functions.jpeg``; grayscale/YCbCr, 4:4:4 and
 4:2:0; a real corpus is JPEG-first and majority-progressive), AVI
-containers (``functions.avi`` RIFF walker) and WAV audio (stdlib
-``wave`` via ``functions.wav``) — no PIL/ffmpeg/librosa required. The
-remaining compressed formats (MP3, H.264) document the exact library
-call that slots in and raise ``NotImplementedError``, with the
-deterministic fake codec exercising their plumbing.
+containers (``functions.avi`` RIFF walker), WAV audio (stdlib ``wave``
+via ``functions.wav``), MP3 frame headers (``functions.mp3``), and
+H.264 Annex-B NAL/SPS structure (``functions.h264``) — no
+PIL/ffmpeg/librosa required. What remains a documented
+``NotImplementedError`` slot is only the ``codec='real'`` full
+compressed-PCM/pixel decode (PIL / PyAV / soundfile), with the
+deterministic fake codec exercising its plumbing; container-level
+metadata for every format family is parsed for real.
 
 Design:
   * One row per asset: ``asset_id long, media binary, meta struct<...>``.
@@ -133,18 +136,23 @@ def frame_sample(df: DataFrame, every_n: int = 10,
     with movi-scan fallback) locates each uncompressed '00db' frame's
     absolute payload offset — no ffmpeg needed, so this path executes
     end-to-end in this container; unparseable/None media yields no rows,
-    matching the fake-codec convention. ``codec='real'`` is where
-    PyAV/ffmpeg slots in for compressed codecs — unavailable here, so it
-    raises. ``codec='fake'`` treats the payload as fixed-size frames of
-    ``frame_size`` bytes after the 8-byte test header (cheapest plumbing
-    verification). All paths share the explode-shaped output (rows out
-    ≫ rows in).
+    matching the fake-codec convention. ``codec='h264'`` likewise runs a
+    REAL Annex-B elementary-stream walk (``functions.h264`` — start
+    codes, NAL classification, SPS dimensions): frames are the slice
+    NALs (types 1/5) and the offset is the NAL's absolute payload
+    offset; pixel decode of the sampled frames remains the PyAV/ffmpeg
+    slot. ``codec='real'`` is where PyAV/ffmpeg slots in for full
+    compressed decode — unavailable here, so it raises. ``codec='fake'``
+    treats the payload as fixed-size frames of ``frame_size`` bytes
+    after the 8-byte test header (cheapest plumbing verification). All
+    paths share the explode-shaped output (rows out ≫ rows in).
     """
-    if codec not in ("fake", "real", "avi"):
+    if codec not in ("fake", "real", "avi", "h264"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nyctaxidatapipeline_spark.functions.avi import parse_avi
+        from nyctaxidatapipeline_spark.functions.h264 import parse_h264
 
         for pdf in batches:
             if codec == "real":
@@ -161,6 +169,16 @@ def frame_sample(df: DataFrame, every_n: int = 10,
                     for idx, f_i in enumerate(range(0, len(offs),
                                                     every_n)):
                         rows.append((aid, idx, offs[f_i][0]))
+                    continue
+                if codec == "h264":
+                    try:
+                        meta = parse_h264(media or b"")
+                    except ValueError:
+                        continue
+                    sl = meta["slices"]
+                    for idx, f_i in enumerate(range(0, len(sl),
+                                                    every_n)):
+                        rows.append((aid, idx, sl[f_i][0]))
                     continue
                 parsed = _decode_header(media)
                 if parsed is None:

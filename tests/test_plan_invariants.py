@@ -30,7 +30,8 @@ SF = "/root/testdata/sf0.001"
 #: design; media synthesis + decode are both mapInPandas stages there)
 ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
             "image_features_jpeg_prog",
-            "frame_sample", "frame_sample_avi", "audio_features",
+            "frame_sample", "frame_sample_avi", "frame_sample_h264",
+            "audio_features",
             "audio_features_mp3",
             "semantic_dedup_auto", "knn_graph_ivf"}
 
