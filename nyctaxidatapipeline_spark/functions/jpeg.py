@@ -160,6 +160,31 @@ def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple, int]:
     return out
 
 
+def _huff_decode_lut(bits: tuple, vals: tuple) -> list:
+    """16-bit-prefix lookup table: ``lut[next16bits] -> (symbol,
+    code_length)`` (None for invalid prefixes). Cached per table —
+    the Annex K standard tables build once per process, per-image DHT
+    segments with identical contents hit the cache too."""
+    cached = _LUT_CACHE.get((bits, vals))
+    if cached is not None:
+        return cached
+    lut: list = [None] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[base:base + span] = [(vals[k], length)] * span
+            code += 1
+            k += 1
+        code <<= 1
+    _LUT_CACHE[(bits, vals)] = lut
+    return lut
+
+
+_LUT_CACHE: dict = {}
+
+
 def _category(v: int) -> int:
     """JPEG magnitude category (bit length of |v|)."""
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -200,7 +225,13 @@ class _BitWriter:
 
 class _BitReader:
     """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers
-    (leaving them for the caller), rejects premature truncation."""
+    (leaving them for the caller), rejects premature truncation.
+
+    Reads are chunked, not per-bit: ``bits(k)`` fills the accumulator
+    bytewise and extracts ``k`` bits in one shift, and ``peek16`` +
+    ``consume`` support the LUT Huffman decoder (``_huff_symbol``) —
+    the per-bit/per-level loops measured as the decode hot spot at
+    bench scale (hundreds of images per task)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -223,6 +254,26 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.n += 8
 
+    def _fill_soft(self) -> bool:
+        """Like ``_fill`` but returns False at a marker / stream end
+        instead of raising — lets ``peek16`` look ahead across the
+        final partial byte of a scan (JPEG pads scans with 1-bits, so
+        the pad is synthesized at lookup time, never consumed)."""
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                self.pos += 2
+            else:
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
     def bit(self) -> int:
         if not self.n:
             self._fill()
@@ -230,10 +281,26 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits MSB-first, 1-padded past the end of the
+        entropy segment (the spec's pad convention); does not
+        consume."""
+        while self.n < 16 and self._fill_soft():
+            pass
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        pad = 16 - self.n
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        if k > self.n:
+            raise ValueError("jpeg: truncated entropy stream")
+        self.n -= k
 
     def align_to_marker(self) -> None:
         """Drop partial byte and return position to the 0xFF marker."""
@@ -472,7 +539,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 n = sum(bits)
                 vals = list(seg[i + 17:i + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = \
-                    _huff_decode_map(bits, vals)
+                    _huff_decode_lut(tuple(bits), tuple(vals))
                 i += 17 + n
         elif marker == 0xDD:                              # DRI
             restart = struct.unpack(">H", seg[:2])[0]
@@ -520,15 +587,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("jpeg: no SOS marker")
 
 
-def _huff_symbol(br: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg: invalid Huffman code")
+def _huff_symbol(br: _BitReader, lut: list) -> int:
+    """One-lookup Huffman decode: peek 16 bits, index the prefix LUT,
+    consume the matched code's length. Replaces the per-bit walk that
+    dominated decode profiles (one dict probe per code LEVEL)."""
+    e = lut[br.peek16()]
+    if e is None:
+        raise ValueError("jpeg: invalid Huffman code")
+    br.consume(e[1])
+    return e[0]
 
 
 def _decode_scan(data, pos, frame, sel, qts, dc_tabs, ac_tabs, restart):
