@@ -7,13 +7,19 @@ with full support for all five scanline filter types (None/Sub/Up/
 Average/Paeth). That covers everything the matching ``encode_png``
 emits and the common output of real encoders for small assets.
 
+Adam7 interlacing IS supported (both directions): each of the seven
+passes is an independently-filtered sub-image — pass scanlines
+unfilter against the pass's own previous line, then scatter into the
+output grid on the pass's (origin, step) lattice; empty passes of
+tiny images contribute zero bytes, per the spec.
+
 Scope notes (deliberate, documented limits — a ``ValueError`` names the
 unsupported feature rather than mis-decoding): no palette (color type
-3), no 16-bit channels, no interlacing (Adlam 7), ancillary chunks are
-skipped. Production swaps in PIL/turbojpeg for breadth + SIMD; the
-operator plumbing (Arrow batching, column pruning, schema) is identical
-either way — which is the point: ``image_features(codec='png')`` runs a
-REAL decode end-to-end in this container.
+3), no 16-bit channels, ancillary chunks are skipped. Production swaps
+in PIL/turbojpeg for breadth + SIMD; the operator plumbing (Arrow
+batching, column pruning, schema) is identical either way — which is
+the point: ``image_features(codec='png')`` runs a REAL decode
+end-to-end in this container.
 
 Decode cost is per-byte Python for Sub/Average/Paeth scanlines (the
 filters have an intra-line sequential dependency); None/Up lines are
@@ -30,6 +36,18 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 #: channels per pixel by PNG color type (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 6: 4}
+
+#: Adam7 pass lattice: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) for each Adam7 pass; (0, h)/(w, 0)
+    passes are empty and carry no scanlines at all."""
+    return [(-(-(width - x0) // dx) if width > x0 else 0,
+             -(-(height - y0) // dy) if height > y0 else 0)
+            for x0, y0, dx, dy in _ADAM7]
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -90,12 +108,14 @@ def _unfilter(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
 
 
 def encode_png(width: int, height: int, pixels: bytes,
-               color_type: int = 2, filter_type: int = 0) -> bytes:
+               color_type: int = 2, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """Encode raw 8-bit pixel bytes (row-major, no padding) as a PNG.
 
     ``filter_type`` selects the scanline filter applied to EVERY line —
     0 for the trivial stream, 1-4 to exercise the decoder's unfilter
-    paths in tests.
+    paths in tests. ``interlace=True`` emits an Adam7 stream: each
+    pass's sub-image is extracted and filtered independently.
     """
     ch = _CHANNELS.get(color_type)
     if ch is None:
@@ -104,14 +124,31 @@ def encode_png(width: int, height: int, pixels: bytes,
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, "
                          f"got {len(pixels)}")
-    prev = bytes(stride)
     lines = []
-    for y in range(height):
-        raw = pixels[y * stride:(y + 1) * stride]
-        lines.append(bytes([filter_type])
-                     + _apply_filter(filter_type, raw, prev, ch))
-        prev = raw
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace:
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7,
+                                              _adam7_dims(width, height)):
+            if pw == 0 or ph == 0:
+                continue
+            prev = bytes(pw * ch)
+            for py in range(ph):
+                y = y0 + py * dy
+                raw = b"".join(
+                    pixels[(y * width + x0 + px * dx) * ch:
+                           (y * width + x0 + px * dx) * ch + ch]
+                    for px in range(pw))
+                lines.append(bytes([filter_type])
+                             + _apply_filter(filter_type, raw, prev, ch))
+                prev = raw
+    else:
+        prev = bytes(stride)
+        for y in range(height):
+            raw = pixels[y * stride:(y + 1) * stride]
+            lines.append(bytes([filter_type])
+                         + _apply_filter(filter_type, raw, prev, ch))
+            prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
             + _chunk(b"IEND", b""))
@@ -128,6 +165,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG (bad signature)")
     pos = len(_SIG)
     width = height = channels = -1
+    adam7 = False
     idat = bytearray()
     seen_end = False
     while pos + 8 <= len(data):
@@ -144,11 +182,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported bit depth {depth}")
             if ctype not in _CHANNELS:
                 raise ValueError(f"unsupported color type {ctype}")
-            if interlace:
-                raise ValueError("interlaced PNGs unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
             if comp or filt:
                 raise ValueError("nonstandard compression/filter method")
             channels = _CHANNELS[ctype]
+            adam7 = interlace == 1
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -160,6 +199,33 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IEND")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
+    if adam7:
+        expected = sum((pw * channels + 1) * ph
+                       for pw, ph in _adam7_dims(width, height)
+                       if pw and ph)
+        if len(raw) != expected:
+            raise ValueError(f"IDAT decodes to {len(raw)} bytes, "
+                             f"expected {expected} (Adam7)")
+        out = bytearray(stride * height)
+        pos = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7,
+                                              _adam7_dims(width, height)):
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * channels
+            prev = bytes(pstride)
+            for py in range(ph):
+                ftype = raw[pos]
+                line = bytearray(raw[pos + 1:pos + 1 + pstride])
+                pos += 1 + pstride
+                _unfilter(ftype, line, prev, channels)
+                y = y0 + py * dy
+                for px in range(pw):
+                    o = (y * width + x0 + px * dx) * channels
+                    out[o:o + channels] = \
+                        line[px * channels:(px + 1) * channels]
+                prev = bytes(line)
+        return width, height, channels, bytes(out)
     if len(raw) != (stride + 1) * height:
         raise ValueError(f"IDAT decodes to {len(raw)} bytes, expected "
                          f"{(stride + 1) * height}")

@@ -87,6 +87,33 @@ def test_png_roundtrip_all_filters():
                                  filter_type=4))[3] == a
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 decode must reproduce the exact pixels of the progressive
+    pass lattice — including tiny images whose later passes are EMPTY
+    (a zero-width pass contributes no scanlines at all, the spec's
+    edge case) and every scanline filter within a pass."""
+    import numpy as np
+
+    from nyctaxidatapipeline_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(41)
+    for (w, h, ct) in [(16, 16, 0), (17, 13, 2), (1, 1, 0), (2, 2, 6),
+                       (3, 3, 2), (7, 5, 0), (8, 8, 6), (33, 21, 2),
+                       (5, 1, 0), (1, 9, 2)]:
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        px = rng.integers(0, 256, size=w * h * ch,
+                          dtype=np.uint8).tobytes()
+        for ftype in range(5):
+            data = encode_png(w, h, px, color_type=ct,
+                              filter_type=ftype, interlace=True)
+            gw, gh, gch, got = decode_png(data)
+            assert (gw, gh, gch) == (w, h, ch), (w, h, ct, ftype)
+            assert got == px, f"adam7 {w}x{h} ct{ct} f{ftype}"
+
+
 def test_png_rejects_unsupported():
     from nyctaxidatapipeline_spark.functions.png import decode_png
 
@@ -94,6 +121,15 @@ def test_png_rejects_unsupported():
         decode_png(b"not a png at all")
     with pytest.raises(ValueError, match="truncated|IEND|IHDR"):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    # bad interlace method byte (2) must be named, not mis-decoded
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    body = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + \
+        struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + body)
 
 
 def test_image_features_png_codec(spark):
