@@ -28,7 +28,8 @@ SF = "/root/testdata/sf0.001"
 #: queries allowed an Arrow-batched pandas kernel — the documented BLAS
 #: wins plus the multimodal decode zone (real codecs run in Python by
 #: design; media synthesis + decode are both mapInPandas stages there)
-ARROW_OK = {"embedding_near_dup", "image_features", "image_features_jpeg",
+ARROW_OK = {"embedding_near_dup", "image_features",
+            "image_features_png_i7", "image_features_jpeg",
             "image_features_jpeg_prog",
             "frame_sample", "frame_sample_avi", "frame_sample_h264",
             "audio_features",
