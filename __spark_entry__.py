@@ -1656,6 +1656,42 @@ def _q_image_features_png_i7(spark: SparkSession,
             .select("asset_id", "width", "height", "mean_intensity"))
 
 
+def _q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-gated end-to-end: each document row
+    synthesizes a deterministic 8x4 indexed GIF (index i =
+    (doc_id*31 + i*7) mod 256 over the 256-entry grayscale palette;
+    odd doc_ids encode with the four-pass interlace) through
+    ``functions.gif``, and ``image_features(codec='gif')`` decodes it
+    back — variable-width LZW, sub-block reassembly, interlace
+    de-scatter, palette lookup. GIF is LOSSLESS, so the twin computes
+    mean RGB intensity arithmetically (grayscale palette => mean of
+    the 96 RGB bytes = 3·sum(index)/96); a defect anywhere in the LZW
+    or container walk flips the value hash."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.gif import encode_gif
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = [
+                encode_gif(8, 4,
+                           bytes((int(d) * 31 + i * 7) % 256
+                                 for i in range(32)),
+                           interlace=bool(int(d) % 2))
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    return (image_features(assets, codec="gif")
+            .select("asset_id", "width", "height", "mean_intensity"))
+
+
 def _q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode, oracle-gated end-to-end (VERDICT r5
     item 5 — a real corpus is JPEG-first): each document row
@@ -2665,7 +2701,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: — plus new round-7 queries, plus the three r6-verified-but-rotated
 #: entries the r6 VERDICT asked to re-record.
 _ROUND7_FRONT = [
-    "warc_ingest",
+    "warc_ingest", "image_features_gif",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -2845,8 +2881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_jpeg_prog": _q_image_features_jpeg_prog,
         "substring_dedup": _q_substring_dedup,
         "blocklist_stats": _q_blocklist_stats,
-        # --- round 7: crawl-archive ingestion source ---
+        # --- round 7: crawl-archive ingestion source + GIF codec ---
         "warc_ingest": _q_warc_ingest,
+        "image_features_gif": _q_image_features_gif,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5409,6 +5446,23 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(SUM((doc_id * 31 + i.i) % 256)
                                 AS DOUBLE) / 96
                     FROM (SELECT unnest(generate_series(0, 95)) AS i) i)
+                       AS mean_intensity
+            FROM documents
+        """,
+        # Twin of the GIF decode roundtrip: lossless indexed pixels on
+        # the grayscale palette (r=g=b=index), index i =
+        # (doc_id*31 + i*7) % 256 — mean over the 96 RGB bytes is
+        # 3*sum(index)/96, an exact integer-sum double division on
+        # both engines. Interlace (odd doc_ids) is lossless, so the
+        # same arithmetic covers both encodings; the gate verifies the
+        # LZW + four-pass lattice bookkeeping.
+        "image_features_gif": """
+            SELECT doc_id AS asset_id,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   (SELECT CAST(SUM(3 * ((doc_id * 31 + i.i * 7) % 256))
+                                AS DOUBLE) / 96
+                    FROM (SELECT unnest(generate_series(0, 31)) AS i) i)
                        AS mean_intensity
             FROM documents
         """,

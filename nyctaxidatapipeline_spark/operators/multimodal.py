@@ -81,16 +81,20 @@ def image_features(df: DataFrame, media_col: str = "media",
     the fake-codec convention. ``codec='jpeg'`` likewise runs a REAL
     decode through ``functions.jpeg`` (baseline SOF0 AND progressive
     SOF2, grayscale/YCbCr, 4:4:4 and 4:2:0 — a real corpus is
-    JPEG-first and majority-progressive). ``codec='real'`` is where
+    JPEG-first and majority-progressive). ``codec='gif'`` runs a REAL
+    decode through ``functions.gif`` (GIF87a/89a, LZW with code-size
+    growth + dictionary reset, four-pass interlacing, global/local
+    color tables). ``codec='real'`` is where
     ``PIL.Image.open(io.BytesIO(b))`` slots in for full format breadth
     (WebP, ...) — unavailable in this container, so it raises.
     ``codec='fake'`` parses the deterministic 8-byte header (cheapest
     plumbing verification).
     """
-    if codec not in ("fake", "real", "png", "jpeg"):
+    if codec not in ("fake", "real", "png", "jpeg", "gif"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyctaxidatapipeline_spark.functions.gif import decode_gif
         from nyctaxidatapipeline_spark.functions.jpeg import decode_jpeg
         from nyctaxidatapipeline_spark.functions.png import decode_png
 
@@ -101,8 +105,9 @@ def image_features(df: DataFrame, media_col: str = "media",
                     "PIL.Image.open(io.BytesIO(media)) here")
             out = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
-                if codec in ("png", "jpeg"):
-                    dec = decode_png if codec == "png" else decode_jpeg
+                if codec in ("png", "jpeg", "gif"):
+                    dec = {"png": decode_png, "jpeg": decode_jpeg,
+                           "gif": decode_gif}[codec]
                     try:
                         w, h, _ch, px = dec(media or b"")
                     except ValueError:
