@@ -1692,6 +1692,49 @@ def _q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("asset_id", "width", "height", "mean_intensity"))
 
 
+def _q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup, oracle-gated end-to-end: PNGs are
+    synthesized with exactly 50 distinct pixel contents (pixel i =
+    ((doc_id mod 50)*31 + i*7) mod 256 — distinct residues provably
+    differ at pixel 1 since 31·Δ is never 0 mod 256 for 0<Δ<50, and
+    the scanline filter still cycles doc_id mod 5 so identical images
+    arrive through DIFFERENT encodings), then one decode pass emits
+    the 64-bit dHash blocking key + exact pixel digest
+    (``image_dhash``) and ``image_dedup_groups`` groups on the
+    composite key — the hash-block-then-verify shape (MinHash-LSH
+    transplanted to pixels; a dHash collision between different
+    images cannot merge groups because the md5 confirms). The twin
+    knows the ground-truth groups are the doc_id mod 50 residue
+    classes. At 100 TB: one decode pass, one hash-bucket shuffle,
+    never all-pairs."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.png import encode_png
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_dedup_groups,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = [
+                encode_png(8, 4,
+                           bytes(((int(d) % 50) * 31 + i * 7) % 256
+                                 for i in range(96)),
+                           filter_type=int(d) % 5)
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    keys = image_dhash(assets, codec="png")
+    return (image_dedup_groups(keys)
+            .select(F.col("asset_id").alias("doc_id"), "rep_id",
+                    "n_dups"))
+
+
 def _q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode, oracle-gated end-to-end (VERDICT r5
     item 5 — a real corpus is JPEG-first): each document row
@@ -2763,6 +2806,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: entries the r6 VERDICT asked to re-record.
 _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
+    "image_dedup_dhash",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -2946,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "image_features_gif": _q_image_features_gif,
         "webdataset_ingest": _q_webdataset_ingest,
+        "image_dedup_dhash": _q_image_dedup_dhash,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5526,6 +5571,17 @@ def oracle_sql() -> dict[str, str]:
                                 AS DOUBLE) / 96
                     FROM (SELECT unnest(generate_series(0, 31)) AS i) i)
                        AS mean_intensity
+            FROM documents
+        """,
+        # Twin of the dHash-block + md5-verify image dedup: the ground
+        # truth is the doc_id mod 50 residue classes (the synthesis
+        # plants exactly 50 distinct images).
+        "image_dedup_dhash": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY doc_id % 50)
+                       AS rep_id,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id % 50)
+                        AS INTEGER) AS n_dups
             FROM documents
         """,
         # Twin of the baseline-JPEG decode roundtrip: eight constant

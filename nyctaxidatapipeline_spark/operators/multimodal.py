@@ -288,6 +288,93 @@ def audio_features(df: DataFrame, media_col: str = "media",
     return pruned.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def dhash64(gray: "np.ndarray") -> int:
+    """64-bit difference hash of a grayscale image (float array, any
+    geometry): box-average down/up-sample to 9x8 on deterministic
+    ``linspace`` cell boundaries, then one bit per horizontal neighbor
+    pair (left > right). The standard perceptual blocking key — robust
+    to re-encoding and small pixel noise, cheap enough to compute at
+    decode time."""
+    h, w = gray.shape
+    rb = np.linspace(0, h, 9, dtype=np.int64)
+    cb = np.linspace(0, w, 10, dtype=np.int64)
+    cells = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        rows = gray[rb[r]:max(rb[r + 1], rb[r] + 1)]
+        for c in range(9):
+            cells[r, c] = rows[:, cb[c]:max(cb[c + 1], cb[c] + 1)].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement into a signed 64-bit long for the Spark column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+IMAGE_DHASH_SCHEMA = "asset_id long, dhash long, px_md5 string"
+
+
+def image_dhash(df: DataFrame, media_col: str = "media",
+                id_col: str = "asset_id",
+                codec: str = "png") -> DataFrame:
+    """Per-image perceptual blocking key + exact-verify digest, in one
+    decode pass: ``(asset_id, dhash, px_md5)``.
+
+    The near-dup-image dataflow at 100 TB is hash-block-then-verify —
+    the MinHash-LSH shape transplanted to pixels: group by the 64-bit
+    dHash (cheap, re-encoding-robust), then confirm candidates inside
+    a bucket with the exact pixel digest, so a hash collision between
+    genuinely different images can never merge their groups. Both keys
+    come out of the single decode, so dedup downstream is pure
+    JVM-side groupBy/window — no second look at the bytes.
+    Undecodable/None media yields NULL keys (dropped by dedup)."""
+    if codec not in ("png", "jpeg", "gif"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from nyctaxidatapipeline_spark.functions.gif import decode_gif
+        from nyctaxidatapipeline_spark.functions.jpeg import decode_jpeg
+        from nyctaxidatapipeline_spark.functions.png import decode_png
+        dec = {"png": decode_png, "jpeg": decode_jpeg,
+               "gif": decode_gif}[codec]
+
+        for pdf in batches:
+            out = []
+            for aid, media in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    w, h, ch, px = dec(media or b"")
+                except ValueError:
+                    out.append((aid, None, None))
+                    continue
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+                gray = arr.reshape(h, w, ch).mean(axis=2) if ch > 1 \
+                    else arr.reshape(h, w)
+                out.append((aid, dhash64(gray),
+                            hashlib.md5(px).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "dhash", "px_md5"])
+
+    pruned = df.select(F.col(id_col).alias(id_col), media_col)
+    return pruned.mapInPandas(extract, schema=IMAGE_DHASH_SCHEMA)
+
+
+def image_dedup_groups(keys: DataFrame) -> DataFrame:
+    """Exact-duplicate image groups from :func:`image_dhash` keys:
+    block on ``dhash`` AND confirm on ``px_md5`` (one window over the
+    composite key — a hash-bucket equi-shuffle, never all-pairs).
+    Emits ``(asset_id, rep_id, n_dups)`` with the min-id
+    representative — the keep-list join key for the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash", "px_md5")
+    return (keys.filter(F.col("dhash").isNotNull())
+            .select("asset_id",
+                    F.min("asset_id").over(w).alias("rep_id"),
+                    F.count("*").over(w).cast("int").alias("n_dups")))
+
+
 def with_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Cheap JVM-side metadata (no decode): byte length + magic-byte format
     sniff — the column you filter/partition on BEFORE paying for decode."""

@@ -382,3 +382,57 @@ def test_jpeg_fuzz_only_valueerror():
             pass                            # the ONLY allowed failure
 
     run()
+
+
+# ---------------------------------------------------------------- dhash
+
+def test_dhash64_known_pattern():
+    import numpy as np
+
+    from nyctaxidatapipeline_spark.operators.multimodal import dhash64
+
+    # native 8x9 grid: cells == pixels; strictly decreasing rows set
+    # every left>right bit -> all-ones hash == signed -1
+    g = np.tile(np.arange(9, 0, -1, dtype=np.float64), (8, 1))
+    assert dhash64(g) == -1
+    # strictly increasing rows -> no bits set
+    assert dhash64(g[:, ::-1].copy()) == 0
+
+
+def test_dhash_identity_and_near_duplicate_distance():
+    import numpy as np
+
+    from nyctaxidatapipeline_spark.operators.multimodal import dhash64
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 48)).astype(np.float64)
+    h0 = dhash64(img)
+    assert dhash64(img.copy()) == h0
+    tweaked = img.copy()
+    tweaked[3, 5] += 1.0  # one-pixel nudge: hamming distance stays tiny
+    ham = bin((h0 ^ dhash64(tweaked)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2
+
+
+def test_image_dhash_and_dedup_groups(spark):
+    from nyctaxidatapipeline_spark.functions.png import encode_png
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_dedup_groups,
+        image_dhash,
+    )
+
+    px_a = bytes((i * 3) % 256 for i in range(96))
+    px_b = bytes((i * 5 + 1) % 256 for i in range(96))
+    rows = [(0, encode_png(8, 4, px_a, filter_type=0)),
+            (1, encode_png(8, 4, px_a, filter_type=2)),  # same image,
+            (2, encode_png(8, 4, px_b)),                 # different enc
+            (3, b"not an image"), (4, None)]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    keys = image_dhash(df, codec="png")
+    got = {r.asset_id: (r.dhash, r.px_md5) for r in keys.collect()}
+    assert got[0] == got[1]          # identical pixels, different PNGs
+    assert got[0] != got[2]
+    assert got[3] == (None, None) and got[4] == (None, None)
+    groups = {r.asset_id: (r.rep_id, r.n_dups)
+              for r in image_dedup_groups(keys).collect()}
+    assert groups == {0: (0, 2), 1: (0, 2), 2: (2, 1)}  # nulls dropped
