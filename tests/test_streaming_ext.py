@@ -352,3 +352,57 @@ def test_versioned_append_retries_after_unrelated_cas_loss(
     n_before = len(table_versions(t))
     fn(spark.createDataFrame([(2, "b")], "k long, s string"), 1)
     assert len(table_versions(t)) == n_before and calls["n"] == 3
+
+
+def test_streaming_warc_ingestion_e2e(spark, tmp_path):
+    """WARC segments landing in a directory stream through parse +
+    on-arrival dedup into the admitted corpus; drained result equals
+    the batch parse + dedup of the same segments, and restart-replay
+    admits nothing twice."""
+    import hashlib
+
+    from nyctaxidatapipeline_spark.sources.warc import (
+        synth_warc_gz,
+        synth_warc_record,
+        warc_date_for,
+    )
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_warc_ingestion,
+    )
+
+    def rec(i, text):
+        return synth_warc_record(
+            f"http://corpus.example/{i}", text.encode(),
+            record_id=hashlib.md5(str(i).encode()).hexdigest(),
+            date=warc_date_for(i))
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    # segment 0: docs 1-3; segment 1: doc 4 plus a dup of doc 2's text
+    (land / "seg-0.warc.gz").write_bytes(synth_warc_gz(
+        [rec(1, "alpha beta"), rec(2, "gamma delta"),
+         rec(3, "epsilon zeta")]))
+    (land / "seg-1.warc.gz").write_bytes(synth_warc_gz(
+        [rec(4, "eta theta"), rec(5, "gamma delta")]))
+    # pin mtimes so the file source's (mtime, path) order — and hence
+    # which duplicate wins admission — is deterministic
+    import os
+    os.utime(land / "seg-0.warc.gz", (1000, 1000))
+    os.utime(land / "seg-1.warc.gz", (2000, 2000))
+
+    corpus = str(tmp_path / "corpus")
+    q = run_warc_ingestion(spark, str(land), corpus,
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    read = lambda: {(r.doc_id, r.text) for r in
+                    spark.read.option("basePath", corpus)
+                    .parquet(corpus).collect()}
+    got = read()
+    assert got == {(1, "alpha beta"), (2, "gamma delta"),
+                   (3, "epsilon zeta"), (4, "eta theta")}  # 5 deduped
+
+    # restart with the same checkpoint: nothing new -> nothing admitted
+    q2 = run_warc_ingestion(spark, str(land), corpus,
+                            checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.stop()
+    assert read() == got
