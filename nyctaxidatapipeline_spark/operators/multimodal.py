@@ -298,15 +298,17 @@ def dhash64(gray: "np.ndarray") -> int:
     h, w = gray.shape
     rb = np.linspace(0, h, 9, dtype=np.int64)
     cb = np.linspace(0, w, 10, dtype=np.int64)
-    cells = np.empty((8, 9), dtype=np.float64)
-    for r in range(8):
-        rows = gray[rb[r]:max(rb[r + 1], rb[r] + 1)]
-        for c in range(9):
-            cells[r, c] = rows[:, cb[c]:max(cb[c + 1], cb[c] + 1)].mean()
+    # one reduceat per axis instead of 72 tiny slice-means (the Python
+    # slice loop measured ~6x the whole decode at sf1); a repeated
+    # boundary (image smaller than the grid) makes reduceat yield the
+    # single row/col at that index — the up-sampling convention.
+    rsum = np.add.reduceat(gray, rb[:-1], axis=0)
+    cells = np.add.reduceat(rsum, cb[:-1], axis=1)
+    rn = np.maximum(np.diff(rb), 1)[:, None]
+    cn = np.maximum(np.diff(cb), 1)[None, :]
+    cells = cells / (rn * cn)
     bits = (cells[:, :-1] > cells[:, 1:]).ravel()
-    out = 0
-    for b in bits:
-        out = (out << 1) | int(b)
+    out = int(np.packbits(bits).view(">u8")[0])
     # two's-complement into a signed 64-bit long for the Spark column
     return out - (1 << 64) if out >= (1 << 63) else out
 
