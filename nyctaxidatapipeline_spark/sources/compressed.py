@@ -1,0 +1,123 @@
+"""Compressed text-shard ingestion — .jsonl.{gz,bz2,xz} corpora.
+
+The interchange format LLM corpora actually ship in (Dolma, RedPajama,
+The Pile): newline-delimited JSON, one document per line, whole-file
+compressed, thousands of shards. All three stdlib codecs are REAL
+here (zlib / bz2 / lzma — no external packages), sniffed per shard by
+magic bytes so a mixed-codec corpus reads through one call.
+
+Scale notes (local[32] -> 1000 executors):
+  * Whole-file gzip/bz2/xz is NOT splittable — the shard is the unit
+    of parallelism, exactly like the WARC segments (``sources/warc.py``)
+    and WebDataset tars. A corpus of ~100k shards keeps every core of
+    a 1000-executor cluster busy; ONE 100 TB file would not. That
+    asymmetry is the reason these corpora ship many-sharded.
+  * Decompress + line split runs in ``mapInPandas`` (Arrow-batched,
+    the sanctioned decode zone); the JSON *parse* does NOT — lines
+    come back as strings and ``from_json`` handles them JVM-side,
+    codegen'd, so schema projection and filters stay in Tungsten.
+  * Spark's native readers also handle ``.gz`` text/JSON transparently
+    (Hadoop codecs) — use them when files sit on disk with the right
+    extensions; this path exists for bytes already in a DataFrame
+    (queue payloads, binaryFile scans, mixed codecs, no extensions).
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["compress", "decompress_auto", "sniff_codec",
+           "read_text_shards", "TEXT_SHARD_SCHEMA"]
+
+_MAGICS = (
+    (b"\x1f\x8b", "gz"),
+    (b"BZh", "bz2"),
+    (b"\xfd7zXZ\x00", "xz"),
+)
+
+#: Schema of the line frame emitted by :func:`read_text_shards`
+#: (``shard_id`` inherits the input column's type).
+TEXT_SHARD_SCHEMA = ("shard_id {shard_id_type}, line_no int, "
+                     "codec string, line string")
+
+
+def sniff_codec(data: bytes) -> str:
+    """Magic-byte codec sniff: ``gz``/``bz2``/``xz``/``none``."""
+    for magic, codec in _MAGICS:
+        if data[:len(magic)] == magic:
+            return codec
+    return "none"
+
+
+def compress(data: bytes, codec: str) -> bytes:
+    """Deterministic compression for fixtures/writers: ``gz`` uses the
+    mtime-free zlib gzip container (same as the WARC members), ``bz2``
+    and ``xz`` are stdlib one-shots (no timestamps in either format).
+    ``none`` passes through."""
+    if codec == "gz":
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+        return co.compress(data) + co.flush()
+    if codec == "bz2":
+        return bz2.compress(data)
+    if codec == "xz":
+        return lzma.compress(data)
+    if codec == "none":
+        return data
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decompress_auto(data: bytes) -> bytes:
+    """Magic-byte sniff, then the matching stdlib decompressor; bytes
+    with no known magic pass through as plain text. Concatenated gzip
+    members decompress fully (wbits 31 + explicit member walk)."""
+    for magic, codec in _MAGICS:
+        if data[:len(magic)] != magic:
+            continue
+        if codec == "gz":
+            out = []
+            while data:
+                dob = zlib.decompressobj(16 + 15)
+                out.append(dob.decompress(data))
+                if not dob.eof:
+                    raise ValueError("truncated gzip shard")
+                data = dob.unused_data
+            return b"".join(out)
+        if codec == "bz2":
+            return bz2.decompress(data)
+        return lzma.decompress(data)
+    return data
+
+
+def read_text_shards(shards: DataFrame, content_col: str = "content",
+                     shard_col: str = "shard_id",
+                     encoding: str = "utf-8") -> DataFrame:
+    """Explode ``(shard_id, content)`` compressed text blobs into one
+    row per line (:data:`TEXT_SHARD_SCHEMA`), codec sniffed per shard.
+    Feed the ``line`` column to ``F.from_json`` for JSONL corpora —
+    the parse stays JVM-side by design."""
+    src = shards.select(shard_col, content_col)
+    schema = TEXT_SHARD_SCHEMA.format(
+        shard_id_type=src.schema[shard_col].dataType.simpleString())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf[shard_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                raw = bytes(blob)
+                codec = sniff_codec(raw)
+                text = decompress_auto(raw).decode(encoding)
+                for i, line in enumerate(text.splitlines()):
+                    rows.append({"shard_id": sid, "line_no": i,
+                                 "codec": codec, "line": line})
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "line_no", "codec", "line"])
+
+    return src.mapInPandas(gen, schema)

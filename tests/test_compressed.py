@@ -1,0 +1,48 @@
+"""Compressed text-shard ingestion — codecs, sniffing, Spark read."""
+
+import json
+
+import pytest
+
+from nyctaxidatapipeline_spark.sources.compressed import (
+    compress,
+    decompress_auto,
+    read_text_shards,
+)
+
+
+@pytest.mark.parametrize("codec", ["gz", "bz2", "xz", "none"])
+def test_compress_roundtrip_and_determinism(codec):
+    data = b"line one\nline two\n" * 50
+    blob = compress(data, codec)
+    assert blob == compress(data, codec)
+    assert decompress_auto(blob) == data
+
+
+def test_decompress_auto_concatenated_gzip_members():
+    blob = compress(b"part a\n", "gz") + compress(b"part b\n", "gz")
+    assert decompress_auto(blob) == b"part a\npart b\n"
+
+
+def test_decompress_auto_plain_passthrough_and_errors():
+    assert decompress_auto(b"not compressed") == b"not compressed"
+    with pytest.raises(ValueError, match="truncated gzip"):
+        decompress_auto(compress(b"x" * 1000, "gz")[:-4])
+    with pytest.raises(ValueError, match="unknown codec"):
+        compress(b"x", "zstd")
+
+
+def test_read_text_shards_mixed_codecs(spark):
+    def jsonl(ids):
+        return "".join(json.dumps({"id": i}) + "\n" for i in ids).encode()
+
+    files = [(0, compress(jsonl([0, 1]), "gz")),
+             (1, compress(jsonl([2]), "bz2")),
+             (2, compress(jsonl([3]), "xz")),
+             (3, None)]
+    df = spark.createDataFrame(files, "shard_id long, content binary")
+    out = (read_text_shards(df)
+           .orderBy("shard_id", "line_no").collect())
+    assert [(r.shard_id, r.line_no, r.codec, json.loads(r.line)["id"])
+            for r in out] == [(0, 0, "gz", 0), (0, 1, "gz", 1),
+                              (1, 0, "bz2", 2), (2, 0, "xz", 3)]

@@ -35,6 +35,7 @@ ARROW_OK = {"embedding_near_dup", "image_features",
             "frame_sample", "frame_sample_avi", "frame_sample_h264",
             "audio_features",
             "audio_features_mp3", "warc_ingest", "webdataset_ingest",
+            "jsonl_ingest",
             "semantic_dedup_auto", "knn_graph_ivf"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
