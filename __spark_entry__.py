@@ -2185,6 +2185,41 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("text_len"))
 
 
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2), oracle-gated.
+    The fixture's documents are single-line and unpunctuated, so the
+    query first RESHAPES each into deterministic multi-line text —
+    doc_id%4+3 words per line, a terminal '.' on every line where
+    (line_index + doc_id) % 3 == 0 — entirely with Catalyst array
+    expressions (no Python), then runs the real ``c4_line_filter``
+    (terminal-punct + min-words + javascript line rules; brace /
+    lorem-ipsum / min-lines page rules). The twin replays the same
+    construction and rules with DuckDB list lambdas, so the line
+    split, word counting, punctuation test, reassembly, and page
+    verdicts are all value-hash-checked. The whole plan is one
+    shuffle-free codegen'd projection — the cheap-rules-first stage a
+    100 TB curation run puts before any shuffling dedup."""
+    from nyctaxidatapipeline_spark.operators.lines import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    k = (F.col("doc_id") % 4 + 3).cast("int")
+    n = F.ceil(F.size(words) / k).cast("int")
+    lines_arr = F.when(F.size(words) > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * k + 1, k), " "),
+            F.when((i + F.col("doc_id")) % 3 == 0, F.lit("."))
+             .otherwise(F.lit(""))))) \
+        .otherwise(F.array().cast("array<string>"))
+    synth = docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("synth_text"))
+    return (c4_line_filter(synth, "synth_text", "doc_id",
+                           min_words=4, min_lines=2)
+            .select(F.col("id").alias("doc_id"), "clean_text",
+                    "n_kept", "n_total", "kept"))
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: at most 10 documents per source, survivors
     picked by portable (md5(id), id) order — one WindowGroupLimit
@@ -2862,7 +2897,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: entries the r6 VERDICT asked to re-record.
 _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
-    "image_dedup_dhash", "jsonl_ingest",
+    "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3048,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_ingest": _q_webdataset_ingest,
         "image_dedup_dhash": _q_image_dedup_dhash,
         "jsonl_ingest": _q_jsonl_ingest,
+        "c4_line_filter": _q_c4_line_filter,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5803,6 +5839,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT)
                        AS text_len
             FROM documents
+        """,
+        # Twin of the C4 line filter: replay the deterministic
+        # multi-line construction (doc_id%4+3 words per line, '.' on
+        # every (i+doc_id)%3==0 line) with list lambdas, re-split the
+        # assembled text exactly as the operator does, then apply the
+        # identical line rules (terminal punct, >=4 words, no
+        # 'javascript') and page rules (no '{', no 'lorem ipsum',
+        # >=2 surviving lines).
+        "c4_line_filter": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 w -> w != '') AS words,
+                     CAST(doc_id % 4 + 3 AS BIGINT) AS k
+              FROM documents
+            ), built AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) > 0 THEN
+                       [array_to_string(words[(i*k+1):(i*k+k)], ' ')
+                        || CASE WHEN (i + doc_id) % 3 = 0
+                                THEN '.' ELSE '' END
+                        FOR i IN range(0,
+                            CAST(ceil(len(words) / CAST(k AS DOUBLE))
+                                 AS BIGINT))]
+                     ELSE [] END AS lines0
+              FROM base
+            ), synth AS (
+              SELECT doc_id,
+                     string_split(array_to_string(lines0, chr(10)),
+                                  chr(10)) AS lines,
+                     array_to_string(lines0, chr(10)) AS synth_text
+              FROM built
+            ), rules AS (
+              SELECT doc_id, lines, synth_text,
+                     list_filter(lines, ln ->
+                         (ends_with(ln, '.') OR ends_with(ln, '!')
+                          OR ends_with(ln, '?')
+                          OR ends_with(ln, '"'))
+                         AND len(list_filter(string_split(ln, ' '),
+                                             w -> w != '')) >= 4
+                         AND NOT contains(lower(ln), 'javascript'))
+                         AS kept_lines
+              FROM synth
+            )
+            SELECT doc_id,
+                   CASE WHEN ok
+                        THEN array_to_string(kept_lines, chr(10))
+                        ELSE '' END AS clean_text,
+                   CAST(len(kept_lines) AS INTEGER) AS n_kept,
+                   CAST(len(lines) AS INTEGER) AS n_total,
+                   ok AS kept
+            FROM (SELECT *,
+                    (NOT contains(synth_text, '{')
+                     AND NOT contains(lower(synth_text), 'lorem ipsum')
+                     AND len(kept_lines) >= 2) AS ok
+                  FROM rules)
         """,
         "domain_cap": """
             SELECT doc_id, source, lang FROM (

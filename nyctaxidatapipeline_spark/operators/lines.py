@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["explode_lines", "dedup_lines", "substring_dedup"]
+__all__ = ["explode_lines", "dedup_lines", "substring_dedup",
+           "c4_line_filter"]
 
 
 def explode_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -168,3 +169,48 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
                         (F.col("n_tokens")
                          - F.coalesce("_n_kept", F.lit(0)))
                         .alias("n_tokens_removed")))
+
+
+def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
+                   min_words: int = 5, min_lines: int = 3,
+                   require_terminal_punct: bool = True) -> DataFrame:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020 §2.2),
+    as one shuffle-free row-local projection — no Python anywhere:
+
+      * keep a line only if it ends in terminal punctuation
+        (``. ! ? "``, toggled by ``require_terminal_punct``), has at
+        least ``min_words`` space-separated words, and does not
+        mention ``javascript`` (case-folded);
+      * drop the whole page if it contains ``{`` or the phrase
+        ``lorem ipsum`` (case-folded), or fewer than ``min_lines``
+        lines survive.
+
+    Emits every document with its rebuilt text and audit counts:
+    ``(id, clean_text, n_kept, n_total, kept)`` — filterable but
+    auditable (the same convention as ``curation_flags``). All
+    predicates are Catalyst expressions (split / filter / array_join),
+    so the whole pass stays inside WholeStageCodegen and scans at
+    column-pruned parquet speed — the cheap-rules-first stage a 100 TB
+    curation run puts BEFORE any shuffling dedup.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    nw = lambda ln: F.size(F.filter(F.split(ln, " "),
+                                    lambda w: w != ""))
+    punct_ok = (lambda ln: (
+        ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+        | ln.endswith('"'))) if require_terminal_punct \
+        else (lambda ln: F.lit(True))
+    keep_line = lambda ln: (punct_ok(ln)
+                            & (nw(ln) >= min_words)
+                            & ~F.lower(ln).contains("javascript"))
+    kept = F.filter(lines, keep_line)
+    page_ok = (~F.col(text_col).contains("{")
+               & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+               & (F.size(kept) >= min_lines))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(page_ok, F.array_join(kept, "\n"))
+         .otherwise(F.lit("")).alias("clean_text"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.size(lines).cast("int").alias("n_total"),
+        page_ok.alias("kept"))

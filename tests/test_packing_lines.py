@@ -246,3 +246,49 @@ def test_substring_dedup_repartition_invariant(spark):
                    substring_dedup(docs.repartition(13), "text",
                                    "doc_id", 8).collect()))
     assert a == b
+
+
+def test_c4_line_filter_rules(spark):
+    from nyctaxidatapipeline_spark.operators.lines import c4_line_filter
+
+    docs = [
+        # 0: two good lines + one unpunctuated + one short -> kept
+        (0, "this line has plenty of words here.\n"
+            "no terminal punctuation so it drops\n"
+            "too short.\n"
+            'quoted line with exactly five words"'),
+        # 1: JavaScript mention kills the line, page falls below min
+        (1, "please enable JavaScript to view this.\n"
+            "another good line with enough words."),
+        # 2: brace kills the whole page even with good lines
+        (2, "a perfectly fine line with words. { }"),
+        # 3: lorem ipsum kills the page, case-folded
+        (3, "Lorem Ipsum dolor sit amet consectetur."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in
+           c4_line_filter(df, "text", "doc_id", min_words=5,
+                          min_lines=2).collect()}
+    assert out[0].kept and out[0].n_kept == 2 and out[0].n_total == 4
+    assert out[0].clean_text == (
+        "this line has plenty of words here.\n"
+        'quoted line with exactly five words"')
+    assert not out[1].kept and out[1].n_kept == 1  # js line dropped
+    assert not out[2].kept and out[2].clean_text == ""
+    assert not out[3].kept
+
+    # punct requirement toggles off: doc 0's unpunctuated line now kept
+    loose = {r.id: r for r in
+             c4_line_filter(df, "text", "doc_id", min_words=5,
+                            min_lines=2,
+                            require_terminal_punct=False).collect()}
+    assert loose[0].n_kept == 3
+
+
+def test_c4_line_filter_plan_is_python_free(spark):
+    from nyctaxidatapipeline_spark.operators.lines import c4_line_filter
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    plan = explain_str(c4_line_filter(df, "text", "doc_id"), "simple")
+    assert "Python" not in plan and "Exchange" not in plan
