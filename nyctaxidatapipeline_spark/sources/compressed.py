@@ -39,6 +39,7 @@ _MAGICS = (
     (b"\x1f\x8b", "gz"),
     (b"BZh", "bz2"),
     (b"\xfd7zXZ\x00", "xz"),
+    (b"\x28\xb5\x2f\xfd", "zst"),
 )
 
 #: Schema of the line frame emitted by :func:`read_text_shards`
@@ -90,6 +91,13 @@ def decompress_auto(data: bytes) -> bytes:
             return b"".join(out)
         if codec == "bz2":
             return bz2.decompress(data)
+        if codec == "zst":
+            # the dominant modern corpus codec (Dolma ships .jsonl.zst);
+            # no zstd module in this container — the call that slots in:
+            raise NotImplementedError(
+                "zstd decode needs the 'zstandard' package (or Python "
+                "3.14's compression.zstd): wire "
+                "zstandard.ZstdDecompressor().decompress(data) here")
         return lzma.decompress(data)
     return data
 

@@ -46,3 +46,12 @@ def test_read_text_shards_mixed_codecs(spark):
     assert [(r.shard_id, r.line_no, r.codec, json.loads(r.line)["id"])
             for r in out] == [(0, 0, "gz", 0), (0, 1, "gz", 1),
                               (1, 0, "bz2", 2), (2, 0, "xz", 3)]
+
+
+def test_zstd_slot_sniffed_and_documented():
+    from nyctaxidatapipeline_spark.sources.compressed import sniff_codec
+
+    zst = b"\x28\xb5\x2f\xfd" + b"\x00" * 8
+    assert sniff_codec(zst) == "zst"
+    with pytest.raises(NotImplementedError, match="zstandard"):
+        decompress_auto(zst)
