@@ -104,7 +104,8 @@ def decompress_auto(data: bytes) -> bytes:
 
 def read_text_shards(shards: DataFrame, content_col: str = "content",
                      shard_col: str = "shard_id",
-                     encoding: str = "utf-8") -> DataFrame:
+                     encoding: str = "utf-8",
+                     errors: str = "replace") -> DataFrame:
     """Explode ``(shard_id, content)`` compressed text blobs into one
     row per line (:data:`TEXT_SHARD_SCHEMA`), codec sniffed per shard.
     Feed the ``line`` column to ``F.from_json`` for JSONL corpora —
@@ -121,7 +122,10 @@ def read_text_shards(shards: DataFrame, content_col: str = "content",
                     continue
                 raw = bytes(blob)
                 codec = sniff_codec(raw)
-                text = decompress_auto(raw).decode(encoding)
+                # errors='replace' by default: one mojibake shard in a
+                # 100k-shard corpus must not kill the whole read — the
+                # U+FFFD markers surface in downstream quality scores
+                text = decompress_auto(raw).decode(encoding, errors)
                 for i, line in enumerate(text.splitlines()):
                     rows.append({"shard_id": sid, "line_no": i,
                                  "codec": codec, "line": line})

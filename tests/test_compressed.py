@@ -55,3 +55,12 @@ def test_zstd_slot_sniffed_and_documented():
     assert sniff_codec(zst) == "zst"
     with pytest.raises(NotImplementedError, match="zstandard"):
         decompress_auto(zst)
+
+
+def test_read_text_shards_tolerates_mojibake(spark):
+    blob = compress(b"good line\n\xff\xfe broken\n", "gz")
+    df = spark.createDataFrame([(0, blob)],
+                               "shard_id long, content binary")
+    rows = read_text_shards(df).orderBy("line_no").collect()
+    assert rows[0].line == "good line"
+    assert "�" in rows[1].line  # replaced, not crashed
