@@ -29,7 +29,9 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-COPIES = 10
+#: key-shifted copies of sf0.1: 10 -> sf1 (default), 100 -> sf10 for
+#: the two-orders-of-magnitude datapoint on the linear scale paths
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 #: table -> (key columns to shift, base expression table for each key)
 SHIFTS = {
