@@ -1420,6 +1420,23 @@ def _q_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "text", "doc_id", max_ratio=0.02)
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy
+    (``text_analysis.char_entropy``): the information-density quality
+    signal (low = boilerplate/char-spam). Shuffle-free sorted-run
+    projection — the oracle recomputes H = log2(n) - sum(r*log2 r)/n
+    from per-(doc, char) counts; integer log arguments keep the two
+    engines' log calls identical, 6-dp round + signed-zero
+    normalization absorb fold-order ulps (a one-char doc is exactly
+    -0.0 pre-normalization on both engines)."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "text", "doc_id")
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring span removal (Lee et al. 2022): every 8-token
     run occurring more than once corpus-wide is excised from all but
@@ -2898,6 +2915,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
     "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
+    "char_entropy",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3084,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_dhash": _q_image_dedup_dhash,
         "jsonl_ingest": _q_jsonl_ingest,
         "c4_line_filter": _q_c4_line_filter,
+        "char_entropy": _q_char_entropy,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5099,6 +5118,31 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of text_analysis.char_entropy: per-(doc, char) run
+        # counts via unnest, then the same integer-argument identity
+        # H = log2(n) - sum(r*log2 r)/n, 6-dp round, + 0.0 signed-zero
+        # normalization (one-char docs round to -0.0 on both engines).
+        "char_entropy": """
+            WITH r AS (
+              SELECT doc_id, COUNT(*) AS run
+              FROM (SELECT doc_id,
+                           unnest(string_split(coalesce(text, ''), ''))
+                               AS c
+                    FROM documents) ch
+              WHERE c <> ''
+              GROUP BY doc_id, c),
+            s AS (
+              SELECT doc_id, SUM(run) AS n, COUNT(*) AS u,
+                     SUM(run * log2(run)) AS sr
+              FROM r GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n, 0) AS INTEGER) AS n_chars,
+                   CAST(COALESCE(s.u, 0) AS INTEGER) AS n_unique_chars,
+                   CASE WHEN s.n > 0
+                        THEN ROUND(log2(s.n) - s.sr / s.n, 6) + 0.0
+                   END AS entropy
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # Twin of text_analysis.blocklist_stats: same case-folded
         # whitespace tokens, exact-match count vs the literal list,

@@ -463,3 +463,110 @@ def winnow_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                   .groupBy("p.id_a", "p.id_b")
                   .agg(F.count("*").alias("n_shared"))
                   .filter(F.col("n_shared") >= min_shared))
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the information-density quality signal (low entropy flags
+    boilerplate, repeated padding, and character-spam documents; the
+    cheap cousin of the compression-ratio filter used by CCNet/
+    RefinedWeb-style curation, see ``compression_ratio`` for the
+    zlib-backed variant).
+
+    SHUFFLE-FREE BY SORTED RUNS: the naive plan (explode chars ->
+    groupBy(doc, char)) shuffles one row per corpus CHARACTER — at
+    100 TB that is the corpus itself. Instead the whole computation is
+    a per-row Catalyst projection: sort the char array, find run
+    boundaries with an index lambda, and fold the integer run lengths
+    through ``H = log2(n) - sum(r*log2(r))/n`` (algebraically equal to
+    ``-sum(p*log2 p)`` but every log argument is an exact integer, so
+    both engines evaluate identical log calls; the fold order is the
+    deterministic run order). Embarrassingly parallel, scales with
+    partition count, zero shuffle.
+
+    Entropy is rounded to 6 dp and signed-zero-normalized (``+ 0.0``):
+    a single-character document yields exactly ``-(1*log2(1)) = -0.0``
+    on BOTH engines — the r5/r6 ``embedding_covariance`` class, handled
+    up front here.
+
+    Unicode note: Spark's ``split(text, '')`` and DuckDB's
+    ``string_split(text, '')`` both split at codepoint boundaries for
+    BMP text (the fixture is ASCII); supplementary-plane parity is
+    untested territory documented here rather than silently assumed.
+
+    Output: (id, n_chars, n_unique_chars, entropy).
+    """
+    cs = F.expr(
+        f"array_sort(filter(split(coalesce({text_col}, ''), ''), "
+        f"c -> c != ''))")
+    n = F.size(F.col("_cs"))
+    # ANSI guards: every element_at index stays in [1, n] — the i-1
+    # arm is dead at i=1 (Or short-circuits), and the whole branch is
+    # dead at n=0 (CaseWhen evaluates lazily per row).
+    bounds = F.expr(
+        "CASE WHEN size(_cs) > 0 THEN "
+        "concat(filter(sequence(1, size(_cs)), i -> i = 1 OR "
+        "element_at(_cs, i) != element_at(_cs, i - 1)), "
+        "array(size(_cs) + 1)) END")
+    runs = F.expr(
+        "CASE WHEN _b IS NOT NULL THEN "
+        "transform(sequence(1, size(_b) - 1), "
+        "j -> CAST(element_at(_b, j + 1) - element_at(_b, j) "
+        "AS DOUBLE)) END")
+    ent = F.expr(
+        "log2(size(_cs)) - aggregate(_r, CAST(0.0 AS DOUBLE), "
+        "(acc, r) -> acc + r * log2(r)) / size(_cs)")
+    return (df.select(F.col(id_col), cs.alias("_cs"))
+              .withColumn("_b", bounds)
+              .withColumn("_r", runs)
+              .select(id_col,
+                      n.alias("n_chars"),
+                      F.coalesce(F.size("_b") - 1, F.lit(0))
+                       .alias("n_unique_chars"),
+                      F.when(n > 0, F.round(ent, 6) + F.lit(0.0))
+                       .alias("entropy")))
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str,
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the RefinedWeb/CCNet-style
+    redundancy signal (ratio near 1 = high-entropy prose; tiny ratio =
+    templated boilerplate worth dropping before training).
+
+    Arrow-batched ``mapInPandas`` (zlib is C-speed; the Python layer
+    only loops the batch) — an acceptable non-codegen path because no
+    Catalyst expression can run DEFLATE. Deterministic for a fixed
+    zlib/level, but NOT oracle-twinnable (DuckDB has no zlib surface),
+    so this operator is unit-gated (`tests/test_text_analysis.py`)
+    rather than driver-gated — same convention as the data-dependent
+    tokenizer trainers (COVERAGE.md). Use ``char_entropy`` when an
+    oracle-checkable signal is required.
+
+    Output: (id, raw_bytes, zlib_bytes, ratio) — ratio NULL for empty
+    text.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw, comp = [], []
+            for t in pdf["_t"]:
+                b = (t or "").encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)))
+            yield pd.DataFrame({"id": pdf["id"], "raw_bytes": raw,
+                                "zlib_bytes": comp})
+
+    out = src.mapInPandas(
+        kern, f"id {id_type}, raw_bytes long, zlib_bytes long")
+    return out.select(
+        "id", "raw_bytes", "zlib_bytes",
+        F.when(F.col("raw_bytes") > 0,
+               F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 6))
+         .alias("ratio"))

@@ -3,6 +3,8 @@
 from pyspark.sql import Row
 
 from nyctaxidatapipeline_spark.operators.text_analysis import (
+    char_entropy,
+    compression_ratio,
     fingerprint,
     fingerprint_dedup,
     language_id,
@@ -267,3 +269,54 @@ def test_blocklist_stats_and_filter(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         blocklist_stats(df, [], "text", "doc_id")
+
+
+def test_char_entropy_known_values(spark):
+    import math
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="aab"),      # runs 2,1 -> H = log2(3) - (2*1)/3
+        Row(doc_id=1, text="aaaa"),     # one run  -> H = -0.0 -> +0.0
+        Row(doc_id=2, text="abcd"),     # uniform  -> H = 2.0
+        Row(doc_id=3, text=""),         # empty    -> NULL entropy
+        Row(doc_id=4, text=None),       # NULL     -> treated as empty
+    ])
+    got = {r.doc_id: (r.n_chars, r.n_unique_chars, r.entropy)
+           for r in char_entropy(df, "text", "doc_id").collect()}
+    assert got[0] == (3, 2, round(math.log2(3) - 2.0 / 3.0, 6))
+    assert got[1] == (4, 1, 0.0)
+    assert not math.copysign(1.0, got[1][2]) < 0  # +0.0, not -0.0
+    assert got[2] == (4, 4, 2.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+
+
+def test_char_entropy_matches_python_reference(spark):
+    """Property: engine output == a direct -sum(p log2 p) reference on
+    arbitrary-ish strings (incl. multi-byte BMP chars)."""
+    import math
+    from collections import Counter
+
+    texts = ["hello world", "ééßß√√", "the quick brown fox", "zz  zz  zz",
+             "0123456789" * 7, "mixed CASE and\tws\nlines"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: r.entropy
+           for r in char_entropy(df, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        n = len(t)
+        ref = -sum((c / n) * math.log2(c / n)
+                   for c in Counter(t).values())
+        assert got[i] == round(ref, 6) + 0.0, t
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="a" * 400),                     # ultra-redundant
+        Row(doc_id=1, text="the cat sat on the mat " * 20),
+        Row(doc_id=2, text=""),                            # NULL ratio
+    ])
+    got = {r.id: r for r in
+           compression_ratio(df, "text", "doc_id").collect()}
+    assert got[0].raw_bytes == 400 and got[0].zlib_bytes < 30
+    assert got[0].ratio < got[1].ratio < 1.0
+    assert got[2].ratio is None and got[2].raw_bytes == 0
