@@ -33,6 +33,8 @@ __all__ = [
     "synth_shard",
     "parse_shard",
     "read_webdataset",
+    "webdataset_shards",
+    "write_webdataset",
     "WEBDATASET_SCHEMA",
 ]
 
@@ -109,3 +111,86 @@ def read_webdataset(shards: DataFrame, content_col: str = "content",
                                "member_index", "payload"])
 
     return src.mapInPandas(gen, schema)
+
+
+def webdataset_shards(df: DataFrame, key_col: str,
+                      members: dict[str, str],
+                      n_shards: int = 32) -> DataFrame:
+    """EXPORT side of the WebDataset layout: pack samples into
+    deterministic tar-shard blobs — ``(shard_id, content, n_samples,
+    n_bytes)``, the inverse of :func:`read_webdataset` (roundtrip is
+    test-pinned).
+
+    ``members`` maps dataframe columns to member extensions
+    (``{"text": "txt", "meta": "json"}``); string columns are UTF-8
+    encoded, binary columns pass through, NULL members are skipped
+    (WebDataset samples may omit an extension).
+
+    Scale shape: shard assignment is ``pmod(xxhash64(key), n_shards)``
+    — deterministic (no range-sampler nondeterminism) and
+    hash-balanced, so ONE shuffle distributes a 100 TB corpus into
+    ~corpus/1 GB tars; each shard is built by one task from its sorted
+    sample group (``applyInPandas``). Pick ``n_shards`` so a shard
+    fits executor memory — the same ~1 GB-per-tar sizing real
+    WebDataset writers use. Within a shard, samples are sorted by key
+    and exts emitted in sorted order (:func:`synth_shard`), so shard
+    BYTES are a pure function of the data — replayable, diffable
+    exports.
+    """
+    from pyspark.sql import functions as F
+
+    if not members:
+        raise ValueError("members mapping must be non-empty")
+    cols = [F.col(key_col).cast("string").alias("_key")]
+    for c, ext in members.items():
+        if not ext or "/" in ext:
+            raise ValueError(f"bad member extension {ext!r}")
+        cols.append(F.col(c).alias(f"_m_{ext}"))
+    src = (df.select(*cols)
+             .withColumn("_shard",
+                         F.pmod(F.xxhash64("_key"), F.lit(n_shards))
+                          .cast("int")))
+    exts = sorted(members.values())
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_key", ignore_index=True)
+        samples = []
+        for _, row in pdf.iterrows():
+            payload = {}
+            for ext in exts:
+                v = row[f"_m_{ext}"]
+                if v is None:
+                    continue
+                payload[ext] = (v.encode("utf-8")
+                                if isinstance(v, str) else bytes(v))
+            samples.append((row["_key"], payload))
+        blob = synth_shard(samples)
+        return pd.DataFrame({"shard_id": [int(pdf["_shard"].iloc[0])],
+                             "content": [blob],
+                             "n_samples": [len(samples)],
+                             "n_bytes": [len(blob)]})
+
+    return src.groupBy("_shard").applyInPandas(
+        build, "shard_id int, content binary, n_samples long, "
+               "n_bytes long")
+
+
+def write_webdataset(df: DataFrame, path: str, key_col: str,
+                     members: dict[str, str],
+                     n_shards: int = 32) -> None:
+    """Materialize :func:`webdataset_shards` as ``{path}/shard-NNNNNN.tar``
+    files — executors write their shards directly (one file per task,
+    no driver collect), the standard layout a WebDataset loader
+    consumes."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    shards = webdataset_shards(df, key_col, members, n_shards)
+
+    def dump(rows) -> None:
+        for r in rows:
+            with open(os.path.join(path, f"shard-{r['shard_id']:06d}.tar"),
+                      "wb") as f:
+                f.write(bytes(r["content"]))
+
+    shards.foreachPartition(dump)
