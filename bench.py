@@ -196,6 +196,18 @@ def main() -> None:
                                "BENCH_SF1.json / PLANS.md #12"}
     except (OSError, ValueError):
         pass
+    # Same for the 100x fixture (BENCH_SF10.json — two orders of
+    # magnitude over the per-round sf0.1; see PLANS.md #19).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SF10.json")) as f:
+            sf10 = json.load(f)
+        line["sf10"] = {"total_sec": sf10.get("value"),
+                        "n_queries": len(sf10.get("queries", {})),
+                        "note": "production-path subset at 100x sf0.1; "
+                                "table in BENCH_SF10.json / PLANS.md #19"}
+    except (OSError, ValueError):
+        pass
     print(json.dumps(line))
     spark.stop()
 

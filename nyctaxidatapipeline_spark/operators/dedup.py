@@ -190,7 +190,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
-                      portable: bool = False) -> DataFrame:
+                      portable: bool = False,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     ``bands`` bands of ``num_hashes/bands`` rows each: collision probability
@@ -205,6 +206,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     keys become strings (~r x 19 bytes instead of 8) — the small extra
     shuffle width is the price of verifiability; candidates/results are
     identical whenever no xxhash64 bucket collision occurs.
+
+    ``max_bucket`` skips band buckets holding more than that many docs
+    (the standard overfull-bucket guard): pair expansion is quadratic
+    in bucket size, so a duplicate CLASS of c copies emits ~c²/2 pairs
+    per band — measured 46x at a 10x scale-up on a fixture where every
+    text has 100 exact copies (BENCH_SF10, PLANS.md #18). At web scale
+    boilerplate classes run to millions; the production recipe is
+    EXACT dedup first (``exact_dedup`` collapses copy classes to one
+    representative — hash-groupBy, linear), then LSH with a cap as the
+    backstop against residual hot buckets. Default None preserves the
+    uncapped oracle-checked semantics.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -228,6 +240,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     blists = (buckets.groupBy("band", "bucket")
                      .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
                      .filter(F.size("ids") >= 2))
+    if max_bucket is not None:
+        blists = blists.filter(F.size("ids") <= max_bucket)
     ids = F.col("ids")
     pair_structs = F.flatten(F.transform(
         ids,

@@ -72,6 +72,28 @@ def test_minhash_lsh_recovers_exact_dups(spark):
     assert (0, 2) in out  # identical docs always collide in every band
 
 
+def test_minhash_lsh_max_bucket_skips_hot_classes(spark):
+    """Overfull-bucket guard: a duplicate class bigger than the cap is
+    skipped (its quadratic pair expansion never happens); small buckets
+    are untouched."""
+    from pyspark.sql import Row
+    hot = "the same boilerplate page body repeated everywhere verbatim"
+    near_a = "a quick brown fox jumps over the lazy dog in the park"
+    near_b = "a quick brown fox jumps over the lazy dog in the yard"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=hot) for i in range(8)]
+        + [Row(doc_id=10, text=near_a), Row(doc_id=11, text=near_b)])
+    capped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.3, max_bucket=4).collect()}
+    assert capped == {(10, 11)}  # hot class skipped, near-dup kept
+    uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.3).collect()}
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+    assert len(uncapped) == 8 * 7 // 2 + 1
+
+
 def test_simhash_identical_distance_zero(spark):
     out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(
         _docs(spark), shingles(tokens("text"), 2), "doc_id",
