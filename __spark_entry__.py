@@ -1437,6 +1437,21 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs, "text", "doc_id")
 
 
+def _q_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate
+    (``sketches.hll_distinct``, b=6): the bounded-memory COUNT
+    DISTINCT — shuffle volume O(groups x 64 registers) regardless of
+    corpus size, registers merge by max (map-side combine does the
+    heavy lifting). Bit-for-bit oracle-checkable: portable md5-prefix
+    hash, integer-only rho via bin(), scaled-integer indicator sum
+    (order-independent), canonical alpha + linear-counting correction
+    mirrored literally in the twin."""
+    from nyctaxidatapipeline_spark.operators.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, "user_id", ["event_type"], b=6)
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring span removal (Lee et al. 2022): every 8-token
     run occurring more than once corpus-wide is excised from all but
@@ -2915,7 +2930,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
     "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
-    "char_entropy",
+    "char_entropy", "distinct_users_hll",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3103,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "c4_line_filter": _q_c4_line_filter,
         "char_entropy": _q_char_entropy,
+        "distinct_users_hll": _q_distinct_users_hll,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5118,6 +5134,52 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of sketches.hll_distinct (b=6, m=64): identical
+        # portable hash, integer rho via bin(), scaled-integer
+        # indicator sum (2^27 per absent register), canonical
+        # alpha=0.709, linear-counting correction below 2.5m with
+        # empty registers. Every float literal CAST to DOUBLE so
+        # DuckDB doesn't run DECIMAL arithmetic.
+        "distinct_users_hll": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 8))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL),
+            r AS (
+              SELECT event_type, h % 64 AS bucket,
+                     CASE WHEN h // 64 > 0
+                          THEN 27 - length(bin(h // 64))
+                          ELSE 27 END AS rho
+              FROM h),
+            mx AS (
+              SELECT event_type, bucket, MAX(rho) AS m
+              FROM r GROUP BY event_type, bucket),
+            g AS (
+              SELECT event_type, COUNT(*) AS n_buckets,
+                     SUM(134217728 // CAST(POW(2, m) AS BIGINT))
+                         AS s_present
+              FROM mx GROUP BY event_type),
+            e AS (
+              SELECT event_type, n_buckets,
+                     CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+                       * CAST(64.0 AS DOUBLE)
+                       / (CAST(s_present + (64 - n_buckets) * 134217728
+                               AS DOUBLE) / CAST(134217728.0 AS DOUBLE))
+                         AS e_raw,
+                     CAST(64 - n_buckets AS DOUBLE) AS v
+              FROM g)
+            SELECT event_type, n_buckets,
+                   CASE WHEN e_raw <= CAST(160.0 AS DOUBLE) AND v > 0
+                        THEN 'linear' ELSE 'raw' END AS est_mode,
+                   ROUND(CASE WHEN e_raw <= CAST(160.0 AS DOUBLE)
+                                   AND v > 0
+                              THEN CAST(64.0 AS DOUBLE)
+                                   * ln(CAST(64.0 AS DOUBLE) / v)
+                              ELSE e_raw END, 6) + 0.0
+                       AS n_distinct_est
+            FROM e
         """,
         # Twin of text_analysis.char_entropy: per-(doc, char) run
         # counts via unnest, then the same integer-argument identity

@@ -1,0 +1,92 @@
+"""HyperLogLog sketch: register parity vs a Python reference, accuracy
+bounds, mergeability, determinism."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyctaxidatapipeline_spark.operators.sketches import (
+    hll_alpha,
+    hll_distinct,
+    hll_registers,
+)
+
+
+def _ref_registers(keys, b):
+    """Reference sketch: same md5-prefix hash, same rho."""
+    m, width = 1 << b, 32 - b
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        bucket, w = h % m, h // m
+        rho = (width + 1 - w.bit_length()) if w > 0 else width + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_registers_match_python_reference(spark):
+    keys = list(range(1, 301))
+    df = spark.createDataFrame([Row(g="a", k=k) for k in keys])
+    got = {r.bucket: r.M
+           for r in hll_registers(df, F.col("k"), ["g"], b=6).collect()}
+    assert got == _ref_registers(keys, 6)
+
+
+def test_estimate_within_theory_bounds(spark):
+    """b=10 -> se ~ 1.04/32 = 3.25%; assert within 4 sigma of truth."""
+    n = 5000
+    df = spark.createDataFrame([Row(g="x", k=f"key-{i}") for i in range(n)]
+                               + [Row(g="x", k=f"key-{i}")  # dups ignored
+                                  for i in range(500)])
+    est = hll_distinct(df, "k", ["g"], b=10).collect()[0]
+    assert abs(est.n_distinct_est - n) / n < 4 * 1.04 / math.sqrt(1024)
+
+
+def test_small_range_uses_linear_counting(spark):
+    df = spark.createDataFrame([Row(g="s", k=i) for i in range(10)])
+    est = hll_distinct(df, "k", ["g"], b=6).collect()[0]
+    assert est.est_mode == "linear"
+    v = 64 - est.n_buckets
+    assert est.n_distinct_est == round(64.0 * math.log(64.0 / v), 6)
+
+
+def test_registers_merge_by_max(spark):
+    """Union sketch == max of per-corpus sketches (the mergeability
+    that makes the 100 TB shuffle O(groups x m))."""
+    a = spark.createDataFrame([Row(g="m", k=i) for i in range(150)])
+    b_ = spark.createDataFrame([Row(g="m", k=i) for i in range(100, 250)])
+    ra = {r.bucket: r.M for r in hll_registers(a, F.col("k"), ["g"]).collect()}
+    rb = {r.bucket: r.M for r in hll_registers(b_, F.col("k"), ["g"]).collect()}
+    merged = {bk: max(ra.get(bk, 0), rb.get(bk, 0)) for bk in set(ra) | set(rb)}
+    ru = {r.bucket: r.M
+          for r in hll_registers(a.unionByName(b_), F.col("k"),
+                                 ["g"]).collect()}
+    assert ru == merged
+
+
+def test_estimate_repartition_invariant(spark):
+    df = spark.createDataFrame([Row(g=f"g{i % 3}", k=f"u{i}")
+                                for i in range(900)])
+    one = {(r.event_type if hasattr(r, "event_type") else r.g):
+           (r.n_buckets, r.est_mode, r.n_distinct_est)
+           for r in hll_distinct(df, "k", ["g"], b=6).collect()}
+    many = {r.g: (r.n_buckets, r.est_mode, r.n_distinct_est)
+            for r in hll_distinct(df.repartition(13), "k", ["g"],
+                                  b=6).collect()}
+    assert one == many
+
+
+def test_nulls_dropped_and_b_validated(spark):
+    df = spark.createDataFrame([Row(g="n", k=None), Row(g="n", k=1)])
+    est = hll_distinct(df, "k", ["g"], b=6).collect()[0]
+    assert est.n_buckets == 1
+    with pytest.raises(ValueError):
+        hll_registers(df, F.col("k"), ["g"], b=2)
+
+
+def test_alpha_constants():
+    assert hll_alpha(64) == 0.709
+    assert abs(hll_alpha(1024) - 0.7213 / (1.0 + 1.079 / 1024)) < 1e-15
