@@ -1452,6 +1452,28 @@ def _q_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(events, "user_id", ["event_type"], b=6)
 
 
+def _q_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-user overlap between every event-type pair
+    from K-Minimum-Values sketches (``sketches.kmv_sketch/kmv_overlap``,
+    k=64): union size, Jaccard, intersection — the set-operation
+    capability HLL lacks. The pair join runs over the one-row-per-group
+    sketch table, never the corpus; an exact answer would shuffle the
+    full distinct (type, user) set per pair. Deterministic bottom-k of
+    portable hashes -> the twin recomputes the identical sketch; at
+    sf0.01 every group exceeds k so the ESTIMATOR arm is what's
+    hash-checked (the exact small-set arm is unit-gated)."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(events, "user_id", "event_type", k=64)
+    return (kmv_overlap(sk, "event_type", k=64)
+            .withColumnRenamed("ga", "event_type_a")
+            .withColumnRenamed("gb", "event_type_b"))
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring span removal (Lee et al. 2022): every 8-token
     run occurring more than once corpus-wide is excised from all but
@@ -2930,7 +2952,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
     "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
-    "char_entropy", "distinct_users_hll",
+    "char_entropy", "distinct_users_hll", "audience_overlap_kmv",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3119,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         "char_entropy": _q_char_entropy,
         "distinct_users_hll": _q_distinct_users_hll,
+        "audience_overlap_kmv": _q_audience_overlap_kmv,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5134,6 +5157,62 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of sketches.kmv_sketch + kmv_overlap (k=64): same
+        # bottom-k of portable hashes per group (row_number window),
+        # merged bottom-k per pair, membership counts via unique
+        # (g, h) left joins; identical-operand IEEE divisions, 6-dp
+        # round + signed-zero normalization.
+        "audience_overlap_kmv": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS g,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 8))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL),
+            bk AS (
+              SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h)
+                           AS rn
+                FROM h) t WHERE rn <= 64),
+            pairs AS (
+              SELECT a.g AS ga, b.g AS gb
+              FROM (SELECT DISTINCT g FROM bk) a,
+                   (SELECT DISTINCT g FROM bk) b
+              WHERE a.g < b.g),
+            mh AS (
+              SELECT DISTINCT p.ga, p.gb, s.h
+              FROM pairs p JOIN bk s ON s.g = p.ga OR s.g = p.gb),
+            u AS (
+              SELECT ga, gb, h FROM (
+                SELECT ga, gb, h,
+                       row_number() OVER (PARTITION BY ga, gb
+                                          ORDER BY h) AS rn
+                FROM mh) t WHERE rn <= 64),
+            st AS (
+              SELECT u.ga, u.gb, COUNT(*) AS ku, MAX(u.h) AS kth,
+                     SUM(CASE WHEN sa.h IS NOT NULL
+                                   AND sb.h IS NOT NULL
+                              THEN 1 ELSE 0 END) AS x
+              FROM u
+              LEFT JOIN bk sa ON sa.g = u.ga AND sa.h = u.h
+              LEFT JOIN bk sb ON sb.g = u.gb AND sb.h = u.h
+              GROUP BY u.ga, u.gb),
+            est AS (
+              SELECT ga, gb, ku, x,
+                     CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+                          ELSE CAST(63.0 AS DOUBLE)
+                               * CAST(4294967296.0 AS DOUBLE)
+                               / CAST(kth AS DOUBLE) END AS union_raw,
+                     CAST(x AS DOUBLE) / CAST(ku AS DOUBLE) AS jac_raw
+              FROM st)
+            SELECT ga AS event_type_a, gb AS event_type_b,
+                   CAST(ku AS INTEGER) AS k_used,
+                   ROUND(union_raw, 6) + 0.0 AS union_est,
+                   ROUND(jac_raw, 6) + 0.0 AS jaccard_est,
+                   ROUND(jac_raw * union_raw, 6) + 0.0
+                       AS intersection_est
+            FROM est
         """,
         # Twin of sketches.hll_distinct (b=6, m=64): identical
         # portable hash, integer rho via bin(), scaled-integer

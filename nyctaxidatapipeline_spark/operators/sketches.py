@@ -114,3 +114,93 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
                      .otherwise(F.lit("raw")).alias("est_mode"),
                     (F.round(F.col("_e"), 6) + F.lit(0.0))
                      .alias("n_distinct_est")))
+
+
+#: KMV hash range: the portable base hash is uniform on [0, 2^32).
+_KMV_RANGE = float(1 << 32)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_col: str,
+               k: int = 256) -> DataFrame:
+    """(group, hs): bottom-k DISTINCT portable hashes per group — the
+    K-Minimum-Values sketch (Bar-Yossef et al. 2002; the Theta-sketch
+    family). Unlike HLL it supports SET OPERATIONS: the bottom-k of a
+    union is computable from the members' bottom-k alone, which is
+    what :func:`kmv_overlap` exploits for intersection estimates.
+
+    Deterministic by construction (a set's k smallest hashes don't
+    depend on order), so bit-for-bit oracle-checkable. Scale shape:
+    one distinct on (group, hash) — map-side partial dedup, shuffle
+    carries unique pairs — then ``row_number <= k`` which Spark plans
+    as WindowGroupLimit (partial top-k BEFORE the window's shuffle
+    boundary), then a k-bounded collect_list per group. Groups with
+    fewer than k distinct keys keep their whole (exact) hash set.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = portable_base_hash(F.col(key_col).cast("string"))
+    d = (df.filter(F.col(key_col).isNotNull())
+           .select(group_col, h.alias("h"))
+           .distinct())
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (d.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= k)
+             .groupBy(group_col)
+             .agg(F.sort_array(F.collect_list("h")).alias("hs")))
+
+
+def kmv_distinct(sketch: DataFrame, group_col: str,
+                 k: int = 256) -> DataFrame:
+    """(group, n_distinct_est) from a :func:`kmv_sketch` frame: the
+    unbiased (k-1)/U_(k) estimator, exact when the group held fewer
+    than k distinct keys (the sketch IS the set)."""
+    sz = F.size("hs")
+    est = F.when(sz < k, sz.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_RANGE)
+        / F.array_max("hs").cast("double"))
+    return sketch.select(group_col,
+                         (F.round(est, 6) + F.lit(0.0))
+                          .alias("n_distinct_est"))
+
+
+def kmv_overlap(sketch: DataFrame, group_col: str,
+                k: int = 256) -> DataFrame:
+    """All group pairs (a < b) with estimated UNION size, Jaccard, and
+    INTERSECTION size — the audience-overlap question ("how many users
+    did both X and Y") that an exact answer needs a full
+    distinct-pair shuffle for, answered here from k-bounded sketches.
+
+    Recipe (Theta-sketch standard): merge = bottom-k of the hash-set
+    union (computable from the two sketches — array_union/sort/slice,
+    all set-deterministic); kth smallest gives the union estimate;
+    the fraction of merged hashes present in BOTH sketches estimates
+    Jaccard; intersection = J x union. Every value is integer-derived
+    until the final divisions, so both engines produce identical
+    doubles (6-dp round + signed-zero normalization on output, repo
+    convention). The pair join runs over the SKETCH table (one row
+    per group), never the corpus.
+    """
+    a = sketch.select(F.col(group_col).alias("ga"),
+                      F.col("hs").alias("hs_a"))
+    b = sketch.select(F.col(group_col).alias("gb"),
+                      F.col("hs").alias("hs_b"))
+    u = F.slice(F.array_sort(F.array_union("hs_a", "hs_b")), 1, k)
+    ku = F.size(F.col("_u"))
+    union_raw = F.when(ku < k, ku.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_RANGE)
+        / F.array_max("_u").cast("double"))
+    inter_in_u = F.size(F.array_intersect(
+        F.array_intersect(F.col("_u"), F.col("hs_a")), F.col("hs_b")))
+    jac_raw = inter_in_u.cast("double") / ku.cast("double")
+    return (a.join(b, F.col("ga") < F.col("gb"))
+             .withColumn("_u", u)
+             .select("ga", "gb",
+                     ku.alias("k_used"),
+                     (F.round(union_raw, 6) + F.lit(0.0))
+                      .alias("union_est"),
+                     (F.round(jac_raw, 6) + F.lit(0.0))
+                      .alias("jaccard_est"),
+                     (F.round(jac_raw * union_raw, 6) + F.lit(0.0))
+                      .alias("intersection_est")))

@@ -105,6 +105,11 @@ BNLJ_CONTRACT_OK = {
     # out of the d²-bounded moments frame — 1 row by construction, but
     # shaped as a sentinel Filter over ExistingRDD, not an aggregate.
     "embedding_covariance": 2,
+    # KMV overlap: the inequality pair join (ga < gb) runs over the
+    # SKETCH table — one row per group, each a k-bounded hash array
+    # (O(groups x k) total, independent of corpus size by the sketch's
+    # contract). The corpus itself never enters the join.
+    "audience_overlap_kmv": 1,
 }
 
 

@@ -90,3 +90,78 @@ def test_nulls_dropped_and_b_validated(spark):
 def test_alpha_constants():
     assert hll_alpha(64) == 0.709
     assert abs(hll_alpha(1024) - 0.7213 / (1.0 + 1.079 / 1024)) < 1e-15
+
+
+# --- KMV (bottom-k / Theta family) ------------------------------------
+
+
+def _ref_bottom_k(keys, k):
+    hs = sorted({int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+                 for x in keys})
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_python_reference(spark):
+    from nyctaxidatapipeline_spark.operators.sketches import kmv_sketch
+    df = spark.createDataFrame([Row(g="a", k=i % 200) for i in range(600)])
+    got = kmv_sketch(df, "k", "g", k=32).collect()[0]
+    assert list(got.hs) == _ref_bottom_k(range(200), 32)
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_sketch,
+    )
+    df = spark.createDataFrame([Row(g="a", k=i) for i in range(40)])
+    est = kmv_distinct(kmv_sketch(df, "k", "g", k=256), "g",
+                       k=256).collect()[0]
+    assert est.n_distinct_est == 40.0  # sketch holds the whole set
+
+
+def test_kmv_distinct_estimator_accuracy(spark):
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_sketch,
+    )
+    n, k = 20000, 512
+    df = spark.createDataFrame([Row(g="a", k=f"user-{i}") for i in range(n)])
+    est = kmv_distinct(kmv_sketch(df, "k", "g", k=k), "g", k=k).collect()[0]
+    assert abs(est.n_distinct_est - n) / n < 4 / math.sqrt(k)
+
+
+def test_kmv_overlap_recovers_planted_jaccard(spark):
+    """Two groups sharing exactly half their users: J = 1/3."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+    rows = ([Row(g="a", k=f"u{i}") for i in range(2000)]
+            + [Row(g="b", k=f"u{i}") for i in range(1000, 3000)])
+    sk = kmv_sketch(spark.createDataFrame(rows), "k", "g", k=256)
+    ov = kmv_overlap(sk, "g", k=256).collect()[0]
+    assert (ov.ga, ov.gb) == ("a", "b") and ov.k_used == 256
+    assert abs(ov.jaccard_est - 1 / 3) < 0.12          # 4 sigma-ish
+    assert abs(ov.intersection_est - 1000) / 1000 < 0.35
+    assert abs(ov.union_est - 3000) / 3000 < 0.25
+
+
+def test_kmv_overlap_exact_for_small_sets(spark):
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+    rows = ([Row(g="a", k=i) for i in range(10)]
+            + [Row(g="b", k=i) for i in range(5, 20)])
+    sk = kmv_sketch(spark.createDataFrame(rows), "k", "g", k=256)
+    ov = kmv_overlap(sk, "g", k=256).collect()[0]
+    # union of 20, intersection of 5 — sketches hold the full sets
+    assert (ov.k_used, ov.union_est, ov.intersection_est) == (20, 20.0, 5.0)
+    assert ov.jaccard_est == 0.25
+
+
+def test_kmv_validates_k(spark):
+    from nyctaxidatapipeline_spark.operators.sketches import kmv_sketch
+    df = spark.createDataFrame([Row(g="a", k=1)])
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "k", "g", k=1)
