@@ -83,18 +83,16 @@ def hll_registers(df: DataFrame, key: Column, group_cols: list[str],
               .agg(F.max("rho").alias("M")))
 
 
-def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
-                 b: int = 6) -> DataFrame:
-    """(group..., n_buckets, est_mode, n_distinct_est): per-group
-    HyperLogLog distinct estimate of ``key_col``.
-
-    ``est_mode`` makes the correction branch visible ('linear' below
-    2.5m with empty registers, else 'raw').
-    """
+def hll_finish(regs: DataFrame, group_cols: list[str],
+               b: int = 6) -> DataFrame:
+    """Estimator over a register frame (from :func:`hll_registers`, a
+    checkpointed streaming state, or any max-merge of such frames):
+    (group..., n_buckets, est_mode, n_distinct_est). ``est_mode`` makes
+    the correction branch visible ('linear' below 2.5m with empty
+    registers, else 'raw')."""
     m, width = 1 << b, 32 - b
     scale = 1 << (width + 1)
     alpha = hll_alpha(m)
-    regs = hll_registers(df, F.col(key_col), group_cols, b)
     per_group = (regs.groupBy(*group_cols)
                      .agg(F.count("*").alias("n_buckets"),
                           F.sum(F.expr(f"CAST({scale} AS BIGINT) "
@@ -114,6 +112,14 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
                      .otherwise(F.lit("raw")).alias("est_mode"),
                     (F.round(F.col("_e"), 6) + F.lit(0.0))
                      .alias("n_distinct_est")))
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 b: int = 6) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``key_col`` —
+    :func:`hll_registers` + :func:`hll_finish` in one call."""
+    return hll_finish(hll_registers(df, F.col(key_col), group_cols, b),
+                      group_cols, b)
 
 
 #: KMV hash range: the portable base hash is uniform on [0, 2^32).

@@ -498,3 +498,59 @@ def run_warc_ingestion(spark: SparkSession, warc_dir: str,
     q = w.start()
     q.processAllAvailable()
     return q
+
+
+def hll_merge_fn(state_dir: str, group_col: str, key_col: str,
+                 b: int = 6):
+    """``foreachBatch`` function for :func:`run_streaming_hll` — the
+    sketch twin of ``rollup_merge_fn``: each micro-batch reduces to its
+    HLL register frame (``sketches.hll_registers``) and max-merges into
+    the parquet state. Register max-merge is idempotent AND exact — the
+    drained state is bit-identical to the one-shot batch sketch over
+    the union (the merge-identity gate HLL gets for free that a
+    sum-rollup has to earn), and per-batch cost is the batch plus
+    O(groups x 2^b) state, never stream history. Same atomic
+    tmp-rename + epoch-marker exactly-once discipline; replayed epochs
+    are no-ops (and would be harmless anyway — max is idempotent)."""
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.sketches import hll_registers
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= applied_epoch(state_dir):
+            return
+        spark = batch_df.sparkSession
+        new = hll_registers(batch_df, F.col(key_col), [group_col], b)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = spark.read.parquet(state_dir)
+            merged = (cur.unionByName(new)
+                         .groupBy(group_col, "bucket")
+                         .agg(F.max("M").alias("M")))
+        else:
+            merged = new
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+            f.write(str(epoch_id))
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    return merge_batch
+
+
+def run_streaming_hll(stream: DataFrame, state_dir: str,
+                      group_col: str, key_col: str, b: int = 6,
+                      checkpoint_dir: str | None = None):
+    """Streaming distinct-count sketch: maintain per-group HyperLogLog
+    registers over an unbounded stream in O(groups x 2^b) state — the
+    live "distinct users so far" dashboard that an exact streaming
+    distinct would need unbounded state for. Read the estimate at any
+    time with ``sketches.hll_finish`` over the state parquet."""
+    w = (stream.writeStream
+         .outputMode("update")
+         .foreachBatch(hll_merge_fn(state_dir, group_col, key_col, b)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q

@@ -406,3 +406,73 @@ def test_streaming_warc_ingestion_e2e(spark, tmp_path):
                             checkpoint_dir=str(tmp_path / "ckpt"))
     q2.stop()
     assert read() == got
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    """Drained streaming HLL state == the one-shot batch sketch (max
+    register merge is exact across micro-batch boundaries), and the
+    finished estimate matches batch hll_distinct."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_finish,
+        hll_registers,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_streaming_hll,
+        stream_table,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "hll_state")
+    q = run_streaming_hll(stream_table(spark, sf, "events"), state,
+                          "event_type", "user_id", b=6,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    batch_ev = load_table(spark, sf, "events")
+    got_regs = {(r.event_type, r.bucket, r.M) for r in
+                spark.read.parquet(state)
+                     .select("event_type", "bucket", "M").collect()}
+    want_regs = {(r.event_type, r.bucket, r.M) for r in
+                 hll_registers(batch_ev, F.col("user_id"),
+                               ["event_type"], b=6).collect()}
+    assert got_regs == want_regs
+    got_est = {tuple(r) for r in
+               hll_finish(spark.read.parquet(state)
+                               .select("event_type", "bucket", "M"),
+                          ["event_type"], b=6).collect()}
+    want_est = {tuple(r) for r in
+                hll_distinct(batch_ev, "user_id",
+                             ["event_type"], b=6).collect()}
+    assert got_est == want_est
+
+
+def test_streaming_hll_replay_is_noop(spark, tmp_path):
+    """Replaying an already-applied epoch leaves the registers (and the
+    committed epoch) untouched."""
+    import os
+
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        applied_epoch,
+        hll_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "hll_state")
+    fn = hll_merge_fn(state, "event_type", "user_id", b=6)
+    ev = load_table(spark, sf, "events")
+    fn(ev, 0)
+    assert applied_epoch(state) == 0
+    before = {(r.event_type, r.bucket, r.M) for r in
+              spark.read.parquet(state)
+                   .select("event_type", "bucket", "M").collect()}
+    mtime = os.path.getmtime(state)
+    fn(ev.limit(3), 0)  # replay: different payload, same epoch -> no-op
+    assert applied_epoch(state) == 0
+    assert os.path.getmtime(state) == mtime
+    after = {(r.event_type, r.bucket, r.M) for r in
+             spark.read.parquet(state)
+                  .select("event_type", "bucket", "M").collect()}
+    assert after == before
