@@ -1452,6 +1452,30 @@ def _q_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(events, "user_id", ["event_type"], b=6)
 
 
+def _q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies point-queried from a Count-Min sketch
+    (``sketches.cms_counters/cms_lookup``, w=1024 d=4): the
+    bounded-memory frequency table — counters are INTEGER sums (exact,
+    order-independent; the whole query is float-free), merge by sum,
+    and the map-side combine caps shuffle at O(tasks x w x d) however
+    large the corpus. Estimates >= truth by construction; the probe
+    list mixes heavy fixture tokens with an absent one (whose estimate
+    is whatever collisions put in its counters — the twin reproduces
+    it bit-for-bit, and the unit gate pins est >= exact)."""
+    from nyctaxidatapipeline_spark.functions.text import tokens
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tk"))
+    counters = cms_counters(toks, F.col("tk"), w=1024, d=4)
+    return cms_lookup(spark, counters,
+                      ["join", "hash", "customer", "slow", "zzz-absent"],
+                      w=1024, d=4)
+
+
 def _q_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated distinct-user overlap between every event-type pair
     from K-Minimum-Values sketches (``sketches.kmv_sketch/kmv_overlap``,
@@ -2953,6 +2977,7 @@ _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
     "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
     "char_entropy", "distinct_users_hll", "audience_overlap_kmv",
+    "token_freq_cms",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3142,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "distinct_users_hll": _q_distinct_users_hll,
         "audience_overlap_kmv": _q_audience_overlap_kmv,
+        "token_freq_cms": _q_token_freq_cms,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5157,6 +5183,42 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of sketches.cms_counters + cms_lookup (w=1024, d=4):
+        # identical portable base hash and minhash_constants (a, b)
+        # universal family (literals below = minhash_constants(0..3)),
+        # counter sums, min-over-rows point queries. ALL-INTEGER —
+        # no rounding anywhere.
+        "token_freq_cms": """
+            WITH fam(r, a, b) AS (VALUES
+                (0, 72005967, 4086432470),
+                (1, 945923667, 2683588619),
+                (2, 20015841, 3878556099),
+                (3, 268080311, 1186136582)),
+            tk AS (
+              SELECT unnest(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS tk
+              FROM documents),
+            h AS (
+              SELECT ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h
+              FROM tk),
+            cnt AS (
+              SELECT r,
+                     ((a * h + b) % 2305843009213693951) % 1024 AS c,
+                     COUNT(*) AS cnt
+              FROM h CROSS JOIN fam GROUP BY 1, 2),
+            keys AS (
+              SELECT unnest(['join', 'hash', 'customer', 'slow',
+                             'zzz-absent']) AS key),
+            kc AS (
+              SELECT key, fam.r,
+                     ((fam.a * ('0x' || substr(md5(key), 1, 8))::BIGINT
+                       + fam.b) % 2305843009213693951) % 1024 AS c
+              FROM keys CROSS JOIN fam)
+            SELECT key, MIN(COALESCE(cnt.cnt, 0)) AS est_count
+            FROM kc LEFT JOIN cnt ON cnt.r = kc.r AND cnt.c = kc.c
+            GROUP BY key
         """,
         # Twin of sketches.kmv_sketch + kmv_overlap (k=64): same
         # bottom-k of portable hashes per group (row_number window),

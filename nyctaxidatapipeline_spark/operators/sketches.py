@@ -122,6 +122,78 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
                       group_cols, b)
 
 
+def cms_counters(df: DataFrame, key: Column, w: int = 1024,
+                 d: int = 4) -> DataFrame:
+    """(r, c, cnt): a Count-Min sketch (Cormode & Muthukrishnan 2005)
+    of the key column's frequency distribution — ``d`` rows of ``w``
+    counters, each key incrementing one counter per row via an
+    independent universal hash (the repo's portable md5-prefix base
+    hash + the ``minhash_constants`` (a,b) family, so the sketch is
+    bit-identical in the DuckDB twin — and ALL-INTEGER: counters are
+    sums, exact and order-independent under any partitioning).
+
+    Completes the sketch triad next to HLL (cardinality) and KMV (set
+    ops): FREQUENCIES in O(w x d) memory. The aggregate's map-side
+    combine collapses each task to <= w*d rows, so shuffle volume is
+    O(tasks x w x d) regardless of corpus size; counters merge by SUM
+    (union of corpora = counter sum), the mergeability that makes it a
+    streaming/rollup state candidate like the HLL register frame.
+    """
+    if w < 2 or d < 1:
+        raise ValueError(f"need w >= 2, d >= 1; got w={w}, d={d}")
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_constants,
+    )
+
+    h = portable_base_hash(key.cast("string"))
+    coords = []
+    for i in range(d):
+        a, b = minhash_constants(i)
+        coords.append(F.struct(
+            F.lit(i).alias("r"),
+            F.pmod(F.pmod(F.lit(a) * F.col("_h") + F.lit(b),
+                          F.lit(MINHASH_P)), F.lit(w)).alias("c")))
+    return (df.filter(key.isNotNull())
+              .select(h.alias("_h"))
+              .select(F.explode(F.array(*coords)).alias("rc"))
+              .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+              .agg(F.count("*").alias("cnt")))
+
+
+def cms_lookup(spark, counters: DataFrame, keys: list[str],
+               w: int = 1024, d: int = 4) -> DataFrame:
+    """(key, est_count): point-query the sketch for literal keys.
+    Estimate = min over the d rows of that key's counter (>= the true
+    count always; overestimate probability shrinks as e^-d for w >=
+    e*heavy_mass). Keys hash through the same Spark expressions the
+    sketch used, the d-row coordinate set joins the O(w x d) counter
+    table (broadcast — it is sketch-sized, never corpus-sized), and a
+    missing counter reads as 0."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_constants,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    h = portable_base_hash(F.col("key"))
+    coords = []
+    for i in range(d):
+        a, b = minhash_constants(i)
+        coords.append(F.struct(
+            F.lit(i).alias("r"),
+            F.pmod(F.pmod(F.lit(a) * F.col("_h") + F.lit(b),
+                          F.lit(MINHASH_P)), F.lit(w)).alias("c")))
+    kc = (kdf.select("key", h.alias("_h"))
+             .select("key", F.explode(F.array(*coords)).alias("rc"))
+             .select("key", F.col("rc.r").alias("r"),
+                     F.col("rc.c").alias("c")))
+    return (kc.join(F.broadcast(counters), ["r", "c"], "left")
+              .groupBy("key")
+              .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                    .alias("est_count")))
+
+
 #: KMV hash range: the portable base hash is uniform on [0, 2^32).
 _KMV_RANGE = float(1 << 32)
 

@@ -165,3 +165,62 @@ def test_kmv_validates_k(spark):
     df = spark.createDataFrame([Row(g="a", k=1)])
     with pytest.raises(ValueError):
         kmv_sketch(df, "k", "g", k=1)
+
+
+# --- Count-Min (frequency sketch) --------------------------------------
+
+
+def test_cms_estimate_dominates_exact_counts(spark):
+    """CMS guarantee: est >= exact always; with w >> distinct keys the
+    estimate is exact (no collisions to inflate it)."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+    rows = ([Row(k="alpha")] * 50 + [Row(k="beta")] * 20
+            + [Row(k="gamma")] * 3)
+    df = spark.createDataFrame(rows)
+    counters = cms_counters(df, F.col("k"), w=4096, d=4)
+    got = {r.key: r.est_count
+           for r in cms_lookup(spark, counters,
+                               ["alpha", "beta", "gamma", "absent"],
+                               w=4096, d=4).collect()}
+    assert got["alpha"] == 50 and got["beta"] == 20 and got["gamma"] == 3
+    assert got["absent"] == 0
+
+
+def test_cms_overestimates_only_under_collisions(spark):
+    """Tiny width forces collisions: estimates stay >= truth."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+    rows = [Row(k=f"key-{i % 37}") for i in range(370)]
+    df = spark.createDataFrame(rows)
+    counters = cms_counters(df, F.col("k"), w=8, d=3)
+    got = cms_lookup(spark, counters, [f"key-{i}" for i in range(37)],
+                     w=8, d=3).collect()
+    assert all(r.est_count >= 10 for r in got)
+
+
+def test_cms_counters_merge_by_sum(spark):
+    """Union sketch == counter-wise sum of member sketches."""
+    from nyctaxidatapipeline_spark.operators.sketches import cms_counters
+    a = spark.createDataFrame([Row(k=f"u{i % 11}") for i in range(100)])
+    b = spark.createDataFrame([Row(k=f"u{i % 7}") for i in range(50)])
+    ca = {(r.r, r.c): r.cnt
+          for r in cms_counters(a, F.col("k"), w=64, d=3).collect()}
+    cb = {(r.r, r.c): r.cnt
+          for r in cms_counters(b, F.col("k"), w=64, d=3).collect()}
+    want = {rc: ca.get(rc, 0) + cb.get(rc, 0) for rc in set(ca) | set(cb)}
+    cu = {(r.r, r.c): r.cnt
+          for r in cms_counters(a.unionByName(b), F.col("k"),
+                                w=64, d=3).collect()}
+    assert cu == want
+
+
+def test_cms_validates_params(spark):
+    from nyctaxidatapipeline_spark.operators.sketches import cms_counters
+    df = spark.createDataFrame([Row(k="x")])
+    with pytest.raises(ValueError):
+        cms_counters(df, F.col("k"), w=1, d=4)
