@@ -538,6 +538,59 @@ def hll_merge_fn(state_dir: str, group_col: str, key_col: str,
     return merge_batch
 
 
+def cms_merge_fn(state_dir: str, key_col: str, w: int = 1024,
+                 d: int = 4):
+    """``foreachBatch`` for :func:`run_streaming_cms`: each micro-batch
+    reduces to its Count-Min counter frame (``sketches.cms_counters``)
+    and SUM-merges into the parquet state — the frequency twin of
+    ``hll_merge_fn`` (registers max-merge, counters sum-merge). Unlike
+    max, sum is NOT idempotent, so the epoch-marker replay guard is
+    load-bearing here, exactly as in ``rollup_merge_fn``. State stays
+    O(w x d) forever."""
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.sketches import cms_counters
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= applied_epoch(state_dir):
+            return
+        spark = batch_df.sparkSession
+        new = cms_counters(batch_df, F.col(key_col), w, d)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = spark.read.parquet(state_dir)
+            merged = (cur.unionByName(new)
+                         .groupBy("r", "c")
+                         .agg(F.sum("cnt").alias("cnt")))
+        else:
+            merged = new
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+            f.write(str(epoch_id))
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    return merge_batch
+
+
+def run_streaming_cms(stream: DataFrame, state_dir: str, key_col: str,
+                      w: int = 1024, d: int = 4,
+                      checkpoint_dir: str | None = None):
+    """Streaming frequency sketch: maintain a Count-Min counter table
+    over an unbounded stream in O(w x d) state; point-query it any time
+    with ``sketches.cms_lookup`` over the state parquet. Drained state
+    equals the one-shot batch sketch exactly (counter sums distribute
+    over any batch split) — gated e2e."""
+    q = (stream.writeStream
+         .outputMode("update")
+         .foreachBatch(cms_merge_fn(state_dir, key_col, w, d)))
+    if checkpoint_dir is not None:
+        q = q.option("checkpointLocation", checkpoint_dir)
+    q = q.start()
+    q.processAllAvailable()
+    return q
+
+
 def run_streaming_hll(stream: DataFrame, state_dir: str,
                       group_col: str, key_col: str, b: int = 6,
                       checkpoint_dir: str | None = None):

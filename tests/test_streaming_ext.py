@@ -476,3 +476,63 @@ def test_streaming_hll_replay_is_noop(spark, tmp_path):
              spark.read.parquet(state)
                   .select("event_type", "bucket", "M").collect()}
     assert after == before
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Drained streaming CMS state == one-shot batch counters (sum
+    distributes over any micro-batch split), and lookups agree."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_streaming_cms,
+        stream_table,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "cms_state")
+    q = run_streaming_cms(stream_table(spark, sf, "events"), state,
+                          "event_type", w=256, d=3,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    batch_ev = load_table(spark, sf, "events")
+    got = {(r.r, r.c): r.cnt for r in
+           spark.read.parquet(state).select("r", "c", "cnt").collect()}
+    want = {(r.r, r.c): r.cnt for r in
+            cms_counters(batch_ev, F.col("event_type"),
+                         w=256, d=3).collect()}
+    assert got == want
+    est = {r.key: r.est_count for r in
+           cms_lookup(spark,
+                      spark.read.parquet(state).select("r", "c", "cnt"),
+                      ["click", "purchase", "absent-type"],
+                      w=256, d=3).collect()}
+    exact = dict(batch_ev.groupBy("event_type").count().collect())
+    assert est["click"] >= exact.get("click", 0)
+    assert est["purchase"] >= exact.get("purchase", 0)
+
+
+def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
+    """Sum-merge is NOT idempotent — the epoch guard must make a
+    replayed epoch a no-op or counts double."""
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        applied_epoch,
+        cms_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "cms_state")
+    fn = cms_merge_fn(state, "event_type", w=256, d=3)
+    ev = load_table(spark, sf, "events")
+    fn(ev, 0)
+    assert applied_epoch(state) == 0
+    before = {(r.r, r.c): r.cnt for r in
+              spark.read.parquet(state).select("r", "c", "cnt").collect()}
+    fn(ev, 0)  # replay the same epoch
+    after = {(r.r, r.c): r.cnt for r in
+             spark.read.parquet(state).select("r", "c", "cnt").collect()}
+    assert after == before  # a double-apply would double every counter
