@@ -1476,6 +1476,42 @@ def _q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       w=1024, d=4)
 
 
+def _q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-gated end-to-end: the 8x4 synthetic
+    PNGs of ``image_features`` are box-average downscaled by 2
+    (``multimodal.image_resize`` — decode, exact uint32 `sum // 4` per
+    output pixel, re-encode) and the RESIZED media decoded again by
+    ``image_features(codec='png')``. The twin recomputes every output
+    pixel arithmetically from the (doc_id*31 + i) % 256 source pattern
+    — floor-of-mean over each 2x2 block — so one wrong pixel anywhere
+    in decode -> resize -> encode -> decode flips the value hash."""
+    import pandas as pd
+
+    from nyctaxidatapipeline_spark.functions.png import encode_png
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_features,
+        image_resize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            media = [
+                encode_png(8, 4,
+                           bytes((int(d) * 31 + i) % 256
+                                 for i in range(96)),
+                           filter_type=int(d) % 5)
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "media": media})
+
+    assets = docs.mapInPandas(gen, "asset_id long, media binary")
+    small = image_resize(assets, factor=2, codec="png")
+    return (image_features(small, codec="png")
+            .select("asset_id", "width", "height", "mean_intensity"))
+
+
 def _q_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated distinct-user overlap between every event-type pair
     from K-Minimum-Values sketches (``sketches.kmv_sketch/kmv_overlap``,
@@ -2977,7 +3013,7 @@ _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
     "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
     "char_entropy", "distinct_users_hll", "audience_overlap_kmv",
-    "token_freq_cms",
+    "token_freq_cms", "image_resize_png",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3168,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_hll": _q_distinct_users_hll,
         "audience_overlap_kmv": _q_audience_overlap_kmv,
         "token_freq_cms": _q_token_freq_cms,
+        "image_resize_png": _q_image_resize_png,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5183,6 +5220,28 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(0, seq_id * 256 - start_global)
                         AS BIGINT) AS span_len
             FROM spans
+        """,
+        # Twin of multimodal.image_resize (factor=2) over the 8x4
+        # synthetic PNGs: output pixel (out index o in 0..23 encoding
+        # (Y, X, channel)) = floor-mean of its 2x2 source block, source
+        # byte idx = ((2Y+dy)*8 + 2X+dx)*3 + c, value = (doc_id*31 +
+        # idx) % 256 — all-integer until the final /24 of an exact sum.
+        "image_resize_png": """
+            WITH op AS (SELECT unnest(generate_series(0, 23)) AS o),
+            box(dy, dx) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+            px AS (
+              SELECT d.doc_id, op.o,
+                     SUM((d.doc_id * 31
+                          + ((2 * (op.o // 3 // 4) + b.dy) * 8
+                             + 2 * ((op.o // 3) % 4) + b.dx) * 3
+                          + op.o % 3) % 256) // 4 AS v
+              FROM documents d, op, box b
+              GROUP BY d.doc_id, op.o)
+            SELECT doc_id AS asset_id,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(2 AS INTEGER) AS height,
+                   CAST(SUM(v) AS DOUBLE) / 24 AS mean_intensity
+            FROM px GROUP BY doc_id
         """,
         # Twin of sketches.cms_counters + cms_lookup (w=1024, d=4):
         # identical portable base hash and minhash_constants (a, b)

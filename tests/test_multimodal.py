@@ -436,3 +436,76 @@ def test_image_dhash_and_dedup_groups(spark):
     groups = {r.asset_id: (r.rep_id, r.n_dups)
               for r in image_dedup_groups(keys).collect()}
     assert groups == {0: (0, 2), 1: (0, 2), 2: (2, 1)}  # nulls dropped
+
+
+# --- image_resize (box-average downscale) -------------------------------
+
+
+def test_image_resize_floor_mean_and_roundtrip(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from nyctaxidatapipeline_spark.operators.multimodal import image_resize
+
+    # 2x2 RGB image -> 1x1: each channel = floor of its 4 samples' mean
+    px = bytes([10, 20, 30,  11, 22, 33,
+                13, 25, 37,  14, 26, 38])
+    df = spark.createDataFrame(
+        [Row(asset_id=1, media=encode_png(2, 2, px))])
+    out = image_resize(df, factor=2).collect()[0]
+    assert (out.width, out.height) == (1, 1)
+    w, h, ch, small = decode_png(bytes(out.media))
+    assert (w, h, ch) == (1, 1, 3)
+    assert list(small) == [(10 + 11 + 13 + 14) // 4,
+                           (20 + 22 + 25 + 26) // 4,
+                           (30 + 33 + 37 + 38) // 4]
+
+
+def test_image_resize_crops_trailing_and_handles_gray(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from nyctaxidatapipeline_spark.operators.multimodal import image_resize
+
+    # 5x3 grayscale, factor 2 -> 2x1 (trailing col/row cropped)
+    px = bytes(range(15))
+    df = spark.createDataFrame(
+        [Row(asset_id=1, media=encode_png(5, 3, px, color_type=0))])
+    out = image_resize(df, factor=2).collect()[0]
+    assert (out.width, out.height) == (2, 1)
+    _, _, ch, small = decode_png(bytes(out.media))
+    assert ch == 1
+    assert list(small) == [(0 + 1 + 5 + 6) // 4, (2 + 3 + 7 + 8) // 4]
+
+
+def test_image_resize_null_and_garbage_yield_null_rows(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.multimodal import image_resize
+
+    df = spark.createDataFrame(
+        [Row(asset_id=1, media=None),
+         Row(asset_id=2, media=b"not a png")],
+        "asset_id long, media binary")
+    got = {r.asset_id: r.width for r in image_resize(df).collect()}
+    assert got == {1: None, 2: None}
+
+
+def test_image_resize_validates_params(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.multimodal import image_resize
+
+    df = spark.createDataFrame([Row(asset_id=1, media=b"")],
+                               "asset_id long, media binary")
+    with pytest.raises(ValueError):
+        image_resize(df, factor=0)
+    with pytest.raises(ValueError):
+        image_resize(df, codec="webp")

@@ -31,7 +31,7 @@ SF = "/root/testdata/sf0.001"
 ARROW_OK = {"embedding_near_dup", "image_features",
             "image_features_png_i7", "image_features_jpeg",
             "image_features_jpeg_prog", "image_features_gif",
-            "image_dedup_dhash",
+            "image_dedup_dhash", "image_resize_png",
             "frame_sample", "frame_sample_avi", "frame_sample_h264",
             "audio_features",
             "audio_features_mp3", "warc_ingest", "webdataset_ingest",
