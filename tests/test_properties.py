@@ -129,3 +129,79 @@ def test_temperature_mix_quota_invariants(spark, sizes):
     assert len(picked) == len(set(picked)) <= nid
     nat = temperature_mix(df, "src", "doc_id", alpha=1.0).count()
     assert nat >= sum(pop.values()) - len(pop)  # floor loses < 1/source
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=0x2603),
+                        max_size=60),
+                min_size=1, max_size=8))
+def test_char_entropy_bounds_and_reference(spark, texts):
+    """0 <= H <= log2(n_unique); exact match with a direct
+    -sum(p log2 p) Python reference on arbitrary BMP strings."""
+    import math
+    from collections import Counter
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: r for r in char_entropy(df, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        r = got[i]
+        assert r.n_chars == len(t)
+        assert r.n_unique_chars == len(set(t))
+        if not t:
+            assert r.entropy is None
+            continue
+        n = len(t)
+        ref = -sum((c / n) * math.log2(c / n)
+                   for c in Counter(t).values())
+        assert r.entropy == round(ref, 6) + 0.0
+        # 6-dp output rounding can land up to 5e-7 above the true bound
+        assert 0.0 <= r.entropy <= math.log2(max(len(set(t)), 1)) + 5e-7
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=60))
+def test_hll_registers_reference_parity(spark, keys):
+    """Arbitrary key multisets: distributed registers == the Python
+    reference sketch (duplicates collapse, order irrelevant)."""
+    import hashlib as _hl
+
+    from nyctaxidatapipeline_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame([Row(g="p", k=k) for k in keys])
+    got = {r.bucket: r.M
+           for r in hll_registers(df, F.col("k"), ["g"], b=6).collect()}
+    want = {}
+    for k in set(keys):
+        h = int(_hl.md5(str(k).encode()).hexdigest()[:8], 16)
+        b_, w = h % 64, h // 64
+        rho = (27 - w.bit_length()) if w > 0 else 27
+        want[b_] = max(want.get(b_, 0), rho)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=50))
+def test_cms_dominance_property(spark, keys):
+    """For every key in the corpus: CMS estimate >= exact count."""
+    from collections import Counter
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame([Row(k=k) for k in keys])
+    counters = cms_counters(df, F.col("k"), w=16, d=3)
+    exact = Counter(keys)
+    got = {r.key: r.est_count
+           for r in cms_lookup(spark, counters, sorted(exact),
+                               w=16, d=3).collect()}
+    assert all(got[k] >= c for k, c in exact.items())
