@@ -2,9 +2,11 @@
 
 The interchange format LLM corpora actually ship in (Dolma, RedPajama,
 The Pile): newline-delimited JSON, one document per line, whole-file
-compressed, thousands of shards. All three stdlib codecs are REAL
-here (zlib / bz2 / lzma — no external packages), sniffed per shard by
-magic bytes so a mixed-codec corpus reads through one call.
+compressed, thousands of shards. Four codecs are REAL here — the three
+stdlib ones (zlib / bz2 / lzma) plus framed Snappy via the pure-Python
+codec in ``functions/snappy.py`` (the Hadoop/Kafka-ecosystem format) —
+sniffed per shard by magic bytes so a mixed-codec corpus reads through
+one call.
 
 Scale notes (local[32] -> 1000 executors):
   * Whole-file gzip/bz2/xz is NOT splittable — the shard is the unit
@@ -40,6 +42,9 @@ _MAGICS = (
     (b"BZh", "bz2"),
     (b"\xfd7zXZ\x00", "xz"),
     (b"\x28\xb5\x2f\xfd", "zst"),
+    # framed-snappy stream identifier chunk (the Hadoop/Kafka-ecosystem
+    # codec; decoded by the pure-Python codec in functions/snappy.py)
+    (b"\xff\x06\x00\x00sNaPpY", "snappy"),
 )
 
 #: Schema of the line frame emitted by :func:`read_text_shards`
@@ -68,6 +73,11 @@ def compress(data: bytes, codec: str) -> bytes:
         return bz2.compress(data)
     if codec == "xz":
         return lzma.compress(data)
+    if codec == "snappy":
+        from nyctaxidatapipeline_spark.functions.snappy import (
+            frame_compress,
+        )
+        return frame_compress(data)
     if codec == "none":
         return data
     raise ValueError(f"unknown codec {codec!r}")
@@ -91,6 +101,11 @@ def decompress_auto(data: bytes) -> bytes:
             return b"".join(out)
         if codec == "bz2":
             return bz2.decompress(data)
+        if codec == "snappy":
+            from nyctaxidatapipeline_spark.functions.snappy import (
+                frame_decompress,
+            )
+            return frame_decompress(data)
         if codec == "zst":
             # the dominant modern corpus codec (Dolma ships .jsonl.zst);
             # no zstd module in this container — the call that slots in:
