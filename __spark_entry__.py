@@ -2248,9 +2248,10 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchange format LLM corpora ship in (Dolma/RedPajama): documents
     are packed 4-per-shard into ``.jsonl`` payloads (one compact JSON
     object per line) and compressed with a codec ROTATING by shard
-    (gz / bz2 / xz / framed-snappy — the three stdlib decompressors
-    AND the pure-Python Snappy codec of ``functions/snappy.py`` all
-    sit on the hash path, CRC32C verification included), then
+    (gz / bz2 / xz / framed-snappy / zstd — the three stdlib
+    decompressors AND both pure-Python codecs, ``functions/snappy.py``
+    with CRC32C verification and the RFC 8878 ``functions/zstd.py``
+    with xxh64 content checksums, all sit on the hash path), then
     ``read_text_shards`` sniffs each shard's magic bytes,
     decompresses, and splits lines; the JSON parse itself happens
     JVM-SIDE (``from_json`` — codegen'd, so the Python stage is only
@@ -2286,7 +2287,7 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for r in recs).encode("utf-8")
                 blobs.append(compress(
                     payload,
-                    ("gz", "bz2", "xz", "snappy")[int(sid) % 4]))
+                    ("gz", "bz2", "xz", "snappy", "zst")[int(sid) % 5]))
             yield pd.DataFrame({"shard_id": pdf["shard_id"],
                                 "content": blobs})
 
@@ -6141,10 +6142,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 4
                                            ORDER BY doc_id) - 1
                         AS INTEGER) AS line_no,
-                   CASE CAST((doc_id // 4) % 4 AS INTEGER)
+                   CASE CAST((doc_id // 4) % 5 AS INTEGER)
                         WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2'
-                        WHEN 2 THEN 'xz'
-                        ELSE 'snappy' END AS codec,
+                        WHEN 2 THEN 'xz' WHEN 3 THEN 'snappy'
+                        ELSE 'zst' END AS codec,
                    md5(text) AS text_md5,
                    CAST(octet_length(encode(text)) AS BIGINT)
                        AS text_len

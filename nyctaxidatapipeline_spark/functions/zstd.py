@@ -1,0 +1,1000 @@
+"""Pure-Python Zstandard codec (RFC 8878) — decoder + subset encoder.
+
+Closes the last documented codec slot in ``sources/compressed.py``
+(Dolma ships ``.jsonl.zst``; this container has no zstandard package).
+Same honest-boundary discipline as the other from-scratch codecs
+(PNG/JPEG/GIF/Snappy): everything implemented is real and tested,
+everything skipped is named.
+
+DECODER (``zstd_decompress``): full single-thread frame format —
+frame header (window descriptor / single-segment / FCS sizes),
+raw / RLE / compressed blocks, literals in all four forms (raw, RLE,
+Huffman-compressed with 1 or 4 streams, treeless reuse), Huffman
+table descriptions both direct-4-bit and FSE-compressed, sequences in
+all four symbol-compression modes (predefined / RLE / FSE_Compressed
+/ repeat), the three repeat offsets with the litLength==0 shift,
+multi-block frames, multi-frame streams, skippable frames, and
+content-checksum verification via the pure-Python xxhash64 below.
+NOT implemented: dictionaries (Dictionary_ID raises — corpus shards
+don't ship external dicts) and window-size enforcement (we hold the
+whole output; a 100 TB pipeline bounds shard size upstream).
+
+ENCODER (``zstd_compress``): a real compressing subset — greedy
+4-byte-hash LZ into sequences, Huffman-coded literals (direct weight
+description) when they help, PREDEFINED-mode sequence coding, raw
+fallback per block, single-segment frames with content checksum.
+Sequence/huffman streams are produced by INVERTING this module's own
+decode tables (an FSE decode table's (base, 1<<nbBits) intervals
+partition the state space, so encoding is interval lookup backward) —
+which makes encoder and decoder self-consistent by construction and
+keeps the spec-risk confined to the table-build functions the tests
+pin directly.
+
+Bitstream note: zstd entropy payloads are read BACKWARD from a
+sentinel bit; Python bigints make both directions exact — the whole
+stream is one int, reads are shifts and masks.
+"""
+
+from __future__ import annotations
+
+__all__ = ["xxh64", "zstd_decompress", "zstd_compress", "ZSTD_MAGIC"]
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_SKIPPABLE_LO = 0x184D2A50  # ..2A5F: skippable frame magics
+
+# ---------------------------------------------------------------- xxh64
+
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the zstd content-checksum hash), pure Python."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while pos + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[pos:pos + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[pos + 8:pos + 16],
+                                               "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[pos + 16:pos + 24],
+                                               "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[pos + 24:pos + 32],
+                                               "little"))
+            pos += 32
+        acc = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+               + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            acc = ((acc ^ _xxh_round(0, v)) * _P1 + _P4) & _M64
+    else:
+        acc = (seed + _P5) & _M64
+    acc = (acc + n) & _M64
+    while pos + 8 <= n:
+        acc = ((_rotl(acc ^ _xxh_round(
+            0, int.from_bytes(data[pos:pos + 8], "little")), 27)
+            * _P1) + _P4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        acc = ((_rotl(acc ^ (int.from_bytes(data[pos:pos + 4], "little")
+                             * _P1) & _M64, 23) * _P2) + _P3) & _M64
+        pos += 4
+    while pos < n:
+        acc = (_rotl(acc ^ (data[pos] * _P5) & _M64, 11) * _P1) & _M64
+        pos += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+# ------------------------------------------------------ bitstream I/O
+
+
+class _BackBits:
+    """Backward bitstream: data bits at positions [0, N), sentinel 1 at
+    N, zero padding above to the byte boundary. Reads consume from the
+    top down; past-the-start reads pad with zeros and drive ``pos``
+    negative (the FSE-weights overflow end condition)."""
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("backward bitstream missing sentinel")
+        self.val = int.from_bytes(data, "little")
+        self.pos = self.val.bit_length() - 1  # strip sentinel
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.val >> self.pos) & ((1 << n) - 1)
+        # zero-pad past the start (low bits), clamp shift
+        avail = n + self.pos
+        if avail <= 0:
+            return 0
+        return (self.val & ((1 << avail) - 1)) << (n - avail)
+
+    def peek(self, n: int) -> int:
+        if self.pos >= n:
+            return (self.val >> (self.pos - n)) & ((1 << n) - 1)
+        avail = max(self.pos, 0)
+        return (self.val & ((1 << avail) - 1)) << (n - avail)
+
+    def skip(self, n: int) -> None:
+        self.pos -= n
+
+
+class _BackBitsWriter:
+    """Build a backward bitstream: append values in DECODER-READ order;
+    ``bytes()`` adds the sentinel + zero padding."""
+
+    def __init__(self) -> None:
+        self.val = 1  # sentinel
+        self.bits = 0
+
+    def write(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        if v < 0 or v >> n:
+            raise ValueError(f"value {v} does not fit in {n} bits")
+        self.val = (self.val << n) | v
+        self.bits += n
+
+    def to_bytes(self) -> bytes:
+        nbytes = (self.bits + 1 + 7) // 8
+        return self.val.to_bytes(nbytes, "little")
+
+
+class _ForeBitsWriter:
+    """Forward LSB-first bit writer (FSE table descriptions)."""
+
+    def __init__(self) -> None:
+        self.val = 0
+        self.bits = 0
+
+    def write(self, v: int, n: int) -> None:
+        if v < 0 or (n and v >> n):
+            raise ValueError(f"value {v} does not fit in {n} bits")
+        self.val |= v << self.bits
+        self.bits += n
+
+    def to_bytes(self) -> bytes:
+        return self.val.to_bytes((self.bits + 7) // 8 or 1, "little")
+
+
+class _ForeBits:
+    """Forward LSB-first bit reader (FSE table descriptions)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("truncated forward bitstream")
+        val = int.from_bytes(
+            self.data[self.pos // 8:(end + 7) // 8], "little")
+        out = (val >> (self.pos % 8)) & ((1 << n) - 1)
+        self.pos = end
+        return out
+
+    def byte_align_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+# ------------------------------------------------------------- FSE
+
+
+def _fse_build_dtable(norm: list[int], accuracy: int):
+    """Decode table from normalized counts (sum of max(c,1) weights =
+    2^accuracy; -1 = 'less than 1' low-prob symbol). Returns a list of
+    (symbol, nb_bits, new_state_base) indexed by state — the spec's
+    spread-then-assign algorithm."""
+    size = 1 << accuracy
+    syms = [0] * size
+    high = size - 1
+    # low-prob symbols take one cell each at the table's end
+    for s, c in enumerate(norm):
+        if c == -1:
+            syms[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, c in enumerate(norm):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            syms[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("corrupted FSE normalized counts")
+    # per-symbol occurrence counters (numbered in STATE order, starting
+    # at the normalized count) drive nb_bits / new_state_base
+    table = [None] * size  # type: ignore[list-item]
+    counters: dict[int, int] = {}
+    for state in range(size):
+        s = syms[state]
+        x = (norm[s] if norm[s] > 0 else 1) + counters.get(s, 0)
+        counters[s] = counters.get(s, 0) + 1
+        nb = accuracy - (x.bit_length() - 1)
+        table[state] = (s, nb, (x << nb) - size)
+    return table
+
+
+def _fse_read_ncount(fb: _ForeBits, max_symbol: int):
+    """Read an FSE table description: (normalized counts, accuracy)."""
+    accuracy = fb.read(4) + 5
+    if accuracy > 9:
+        raise ValueError(f"FSE accuracy {accuracy} > 9")
+    remaining = (1 << accuracy) + 1
+    norm: list[int] = []
+    prev_zero = False
+    while remaining > 1 and len(norm) <= max_symbol:
+        if prev_zero:
+            # repeat flags: each 2-bit value adds that many zeros;
+            # value 3 adds three and reads another flag
+            while True:
+                rep = fb.read(2)
+                norm.extend([0] * min(rep, 3))
+                if rep < 3:
+                    break
+            prev_zero = False
+            continue
+        nbits = remaining.bit_length()
+        threshold = 1 << (nbits - 1)
+        small_max = (threshold << 1) - 1 - remaining
+        val = fb.read(nbits - 1)
+        if val < small_max:
+            count = val
+        else:
+            extra = fb.read(1)
+            val |= extra << (nbits - 1)
+            count = val if val < threshold else val - small_max
+        count -= 1  # shift: stored value - 1; -1 encodes 'low prob'
+        remaining -= -count if count < 0 else count
+        norm.append(count)
+        prev_zero = count == 0
+    if remaining != 1:
+        raise ValueError("FSE normalized counts do not sum to table size")
+    return norm, accuracy
+
+def _fse_write_ncount(norm: list[int], accuracy: int) -> bytes:
+    """Write an FSE table description (inverse of
+    :func:`_fse_read_ncount`) — byte-aligned forward bitstream."""
+    fw = _ForeBitsWriter()
+    fw.write(accuracy - 5, 4)
+    remaining = (1 << accuracy) + 1
+    i = 0
+    while i < len(norm):
+        count = norm[i]
+        nbits = remaining.bit_length()
+        threshold = 1 << (nbits - 1)
+        small_max = (threshold << 1) - 1 - remaining
+        e = count + 1
+        if e < small_max:
+            fw.write(e, nbits - 1)
+        elif e < threshold:
+            fw.write(e, nbits - 1)
+            fw.write(0, 1)
+        else:
+            v = e + small_max
+            fw.write(v & (threshold - 1), nbits - 1)
+            fw.write(1, 1)
+        remaining -= -count if count < 0 else count
+        i += 1
+        if count == 0:
+            # repeat flags for runs of following zeros
+            run = 0
+            while i < len(norm) and norm[i] == 0:
+                run += 1
+                i += 1
+            while run >= 3:
+                fw.write(3, 2)
+                run -= 3
+            fw.write(run, 2)
+        if remaining <= 1:
+            break
+    if remaining != 1:
+        raise ValueError("normalized counts do not sum to table size")
+    return fw.to_bytes()
+
+
+# ---------------------------------------------------------- Huffman
+
+
+def _huf_build_dtable(weights: list[int]):
+    """(table, max_bits): table[peek(max_bits)] = (symbol, code_len).
+    Weight w>0 -> code length max_bits+1-w; weight-1 (longest) codes
+    fill the lowest table indices, natural symbol order within a
+    weight."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("empty huffman weights")
+    max_bits = (total - 1).bit_length() if total > 1 else 1
+    if (1 << max_bits) != total:
+        raise ValueError("huffman weights do not fill the tree")
+    if max_bits > 11:
+        raise ValueError("huffman code length > 11")
+    rank_start = {}
+    acc = 0
+    for w in range(1, max_bits + 1):
+        rank_start[w] = acc
+        acc += (1 << (w - 1)) * sum(1 for ww in weights if ww == w)
+    table = [None] * (1 << max_bits)  # type: ignore[list-item]
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        n_entries = 1 << (w - 1)
+        start = rank_start[w]
+        for k in range(n_entries):
+            table[start + k] = (sym, max_bits + 1 - w)
+        rank_start[w] = start + n_entries
+    if any(e is None for e in table):
+        raise ValueError("huffman table has holes")
+    return table, max_bits
+
+
+def _huf_read_weights(data: bytes):
+    """Huffman tree description -> (weights incl. implied last symbol,
+    bytes consumed)."""
+    if not data:
+        raise ValueError("empty huffman description")
+    header = data[0]
+    if header >= 128:  # direct 4-bit weights
+        n = header - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("truncated direct huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        consumed = 1 + nbytes
+    else:  # FSE-compressed weights
+        csize = header
+        if 1 + csize > len(data):
+            raise ValueError("truncated FSE huffman weights")
+        region = data[1:1 + csize]
+        fb = _ForeBits(region)
+        norm, accuracy = _fse_read_ncount(fb, 255)
+        if accuracy > 6:
+            raise ValueError("huffman-weight FSE accuracy > 6")
+        dtable = _fse_build_dtable(norm, accuracy)
+        bb = _BackBits(region[fb.byte_align_consumed():])
+        s1 = bb.read(accuracy)
+        s2 = bb.read(accuracy)
+        weights = []
+        while True:
+            sym, nb, base = dtable[s1]
+            weights.append(sym)
+            s1 = base + bb.read(nb)
+            if bb.pos < 0:
+                weights.append(dtable[s2][0])
+                break
+            sym, nb, base = dtable[s2]
+            weights.append(sym)
+            s2 = base + bb.read(nb)
+            if bb.pos < 0:
+                weights.append(dtable[s1][0])
+                break
+        consumed = 1 + csize
+    if len(weights) > 255:
+        raise ValueError("too many huffman weights")
+    # implied last weight completes the tree to a power of two
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("huffman weights all zero")
+    nxt = 1 << (total - 1).bit_length() if total > 1 else 2
+    if nxt == total:  # total already a power of two -> need strictly next
+        nxt <<= 1
+    rest = nxt - total
+    if rest & (rest - 1):
+        raise ValueError("huffman weights: implied weight not a power of 2")
+    weights.append(rest.bit_length())
+    return weights, consumed
+
+
+def _huf_decode_stream(data: bytes, table, max_bits: int,
+                       out_len: int) -> bytes:
+    bb = _BackBits(data)
+    out = bytearray()
+    for _ in range(out_len):
+        sym, ln = table[bb.peek(max_bits)]
+        bb.skip(ln)
+        if bb.pos < 0:
+            raise ValueError("huffman stream over-read")
+        out.append(sym)
+    return bytes(out)
+
+# --------------------------------------------------------- sequences
+
+#: predefined distributions + accuracies (RFC 8878 default tables)
+_LL_DEFAULT = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                -1, -1, -1, -1], 6)
+_ML_DEFAULT = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+                -1, -1, -1, -1, -1], 6)
+_OF_DEFAULT = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+
+#: literal-length code -> (baseline, extra bits)
+_LL_TABLE = {**{c: (c, 0) for c in range(16)},
+             16: (16, 1), 17: (18, 1), 18: (20, 1), 19: (22, 1),
+             20: (24, 2), 21: (28, 2), 22: (32, 3), 23: (40, 3),
+             24: (48, 4), 25: (64, 6), 26: (128, 7), 27: (256, 8),
+             28: (512, 9), 29: (1024, 10), 30: (2048, 11),
+             31: (4096, 12), 32: (8192, 13), 33: (16384, 14),
+             34: (32768, 15), 35: (65536, 16)}
+
+#: match-length code -> (baseline, extra bits)
+_ML_TABLE = {**{c: (c + 3, 0) for c in range(32)},
+             32: (35, 1), 33: (37, 1), 34: (39, 1), 35: (41, 1),
+             36: (43, 2), 37: (47, 2), 38: (51, 3), 39: (59, 3),
+             40: (67, 4), 41: (83, 4), 42: (99, 5), 43: (131, 7),
+             44: (259, 8), 45: (515, 9), 46: (1027, 10),
+             47: (2051, 11), 48: (4099, 12), 49: (8195, 13),
+             50: (16387, 14), 51: (32771, 15), 52: (65539, 16)}
+
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+_DEFAULTS = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+
+
+def _read_seq_table(kind: str, mode: int, data: bytes, pos: int, prev):
+    """One of LL/OF/ML table slots: returns ((dtable, accuracy) | RLE
+    symbol marker, new pos). RLE tables are (symbol, 0, None)-style —
+    represented as a 1-entry accuracy-0 table."""
+    if mode == 0:  # predefined
+        norm, acc = _DEFAULTS[kind]
+        return (_fse_build_dtable(norm, acc), acc), pos
+    if mode == 1:  # RLE: one byte, accuracy 0
+        if pos >= len(data):
+            raise ValueError("truncated RLE sequence table")
+        sym = data[pos]
+        if sym > _MAX_SYM[kind]:
+            raise ValueError(f"{kind} RLE symbol {sym} out of range")
+        return ([(sym, 0, 0)], 0), pos + 1
+    if mode == 2:  # FSE_Compressed
+        fb = _ForeBits(data[pos:])
+        norm, acc = _fse_read_ncount(fb, _MAX_SYM[kind])
+        if kind == "of" and acc > 8:
+            raise ValueError("offset-table accuracy > 8")
+        return (_fse_build_dtable(norm, acc), acc), \
+            pos + fb.byte_align_consumed()
+    if prev is None:
+        raise ValueError(f"{kind} repeat mode with no previous table")
+    return prev, pos
+
+
+def _decode_sequences(data: bytes, literals: bytes, out: bytearray,
+                      rep: list[int], prev_tables: dict):
+    """Decode one block's sequences section, executing matches against
+    ``out`` (the whole frame decoded so far). Mutates out/rep/
+    prev_tables."""
+    if not data:
+        raise ValueError("empty sequences section")
+    b0 = data[0]
+    pos = 1
+    if b0 == 0:
+        nseq = 0
+    elif b0 < 128:
+        nseq = b0
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) + data[pos]
+        pos += 1
+    else:
+        nseq = data[pos] + (data[pos + 1] << 8) + 0x7F00
+        pos += 2
+    if nseq == 0:
+        out += literals
+        return
+    modes = data[pos]
+    pos += 1
+    if modes & 0x03:
+        raise ValueError("reserved sequence-mode bits set")
+    tables = {}
+    for kind, shift in (("ll", 6), ("of", 4), ("ml", 2)):
+        tables[kind], pos = _read_seq_table(
+            kind, (modes >> shift) & 3, data, pos, prev_tables.get(kind))
+        prev_tables[kind] = tables[kind]
+    bb = _BackBits(data[pos:])
+    (ll_tbl, ll_acc) = tables["ll"]
+    (of_tbl, of_acc) = tables["of"]
+    (ml_tbl, ml_acc) = tables["ml"]
+    ll_state = bb.read(ll_acc)
+    of_state = bb.read(of_acc)
+    ml_state = bb.read(ml_acc)
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_tbl[of_state][0]
+        if of_code > 31:
+            raise ValueError("offset code out of range")
+        ofv = (1 << of_code) + bb.read(of_code)
+        ml_code = ml_tbl[ml_state][0]
+        ml_base, ml_bits = _ML_TABLE[ml_code]
+        ml = ml_base + bb.read(ml_bits)
+        ll_code = ll_tbl[ll_state][0]
+        ll_base, ll_bits = _LL_TABLE[ll_code]
+        ll = ll_base + bb.read(ll_bits)
+        # repeat-offset resolution (litLength==0 shifts the index)
+        if ofv > 3:
+            offset = ofv - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = ofv - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # ll == 0 and ofv == 3 -> rep[0] - 1
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if lit_pos + ll > len(literals):
+            raise ValueError("sequence literals overrun")
+        out += literals[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("match offset beyond window")
+        start = len(out) - offset
+        if ml <= offset:
+            out += out[start:start + ml]
+        else:
+            for k in range(ml):
+                out.append(out[start + k])
+        if i + 1 < nseq:
+            s, nb, base = ll_tbl[ll_state]
+            ll_state = base + bb.read(nb)
+            s, nb, base = ml_tbl[ml_state]
+            ml_state = base + bb.read(nb)
+            s, nb, base = of_tbl[of_state]
+            of_state = base + bb.read(nb)
+            if bb.pos < 0:
+                raise ValueError("sequence bitstream over-read")
+    if bb.pos != 0:
+        raise ValueError(
+            f"sequence bitstream not fully consumed ({bb.pos} bits left)")
+    out += literals[lit_pos:]
+
+# ----------------------------------------------------------- literals
+
+
+def _decode_literals(block: bytes, prev_huf):
+    """Literals section -> (literals, bytes_consumed, huf_table)."""
+    if not block:
+        raise ValueError("empty literals section")
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf == 1:
+            hdr = int.from_bytes(block[:2], "little")
+            rsize, pos = hdr >> 4, 2
+        elif sf == 3:
+            hdr = int.from_bytes(block[:3], "little")
+            rsize, pos = hdr >> 4, 3
+        else:  # 0 or 2: 5-bit size, 1 byte
+            rsize, pos = b0 >> 3, 1
+        if ltype == 0:
+            lits = bytes(block[pos:pos + rsize])
+            if len(lits) != rsize:
+                raise ValueError("truncated raw literals")
+            return lits, pos + rsize, prev_huf
+        return bytes([block[pos]]) * rsize, pos + 1, prev_huf
+    # compressed (2) / treeless (3)
+    sizes = {0: (1, 10, 3), 1: (4, 10, 3), 2: (4, 14, 4), 3: (4, 18, 5)}
+    nstreams, sbits, hbytes = sizes[sf]
+    hdr = int.from_bytes(block[:hbytes], "little")
+    rsize = (hdr >> 4) & ((1 << sbits) - 1)
+    csize = (hdr >> (4 + sbits)) & ((1 << sbits) - 1)
+    pos = hbytes
+    end = pos + csize
+    if end > len(block):
+        raise ValueError("truncated compressed literals")
+    if ltype == 2:
+        weights, consumed = _huf_read_weights(block[pos:end])
+        huf = _huf_build_dtable(weights)
+        pos += consumed
+    else:
+        if prev_huf is None:
+            raise ValueError("treeless literals with no previous table")
+        huf = prev_huf
+    table, max_bits = huf
+    if nstreams == 1:
+        lits = _huf_decode_stream(bytes(block[pos:end]), table, max_bits,
+                                  rsize)
+        return lits, end, huf
+    if end - pos < 6:
+        raise ValueError("missing 4-stream jump table")
+    j1 = int.from_bytes(block[pos:pos + 2], "little")
+    j2 = int.from_bytes(block[pos + 2:pos + 4], "little")
+    j3 = int.from_bytes(block[pos + 4:pos + 6], "little")
+    pos += 6
+    per = (rsize + 3) // 4
+    lens = [per, per, per, rsize - 3 * per]
+    if lens[3] < 0:
+        raise ValueError("bad 4-stream regenerated size")
+    bounds = [pos, pos + j1, pos + j1 + j2, pos + j1 + j2 + j3, end]
+    lits = bytearray()
+    for i in range(4):
+        lits += _huf_decode_stream(
+            bytes(block[bounds[i]:bounds[i + 1]]), table, max_bits,
+            lens[i])
+    return bytes(lits), end, huf
+
+# ----------------------------------------------------------- decoder
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Decode a (possibly multi-frame) zstd stream."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            size = int.from_bytes(data[pos + 4:pos + 8], "little")
+            pos += 8 + size
+            continue
+        if data[pos:pos + 4] != ZSTD_MAGIC:
+            raise ValueError("bad zstd frame magic")
+        pos += 4
+        if pos >= n:
+            raise ValueError("truncated frame header")
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("reserved frame-header bit set")
+        single = bool(fhd & 0x20)
+        checksum = bool(fhd & 0x04)
+        did_size = (0, 1, 2, 4)[fhd & 3]
+        if did_size:
+            raise NotImplementedError(
+                "zstd dictionaries not supported: shard corpora are "
+                "self-contained; wire a dict-aware decoder here if ever "
+                "needed")
+        if not single:
+            pos += 1  # window descriptor: unenforced, we buffer fully
+        fcs_code = fhd >> 6
+        fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_code]
+        fcs = None
+        if fcs_bytes:
+            fcs = int.from_bytes(data[pos:pos + fcs_bytes], "little")
+            if fcs_bytes == 2:
+                fcs += 256
+            pos += fcs_bytes
+        frame_start = len(out)
+        rep = [1, 4, 8]
+        prev_huf = None
+        prev_seq: dict = {}
+        while True:
+            if pos + 3 > n:
+                raise ValueError("truncated block header")
+            hdr = int.from_bytes(data[pos:pos + 3], "little")
+            pos += 3
+            last = hdr & 1
+            btype = (hdr >> 1) & 3
+            bsize = hdr >> 3
+            if btype == 0:  # raw
+                if pos + bsize > n:
+                    raise ValueError("truncated raw block")
+                out += data[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("truncated RLE block")
+                out += data[pos:pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                block = data[pos:pos + bsize]
+                if len(block) != bsize:
+                    raise ValueError("truncated compressed block")
+                pos += bsize
+                lits, consumed, prev_huf = _decode_literals(
+                    block, prev_huf)
+                _decode_sequences(bytes(block[consumed:]), lits, out,
+                                  rep, prev_seq)
+            else:
+                raise ValueError("reserved block type")
+            if last:
+                break
+        if fcs is not None and len(out) - frame_start != fcs:
+            raise ValueError("frame content size mismatch")
+        if checksum:
+            want = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError("zstd content checksum mismatch")
+    return bytes(out)
+
+# ----------------------------------------------------------- encoder
+
+
+def _fse_encode_intervals(dtable):
+    """Invert a decode table: per symbol, the sorted (base, nb, state)
+    intervals whose [base, base + 2^nb) partition the state space."""
+    by_sym: dict[int, list[tuple[int, int, int]]] = {}
+    for state, (sym, nb, base) in enumerate(dtable):
+        by_sym.setdefault(sym, []).append((base, nb, state))
+    for lst in by_sym.values():
+        lst.sort()
+    return by_sym
+
+
+def _fse_state_for(intervals, sym: int, next_state: int):
+    """The decode-state that emits ``sym`` and whose renorm interval
+    contains ``next_state`` -> (state, bits_value, nb_bits)."""
+    lst = intervals.get(sym)
+    if not lst:
+        raise ValueError(f"symbol {sym} not encodable (zero probability)")
+    for base, nb, state in lst:
+        if base <= next_state < base + (1 << nb):
+            return state, next_state - base, nb
+    raise ValueError("FSE interval partition is broken")
+
+
+def _code_for(table: dict, value: int) -> tuple[int, int, int]:
+    """(code, extra_value, extra_bits) for a baseline/extra table."""
+    best = None
+    for code, (base, bits) in table.items():
+        if base <= value < base + (1 << bits):
+            best = (code, value - base, bits)
+    if best is None:
+        raise ValueError(f"value {value} not representable")
+    return best
+
+
+def _huf_assign_weights(freqs: dict[int, int]):
+    """Code lengths (<= 11, full tree) via huffman + Kraft repair;
+    returns {symbol: weight} with max_bits, or None if < 2 symbols."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) < 2:
+        return None
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(syms, 0)
+    i = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, i, g1 + g2))
+        i += 1
+    for s in syms:
+        depth[s] = min(depth[s], 11)
+    # Kraft repair to an EXACTLY full tree at max_bits
+    def kraft(mb):
+        return sum(1 << (mb - depth[s]) for s in syms)
+    mb = max(depth.values())
+    while kraft(mb) > (1 << mb):  # overfull: lengthen cheapest symbols
+        s = min((s for s in syms if depth[s] < 11),
+                key=lambda s: (freqs[s], s))
+        depth[s] += 1
+        mb = max(depth.values())
+    # underfull: shorten the longest-coded, most frequent symbols
+    while kraft(mb) < (1 << mb):
+        gap = (1 << mb) - kraft(mb)
+        cands = [s for s in syms
+                 if depth[s] > 1 and (1 << (mb - depth[s])) <= gap]
+        s = max(cands, key=lambda s: (depth[s], freqs[s], -s))
+        depth[s] -= 1
+        mb = max(depth.values())
+    return {s: mb + 1 - depth[s] for s in syms}, mb
+
+
+def _huf_encode_literals(lits: bytes):
+    """Huffman-encode literals (1 stream, direct weights). Returns the
+    (tree_description + stream) bytes or None when not beneficial /
+    not representable."""
+    if len(lits) < 16 or len(lits) > 1023:
+        return None
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    assigned = _huf_assign_weights(freqs)
+    if assigned is None:
+        return None
+    weights_map, max_bits = assigned
+    max_sym = max(weights_map)
+    weights = [weights_map.get(s, 0) for s in range(max_sym + 1)]
+    # direct description omits the LAST listed weight (implied);
+    # direct form carries at most 128 weights — wider alphabets would
+    # need FSE-compressed weights (decoder supports them; this subset
+    # encoder falls back to raw literals instead)
+    listed = weights[:-1]
+    if len(listed) > 128:
+        return None
+    desc = bytearray([127 + len(listed)])
+    for i in range(0, len(listed), 2):
+        hi = listed[i] << 4
+        lo = listed[i + 1] if i + 1 < len(listed) else 0
+        desc.append(hi | lo)
+    table, mb = _huf_build_dtable(weights)
+    # code emission: block start index >> (mb - len) is the code value
+    first_idx: dict[int, tuple[int, int]] = {}
+    for idx, (sym, ln) in enumerate(table):
+        if sym not in first_idx:
+            first_idx[sym] = (idx, ln)
+    w = _BackBitsWriter()
+    for b in lits:
+        idx, ln = first_idx[b]
+        w.write(idx >> (mb - ln), ln)
+    payload = bytes(desc) + w.to_bytes()
+    return payload if len(payload) < len(lits) else None
+
+
+def _lz_parse(block: bytes):
+    """Greedy 4-byte-hash LZ -> (literals, [(ll, ml, offset), ...])."""
+    n = len(block)
+    table: dict[bytes, int] = {}
+    lits = bytearray()
+    seqs = []
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = block[i:i + 4]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and block[j:j + 4] == key:
+            length = 4
+            while i + length < n and block[j + length] == block[i + length]:
+                length += 1
+            lits += block[lit_start:i]
+            seqs.append((i - lit_start, length, i - j))
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    lits += block[lit_start:]
+    return bytes(lits), seqs
+
+
+def _encode_block(block: bytes) -> bytes | None:
+    """One compressed block (predefined-mode sequences), or None when
+    compression does not help."""
+    lits, seqs = _lz_parse(block)
+    if not seqs:
+        return None
+    # literals section: huffman if it helps (and fits 1-stream), else raw
+    huf = _huf_encode_literals(lits)
+    if huf is not None:
+        hdr = 2 | (0 << 2) | (len(lits) << 4) | (len(huf) << 14)
+        lit_sec = hdr.to_bytes(3, "little") + huf
+    else:
+        if len(lits) < 32:
+            lit_sec = bytes([(len(lits) << 3) | 0]) + lits
+        elif len(lits) < 4096:
+            lit_sec = ((len(lits) << 4) | (1 << 2)
+                       ).to_bytes(2, "little") + lits
+        else:
+            lit_sec = ((len(lits) << 4) | (3 << 2)
+                       ).to_bytes(3, "little") + lits
+    # sequences: predefined tables, encoded by decode-table inversion
+    n = len(seqs)
+    if n < 128:
+        seq_hdr = bytes([n])
+    elif n < 0x7F00:
+        seq_hdr = bytes([(n >> 8) + 128, n & 0xFF])
+    else:
+        seq_hdr = bytes([255, (n - 0x7F00) & 0xFF, (n - 0x7F00) >> 8])
+    modes = bytes([0])  # all predefined
+    ll_tbl = _fse_build_dtable(*_LL_DEFAULT)
+    of_tbl = _fse_build_dtable(*_OF_DEFAULT)
+    ml_tbl = _fse_build_dtable(*_ML_DEFAULT)
+    ll_iv, of_iv, ml_iv = (_fse_encode_intervals(t)
+                           for t in (ll_tbl, of_tbl, ml_tbl))
+    codes = []
+    for ll, ml, offset in seqs:
+        ofv = offset + 3  # never emit repeat offsets
+        of_code = ofv.bit_length() - 1
+        of_extra = ofv - (1 << of_code)
+        ll_code, ll_ev, ll_eb = _code_for(_LL_TABLE, ll)
+        ml_code, ml_ev, ml_eb = _code_for(_ML_TABLE, ml)
+        codes.append((ll_code, ll_ev, ll_eb, of_code, of_extra,
+                      ml_code, ml_ev, ml_eb))
+    # resolve FSE states backward: choose final states, walk to first
+    def chain(intervals, code_seq):
+        states = [0] * len(code_seq)
+        bits: list[tuple[int, int]] = [(0, 0)] * (len(code_seq) - 1)
+        lst = intervals.get(code_seq[-1])
+        if not lst:
+            raise ValueError("unencodable code")
+        states[-1] = lst[0][2]
+        for i in range(len(code_seq) - 2, -1, -1):
+            st, bv, nb = _fse_state_for(intervals, code_seq[i],
+                                        states[i + 1])
+            states[i] = st
+            bits[i] = (bv, nb)
+        return states, bits
+
+    ll_states, ll_bits = chain(ll_iv, [c[0] for c in codes])
+    of_states, of_bits = chain(of_iv, [c[3] for c in codes])
+    ml_states, ml_bits = chain(ml_iv, [c[5] for c in codes])
+    w = _BackBitsWriter()
+    w.write(ll_states[0], _LL_DEFAULT[1])
+    w.write(of_states[0], _OF_DEFAULT[1])
+    w.write(ml_states[0], _ML_DEFAULT[1])
+    for i, (_llc, ll_ev, ll_eb, of_code, of_extra,
+            _mlc, ml_ev, ml_eb) in enumerate(codes):
+        w.write(of_extra, of_code)
+        w.write(ml_ev, ml_eb)
+        w.write(ll_ev, ll_eb)
+        if i + 1 < len(codes):
+            w.write(ll_bits[i][0], ll_bits[i][1])
+            w.write(ml_bits[i][0], ml_bits[i][1])
+            w.write(of_bits[i][0], of_bits[i][1])
+    payload = lit_sec + seq_hdr + modes + w.to_bytes()
+    return payload if len(payload) < len(block) else None
+
+
+def zstd_compress(data: bytes, block_size: int = 1 << 17) -> bytes:
+    """Single-segment zstd frame with content checksum; per ~128 KiB
+    block: LZ + huffman + predefined-FSE when it compresses, raw
+    otherwise. Output decodes with any conformant zstd decoder."""
+    out = bytearray(ZSTD_MAGIC)
+    # FHD: single-segment, checksum, FCS code by size
+    n = len(data)
+    if n < 256:
+        fhd, fcs = 0x20 | 0x04, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fhd, fcs = 0x60 | 0x04, (n - 256).to_bytes(2, "little")
+    else:
+        fhd, fcs = 0xA0 | 0x04, n.to_bytes(4, "little")
+    out.append(fhd)
+    out += fcs
+    blocks = [data[i:i + block_size]
+              for i in range(0, n, block_size)] or [b""]
+    # LZ matches must not cross block boundaries (encoder-local choice)
+    for bi, block in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        comp = _encode_block(block) if len(block) >= 32 else None
+        if comp is not None:
+            out += ((len(comp) << 3) | (2 << 1) | last).to_bytes(
+                3, "little")
+            out += comp
+        elif len(set(block)) == 1 and block:
+            out += ((len(block) << 3) | (1 << 1) | last).to_bytes(
+                3, "little")
+            out.append(block[0])
+        else:
+            out += ((len(block) << 3) | (0 << 1) | last).to_bytes(
+                3, "little")
+            out += block
+    out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -11,7 +11,8 @@ from nyctaxidatapipeline_spark.sources.compressed import (
 )
 
 
-@pytest.mark.parametrize("codec", ["gz", "bz2", "xz", "none"])
+@pytest.mark.parametrize("codec", ["gz", "bz2", "xz", "snappy", "zst",
+                                   "none"])
 def test_compress_roundtrip_and_determinism(codec):
     data = b"line one\nline two\n" * 50
     blob = compress(data, codec)
@@ -48,13 +49,22 @@ def test_read_text_shards_mixed_codecs(spark):
                               (1, 0, "bz2", 2), (2, 0, "xz", 3)]
 
 
-def test_zstd_slot_sniffed_and_documented():
-    from nyctaxidatapipeline_spark.sources.compressed import sniff_codec
+def test_zstd_sniffed_and_decoded():
+    """The former NotImplementedError slot is now the pure-Python
+    RFC 8878 codec: sniffed, decoded, and garbage after the magic is a
+    clean error (not a hang — truncated block headers raise)."""
+    from nyctaxidatapipeline_spark.sources.compressed import (
+        compress,
+        sniff_codec,
+    )
 
-    zst = b"\x28\xb5\x2f\xfd" + b"\x00" * 8
-    assert sniff_codec(zst) == "zst"
-    with pytest.raises(NotImplementedError, match="zstandard"):
-        decompress_auto(zst)
+    blob = compress(b"dolma-style shard\n" * 40, "zst")
+    assert sniff_codec(blob) == "zst"
+    assert decompress_auto(blob) == b"dolma-style shard\n" * 40
+    garbage = b"\x28\xb5\x2f\xfd" + b"\x00" * 8
+    assert sniff_codec(garbage) == "zst"
+    with pytest.raises(ValueError):
+        decompress_auto(garbage)
 
 
 def test_read_text_shards_tolerates_mojibake(spark):
