@@ -456,6 +456,59 @@ def stream_warc_dir(spark: SparkSession, warc_dir: str,
             .load(warc_dir))
 
 
+def shard_admit_fn(corpus_dir: str):
+    """``foreachBatch`` for :func:`run_shard_ingestion`: decompress +
+    line-split each micro-batch's JSONL shards (``read_text_shards`` —
+    the same codec-sniffing parser the batch path uses: gz/bz2/xz/
+    snappy/zstd), parse the JSON JVM-side, and hand the documents to
+    the EXISTING admission commit (``dedup_admit_fn``). Composition
+    over new machinery, exactly like the WARC front door — the only
+    shard-specific lines are the decompress + ``from_json``."""
+    admit = dedup_admit_fn(corpus_dir, "text", "doc_id")
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from nyctaxidatapipeline_spark.sources.compressed import (
+            read_text_shards,
+        )
+
+        lines = read_text_shards(
+            batch_df.select(F.col("path").alias("shard_id"), "content"))
+        docs = (lines
+                .select(F.from_json(
+                    "line", "id long, text string").alias("j"))
+                .filter(F.col("j.id").isNotNull())
+                .select(F.col("j.id").alias("doc_id"),
+                        F.col("j.text").alias("text")))
+        admit(docs, epoch_id)
+
+    return fn
+
+
+def run_shard_ingestion(spark: SparkSession, shard_dir: str,
+                        corpus_dir: str,
+                        checkpoint_dir: str | None = None,
+                        max_files_per_trigger: int = 1):
+    """Streaming compressed-corpus ingestion (the Dolma layout): JSONL
+    shards landing in ``shard_dir`` — any mix of the five codecs — are
+    decompressed, parsed, and admitted into ``corpus_dir`` with
+    on-arrival dedup (exactly-once per epoch; replays are no-ops).
+    Drained result equals the batch parse + batch incremental dedup
+    shard-by-shard — gated e2e."""
+    stream = (spark.readStream
+              .format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(shard_dir))
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(shard_admit_fn(corpus_dir)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def warc_admit_fn(corpus_dir: str):
     """``foreachBatch`` for :func:`run_warc_ingestion`: untar each
     micro-batch's WARC segments into documents (``read_warc`` — the

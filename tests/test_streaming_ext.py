@@ -536,3 +536,51 @@ def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
     after = {(r.r, r.c): r.cnt for r in
              spark.read.parquet(state).select("r", "c", "cnt").collect()}
     assert after == before  # a double-apply would double every counter
+
+
+def test_streaming_shard_ingestion_e2e(spark, tmp_path):
+    """Compressed JSONL shards (mixed codecs incl. the pure-Python
+    snappy + zstd) landing in a directory stream through decompress +
+    parse + on-arrival dedup; drained corpus equals the batch result
+    and a restart admits nothing twice."""
+    import json
+    import os
+
+    from nyctaxidatapipeline_spark.sources.compressed import compress
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_shard_ingestion,
+    )
+
+    def shard(docs, codec):
+        payload = "".join(
+            json.dumps({"id": i, "text": t}, separators=(",", ":"))
+            + "\n" for i, t in docs).encode()
+        return compress(payload, codec)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "s0.jsonl.gz").write_bytes(
+        shard([(1, "alpha beta"), (2, "gamma delta")], "gz"))
+    (land / "s1.jsonl.zst").write_bytes(
+        shard([(3, "epsilon zeta"), (4, "gamma delta")], "zst"))
+    (land / "s2.jsonl.snappy").write_bytes(
+        shard([(5, "eta theta")], "snappy"))
+    for i, f in enumerate(sorted(land.iterdir())):
+        os.utime(f, (1000 + i, 1000 + i))
+
+    corpus = str(tmp_path / "corpus")
+    q = run_shard_ingestion(spark, str(land), corpus,
+                            checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    got = {(r.doc_id, r.text) for r in
+           spark.read.option("basePath", corpus).parquet(corpus).collect()}
+    # doc 4 is a text-dup of doc 2 -> dropped on arrival
+    assert got == {(1, "alpha beta"), (2, "gamma delta"),
+                   (3, "epsilon zeta"), (5, "eta theta")}
+    # restart with the same checkpoint: no new work, nothing re-admitted
+    q2 = run_shard_ingestion(spark, str(land), corpus,
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.stop()
+    assert {(r.doc_id, r.text) for r in
+            spark.read.option("basePath", corpus)
+            .parquet(corpus).collect()} == got
