@@ -59,3 +59,44 @@ def test_negative_control_unpartitioned_fact_no_dpp(spark, tmp_path):
     j = (fact.join(sel, fact.l_returnflag == sel.flag)
              .groupBy("label").count())
     assert "dynamicpruning" not in _executed_plan(j).lower()
+
+
+def test_runtime_bloom_filter_join_injection(spark, tmp_path):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): with a
+    selective creation side, Spark seeds a bloom_filter_agg on the dim
+    keys and pre-filters the fact's shuffle. The default application-
+    side threshold is 10 GB — exactly the 100 TB regime this engine
+    targets — so the fixture-scale test lowers the thresholds to prove
+    our join SHAPES qualify, then restores them. Negative control:
+    default thresholds at fixture scale inject nothing."""
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    def j():
+        # rebuilt per conf change: a DataFrame caches its
+        # QueryExecution, so optimizer flags only affect fresh plans
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        ords = (load_table(spark, "/root/testdata/sf0.01", "orders")
+                .filter(F.col("o_orderpriority") == "1-URGENT"))
+        return (li.join(ords, li.l_orderkey == ords.o_orderkey)
+                  .groupBy("o_orderpriority").count())
+
+    conf = spark.conf
+    app_thr = "spark.sql.optimizer.runtime.bloomFilter." \
+              "applicationSideScanSizeThreshold"
+    cre_thr = "spark.sql.optimizer.runtime.bloomFilter." \
+              "creationSideThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_bcast = conf.get(bcast)
+    assert conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        conf.set(bcast, "-1")  # force the shuffle join blooms exist for
+        assert "bloom_filter" not in _executed_plan(j())  # fixture scale
+        conf.set(app_thr, "0")
+        conf.set(cre_thr, "100MB")
+        plan = _executed_plan(j())
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        conf.set(bcast, old_bcast)
+        conf.unset(app_thr)
+        conf.unset(cre_thr)
