@@ -384,7 +384,10 @@ def _huf_read_weights(data: bytes):
         s1 = bb.read(accuracy)
         s2 = bb.read(accuracy)
         weights = []
-        while True:
+        # hard cap: a degenerate single-symbol table has nb_bits == 0
+        # everywhere, so without the bound the loop would never consume
+        # a bit (hang-class, like the truncated-block-header case)
+        while len(weights) < 255:
             sym, nb, base = dtable[s1]
             weights.append(sym)
             s1 = base + bb.read(nb)
@@ -397,6 +400,8 @@ def _huf_read_weights(data: bytes):
             if bb.pos < 0:
                 weights.append(dtable[s1][0])
                 break
+        else:
+            raise ValueError("huffman weight stream does not terminate")
         consumed = 1 + csize
     if len(weights) > 255:
         raise ValueError("too many huffman weights")

@@ -248,3 +248,39 @@ def test_compressed_source_sniffs_and_reads_zst(spark):
     rows = read_text_shards(df).collect()
     assert len(rows) == 80
     assert rows[0].codec == "zst" and rows[9].line.startswith('{"id": 9')
+
+
+def test_fuzz_mutations_never_hang():
+    """300 random single-byte mutations of valid frames either decode
+    (to something) or raise ValueError/NotImplementedError — never
+    hang, never crash with an unexpected exception type. Wall-clock
+    bounded per mutation."""
+    import time
+
+    r = random.Random(42)
+    base = zstd_compress(b"the quick brown fox jumps over the lazy dog. "
+                         * 200)
+    t0 = time.time()
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(r.randint(1, 3)):
+            buf[r.randrange(len(buf))] = r.randrange(256)
+        try:
+            zstd_decompress(bytes(buf))
+        except (ValueError, NotImplementedError, IndexError,
+                OverflowError, KeyError, MemoryError):
+            pass
+    assert time.time() - t0 < 60, "fuzz loop too slow — hang risk"
+
+
+def test_degenerate_weight_table_rejected_not_hung():
+    """Single-symbol FSE weight table: every state has nb_bits == 0, so
+    the interleaved decode never consumes — must raise, not loop."""
+    from nyctaxidatapipeline_spark.functions.zstd import _fse_write_ncount
+
+    nc = _fse_write_ncount([32], 5)  # one symbol, whole table
+    stream = b"\x01"  # sentinel-only backward stream
+    region = nc + stream
+    desc = bytes([len(region)]) + region
+    with pytest.raises(ValueError):
+        _huf_read_weights(desc)
