@@ -825,10 +825,11 @@ def _huf_assign_weights(freqs: dict[int, int]):
 
 
 def _huf_encode_literals(lits: bytes):
-    """Huffman-encode literals (1 stream, direct weights). Returns the
-    (tree_description + stream) bytes or None when not beneficial /
-    not representable."""
-    if len(lits) < 16 or len(lits) > 1023:
+    """Huffman-encode literals (direct weight description; one stream
+    up to 1023 bytes, four jump-tabled streams beyond — the format's
+    own parallel-decode shape). Returns ``(body, n_streams)`` or None
+    when not beneficial / not representable."""
+    if len(lits) < 16 or len(lits) >= 1 << 18:
         return None
     freqs: dict[int, int] = {}
     for b in lits:
@@ -857,12 +858,30 @@ def _huf_encode_literals(lits: bytes):
     for idx, (sym, ln) in enumerate(table):
         if sym not in first_idx:
             first_idx[sym] = (idx, ln)
-    w = _BackBitsWriter()
-    for b in lits:
-        idx, ln = first_idx[b]
-        w.write(idx >> (mb - ln), ln)
-    payload = bytes(desc) + w.to_bytes()
-    return payload if len(payload) < len(lits) else None
+
+    def stream(chunk: bytes) -> bytes:
+        w = _BackBitsWriter()
+        for b in chunk:
+            idx, ln = first_idx[b]
+            w.write(idx >> (mb - ln), ln)
+        return w.to_bytes()
+
+    if len(lits) <= 1023:
+        payload = bytes(desc) + stream(lits)
+        n_streams = 1
+    else:
+        per = (len(lits) + 3) // 4
+        parts = [lits[i * per:(i + 1) * per] for i in range(3)]
+        parts.append(lits[3 * per:])
+        if not parts[3]:
+            return None  # degenerate split (spec: 4th stream non-empty)
+        streams = [stream(p) for p in parts]
+        if any(len(s) > 0xFFFF for s in streams[:3]):
+            return None  # jump-table entries are 16-bit
+        jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+        payload = bytes(desc) + jump + b"".join(streams)
+        n_streams = 4
+    return (payload, n_streams) if len(payload) < len(lits) else None
 
 
 def _lz_parse(block: bytes):
@@ -896,11 +915,19 @@ def _encode_block(block: bytes) -> bytes | None:
     lits, seqs = _lz_parse(block)
     if not seqs:
         return None
-    # literals section: huffman if it helps (and fits 1-stream), else raw
+    # literals section: huffman if it helps, else raw
     huf = _huf_encode_literals(lits)
     if huf is not None:
-        hdr = 2 | (0 << 2) | (len(lits) << 4) | (len(huf) << 14)
-        lit_sec = hdr.to_bytes(3, "little") + huf
+        body, n_streams = huf
+        if n_streams == 1:
+            hdr = 2 | (0 << 2) | (len(lits) << 4) | (len(body) << 14)
+            lit_sec = hdr.to_bytes(3, "little") + body
+        elif len(lits) < 1 << 14 and len(body) < 1 << 14:
+            hdr = 2 | (2 << 2) | (len(lits) << 4) | (len(body) << 18)
+            lit_sec = hdr.to_bytes(4, "little") + body
+        else:
+            hdr = 2 | (3 << 2) | (len(lits) << 4) | (len(body) << 22)
+            lit_sec = hdr.to_bytes(5, "little") + body
     else:
         if len(lits) < 32:
             lit_sec = bytes([(len(lits) << 3) | 0]) + lits
