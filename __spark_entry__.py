@@ -1512,6 +1512,58 @@ def _q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("asset_id", "width", "height", "mean_intensity"))
 
 
+def _q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EWMA of rounded daily value totals
+    (``temporal.ewma``, window=8, alpha=1/2): the smoothing primitive
+    next to ``moving_avg``'s flat window. Alpha fixed at 1/2 so every
+    decay weight is a power of two (exact IEEE scaling — no pow/exp
+    drift); the twin mirrors the identical 8 lag terms in the
+    identical fold order, so the quotient is bit-equal before the
+    final rounding even."""
+    from nyctaxidatapipeline_spark.operators.temporal import ewma
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events
+             .groupBy("event_type",
+                      F.date_trunc("day", F.col("ts"))
+                       .cast("timestamp_ntz").alias("day"))
+             .agg((F.round(F.sum("value"), 6) + F.lit(0.0))
+                  .alias("daily_total")))
+    return ewma(daily, "daily_total", "day", ["event_type"], window=8)
+
+
+def _ewma_oracle_terms(window: int = 8) -> tuple[str, str]:
+    """The twin's num/den expressions — the same left-assoc fold of
+    the same lag terms the Spark loop builds."""
+    num = "0.0"
+    den = "0.0"
+    for j in range(window):
+        x = ("daily_total" if j == 0
+             else f"lag(daily_total, {j}) OVER w")
+        wt = repr(2.0 ** -j)
+        num += f" + COALESCE(({x}) * CAST({wt} AS DOUBLE), 0.0)"
+        den += (f" + CASE WHEN ({x}) IS NOT NULL "
+                f"THEN CAST({wt} AS DOUBLE) ELSE 0.0 END")
+    return num, den
+
+
+def _q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted fixed-size corpus sample without replacement
+    (``sampling.weighted_topk_sample``, k=50): Efraimidis-Spirakis
+    made membership-exact across engines — integer min-of-w-tickets
+    ranking instead of u^(1/w) (pow ulp drift could flip a knife-edge
+    SELECTION, changing whole rows). Weight = clamp(n_chars DIV 64,
+    1, 64), so longer documents are proportionally likelier."""
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("_wt", F.expr("n_chars DIV 64")))
+    return weighted_topk_sample(docs, "doc_id", "_wt", k=50,
+                                max_weight=64)
+
+
 def _q_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated distinct-user overlap between every event-type pair
     from K-Minimum-Values sketches (``sketches.kmv_sketch/kmv_overlap``,
@@ -3017,7 +3069,8 @@ _ROUND7_FRONT = [
     "warc_ingest", "image_features_gif", "webdataset_ingest",
     "image_dedup_dhash", "jsonl_ingest", "c4_line_filter",
     "char_entropy", "distinct_users_hll", "audience_overlap_kmv",
-    "token_freq_cms", "image_resize_png",
+    "token_freq_cms", "image_resize_png", "ewma_daily",
+    "weighted_corpus_sample",
     "image_features_jpeg_prog", "audio_features_mp3",
     "frame_sample_h264", "image_features_png_i7",
     "embedding_covariance", "pca_project", "knn_graph_ivf",
@@ -3209,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap_kmv": _q_audience_overlap_kmv,
         "token_freq_cms": _q_token_freq_cms,
         "image_resize_png": _q_image_resize_png,
+        "ewma_daily": _q_ewma_daily,
+        "weighted_corpus_sample": _q_weighted_corpus_sample,
     }
     ordered = {name: full[name] for name in _ROUND7_FRONT}
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
@@ -5246,6 +5301,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS INTEGER) AS height,
                    CAST(SUM(v) AS DOUBLE) / 24 AS mean_intensity
             FROM px GROUP BY doc_id
+        """,
+        # Twin of temporal.ewma (window=8, alpha=1/2): same rounded
+        # daily base, same 8 lag terms in the same left-assoc fold
+        # (power-of-two weights are exact scalings, so num/den are
+        # bit-equal pre-round).
+        "ewma_daily": f"""
+            WITH d AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     ROUND(SUM(value), 6) + 0.0 AS daily_total
+              FROM events GROUP BY event_type, date_trunc('day', ts))
+            SELECT event_type, day, daily_total,
+                   CASE WHEN den > 0
+                        THEN ROUND(num / den, 6) + 0.0 END AS ewma
+            FROM (
+              SELECT event_type, day, daily_total,
+                     {_ewma_oracle_terms(8)[0]} AS num,
+                     {_ewma_oracle_terms(8)[1]} AS den
+              FROM d
+              WINDOW w AS (PARTITION BY event_type ORDER BY day)) t
+        """,
+        # Twin of sampling.weighted_topk_sample (k=50, max_weight=64):
+        # same clamped integer weights, same per-ticket md5 32-bit
+        # hashes, same (min_ticket, id) ranking — all-integer
+        # selection, no transcendentals anywhere.
+        "weighted_corpus_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     LEAST(GREATEST(n_chars // 64, 1), 64) AS weight
+              FROM documents),
+            tk AS (
+              SELECT doc_id, weight,
+                     unnest(generate_series(1, weight)) AS j
+              FROM w),
+            mn AS (
+              SELECT doc_id, weight,
+                     MIN(('0x' || substr(md5(doc_id::VARCHAR || '#'
+                                             || j::VARCHAR), 1, 8))
+                         ::BIGINT) AS min_ticket
+              FROM tk GROUP BY doc_id, weight),
+            rk AS (
+              SELECT doc_id, weight, min_ticket,
+                     CAST(row_number() OVER (ORDER BY min_ticket,
+                                             doc_id) AS INTEGER)
+                         AS sample_rank
+              FROM mn)
+            SELECT doc_id, weight, min_ticket, sample_rank
+            FROM rk WHERE sample_rank <= 50
         """,
         # Twin of sketches.cms_counters + cms_lookup (w=1024, d=4):
         # identical portable base hash and minhash_constants (a, b)

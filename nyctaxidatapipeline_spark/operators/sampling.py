@@ -251,6 +251,53 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     return df.filter(hash_bucket(F.col(key_col), n) < F.floor(p * n))
 
 
+def weighted_topk_sample(df: DataFrame, id_col: str, weight_col: str,
+                         k: int, max_weight: int = 64) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement — the
+    Efraimidis-Spirakis top-k, made cross-engine-exact: ES ranks rows
+    by ``u^(1/w)``, but pow/ln last-ulp drift between engines could
+    flip a knife-edge SELECTION (worse than a value flip — whole rows
+    change, the embedding_covariance lesson at membership level).
+    For INTEGER weights the same distribution falls out of integer
+    arithmetic alone: give row i ``w_i`` tickets with independent
+    uniform hashes and rank by its MINIMUM ticket — the min of w
+    uniforms orders identically to ``u^(1/w)`` in distribution, and
+    the portable 32-bit md5 ticket hashes compare as exact integers.
+    Ties (a 1-in-2^32 hash collision) break by id.
+
+    Scale shape: one explode bounded by ``max_weight`` tickets/row
+    (weights clamp into [1, max_weight]), a map-side-combined min per
+    row, and a global top-k that Spark plans as TakeOrderedAndProject
+    (per-partition partial top-k, k-row driver merge) — no full sort.
+
+    Output: (id, weight used, min_ticket, sample_rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_weight < 1 or max_weight > 1024:
+        raise ValueError("max_weight must be in [1, 1024]")
+    w = F.least(F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
+                F.lit(max_weight))
+    ticket = F.conv(F.substring(F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                 F.col("_j").cast("string"))), 1, 8), 16, 10) \
+        .cast("long")
+    mins = (df.select(F.col(id_col), w.alias("_w"))
+              .select(id_col, "_w",
+                      F.explode(F.expr("sequence(1, _w)")).alias("_j"))
+              .select(id_col, "_w", ticket.alias("_t"))
+              .groupBy(id_col, "_w")
+              .agg(F.min("_t").alias("min_ticket")))
+    ranked = (mins.orderBy("min_ticket", id_col).limit(k)
+                  .select(F.col(id_col), F.col("_w").alias("weight"),
+                          "min_ticket"))
+    rw = Window.orderBy("min_ticket", id_col)
+    return ranked.withColumn("sample_rank",
+                             F.row_number().over(rw).cast("int"))
+
+
 def negative_samples(df: DataFrame, id_col: str, k: int = 4,
                      anchor_col: str = "anchor_id",
                      neg_col: str = "negative_id") -> DataFrame:

@@ -210,3 +210,36 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
                     offset.cast("int").alias("period_offset"))
             .groupBy("cohort", "period_offset")
             .agg(F.count("*").alias("n_active")))
+
+
+def ewma(df: DataFrame, value_col: str, order_col: str,
+         key_cols: Sequence[str], window: int = 8,
+         out_col: str = "ewma") -> DataFrame:
+    """Bounded-window exponential moving average per key — the
+    forecasting/smoothing primitive next to ``moving_avg``'s flat
+    window. Decay alpha is FIXED at 1/2 so every weight is a power of
+    two: ``x * 2^-j`` is exact IEEE scaling, which kills the
+    cross-engine pow/exp drift an arbitrary alpha would reintroduce
+    (the signed-zero lesson, applied up front). Head-of-series rows
+    renormalize over the lags that exist (pandas ``ewm(adjust=True)``
+    semantics), so the first row equals its own value.
+
+    Shape: ``window`` explicit ``lag`` terms over ONE (key, order)
+    window — a single shuffle+sort, no collect_list array per row, and
+    the oracle mirrors the identical lag expressions. O(window) state
+    per row; ``window`` defaults to 8 because 2^-8 contributions are
+    below the 6-dp output rounding anyway.
+    """
+    if window < 1 or window > 30:
+        raise ValueError(f"window must be in [1, 30], got {window}")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(window):
+        x = F.lag(F.col(value_col), j).over(w) if j else F.col(value_col)
+        wt = F.lit(float(2.0 ** -j))
+        num = num + F.coalesce(x * wt, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col,
+        F.when(den > 0, F.round(num / den, 6) + F.lit(0.0)))

@@ -321,3 +321,25 @@ class TestTimeRangeAgg:
         got = [(r["v_3600s_n"], r["v_3600s_avg"])
                for r in time_range_agg(df, ["u"], "ts", "v").collect()]
         assert got == [(2, 15.0), (2, 15.0)]
+
+
+def test_ewma_head_renormalization_and_decay(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame(
+        [Row(k="a", t=1, v=10.0), Row(k="a", t=2, v=20.0),
+         Row(k="a", t=3, v=None), Row(k="a", t=4, v=40.0),
+         Row(k="b", t=1, v=5.0)])
+    got = {(r.k, r.t): r.ewma
+           for r in ewma(df, "v", "t", ["k"], window=3).collect()}
+    assert got[("a", 1)] == 10.0                        # head = own value
+    assert got[("a", 2)] == round((20 + 10 * 0.5) / 1.5, 6)
+    # t=3: current NULL -> renormalize over lags 1,2
+    assert got[("a", 3)] == round((20 * 0.5 + 10 * 0.25) / 0.75, 6)
+    assert got[("a", 4)] == round((40 + 20 * 0.25) / 1.25, 6)
+    assert got[("b", 1)] == 5.0                         # keys independent
+    import pytest
+    with pytest.raises(ValueError):
+        ewma(df, "v", "t", ["k"], window=0)

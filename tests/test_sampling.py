@@ -311,3 +311,44 @@ def test_temperature_mix_flattens_and_keeps_small_source(spark):
                temperature_mix(df.repartition(7), "src", "doc_id",
                                alpha=0.5).collect())
     assert a == b
+
+
+def test_weighted_topk_sample_matches_reference_and_is_weighted(spark):
+    """Exact parity with a hashlib reference, and heavier rows are
+    sampled more often across disjoint id universes."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    rows = [Row(doc_id=i, wt=(8 if i % 10 == 0 else 1))
+            for i in range(500)]
+    df = spark.createDataFrame(rows)
+    got = [(r.doc_id, r.weight, r.min_ticket, r.sample_rank)
+           for r in weighted_topk_sample(df, "doc_id", "wt", k=40)
+           .orderBy("sample_rank").collect()]
+
+    def ref_min(i, w):
+        return min(int(hashlib.md5(f"{i}#{j}".encode()).hexdigest()[:8],
+                       16) for j in range(1, w + 1))
+
+    mins = sorted(((ref_min(i, 8 if i % 10 == 0 else 1), i)
+                   for i in range(500)))[:40]
+    assert [(i, t) for t, i in mins] == [(g[0], g[2]) for g in got]
+    assert [g[3] for g in got] == list(range(1, 41))
+    # weighted: the 10% heavy rows take well over 10% of the sample
+    heavy = sum(1 for g in got if g[1] == 8)
+    assert heavy >= 15
+
+    # determinism under repartition
+    again = [(r.doc_id, r.sample_rank) for r in
+             weighted_topk_sample(df.repartition(13), "doc_id", "wt",
+                                  k=40).collect()]
+    assert sorted(again) == sorted((g[0], g[3]) for g in got)
+
+    import pytest
+    with pytest.raises(ValueError):
+        weighted_topk_sample(df, "doc_id", "wt", k=0)
