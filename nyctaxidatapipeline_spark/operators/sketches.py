@@ -41,6 +41,14 @@ Accuracy: the standard error is ~1.04/sqrt(m) (b=6 -> ~13%, b=10 ->
 recomputes the identical sketch, so the gate checks the distributed
 implementation, not the sketch's error; ``tests/test_sketches.py``
 separately asserts the estimate lands within theory bounds of truth.
+
+Cardinality ceiling: the 32-bit portable hash starts collision-biasing
+estimates as distinct counts approach ~10^8 (birthday regime) — the
+same ceiling ``dedup.portable_base_hash`` documents. Past it, widen
+the hash (15 md5 hex chars = 60 bits fit BIGINT in both engines;
+``bin()`` rho and the scaled-integer sum generalize unchanged) — a
+mechanical swap kept out of the default because 32 bits keeps every
+intermediate comfortably inside exact-int53 double territory too.
 """
 
 from __future__ import annotations
