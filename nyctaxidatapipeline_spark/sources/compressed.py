@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 __all__ = ["compress", "decompress_auto", "sniff_codec",
+           "jsonl_shards", "write_jsonl_shards",
            "read_text_shards", "TEXT_SHARD_SCHEMA"]
 
 _MAGICS = (
@@ -157,3 +158,70 @@ def read_text_shards(shards: DataFrame, content_col: str = "content",
                 rows, columns=["shard_id", "line_no", "codec", "line"])
 
     return src.mapInPandas(gen, schema)
+
+
+def jsonl_shards(df: DataFrame, id_col: str,
+                 codec: str = "zst",
+                 docs_per_shard: int = 10_000) -> DataFrame:
+    """EXPORT side of the compressed-corpus layout: pack rows into
+    deterministic ``.jsonl.<codec>`` shard blobs — ``(shard_id,
+    content, n_docs, n_bytes)``, the inverse of
+    :func:`read_text_shards` (roundtrip is test-pinned). Completes the
+    ingest/export pair the WebDataset source already has.
+
+    Scale shape: the JSON SERIALIZATION runs JVM-side
+    (``to_json(struct(*))`` — codegen, one narrow projection over the
+    corpus); Python only joins lines and compresses, one task per
+    shard. Sharding is ``id DIV docs_per_shard`` — deterministic,
+    order-independent, and range-contiguous so shard N's ids all
+    precede shard N+1's (the layout training loaders expect). Shard
+    bytes are a pure function of the data: rows sort by id inside the
+    shard and every codec here is deterministic at a fixed level.
+    """
+    from pyspark.sql import functions as F
+
+    if docs_per_shard < 1:
+        raise ValueError(f"docs_per_shard must be >= 1")
+    compress(b"", codec)  # validate codec name eagerly
+    cols = [c for c in df.columns]
+    src = (df.select(
+        F.expr(f"CAST({id_col} AS BIGINT) DIV {docs_per_shard}")
+         .alias("_shard"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.to_json(F.struct(*cols)).alias("_line")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        payload = ("\n".join(pdf["_line"]) + "\n").encode("utf-8")
+        blob = compress(payload, codec)
+        return pd.DataFrame({"shard_id": [int(pdf["_shard"].iloc[0])],
+                             "content": [blob],
+                             "n_docs": [len(pdf)],
+                             "n_bytes": [len(blob)]})
+
+    return src.groupBy("_shard").applyInPandas(
+        build, "shard_id long, content binary, n_docs long, n_bytes long")
+
+
+def write_jsonl_shards(df: DataFrame, path: str, id_col: str,
+                       codec: str = "zst",
+                       docs_per_shard: int = 10_000) -> None:
+    """Materialize :func:`jsonl_shards` as
+    ``{path}/shard-NNNNNN.jsonl.<codec>`` files — executors write
+    their shards directly, no driver collect; the exact layout
+    :func:`read_text_shards`-based ingestion (and any Dolma-style
+    loader) consumes."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    shards = jsonl_shards(df, id_col, codec, docs_per_shard)  # validates
+    ext = {"gz": "gz", "bz2": "bz2", "xz": "xz",
+           "snappy": "snappy", "zst": "zst", "none": "jsonl"}[codec]
+
+    def dump(rows) -> None:
+        for r in rows:
+            name = f"shard-{r['shard_id']:06d}.jsonl.{ext}"
+            with open(os.path.join(path, name), "wb") as f:
+                f.write(bytes(r["content"]))
+
+    shards.foreachPartition(dump)
