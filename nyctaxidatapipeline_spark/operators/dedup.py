@@ -413,6 +413,86 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
              .distinct())
 
 
+def near_dup_production(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5,
+                        portable: bool = False,
+                        max_bucket: int | None = None) -> DataFrame:
+    """(id, group_id) for EVERY input row — the PRODUCTION near-dup
+    composition: **exact dedup first, then banded MinHash-LSH over the
+    unique texts, then connected components**, with each row's group
+    inherited through its exact representative.
+
+    Why this order is the registered production path (PLANS.md #19):
+    banded LSH pair expansion is quadratic in duplicate-CLASS size — a
+    class of c exact copies lands in the same bucket in every band and
+    emits ~c²/2 candidate pairs per band. Web corpora have boilerplate
+    classes running to millions of copies, so the uncapped
+    ``minhash_lsh_pairs`` blows up 46x at a 10x scale-up on a
+    100-copy-class fixture (328.9 s at sf10) while this composition —
+    one LINEAR hash-groupBy collapsing every copy class to a single
+    representative before LSH ever sees it — measures 31.4 s on the
+    same fixture, in line with every other path's 2-5x at 10x data.
+
+    Stages (all one-shuffle each, no stage quadratic in class size):
+
+      1. **exact collapse** — group by ``md5(text)`` (a fixed-width
+         16-byte shuffle key instead of the full document — same
+         partitioner balance on 100 KB docs as on 100 B docs), rep =
+         min id per class. md5-collision risk is ~n²/2¹²⁸ — at 10¹²
+         docs that is ~10⁻¹⁵, far below hardware error rates.
+      2. **membership map** — (id, rep) via a narrow (id, fp) join;
+         document TEXT never enters this shuffle.
+      3. **LSH over representatives only** — ``minhash_lsh_pairs`` on
+         the collapsed reps; ``max_bucket`` stays available as the
+         backstop against residual near-dup hot buckets (classes that
+         are near- but not exact-identical survive the collapse).
+      4. **components** — ``connected_components`` over the pair graph
+         (min-id labels), then every row's ``group_id`` = its rep's
+         component (or the rep itself when the rep is in no pair).
+
+    Two rows share a ``group_id`` iff they are exact copies OR their
+    representatives are connected through the LSH≥threshold graph —
+    identical semantics to running components over the uncapped pair
+    graph of the full corpus, because exact copies have identical
+    signatures and therefore identical bucket sets (their edges are
+    redundant with the rep's edges plus the copy-class clique).
+    ``portable=True`` makes the whole pipeline bit-reproducible in
+    DuckDB (see ``minhash_signatures``), which is how the registered
+    ``near_dup_production`` query is value-hash-gated end to end.
+    """
+    fp = F.md5(F.encode(F.col(text_col), "utf-8")).alias("_fp")
+    with_fp = df.select(F.col(id_col), F.col(text_col), fp)
+    rep_map = (with_fp.groupBy("_fp")
+               .agg(F.min(id_col).alias("_rep"),
+                    # all texts in an md5 class are identical, so min ==
+                    # any; min keeps the aggregate deterministic by
+                    # construction rather than by argument
+                    F.min(text_col).alias(text_col))
+               # The collapsed table is read by THREE downstream branches
+               # (membership join, LSH signature path, LSH verify path);
+               # without a pipeline breaker each branch re-runs the
+               # scan+collapse from source. localCheckpoint materializes
+               # it once to executor-local blocks — lazy, so the first
+               # action pays it; this is the natural stage boundary a
+               # production run persists anyway (it IS the exact-dedup
+               # output).
+               .localCheckpoint(eager=False))
+    members = (with_fp.select(id_col, "_fp")
+               .join(rep_map.select("_fp", "_rep"), "_fp")
+               .select(id_col, "_rep"))
+    reps = rep_map.select(F.col("_rep").alias(id_col), text_col)
+    pairs = minhash_lsh_pairs(reps, text_col, id_col, n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold, portable=portable,
+                              max_bucket=max_bucket)
+    comp = connected_components(pairs)
+    return (members.join(comp, members["_rep"] == comp["id"], "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("comp"), F.col("_rep"))
+                     .alias("group_id")))
+
+
 def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
                                id_col: str) -> DataFrame:
     """Drop every row that belongs to a near-dup component but is not its

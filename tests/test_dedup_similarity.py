@@ -13,6 +13,7 @@ from nyctaxidatapipeline_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    near_dup_production,
     simhash_near_pairs,
 )
 from nyctaxidatapipeline_spark.operators.similarity import (
@@ -92,6 +93,51 @@ def test_minhash_lsh_max_bucket_skips_hot_classes(spark):
         threshold=0.3).collect()}
     assert (0, 1) in uncapped and (10, 11) in uncapped
     assert len(uncapped) == 8 * 7 // 2 + 1
+
+
+def test_near_dup_production_matches_naive_composition(spark):
+    """The exact-first production path labels every row, and its groups
+    equal components over the UNCAPPED full-corpus LSH pair graph — the
+    collapse is a pure optimization, not a semantics change (exact
+    copies share signatures, so their edges are redundant)."""
+    from pyspark.sql import Row
+
+    hot = "the same boilerplate page body repeated everywhere verbatim"
+    near_a = "a quick brown fox jumps over the lazy dog in the park"
+    near_b = "a quick brown fox jumps over the lazy dog in the yard"
+    lone = "entirely unrelated content that matches nothing else at all"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=hot) for i in range(6)]
+        + [Row(doc_id=10, text=near_a), Row(doc_id=11, text=near_b),
+           Row(doc_id=12, text=near_a),     # exact copy of a near-dup
+           Row(doc_id=20, text=lone)])
+    got = {r.doc_id: r.group_id for r in near_dup_production(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.3).collect()}
+    # every input row labeled; hot class -> 0, near-dup class -> 10,
+    # singleton -> itself
+    assert got == {**{i: 0 for i in range(6)},
+                   10: 10, 11: 10, 12: 10, 20: 20}
+    # naive composition: components over the uncapped full-corpus graph,
+    # rows in no pair keep their own id
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", n=3, num_hashes=32,
+                              bands=8, threshold=0.3)
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    naive = {i: comp.get(i, i) for i, _ in
+             [(i, None) for i in list(range(6)) + [10, 11, 12, 20]]}
+    assert got == naive
+
+
+def test_near_dup_production_portable_matches_default(spark):
+    """Portable (md5) and default (xxhash64) hash families agree on the
+    grouping for unambiguous inputs — the oracle-checked variant is the
+    same operator, not a fork."""
+    df = _docs(spark)
+    for portable in (False, True):
+        got = {r.doc_id: r.group_id for r in near_dup_production(
+            df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+            threshold=0.5, portable=portable).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
 def test_simhash_identical_distance_zero(spark):
