@@ -2196,6 +2196,29 @@ def _q_audio_features_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_abs", "peak"))
 
 
+def _pack_docs_by_shard(spark: SparkSession, docs: DataFrame,
+                        key_alias: str) -> DataFrame:
+    """(shard_key, recs) — documents packed 4-per-shard for the three
+    synth-ingestion queries (WARC / WebDataset / compressed JSONL).
+
+    The explicit-width hash repartition on the SHARD key matters: the
+    groupBy then reuses the partitioning (one exchange, not two), and —
+    because a user-specified width is exempt from AQE coalescing — the
+    chained Python encode/decode stages downstream run at cluster
+    parallelism instead of being serialized onto the ONE post-AQE
+    partition a ~MB shuffle coalesces to (jsonl_ingest measured 1.8 s
+    -> 0.8 s at sf0.1; the per-shard codec work is embarrassingly
+    parallel and was running on a single core). At real scale AQE
+    would size this exchange correctly on its own, but pinning the
+    width keeps the parallelism invariant at every sf."""
+    key = F.expr("doc_id DIV 4")
+    target = spark.sparkContext.defaultParallelism
+    return (docs.repartition(target, key)
+                .groupBy(key.alias(key_alias))
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("doc_id", "text"))).alias("recs")))
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL crawl-archive ingestion, oracle-gated end-to-end: documents
     are packed 4-per-file into Common-Crawl-framed ``.warc.gz`` blobs
@@ -2224,10 +2247,7 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    packed = (docs
-              .groupBy(F.expr("doc_id DIV 4").alias("file_id"))
-              .agg(F.sort_array(F.collect_list(
-                  F.struct("doc_id", "text"))).alias("recs")))
+    packed = _pack_docs_by_shard(spark, docs, "file_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2279,10 +2299,7 @@ def _q_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    packed = (docs
-              .groupBy(F.expr("doc_id DIV 4").alias("shard_id"))
-              .agg(F.sort_array(F.collect_list(
-                  F.struct("doc_id", "text"))).alias("recs")))
+    packed = _pack_docs_by_shard(spark, docs, "shard_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2347,10 +2364,7 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    packed = (docs
-              .groupBy(F.expr("doc_id DIV 4").alias("shard_id"))
-              .agg(F.sort_array(F.collect_list(
-                  F.struct("doc_id", "text"))).alias("recs")))
+    packed = _pack_docs_by_shard(spark, docs, "shard_id")
 
     def gen(batches):
         for pdf in batches:

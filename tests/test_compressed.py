@@ -33,6 +33,79 @@ def test_decompress_auto_plain_passthrough_and_errors():
         compress(b"x", "zstd")
 
 
+def test_c_fast_path_dispatch(monkeypatch):
+    """decompress_auto prefers the C-backed module when one resolved at
+    import; compress routes through it only under prefer='c'. Stubbed —
+    the guard logic must be exercised even in environments (like this
+    container) where no C codec library exists."""
+    from nyctaxidatapipeline_spark.sources import compressed as mod
+
+    calls = []
+
+    class FakeZstd:  # mimics the 'zstandard' package surface
+        class ZstdDecompressor:
+            def decompressobj(self):
+                class O:  # noqa: E742
+                    def decompress(self, d):
+                        calls.append(("zd", d))
+                        return b"ZD"
+                return O()
+
+        class ZstdCompressor:
+            def __init__(self, level):
+                assert level == 3
+
+            def compress(self, d):
+                calls.append(("zc", d))
+                return b"ZC"
+
+    class FakeSnappy:  # mimics python-snappy's framed stream surface
+        class StreamDecompressor:
+            def decompress(self, d):
+                calls.append(("sd", d))
+                return b"SD"
+
+        class StreamCompressor:
+            def compress(self, d):
+                calls.append(("sc", d))
+                return b"SC"
+
+    monkeypatch.setattr(mod, "_ZSTD_C", FakeZstd)
+    monkeypatch.setattr(mod, "_SNAPPY_C", FakeSnappy)
+    zst_blob = compress(b"payload", "zst")        # pure (default)
+    snappy_blob = compress(b"payload", "snappy")  # pure (default)
+    assert calls == []                            # prefer='pure' untouched
+    assert mod.decompress_auto(zst_blob) == b"ZD"
+    assert mod.decompress_auto(snappy_blob) == b"SD"
+    assert mod.compress(b"payload", "zst", prefer="c") == b"ZC"
+    assert mod.compress(b"payload", "snappy", prefer="c") == b"SC"
+    # gz/bz2/xz/none never route through the guards
+    assert mod.decompress_auto(compress(b"abc", "gz")) == b"abc"
+    with pytest.raises(ValueError, match="prefer"):
+        compress(b"x", "zst", prefer="fast")
+
+
+def test_c_fast_path_byte_identity():
+    """When a real C codec library IS importable, pin cross-decoder
+    byte-identity on shared vectors: C-decode(pure-encode(v)) == v and
+    pure-decode(C-encode(v)) == v."""
+    from nyctaxidatapipeline_spark.functions.snappy import frame_decompress
+    from nyctaxidatapipeline_spark.functions.zstd import zstd_decompress
+    from nyctaxidatapipeline_spark.sources import compressed as mod
+
+    if mod._ZSTD_C is None and mod._SNAPPY_C is None:
+        pytest.skip("no C codec library importable in this environment")
+    vectors = [b"", b"a", b"line one\nline two\n" * 200,
+               bytes(range(256)) * 17]
+    for v in vectors:
+        if mod._ZSTD_C is not None:
+            assert mod._zstd_c_decompress(compress(v, "zst")) == v
+            assert zstd_decompress(mod._zstd_c_compress(v)) == v
+        if mod._SNAPPY_C is not None:
+            assert mod._snappy_c_decompress(compress(v, "snappy")) == v
+            assert frame_decompress(mod._snappy_c_compress(v)) == v
+
+
 def test_read_text_shards_mixed_codecs(spark):
     def jsonl(ids):
         return "".join(json.dumps({"id": i}) + "\n" for i in ids).encode()
