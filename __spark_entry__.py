@@ -1476,6 +1476,22 @@ def _q_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(events, "user_id", ["event_type"], b=6)
 
 
+def _q_distinct_users_hll_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-hash HLL (b=10, m=1024 registers, 60-bit portable hash
+    = 15 md5 hex chars): the mode to trust at web scale, where the
+    32-bit hash's birthday regime (~1e8 distincts) starts biasing
+    estimates low. Register sums peak at m * 2^(width+1) = 2^61 —
+    exact int64 on Spark, exact HUGEINT in the twin, and the one
+    cast-to-double starts from the same exact integer on both engines.
+    Same events/event_type surface as ``distinct_users_hll`` so the
+    two modes are directly comparable."""
+    from nyctaxidatapipeline_spark.operators.sketches import hll_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, "user_id", ["event_type"], b=10,
+                        hash_bits=60)
+
+
 def _q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies point-queried from a Count-Min sketch
     (``sketches.cms_counters/cms_lookup``, w=1024 d=4): the
@@ -3298,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         "char_entropy": _q_char_entropy,
         "distinct_users_hll": _q_distinct_users_hll,
+        "distinct_users_hll_wide": _q_distinct_users_hll_wide,
         "audience_overlap_kmv": _q_audience_overlap_kmv,
         "token_freq_cms": _q_token_freq_cms,
         "image_resize_png": _q_image_resize_png,
@@ -3464,6 +3481,65 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 24,
                    ROUND(SUM(CAST(e.embedding[vf.i + 1] AS DOUBLE) * vf.x),
                          {out_decimals}) + 0.0 AS pc1
             FROM e, vf GROUP BY e.vec_id
+        """
+
+
+def _hll_oracle_sql(b: int, hash_bits: int = 32) -> str:
+    """DuckDB twin of ``sketches.hll_distinct`` over events/user_id:
+    identical portable md5-prefix hash (8 hex chars at 32 bits, 15 at
+    60), integer rho via bin(), scaled-integer indicator sum
+    (2^(width+1) per absent register — exact BIGINT/HUGEINT on the
+    DuckDB side, exact int64 on Spark's), canonical alpha, and the
+    linear-counting correction below 2.5m with empty registers. Every
+    float literal CAST to DOUBLE so DuckDB doesn't run DECIMAL
+    arithmetic; alpha is emitted via repr() so both engines parse the
+    same shortest-round-trip double."""
+    from nyctaxidatapipeline_spark.operators.sketches import hll_alpha
+
+    m, width = 1 << b, hash_bits - b
+    scale = 1 << (width + 1)
+    chars = {32: 8, 60: 15}[hash_bits]
+    alpha = repr(hll_alpha(m))
+    thr = repr(2.5 * m)
+    return f"""
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, {chars}))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL),
+            r AS (
+              SELECT event_type, h % {m} AS bucket,
+                     CASE WHEN h // {m} > 0
+                          THEN {width + 1} - length(bin(h // {m}))
+                          ELSE {width + 1} END AS rho
+              FROM h),
+            mx AS (
+              SELECT event_type, bucket, MAX(rho) AS m
+              FROM r GROUP BY event_type, bucket),
+            g AS (
+              SELECT event_type, COUNT(*) AS n_buckets,
+                     SUM({scale} // CAST(POW(2, m) AS BIGINT))
+                         AS s_present
+              FROM mx GROUP BY event_type),
+            e AS (
+              SELECT event_type, n_buckets,
+                     CAST({alpha} AS DOUBLE) * CAST({m}.0 AS DOUBLE)
+                       * CAST({m}.0 AS DOUBLE)
+                       / (CAST(s_present + ({m} - n_buckets) * {scale}
+                               AS DOUBLE) / CAST({scale}.0 AS DOUBLE))
+                         AS e_raw,
+                     CAST({m} - n_buckets AS DOUBLE) AS v
+              FROM g)
+            SELECT event_type, n_buckets,
+                   CASE WHEN e_raw <= CAST({thr} AS DOUBLE) AND v > 0
+                        THEN 'linear' ELSE 'raw' END AS est_mode,
+                   ROUND(CASE WHEN e_raw <= CAST({thr} AS DOUBLE)
+                                   AND v > 0
+                              THEN CAST({m}.0 AS DOUBLE)
+                                   * ln(CAST({m}.0 AS DOUBLE) / v)
+                              ELSE e_raw END, 6) + 0.0
+                       AS n_distinct_est
+            FROM e
         """
 
 
@@ -5543,52 +5619,14 @@ def oracle_sql() -> dict[str, str]:
                        AS intersection_est
             FROM est
         """,
-        # Twin of sketches.hll_distinct (b=6, m=64): identical
-        # portable hash, integer rho via bin(), scaled-integer
-        # indicator sum (2^27 per absent register), canonical
-        # alpha=0.709, linear-counting correction below 2.5m with
-        # empty registers. Every float literal CAST to DOUBLE so
-        # DuckDB doesn't run DECIMAL arithmetic.
-        "distinct_users_hll": """
-            WITH h AS (
-              SELECT event_type,
-                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
-                                     1, 8))::BIGINT AS h
-              FROM events WHERE user_id IS NOT NULL),
-            r AS (
-              SELECT event_type, h % 64 AS bucket,
-                     CASE WHEN h // 64 > 0
-                          THEN 27 - length(bin(h // 64))
-                          ELSE 27 END AS rho
-              FROM h),
-            mx AS (
-              SELECT event_type, bucket, MAX(rho) AS m
-              FROM r GROUP BY event_type, bucket),
-            g AS (
-              SELECT event_type, COUNT(*) AS n_buckets,
-                     SUM(134217728 // CAST(POW(2, m) AS BIGINT))
-                         AS s_present
-              FROM mx GROUP BY event_type),
-            e AS (
-              SELECT event_type, n_buckets,
-                     CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE)
-                       * CAST(64.0 AS DOUBLE)
-                       / (CAST(s_present + (64 - n_buckets) * 134217728
-                               AS DOUBLE) / CAST(134217728.0 AS DOUBLE))
-                         AS e_raw,
-                     CAST(64 - n_buckets AS DOUBLE) AS v
-              FROM g)
-            SELECT event_type, n_buckets,
-                   CASE WHEN e_raw <= CAST(160.0 AS DOUBLE) AND v > 0
-                        THEN 'linear' ELSE 'raw' END AS est_mode,
-                   ROUND(CASE WHEN e_raw <= CAST(160.0 AS DOUBLE)
-                                   AND v > 0
-                              THEN CAST(64.0 AS DOUBLE)
-                                   * ln(CAST(64.0 AS DOUBLE) / v)
-                              ELSE e_raw END, 6) + 0.0
-                       AS n_distinct_est
-            FROM e
-        """,
+        # Twin of sketches.hll_distinct (b=6, m=64, 32-bit hash):
+        # identical portable hash, integer rho via bin(),
+        # scaled-integer indicator sum, canonical alpha,
+        # linear-counting correction — see _hll_oracle_sql.
+        "distinct_users_hll": _hll_oracle_sql(b=6, hash_bits=32),
+        # Wide-hash twin (b=10, m=1024, 60-bit hash = 15 md5 hex
+        # chars): the web-scale mode past the 32-bit ~1e8 ceiling.
+        "distinct_users_hll_wide": _hll_oracle_sql(b=10, hash_bits=60),
         # Twin of text_analysis.char_entropy: per-(doc, char) run
         # counts via unnest, then the same integer-argument identity
         # H = log2(n) - sum(r*log2 r)/n, 6-dp round, + 0.0 signed-zero

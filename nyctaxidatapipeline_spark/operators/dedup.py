@@ -161,6 +161,18 @@ def portable_base_hash(col: str | Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def portable_base_hash_wide(col: str | Column) -> Column:
+    """60-bit portable hash: the first 15 hex chars of md5 as an
+    integer (DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT``) —
+    the widening path past :func:`portable_base_hash`'s ~10^8
+    birthday-regime ceiling. 60 bits keeps collision bias negligible
+    to ~10^12 distincts while still fitting BIGINT in every engine
+    (and leaving headroom for the HLL scaled-integer register sums,
+    which peak at 2^61 — see ``sketches.hll_finish``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, num_hashes: int = 32,
                        portable: bool = False) -> DataFrame:

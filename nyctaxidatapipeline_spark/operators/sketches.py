@@ -44,10 +44,11 @@ separately asserts the estimate lands within theory bounds of truth.
 
 Cardinality ceiling: the 32-bit portable hash starts collision-biasing
 estimates as distinct counts approach ~10^8 (birthday regime) — the
-same ceiling ``dedup.portable_base_hash`` documents. Past it, widen
-the hash (15 md5 hex chars = 60 bits fit BIGINT in both engines;
-``bin()`` rho and the scaled-integer sum generalize unchanged) — a
-mechanical swap kept out of the default because 32 bits keeps every
+same ceiling ``dedup.portable_base_hash`` documents. ``hash_bits=60``
+is the widening mode (15 md5 hex chars = 60 bits fit BIGINT in both
+engines; ``bin()`` rho and the scaled-integer sum generalize
+unchanged, peaking at 2^61 — exact int64), trustworthy to ~10^12
+distincts per group. 32 bits stays the default because it keeps every
 intermediate comfortably inside exact-int53 double territory too.
 """
 
@@ -56,11 +57,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nyctaxidatapipeline_spark.operators.dedup import portable_base_hash
+from nyctaxidatapipeline_spark.operators.dedup import (
+    portable_base_hash,
+    portable_base_hash_wide,
+)
 
 #: canonical alpha constants for small m (HLL paper, fig. 3);
 #: m >= 128 uses the closed form.
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+#: supported portable-hash widths: 32 bits (default — every
+#: intermediate stays inside exact-int53 double territory) and 60 bits
+#: (the documented widening past the ~10^8 distinct-count birthday
+#: ceiling; register sums then peak at 2^61 — exact BIGINT in both
+#: engines, and the one cast-to-double rounds identically everywhere
+#: because it starts from the same exact integer).
+_HASH_BITS = (32, 60)
 
 
 def hll_alpha(m: int) -> float:
@@ -68,15 +80,21 @@ def hll_alpha(m: int) -> float:
 
 
 def hll_registers(df: DataFrame, key: Column, group_cols: list[str],
-                  b: int = 6) -> DataFrame:
+                  b: int = 6, hash_bits: int = 32) -> DataFrame:
     """(group..., bucket, M): the max-rho register table — the
     mergeable sketch state (union of corpora = max over this frame,
     which is how an incremental/streaming variant would checkpoint).
-    NULL keys are dropped (COUNT DISTINCT semantics)."""
+    NULL keys are dropped (COUNT DISTINCT semantics).
+    ``hash_bits=60`` switches to the wide portable hash for
+    web-scale cardinalities (see ``_HASH_BITS``)."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
-    m, width = 1 << b, 32 - b
-    h = portable_base_hash(key.cast("string"))
+    if hash_bits not in _HASH_BITS:
+        raise ValueError(f"hash_bits must be one of {_HASH_BITS}, "
+                         f"got {hash_bits}")
+    m, width = 1 << b, hash_bits - b
+    h = (portable_base_hash_wide(key.cast("string")) if hash_bits == 60
+         else portable_base_hash(key.cast("string")))
     w = F.expr(f"_h DIV {m}")
     rho = (F.when(F.col("_w") > 0,
                   F.lit(width + 1) - F.length(F.bin(F.col("_w"))))
@@ -92,13 +110,23 @@ def hll_registers(df: DataFrame, key: Column, group_cols: list[str],
 
 
 def hll_finish(regs: DataFrame, group_cols: list[str],
-               b: int = 6) -> DataFrame:
+               b: int = 6, hash_bits: int = 32) -> DataFrame:
     """Estimator over a register frame (from :func:`hll_registers`, a
     checkpointed streaming state, or any max-merge of such frames):
     (group..., n_buckets, est_mode, n_distinct_est). ``est_mode`` makes
     the correction branch visible ('linear' below 2.5m with empty
-    registers, else 'raw')."""
-    m, width = 1 << b, 32 - b
+    registers, else 'raw').
+
+    The scaled-integer indicator sum generalizes to the wide hash
+    unchanged: S = sum over registers of 2^(width+1-M) (absent
+    registers contribute 2^(width+1)), bounded by m * 2^(width+1) =
+    2^(hash_bits+1) — 2^61 at 60 bits, exact BIGINT in both engines
+    (POW(2, M) is a power of two, exact in a double at any M in
+    range, so the cast to BIGINT never rounds)."""
+    if hash_bits not in _HASH_BITS:
+        raise ValueError(f"hash_bits must be one of {_HASH_BITS}, "
+                         f"got {hash_bits}")
+    m, width = 1 << b, hash_bits - b
     scale = 1 << (width + 1)
     alpha = hll_alpha(m)
     per_group = (regs.groupBy(*group_cols)
@@ -123,11 +151,15 @@ def hll_finish(regs: DataFrame, group_cols: list[str],
 
 
 def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
-                 b: int = 6) -> DataFrame:
+                 b: int = 6, hash_bits: int = 32) -> DataFrame:
     """Per-group HyperLogLog distinct estimate of ``key_col`` —
-    :func:`hll_registers` + :func:`hll_finish` in one call."""
-    return hll_finish(hll_registers(df, F.col(key_col), group_cols, b),
-                      group_cols, b)
+    :func:`hll_registers` + :func:`hll_finish` in one call.
+    ``hash_bits=60`` is the web-scale mode (trustworthy past ~10^8
+    distincts per group, where the 32-bit hash starts collision-
+    biasing estimates low)."""
+    return hll_finish(hll_registers(df, F.col(key_col), group_cols, b,
+                                    hash_bits),
+                      group_cols, b, hash_bits)
 
 
 def cms_counters(df: DataFrame, key: Column, w: int = 1024,

@@ -92,6 +92,67 @@ def test_alpha_constants():
     assert abs(hll_alpha(1024) - 0.7213 / (1.0 + 1.079 / 1024)) < 1e-15
 
 
+# --- wide-hash (60-bit) mode -------------------------------------------
+
+
+def _ref_registers_wide(keys, b):
+    """Reference wide sketch: 15 md5 hex chars = 60-bit hash."""
+    m, width = 1 << b, 60 - b
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket, w = h % m, h // m
+        rho = (width + 1 - w.bit_length()) if w > 0 else width + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_wide_registers_match_python_reference(spark):
+    keys = [f"user-{i}" for i in range(1, 401)]
+    df = spark.createDataFrame([Row(g="w", k=k) for k in keys])
+    got = {r.bucket: r.M
+           for r in hll_registers(df, F.col("k"), ["g"], b=10,
+                                  hash_bits=60).collect()}
+    assert got == _ref_registers_wide(keys, 10)
+
+
+def test_wide_estimate_within_theory_bounds(spark):
+    """b=10 at 60 bits -> same se ~ 1.04/32 = 3.25%; within 4 sigma."""
+    n = 5000
+    df = spark.createDataFrame([Row(g="x", k=f"key-{i}") for i in range(n)]
+                               + [Row(g="x", k=f"key-{i}")  # dups ignored
+                                  for i in range(500)])
+    est = hll_distinct(df, "k", ["g"], b=10, hash_bits=60).collect()[0]
+    assert abs(est.n_distinct_est - n) / n < 4 * 1.04 / math.sqrt(1024)
+
+
+def test_wide_scaled_sum_bounds_and_int64_safety():
+    """The scaled-integer register sum's worst case is m * 2^(width+1)
+    = 2^(hash_bits+1) — 2^61 at 60 bits: inside int64 (no overflow in
+    either engine) for every supported (b, hash_bits), and POW(2, M)
+    is double-exact at every M in range (a power of two has a one-bit
+    mantissa, so CAST(POW(2, M) AS BIGINT) can never round)."""
+    for hash_bits in (32, 60):
+        for b in range(4, 17):
+            width = hash_bits - b
+            worst = (1 << b) * (1 << (width + 1))
+            assert worst == 1 << (hash_bits + 1) < 1 << 63
+            for m_reg in range(1, width + 2):
+                assert int(float(2 ** m_reg)) == 2 ** m_reg
+
+
+def test_wide_matches_narrow_semantics_and_validates(spark):
+    """Same estimator structure: a tiny group lands in linear-counting
+    mode with the exact m-scaled formula; bad hash_bits rejected."""
+    df = spark.createDataFrame([Row(g="s", k=i) for i in range(10)])
+    est = hll_distinct(df, "k", ["g"], b=10, hash_bits=60).collect()[0]
+    assert est.est_mode == "linear"
+    v = 1024 - est.n_buckets
+    assert est.n_distinct_est == round(1024.0 * math.log(1024.0 / v), 6)
+    with pytest.raises(ValueError, match="hash_bits"):
+        hll_registers(df, F.col("k"), ["g"], b=6, hash_bits=48)
+
+
 # --- KMV (bottom-k / Theta family) ------------------------------------
 
 
