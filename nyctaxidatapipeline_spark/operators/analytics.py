@@ -115,21 +115,26 @@ def distance_distribution(df: DataFrame, group_cols: Sequence[str],
 
 def quantile_threshold(df: DataFrame, col: str, q: float = 0.99,
                        mode: str = "approx",
-                       rel_err: float = 0.01) -> DataFrame:
+                       rel_err: float = 0.01,
+                       accuracy: int | None = None) -> DataFrame:
     """A7 — single-row DataFrame holding the q-quantile of ``col``.
 
     ``mode='approx'`` matches the reference exactly
     (``yellow_taxi_etl.py:121``: Greenwald-Khanna sketch, rel. error 0.01 —
     one pass, mergeable, the right choice at 100 TB). ``mode='exact'`` uses
     linear-interpolated ``percentile`` for DuckDB-oracle parity
-    (SURVEY.md §5 caveat 4).
+    (SURVEY.md §5 caveat 4). ``accuracy`` overrides the sketch size
+    directly (the ``winsorized_prices_approx`` oracle recipe: a sketch
+    kept uncompressed at fixture scale IS the exact rank statistic, so
+    the twin can pin it with ``quantile_disc`` while sf1+ inputs
+    genuinely compress).
 
     Returned as a DataFrame (not a collected float) so callers can broadcast
     it and keep the two-phase anomaly query inside one lazy plan.
     """
     if mode == "approx":
-        expr = F.percentile_approx(col, F.lit(q),
-                                   F.lit(int(1.0 / rel_err)))
+        acc = accuracy if accuracy is not None else int(1.0 / rel_err)
+        expr = F.percentile_approx(col, F.lit(q), F.lit(acc))
     elif mode == "exact":
         expr = F.percentile(col, F.lit(q))
     else:
@@ -139,7 +144,8 @@ def quantile_threshold(df: DataFrame, col: str, q: float = 0.99,
 
 def threshold_anomalies(df: DataFrame, col: str,
                         select_cols: Sequence[str], q: float = 0.99,
-                        mode: str = "exact") -> DataFrame:
+                        mode: str = "exact",
+                        accuracy: int | None = None) -> DataFrame:
     """A7+F2+P3 — rows whose ``col`` >= the q-quantile, narrow projection.
 
     Reference shape (``yellow_taxi_etl.py:121-129``) collects the sketch
@@ -148,7 +154,7 @@ def threshold_anomalies(df: DataFrame, col: str,
     and the filter stays in the JVM plan (BroadcastNestedLoopJoin over one
     row ≡ a scalar subquery).
     """
-    thr = quantile_threshold(df, col, q, mode=mode)
+    thr = quantile_threshold(df, col, q, mode=mode, accuracy=accuracy)
     return (df.join(F.broadcast(thr))
               .filter(F.col(col) >= F.col("threshold"))
               .select(*select_cols))

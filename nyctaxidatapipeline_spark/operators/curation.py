@@ -42,7 +42,8 @@ from nyctaxidatapipeline_spark.operators.text_analysis import (
 def curation_flags(df: DataFrame, text_col: str, id_col: str,
                    min_tokens: int = 30,
                    min_quality: float = 0.3,
-                   max_dup_frac: float = 0.08) -> DataFrame:
+                   max_dup_frac: float = 0.08,
+                   carry: dict[str, "F.Column"] | None = None) -> DataFrame:
     """Per-document rule verdicts + the combined keep decision.
 
     Output: (id, n_tokens, quality_score, dup_ngram_frac, has_pii,
@@ -58,6 +59,11 @@ def curation_flags(df: DataFrame, text_col: str, id_col: str,
     three separate scans of the corpus on the id (two shuffle joins +
     the old repetition explode-aggregate pair) to compute what one
     projection can.
+
+    ``carry`` appends extra computed columns (name -> Column over the
+    input row) to the output — the fusion hook ``curate_corpus`` uses
+    to materialize the redacted text in the SAME pass as the verdicts,
+    so the pipeline never rescans the raw corpus.
     """
     from nyctaxidatapipeline_spark.functions.text import shingles, tokens
     from nyctaxidatapipeline_spark.operators.text_analysis import (
@@ -72,6 +78,7 @@ def curation_flags(df: DataFrame, text_col: str, id_col: str,
     ok_length = q["n_tokens"] >= min_tokens
     ok_quality = q["quality_score"] >= min_quality
     ok_repetition = F.coalesce(dup <= max_dup_frac, F.lit(True))
+    extra = [c.alias(name) for name, c in (carry or {}).items()]
     return (df.withColumn("_tk", tokens(text_col))
               .withColumn("_sh", shingles(F.col("_tk"), 2))
               .select(id_col,
@@ -83,7 +90,8 @@ def curation_flags(df: DataFrame, text_col: str, id_col: str,
                       ok_quality.alias("ok_quality"),
                       ok_repetition.alias("ok_repetition"),
                       (ok_length & ok_quality & ok_repetition)
-                      .alias("keep")))
+                      .alias("keep"),
+                      *extra))
 
 
 def curate_corpus(df: DataFrame, text_col: str, id_col: str,
@@ -99,19 +107,27 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str,
     (MinHash-LSH, portable hash family) duplicates, keeping the min-id
     representative of every duplicate group.
     """
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        _pii_redact_expr,
+    )
+
     # The checkpoint below is a PUSHDOWN BARRIER, not (only) a reuse
     # cache: filtering the flags projection directly lets Catalyst push
     # the `keep` predicate beneath the _tk/_sh projections, inlining
     # the full rule expression (with its interpreted array lambdas,
     # which get no common-subexpression reuse) into a non-codegen
     # Filter — measured 8x slower than just materializing the flags
-    # and filtering the result.
-    kept_ids = (curation_flags(df, text_col, id_col, min_tokens,
-                               min_quality, max_dup_frac)
-                .localCheckpoint(eager=False)
-                .filter("keep").select(id_col))
-    kept = df.join(kept_ids, id_col, "left_semi")
-    redacted = (pii_redact(kept, text_col, redacted_col="_red")
+    # and filtering the result. The REDACTED text rides along in the
+    # same pass (the `carry` hook): stages 1+2 fuse into one corpus
+    # scan, removing the raw-corpus rescan and the kept-ids semi-join
+    # the previous shape paid. Redacting a to-be-dropped doc costs one
+    # short-circuiting rlike (the guard in _pii_redact_expr), far less
+    # than a second scan of everything.
+    flags = (curation_flags(df, text_col, id_col, min_tokens,
+                            min_quality, max_dup_frac,
+                            carry={"_red": _pii_redact_expr(text_col)})
+             .localCheckpoint(eager=False))
+    redacted = (flags.filter("keep")
                 .select(id_col, F.col("_red").alias(text_col)))
     # Materialize the stage boundaries that downstream consumers read
     # twice (fingerprinting + uniq both read `lined`; the LSH pairs and
@@ -126,6 +142,12 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str,
                   .select(id_col))
     uniq = (lined.join(exact_reps, id_col, "left_semi")
                  .localCheckpoint(eager=False))
+    # reuse_shingles: the LSH signature and verification paths share
+    # one materialized (id, shingle) frame instead of each re-running
+    # tokenize+explode+distinct over `uniq` — this operator is the
+    # terminal consumer, so the O(shingles) checkpoint is free reuse
+    # (measured ~0.5 s of the 4.6 s sf0.1 wall).
     pairs = minhash_lsh_pairs(uniq, text_col, id_col, n=3,
-                              threshold=jaccard_threshold, portable=True)
+                              threshold=jaccard_threshold, portable=True,
+                              reuse_shingles=True)
     return dedup_keep_representatives(uniq, pairs, id_col)

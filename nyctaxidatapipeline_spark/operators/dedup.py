@@ -175,7 +175,8 @@ def portable_base_hash_wide(col: str | Column) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, num_hashes: int = 32,
-                       portable: bool = False) -> DataFrame:
+                       portable: bool = False,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """(id, h0..h{k-1}) — k independent min-hashes over the shingle set.
 
     ``portable=False`` (default): k xxhash64 evaluations per shingle —
@@ -184,8 +185,11 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     than k full hashes AND bit-reproducible in DuckDB/Python/anything,
     which lets the LSH output graduate from rows-only to a full
     value-hash oracle check (the constants are ``minhash_constants``).
+    ``shingles_df`` (a precomputed ``doc_shingles`` frame) skips the
+    tokenize+explode — the reuse hook ``minhash_lsh_pairs`` threads.
     """
-    sh = doc_shingles(df, text_col, id_col, n)
+    sh = (shingles_df if shingles_df is not None
+          else doc_shingles(df, text_col, id_col, n))
     if portable:
         base = sh.select(id_col, portable_base_hash("shingle").alias("_h"))
         aggs = []
@@ -203,7 +207,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
                       portable: bool = False,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      reuse_shingles: bool = False) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     ``bands`` bands of ``num_hashes/bands`` rows each: collision probability
@@ -229,11 +234,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     representative — hash-groupBy, linear), then LSH with a cap as the
     backstop against residual hot buckets. Default None preserves the
     uncapped oracle-checked semantics.
+
+    ``reuse_shingles`` materializes the (id, shingle) frame once
+    (lazy ``localCheckpoint``) and shares it between the signature and
+    verification paths, which otherwise each re-run the tokenize +
+    shingle explode + distinct from source. Identical results either
+    way (pure physical). The checkpoint is O(corpus shingles) of
+    executor-local storage — the right trade whenever the operator is
+    the terminal consumer of its input (the curation pipeline, the
+    exact-first production composition); default False keeps the
+    storage-free recompute for callers embedding this in a larger plan.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
+    sh_all = (doc_shingles(df, text_col, id_col, n)
+              .localCheckpoint(eager=False) if reuse_shingles else None)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, portable,
+                             shingles_df=sh_all)
     if portable:
         bucket_of = lambda bi: F.concat_ws(  # noqa: E731
             ":", *[F.col(f"h{bi * r + j}").cast("string")
@@ -266,7 +284,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # defeat LSH): join each side's distinct-shingle set and compute
     # J = |A∩B| / |A∪B| per pair. Same integers as the brute-force
     # n_shared/(sa+sb-n_shared) formula, so values match the exact path.
-    sets = (doc_shingles(df, text_col, id_col, n)
+    sets = ((sh_all if sh_all is not None
+             else doc_shingles(df, text_col, id_col, n))
             .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -497,7 +516,10 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
     pairs = minhash_lsh_pairs(reps, text_col, id_col, n=n,
                               num_hashes=num_hashes, bands=bands,
                               threshold=threshold, portable=portable,
-                              max_bucket=max_bucket)
+                              max_bucket=max_bucket,
+                              # terminal consumer of `reps` — share the
+                              # shingle frame between sig + verify paths
+                              reuse_shingles=True)
     comp = connected_components(pairs)
     return (members.join(comp, members["_rep"] == comp["id"], "left")
             .select(F.col(id_col),

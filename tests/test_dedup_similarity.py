@@ -49,6 +49,20 @@ def test_tokens_and_shingles(spark):
     assert short.select(shingles(tokens("text"), 3)).collect()[0][0] == []
 
 
+def test_tokens_codegen_form_equals_filter_form(spark):
+    """The codegen split (no HOF lambda) must match the list_filter
+    contract byte-for-byte on every edge case, including NULL, empty,
+    all-whitespace, and mixed-whitespace texts."""
+    cases = ["", "   ", "\t", "\t \n", "a", "  A b\t C ", "x\n\ny",
+             None, "tab\t end ", " one", "\tTab Bounded\t", "\na\n"]
+    df = spark.createDataFrame([Row(text=t) for t in cases])
+    reference = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                         lambda t: t != "")
+    rows = df.select(tokens("text").alias("got"),
+                     reference.alias("want")).collect()
+    assert all(r.got == r.want for r in rows)
+
+
 def test_exact_dedup_representative(spark):
     out = {r.text: (r.doc_id, r.n_copies)
            for r in exact_dedup(_docs(spark), ["text"], "doc_id").collect()}

@@ -121,6 +121,40 @@ def test_pii_redact_placeholders(spark):
                    "ping [IPV4], ssn [SSN]")
 
 
+def test_pii_fast_paths_equal_per_pattern_formulation(spark):
+    """The rlike-alternation flag equals sum(regexp_count) > 0, and the
+    guarded redact chain equals the unguarded one — the speedups must
+    never change a verdict or a byte."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        PII_PATTERNS,
+        _pii_flag,
+        pii_redact,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="clean prose with nothing sensitive at all"),
+        Row(doc_id=2, text="mail a@b.co twice: c@d.org"),
+        Row(doc_id=3, text="call 555-867-5309"),
+        Row(doc_id=4, text="host 10.0.0.1 ssn 123-45-6789"),
+        Row(doc_id=5, text=""),
+    ])
+    counts = sum([F.regexp_count("text", F.lit(p))
+                  for p in PII_PATTERNS.values()], F.lit(0))
+    rows = (df.select("doc_id", _pii_flag("text").alias("fast"),
+                      (counts > 0).alias("slow"))
+              .collect())
+    assert all(r.fast == r.slow for r in rows)
+    unguarded = F.col("text")
+    for k, p in PII_PATTERNS.items():
+        unguarded = F.regexp_replace(unguarded, p, f"[{k.upper()}]")
+    rows = (pii_redact(df, "text")
+            .withColumn("plain", unguarded).collect())
+    assert all(r.redacted == r.plain for r in rows)
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """Winnowing guarantee (Schleimer et al.): any shared substring of
     length >= k + window - 1 yields >= 1 common fingerprint; disjoint
