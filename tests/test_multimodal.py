@@ -36,9 +36,62 @@ def test_image_features_fake_codec(spark):
     assert got[3].width is None and got[4].width is None
 
 
-def test_image_features_real_codec_raises(spark):
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_image_features_real_codec_raises_without_pil(spark):
+    if _has_pil():
+        pytest.skip("pillow installed — the guard takes the PIL path")
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         image_features(_assets(spark), codec="real").collect()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
+def test_image_features_real_matches_pure_png(spark):
+    """With pillow present, codec='real' must agree with the pure-stdlib
+    PNG codec exactly (lossless format, identical pixel bytes)."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.png import encode_png
+
+    px = bytes((i * 7) % 256 for i in range(8 * 4))
+    blob = encode_png(8, 4, px, color_type=0)
+    df = spark.createDataFrame([Row(asset_id=1, media=blob)])
+    pure = image_features(df, codec="png").collect()[0]
+    real = image_features(df, codec="real").collect()[0]
+    assert (real.width, real.height, real.n_bytes) == \
+        (pure.width, pure.height, pure.n_bytes)
+    assert real.mean_intensity == pure.mean_intensity
+
+
+@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
+def test_image_resize_real_within_rounding_of_pure(spark):
+    """PIL BOX resampling rounds block means half-even where the pure
+    kernel floors — per-pixel difference is bounded by 1 step."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from nyctaxidatapipeline_spark.operators.multimodal import (
+        image_resize,
+    )
+
+    px = bytes((i * 31) % 256 for i in range(8 * 4))
+    blob = encode_png(8, 4, px, color_type=0)
+    df = spark.createDataFrame([Row(asset_id=1, media=blob)])
+    pure = image_resize(df, factor=2, codec="png").collect()[0]
+    real = image_resize(df, factor=2, codec="real").collect()[0]
+    assert (real.width, real.height) == (pure.width, pure.height)
+    _, _, _, ppx = decode_png(bytes(pure.media))
+    _, _, _, rpx = decode_png(bytes(real.media))
+    assert all(abs(a - b) <= 1 for a, b in zip(ppx, rpx))
 
 
 def test_frame_sample_offsets(spark):
