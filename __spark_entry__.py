@@ -416,6 +416,25 @@ def _q_near_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
                                portable=True, max_bucket=32)
 
 
+def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement as a first-class query
+    (``dedup.lsh_recall_report``): exact 3-gram-Jaccard pairs vs
+    banded MinHash-LSH pairs at the same 0.5 threshold, full-outer
+    joined into ONE row of (n_exact, n_lsh, n_common, recall,
+    precision) — the number a user checks on a sample before trusting
+    the approximate path with a 100 TB corpus. Portable hash family,
+    so the entire double pipeline (both candidate generators, both
+    verifications, the join, the ratios) is value-hash-gated."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_recall_report(docs, "text", "doc_id", n=3,
+                             num_hashes=32, bands=8, threshold=0.5,
+                             max_df=20, portable=True)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming ≤ 3 over word-bigram
     features (banded pigeonhole candidates). Runs the PORTABLE hash family
@@ -445,6 +464,23 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
                             dim=embedding_dim(emb))
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (``similarity.hard_negatives``): top-5 most-similar
+    DIFFERENT-label vectors for each query vec_id < 10 — the
+    boundary-adjacent negatives an embedding-training loop samples.
+    Exact brute baseline (broadcast queries, one fold per vector,
+    WindowGroupLimit top-k); the 100 TB path is the same composition
+    over ``ivf_topk``'s list-pruned candidates."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                          dim=embedding_dim(emb))
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,6 +1448,54 @@ def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "path_depth", "n_params", "is_https"))
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty vs the corpus
+    (``text_analysis.ngram_novelty``, min_df=2): the boilerplate /
+    memorization-risk score — 1 minus the fraction of the doc's
+    distinct n-grams that appear in >= 2 documents corpus-wide. The
+    planted duplicate classes score 0.0 novelty; unique docs score
+    near 1.0."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", n=3, min_df=2)
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup (``functions.url.canonical_url`` +
+    ``url_dedup``): each document synthesizes one of four syntactic
+    variants of its group's logical URL (www + default :443 + tracking
+    params + fragment / http with :80 / trailing slash + gclid /
+    doubled path segments + utm). Canonicalization must fold scheme
+    case, www, default ports, path-slash runs, trailing slash,
+    tracking params, param ORDER, and fragments for the groups to
+    collapse — every rule sits on the value-hash path (the http
+    variant keeps its own group: scheme is identity). One linear
+    hash-groupBy; at 100 TB this gates fetch/processing by page
+    identity before any content work."""
+    from nyctaxidatapipeline_spark.functions.url import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts = F.concat(F.lit("site"),
+                     F.expr("CAST(doc_id DIV 4 AS STRING)"),
+                     F.lit(".example.com"))
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+                F.lit("https://www."), hosts,
+                F.lit(":443/a/b?utm_source=x&b=2&a=1#frag")))
+            .when(v == 1, F.concat(
+                F.lit("http://"), hosts, F.lit(":80/a/b?a=1&b=2")))
+            .when(v == 2, F.concat(
+                F.lit("https://"), hosts,
+                F.lit("/a/b/?gclid=zz&a=1&b=2")))
+            .otherwise(F.concat(
+                F.lit("https://"), hosts,
+                F.lit("//a//b?b=2&a=1&utm_campaign=c"))))
+    return url_dedup(docs.withColumn("url", url), "url", "doc_id")
+
+
 def _q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate removal, oracle-gated cross-engine: each
     document is wrapped in deterministic markup (title heading, style
@@ -1478,6 +1562,35 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs, "text", "doc_id")
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (``text_analysis.normalize_text`` —
+    the C4/Gopher-style cleanup before fingerprinting: curly quotes /
+    dashes / ellipsis folded to ASCII, NBSP to space, control chars
+    stripped, whitespace canonicalized; one codegen regexp_replace
+    chain, zero shuffles). The fixture's documents are already clean,
+    so the query first SOILS each one deterministically — curly-quote
+    wrapping, an NBSP+em-dash tail, a tab, doc_id%3+1 trailing
+    newlines, a BEL control char, an ellipsis on even ids — with plain
+    Catalyst string expressions; the twin replays the identical
+    soiling and the identical rule chain (generated from the same
+    ``NORMALIZE_RULES`` table — single source of truth), so every fold
+    rule, the rule ORDER, and the whitespace collapses all sit on the
+    value-hash path."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = F.concat(
+        F.lit("“"), F.col("text"), F.lit("” —\tx"),
+        F.repeat(F.lit("\n"), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("\x07"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("…"))
+         .otherwise(F.lit("")))
+    soiled = docs.select("doc_id", noisy.alias("soiled"))
+    return normalize_text(soiled, "soiled", "doc_id")
 
 
 def _q_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3148,7 +3261,8 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rewrites — semantics unit-pinned identical, re-recorded anyway).
 _ROUND8_FRONT = [
     "near_dup_production", "distinct_users_hll_wide",
-    "fare_anomalies_approx",
+    "fare_anomalies_approx", "text_normalize", "url_dedup",
+    "ngram_novelty", "lsh_recall_report", "hard_negatives",
     "curate_corpus", "minhash_dedup",
     "jsonl_ingest", "warc_ingest", "webdataset_ingest",
     "distinct_users_hll",
@@ -3162,9 +3276,7 @@ _ROUND8_FRONT = [
     "skipgram_counts", "ppmi_vectors", "lm_backoff_scores",
     "perplexity_buckets", "quality_classifier", "dsir_weights",
     "weighted_corpus_sample", "bm25_scores", "semantic_dedup_auto",
-    "incremental_dedup", "incremental_dedup_bloom", "domain_cap",
-    "dataset_mix", "temperature_mix", "curriculum_order",
-    "fare_anomalies",
+    "incremental_dedup", "incremental_dedup_bloom",
 ]
 
 _ROUND7_FRONT = [
@@ -3284,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
         "near_dup_production": _q_near_dup_production,
+        "lsh_recall_report": _q_lsh_recall_report,
+        "hard_negatives": _q_hard_negatives,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
@@ -3364,6 +3478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "distinct_users_hll": _q_distinct_users_hll,
         "distinct_users_hll_wide": _q_distinct_users_hll_wide,
+        "text_normalize": _q_text_normalize,
+        "url_dedup": _q_url_dedup,
+        "ngram_novelty": _q_ngram_novelty,
         "audience_overlap_kmv": _q_audience_overlap_kmv,
         "token_freq_cms": _q_token_freq_cms,
         "image_resize_png": _q_image_resize_png,
@@ -3534,6 +3651,119 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 24,
         """
 
 
+def _url_dedup_oracle_sql() -> str:
+    """DuckDB twin of ``functions.url.url_dedup`` over the synthesized
+    variant URLs: identical regex patterns (imported from
+    ``functions.url`` — single source of truth), identical
+    canonicalization rule order, identical param filter + sort."""
+    from nyctaxidatapipeline_spark.functions.url import (
+        _HOST,
+        _PATH,
+        _PORT,
+        _QUERY,
+        _SCHEME,
+        TRACKING_PARAM_PATTERN,
+    )
+
+    return f"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 'https://www.site'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '.example.com:443/a/b?utm_source=x&b=2&a=1#frag'
+                       WHEN 1 THEN 'http://site'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '.example.com:80/a/b?a=1&b=2'
+                       WHEN 2 THEN 'https://site'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '.example.com/a/b/?gclid=zz&a=1&b=2'
+                       ELSE 'https://site'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                         || '.example.com//a//b?b=2&a=1&utm_campaign=c'
+                     END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url, '{_SCHEME}', 1)) AS scheme,
+                     regexp_replace(regexp_replace(
+                         lower(regexp_extract(url, '{_HOST}', 2)),
+                         '^www\\.', ''), '\\.$', '') AS host,
+                     regexp_extract(url, '{_PORT}', 1) AS port,
+                     regexp_replace(regexp_replace(
+                         regexp_extract(url, '{_PATH}', 1),
+                         '/{{2,}}', '/', 'g'), '/$', '') AS path,
+                     regexp_extract(url, '{_QUERY}', 1) AS query
+              FROM u),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN scheme = '' OR host = '' THEN ''
+                          ELSE scheme || '://' || host
+                            || (CASE WHEN port = '' THEN ''
+                                     WHEN scheme = 'http'
+                                          AND port = '80' THEN ''
+                                     WHEN scheme = 'https'
+                                          AND port = '443' THEN ''
+                                     ELSE ':' || port END)
+                            || path
+                            || (CASE WHEN q = '' THEN ''
+                                     ELSE '?' || q END)
+                     END AS canonical_url
+              FROM (SELECT *,
+                           array_to_string(list_sort(list_filter(
+                               string_split(query, '&'),
+                               x -> x <> '' AND NOT regexp_matches(
+                                   x, '{TRACKING_PARAM_PATTERN}'))),
+                               '&') AS q
+                    FROM p))
+            SELECT canonical_url, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM c GROUP BY canonical_url
+        """
+
+
+def _text_normalize_oracle_sql() -> str:
+    """DuckDB twin of ``text_analysis.normalize_text`` over the
+    deterministically-soiled documents: the soiling recipe is replayed
+    with chr() codepoints and the rule chain is GENERATED from the same
+    ``NORMALIZE_RULES`` table the Spark operator folds — single source
+    of truth, so adding/reordering a rule updates both engines."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        NORMALIZE_RULES,
+    )
+
+    def rep_sql(r: str) -> str:
+        if r == "\n":
+            return "chr(10)"
+        if r == "\n\n":
+            return "chr(10) || chr(10)"
+        return "'" + r.replace("'", "''") + "'"
+
+    expr = "soiled"
+    for pat, rep in NORMALIZE_RULES:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', {rep_sql(rep)}, 'g')"
+    expr = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    return f"""
+            WITH s AS (
+              SELECT doc_id,
+                     chr(8220) || text || chr(8221) || chr(160)
+                       || chr(8212) || chr(9) || 'x'
+                       || repeat(chr(10), CAST(doc_id % 3 + 1 AS INT))
+                       || chr(7)
+                       || CASE WHEN doc_id % 2 = 0 THEN chr(8230)
+                               ELSE '' END AS soiled
+              FROM documents),
+            n AS (
+              SELECT doc_id, soiled, {expr} AS text_norm FROM s)
+            SELECT doc_id, text_norm,
+                   CAST(length(soiled) AS INT) AS n_chars,
+                   CAST(length(text_norm) AS INT) AS n_chars_norm,
+                   text_norm <> soiled AS changed
+            FROM n
+        """
+
+
 def _hll_oracle_sql(b: int, hash_bits: int = 32) -> str:
     """DuckDB twin of ``sketches.hll_distinct`` over events/user_id:
     identical portable md5-prefix hash (8 hex chars at 32 bits, 15 at
@@ -3681,6 +3911,48 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
     return f"""
             WITH {ctes}
             SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM mh_pairs
+        """
+
+
+def _lsh_recall_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                           threshold: float = 0.5,
+                           max_df: int = 20) -> str:
+    """DuckDB twin of ``dedup.lsh_recall_report``: the shared portable
+    MinHash CTE chain plus the exact-pair pipeline (same toks/sh/sizes
+    CTEs), full-outer joined and reduced to the one report row."""
+    ctes = _minhash_pair_ctes(num_hashes, bands, threshold)
+    return f"""
+            WITH {ctes}, filt AS (
+              SELECT * FROM sh WHERE sg NOT IN
+                  (SELECT sg FROM sh GROUP BY sg
+                   HAVING count(*) > {max_df})
+            ), shared_e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_shared
+              FROM filt a JOIN filt b USING (sg)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), ex2 AS (
+              SELECT id_a AS ea, id_b AS eb FROM shared_e
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_shared::DOUBLE /
+                    (sa.set_size + sb.set_size - n_shared)
+                    >= {threshold}
+            ), l2 AS (
+              SELECT id_a AS la, id_b AS lb FROM mh_pairs
+            ), j AS (
+              SELECT COUNT(ea) AS n_exact, COUNT(la) AS n_lsh,
+                     SUM(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+                              THEN 1 ELSE 0 END) AS n_common
+              FROM ex2 FULL OUTER JOIN l2 ON ea = la AND eb = lb)
+            SELECT CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_lsh AS BIGINT) AS n_lsh,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   ROUND(n_common::DOUBLE / n_exact, 6) + 0.0 AS recall,
+                   ROUND(n_common::DOUBLE / n_lsh, 6) + 0.0
+                       AS precision
+            FROM j
         """
 
 
@@ -4020,12 +4292,15 @@ def _curation_flags_oracle_sql() -> str:
 
 
 def _curate_corpus_oracle_sql(num_hashes: int = 32, bands: int = 8,
-                              threshold: float = 0.5) -> str:
+                              threshold: float = 0.5,
+                              max_bucket: int | None = 32) -> str:
     """Full composed pipeline twin: flag filter → PII redaction →
-    line dedup → fingerprint dedup → portable MinHash LSH pairs →
-    recursive-CTE connected components → keep min-id representatives.
-    Every stage's SQL is the proven fragment of the corresponding
-    standalone oracle, re-sourced at the previous stage's CTE."""
+    line dedup → fingerprint dedup → portable MinHash LSH pairs (with
+    the ``max_bucket`` overfull-bucket backstop — part of the
+    pipeline's registered semantics) → recursive-CTE connected
+    components → keep min-id representatives. Every stage's SQL is the
+    proven fragment of the corresponding standalone oracle, re-sourced
+    at the previous stage's CTE."""
     from nyctaxidatapipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_constants,
@@ -4098,9 +4373,14 @@ def _curate_corpus_oracle_sql(num_hashes: int = 32, bands: int = 8,
           FROM sh),
         sig AS (SELECT doc_id, {hmins} FROM hx GROUP BY doc_id),
         bandtab AS ({band_rows}),
+        bkeep AS (
+          SELECT band, bucket FROM bandtab GROUP BY band, bucket
+          HAVING count(*) <= {max_bucket if max_bucket is not None
+                              else 'count(*)'}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bandtab a JOIN bandtab b USING (band, bucket)
+          JOIN bkeep USING (band, bucket)
           WHERE a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, count(*) AS set_size
                   FROM sh GROUP BY doc_id),
@@ -4572,6 +4852,10 @@ def oracle_sql() -> dict[str, str]:
         # per-row group via the representative (VERDICT r7 task 1).
         "near_dup_production": _near_dup_production_oracle_sql(
             num_hashes=32, bands=8, threshold=0.5, max_bucket=32),
+        # Twin of dedup.lsh_recall_report: exact + sketch pipelines
+        # over the shared CTEs, reduced to the one report row.
+        "lsh_recall_report": _lsh_recall_oracle_sql(
+            num_hashes=32, bands=8, threshold=0.5, max_df=20),
         # Full sketch-path twin: md5-derived signature words make the
         # sign-sum -> band -> Hamming pipeline reproducible in DuckDB.
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4),
@@ -4655,6 +4939,30 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        # Twin of similarity.hard_negatives: same exact cosine scoring
+        # with the different-label + different-id filter BEFORE the
+        # per-query rank.
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                              embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 scored AS (
+                   SELECT query_id, query_label, vec_id, label,
+                          ROUND(list_dot_product(qv, cv) /
+                                (sqrt(list_dot_product(qv, qv)) *
+                                 sqrt(list_dot_product(cv, cv))), 6) AS cosine
+                   FROM c, q
+                   WHERE label <> query_label AND vec_id <> query_id)
+            SELECT query_id, query_label, vec_id, label, cosine, rank
+            FROM (
+              SELECT *, CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         # Twin of similarity.knn_graph: exact all-corpus top-5 with self
         # excluded; the blocked kernel's per-group partials merge to
@@ -5686,6 +5994,40 @@ def oracle_sql() -> dict[str, str]:
         # Wide-hash twin (b=10, m=1024, 60-bit hash = 15 md5 hex
         # chars): the web-scale mode past the 32-bit ~1e8 ceiling.
         "distinct_users_hll_wide": _hll_oracle_sql(b=10, hash_bits=60),
+        # Twin of text_analysis.normalize_text over deterministically
+        # soiled documents; rule chain generated from NORMALIZE_RULES.
+        "text_normalize": _text_normalize_oracle_sql(),
+        # Twin of functions.url.url_dedup over synthesized URL variants;
+        # regex patterns imported from functions.url.
+        "url_dedup": _url_dedup_oracle_sql(),
+        # Twin of text_analysis.ngram_novelty: same distinct 3-gram
+        # table (tokens contract), gram document frequencies, per-doc
+        # common-vs-distinct counts; short docs keep NULL stats.
+        "ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, sg
+              FROM toks,
+                   UNNEST(list_transform(range(1, greatest(len(tk)-2, 0) + 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                     AS u(sg)
+            ), dfreq AS (
+              SELECT sg, COUNT(*) AS df FROM sh GROUP BY sg
+            ), per AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_distinct_ngrams,
+                     CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_common
+              FROM sh JOIN dfreq USING (sg) GROUP BY doc_id)
+            SELECT d.doc_id, p.n_distinct_ngrams, p.n_common,
+                   ROUND(1.0 - p.n_common::DOUBLE / p.n_distinct_ngrams,
+                         6) + 0.0 AS novelty
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         # Twin of text_analysis.char_entropy: per-(doc, char) run
         # counts via unnest, then the same integer-argument identity
         # H = log2(n) - sum(r*log2 r)/n, 6-dp round, + 0.0 signed-zero

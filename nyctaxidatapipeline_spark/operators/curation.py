@@ -99,13 +99,25 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str,
                   min_quality: float = 0.3,
                   max_dup_frac: float = 0.08,
                   min_dedup_line_len: int = 10,
-                  jaccard_threshold: float = 0.5) -> DataFrame:
+                  jaccard_threshold: float = 0.5,
+                  max_bucket: int | None = 32) -> DataFrame:
     """Run the full curation recipe; returns (id, text) survivors.
 
     Filters by ``curation_flags``, redacts PII, line-dedups across the
     kept corpus, then drops exact (normalized-fingerprint) and fuzzy
     (MinHash-LSH, portable hash family) duplicates, keeping the min-id
     representative of every duplicate group.
+
+    ``max_bucket`` (default 32) is the LSH overfull-bucket backstop —
+    PART of this pipeline's semantics, mirrored in its oracle twin:
+    the exact (fingerprint) stage collapses byte-identical copies, but
+    NEAR-duplicate hot classes (boilerplate differing by a counter
+    token) survive it and expand quadratically in uncapped LSH buckets
+    — measured 213 s at sf10 (100-near-copy classes) where every other
+    stage of this pipeline is linear. Band buckets above the cap emit
+    no candidate pairs (their members are kept rather than deduped — a
+    recall decision, deliberately conservative). ``None`` restores the
+    uncapped pairing.
     """
     from nyctaxidatapipeline_spark.operators.text_analysis import (
         _pii_redact_expr,
@@ -144,10 +156,17 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str,
                  .localCheckpoint(eager=False))
     # reuse_shingles: the LSH signature and verification paths share
     # one materialized (id, shingle) frame instead of each re-running
-    # tokenize+explode+distinct over `uniq` — this operator is the
-    # terminal consumer, so the O(shingles) checkpoint is free reuse
-    # (measured ~0.5 s of the 4.6 s sf0.1 wall).
+    # tokenize+explode+distinct over `uniq` — a SMALL-corpus win
+    # (~0.5 s of the 4.6 s sf0.1 wall) that inverts at scale (the
+    # checkpoint write grows linearly with a bigger constant than the
+    # codegen recompute; see near_dup_production's measured 43.6 vs
+    # 29.1 s at sf10), so it gates on the input scan's stat-able size.
+    from nyctaxidatapipeline_spark.plans.util import input_scan_bytes
+
+    nbytes = input_scan_bytes(df)
     pairs = minhash_lsh_pairs(uniq, text_col, id_col, n=3,
                               threshold=jaccard_threshold, portable=True,
-                              reuse_shingles=True)
+                              reuse_shingles=(nbytes is not None
+                                              and nbytes < 32 << 20),
+                              max_bucket=max_bucket)
     return dedup_keep_representatives(uniq, pairs, id_col)

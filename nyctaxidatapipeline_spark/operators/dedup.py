@@ -297,6 +297,52 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                 .filter(F.col("jaccard") >= threshold))
 
 
+def lsh_recall_report(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5,
+                      max_df: int | None = 20,
+                      portable: bool = False) -> DataFrame:
+    """ONE-row quality report of the approximate near-dup path against
+    the exact one — "measure, don't guess" as an operator: run BOTH
+    ``jaccard_pairs`` (exact candidate generation, ``max_df``
+    stop-shingle cap) and ``minhash_lsh_pairs`` (banded sketch) at the
+    same threshold over the same corpus, full-outer-join the pair sets,
+    and report
+
+      (n_exact, n_lsh, n_common, recall, precision)
+
+    with recall = common/exact and precision = common/lsh. This is the
+    operational answer to "can I trust the sketch at this (bands,
+    hashes, threshold) operating point" — the number a user checks on
+    a sample BEFORE committing a 100 TB corpus to the approximate
+    path. Both sides verify candidates with the same exact-Jaccard
+    formula, so disagreements are pure candidate-generation effects:
+    LSH misses follow the banding S-curve; 'LSH-only' pairs are real
+    pairs whose shared shingles were all hotter than the exact path's
+    ``max_df`` cap (the cap is the exact path's own scale concession —
+    the report treats capped-exact as the reference set and surfaces
+    both divergences rather than hiding either).
+    """
+    exact = (jaccard_pairs(df, text_col, id_col, n=n,
+                           threshold=threshold, max_df=max_df)
+             .select("id_a", "id_b").withColumn("_e", F.lit(1)))
+    lsh = (minhash_lsh_pairs(df, text_col, id_col, n=n,
+                             num_hashes=num_hashes, bands=bands,
+                             threshold=threshold, portable=portable)
+           .select("id_a", "id_b").withColumn("_l", F.lit(1)))
+    j = exact.join(lsh, ["id_a", "id_b"], "full")
+    n_exact = F.sum("_e")
+    n_lsh = F.sum("_l")
+    n_common = F.sum(F.when(F.col("_e").isNotNull()
+                            & F.col("_l").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        n_exact.cast("long").alias("n_exact"),
+        n_lsh.cast("long").alias("n_lsh"),
+        n_common.cast("long").alias("n_common"),
+        (F.round(n_common / n_exact, 6) + F.lit(0.0)).alias("recall"),
+        (F.round(n_common / n_lsh, 6) + F.lit(0.0)).alias("precision"))
+
+
 def _local_union_find(rows, spark, schema) -> DataFrame:
     """Driver-side union-find over a BOUNDED edge list (path compression +
     min-root union, so comp = min id of the component). Only reached via
@@ -513,13 +559,22 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
                .join(rep_map.select("_fp", "_rep"), "_fp")
                .select(id_col, "_rep"))
     reps = rep_map.select(F.col("_rep").alias(id_col), text_col)
+    # Shingle-frame reuse is a SMALL-corpus optimization: at sf0.1 the
+    # shared checkpoint saves the duplicated tokenize+explode (2.7 vs
+    # 4.1 s), but the materialization cost grows linearly with a bigger
+    # constant than the codegen recompute it saves — at sf10 reuse
+    # MEASURES 43.6 s vs 29.1 s without. Gate on the input scan's
+    # stat-able size (plan-time analog of AQE's runtime sizing); when
+    # the size is unknowable, choose the at-scale strategy.
+    from nyctaxidatapipeline_spark.plans.util import input_scan_bytes
+
+    nbytes = input_scan_bytes(df)
     pairs = minhash_lsh_pairs(reps, text_col, id_col, n=n,
                               num_hashes=num_hashes, bands=bands,
                               threshold=threshold, portable=portable,
                               max_bucket=max_bucket,
-                              # terminal consumer of `reps` — share the
-                              # shingle frame between sig + verify paths
-                              reuse_shingles=True)
+                              reuse_shingles=(nbytes is not None
+                                              and nbytes < 32 << 20))
     comp = connected_components(pairs)
     return (members.join(comp, members["_rep"] == comp["id"], "left")
             .select(F.col(id_col),

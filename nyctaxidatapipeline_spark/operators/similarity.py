@@ -112,6 +112,49 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         k=k, desc=False, rank_col="rank")
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id",
+                   dim: int | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar corpus vectors with a DIFFERENT
+    label (and a different id) — the negatives that sit closest to the
+    decision boundary, which is what embedding-model training loops
+    actually sample (random negatives are trivially easy; hard ones
+    carry the gradient).
+
+    Output: (query_id, query_label, vec_id, label, cosine, rank) —
+    rank 1..k per query, ties broken by vec_id (deterministic).
+
+    Same exact-scoring shape as ``brute_force_topk`` (broadcast query
+    side, one fold per vector, windowed partial top-k —
+    WindowGroupLimit keeps per-group state bounded); the label filter
+    runs before ranking so negatives never displace into the k. At
+    100 TB the scale path is the same composition over ``ivf_topk``'s
+    list-pruned candidates — this brute variant is the exact,
+    oracle-checkable baseline."""
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(label_col).alias("query_label"),
+                       as_double(vec_col).alias("q_vec"),
+                       l2_norm(as_double(vec_col), dim).alias("q_norm"))
+    c = fan_out(corpus, id_col).select(
+        F.col(id_col), F.col(label_col),
+        as_double(vec_col).alias("c_vec"),
+        l2_norm(as_double(vec_col), dim).alias("c_norm"))
+    scored = (c.join(F.broadcast(q))
+               .filter((F.col(label_col) != F.col("query_label"))
+                       & (F.col(id_col) != F.col(query_id_col)))
+               .select(query_id_col, "query_label", id_col, label_col,
+                       F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                               / (F.col("q_norm") * F.col("c_norm")), 6)
+                        .alias("cosine")))
+    return top_k_per_group(
+        scored, [query_id_col, "query_label"],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k, desc=False, rank_col="rank")
+
+
 def with_norm(df: DataFrame, id_col: str, vec_col: str,
               prefix: str, dim: int | None = None) -> DataFrame:
     """(id, vec, norm) — the norm fold runs ONCE per row here instead of

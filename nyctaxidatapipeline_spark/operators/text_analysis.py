@@ -283,6 +283,54 @@ def pii_redact(df: DataFrame, text_col: str,
     return df.withColumn(redacted_col, _pii_redact_expr(text_col))
 
 
+#: Unicode-normalization rule chain (pattern, replacement), applied in
+#: order — the C4/Gopher-style cleanup every crawl pipeline runs before
+#: fingerprinting (curly quotes / dashes / ellipsis to ASCII, NBSP to
+#: space, control chars stripped, whitespace canonicalized). Every
+#: pattern is RE2-compatible (no backrefs/lookaround) so the DuckDB
+#: twin runs the byte-identical chain; order is load-bearing (the
+#: whitespace collapses run AFTER the character folds so a folded NBSP
+#: participates in the collapse).
+NORMALIZE_RULES: list[tuple[str, str]] = [
+    ("[‘’‚‛]", "'"),      # curly single quotes
+    ("[“”„‟]", '"'),      # curly double quotes
+    ("[–—―]", "-"),            # en/em/horizontal dashes
+    ("…", "..."),                        # ellipsis
+    (" ", " "),                          # NBSP
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),  # control chars
+    ("[ \\t]+", " "),                         # space/tab runs
+    (" ?\\n ?", "\n"),                        # strip spaces around \n
+    ("\\n{3,}", "\n\n"),                      # cap blank-line runs
+]
+
+
+def normalize_text_expr(col: str | Column) -> Column:
+    """The normalization Column: :data:`NORMALIZE_RULES` applied in
+    order, then a whitespace-class trim — one chain of codegen'd
+    ``regexp_replace``, scan-speed, no Python."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def normalize_text(df: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, text_norm, n_chars, n_chars_norm, changed) — the
+    normalization pass as an auditable operator: the cleaned text plus
+    the before/after char counts and whether anything changed (the
+    usual pre-fingerprint step; dedup keyed on ``text_norm`` catches
+    the smart-quote/NBSP variants of otherwise-identical boilerplate
+    that byte-exact dedup misses)."""
+    norm = normalize_text_expr(text_col)
+    return df.select(
+        id_col,
+        norm.alias("text_norm"),
+        F.length(text_col).cast("int").alias("n_chars"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+        (norm != F.col(text_col)).alias("changed"))
+
+
 def _repetition_exprs() -> dict[str, Column]:
     """Row-local repetition signals over an in-scope ``_sh`` shingle
     array (callers guard empty arrays) — the ``dup_ngram_frac`` rule
@@ -345,6 +393,42 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
                      .alias("dup_ngram_frac"),
                     F.round(F.col("_top") / F.col("n_ngrams"), 6)
                      .alias("top_ngram_frac")))
+
+
+def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3, min_df: int = 2) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk /
+    boilerplate signal: what fraction of a document's DISTINCT word
+    n-grams also appear in at least ``min_df`` documents corpus-wide
+    (a doc whose n-grams are all common is template/boilerplate; a doc
+    whose n-grams are mostly unique is novel content — and for an eval
+    set, HIGH commonness against the training corpus flags leakage,
+    the same quantity ``contamination_check`` thresholds pairwise).
+
+    Output: (id, n_distinct_ngrams, n_common, novelty) with
+    novelty = 1 - n_common / n_distinct_ngrams; documents too short
+    for any n-gram keep NULL stats.
+
+    Shape: the shared ``doc_shingles`` distinct (id, gram) table, one
+    count-by-gram aggregate (map-side combined — the gram-frequency
+    table is corpus-vocabulary-sized, not corpus-sized), one join back
+    on the gram, one per-doc aggregate. All shuffle keys are grams or
+    ids; a hot gram costs its posting-list length, never a cross
+    product."""
+    from nyctaxidatapipeline_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(df, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    per = (sh.join(dfreq, "shingle")
+             .groupBy(id_col)
+             .agg(F.count("*").alias("n_distinct_ngrams"),
+                  F.sum(F.when(F.col("_df") >= min_df, 1)
+                         .otherwise(0)).alias("n_common")))
+    novelty = (F.round(F.lit(1.0) - F.col("n_common")
+                       / F.col("n_distinct_ngrams"), 6) + F.lit(0.0))
+    return (df.select(id_col).join(per, id_col, "left")
+              .select(id_col, "n_distinct_ngrams", "n_common",
+                      novelty.alias("novelty")))
 
 
 def term_frequencies(df: DataFrame, text_col: str, id_col: str,

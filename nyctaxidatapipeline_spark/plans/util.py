@@ -34,6 +34,27 @@ def round_doubles(df: DataFrame, ndigits: int = 6) -> DataFrame:
     return df.select(*cols)
 
 
+def input_scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the stat-able local files backing ``df``'s scan,
+    or None when the plan isn't file-backed (in-memory frames, remote
+    filesystems). The cheap size probe adaptive operators use to pick
+    between small-corpus and at-scale strategies — same trust model as
+    AQE's runtime sizing, but available at PLAN TIME for decisions that
+    shape the DAG itself (e.g. whether a reused intermediate is worth
+    materializing)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files or not all(f.startswith("file:") for f in files):
+        return None
+    try:
+        return sum(os.stat(unquote(urlparse(f).path)).st_size
+                   for f in files)
+    except OSError:
+        return None
+
+
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """Widen a narrow scan to the cluster's parallelism before CPU-heavy
     per-row work (regex tokenize, shingle explode, per-vector math).

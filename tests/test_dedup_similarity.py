@@ -154,6 +154,28 @@ def test_near_dup_production_portable_matches_default(spark):
         assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
+def test_lsh_recall_report_invariants(spark):
+    """One report row; common is bounded by both sides; the exact side
+    finds the three >=0.5 pairs of the fixture; ratios live in [0,1]
+    and identical docs are always common (they collide in every
+    band)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        lsh_recall_report,
+    )
+
+    rows = lsh_recall_report(_docs(spark), "text", "doc_id", n=3,
+                             num_hashes=32, bands=8,
+                             threshold=0.5, max_df=20).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_exact == 3                      # (0,1) (0,2) (1,2)
+    assert r.n_common >= 1                     # (0,2) exact copies
+    assert r.n_common <= min(r.n_exact, r.n_lsh)
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+    assert r.recall == round(r.n_common / r.n_exact, 6)
+    assert r.precision == round(r.n_common / r.n_lsh, 6)
+
+
 def test_simhash_identical_distance_zero(spark):
     out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(
         _docs(spark), shingles(tokens("text"), 2), "doc_id",
@@ -241,6 +263,33 @@ def test_rp_lsh_guards(spark):
     out = rp_lsh_near_dup(df, threshold=-1.0, planes=8, bands=2).collect()
     assert not any(1 in (r.id_a, r.id_b) or 2 in (r.id_a, r.id_b)
                    for r in out)
+
+
+def test_hard_negatives_label_filter_and_ranking(spark):
+    """Negatives must exclude the query's own label and id, rank by
+    cosine desc with vec_id tiebreak, and cap at k per query."""
+    import math
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # label 0: ids 0,1 near x-axis; label 1: ids 10,11,12 spread
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (10, [1.0, 0.05], 1),   # closest different-label to id 0
+        (11, [0.5, 0.5], 1),
+        (12, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2, dim=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in rows] == [10, 11]
+    assert all(r.label == 1 and r.query_label == 0 for r in rows)
+    got_cos = rows[0].cosine
+    want = 1.0 / math.sqrt(1.0 + 0.05 ** 2)
+    assert abs(got_cos - round(want, 6)) < 1e-9
 
 
 def test_brute_force_topk_ranking(spark):

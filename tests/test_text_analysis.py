@@ -155,6 +155,36 @@ def test_pii_fast_paths_equal_per_pattern_formulation(spark):
     assert all(r.redacted == r.plain for r in rows)
 
 
+def test_normalize_text_rules(spark):
+    """Every fold rule, the rule order (char folds before whitespace
+    collapses), control-char stripping, and the final trim."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="“Smart” ‘quotes’"),
+        Row(doc_id=2, text="dash – and — here…"),
+        Row(doc_id=3, text="nbsp joined  \t spaced"),
+        Row(doc_id=4, text="ctrl\x07char\x1f gone"),
+        Row(doc_id=5, text="  lines \n\n\n\n kept  \n trimmed \n"),
+        Row(doc_id=6, text="already clean"),
+    ])
+    out = {r.doc_id: r for r in
+           normalize_text(df, "text", "doc_id").collect()}
+    assert out[1].text_norm == '"Smart" \'quotes\''
+    assert out[2].text_norm == "dash - and - here..."
+    assert out[3].text_norm == "nbsp joined spaced"
+    assert out[4].text_norm == "ctrlchar gone"
+    assert out[5].text_norm == "lines\n\nkept\ntrimmed"
+    assert out[6].text_norm == "already clean"
+    assert out[6].changed is False and out[1].changed is True
+    assert out[3].n_chars == len("nbsp joined  \t spaced")
+    assert out[3].n_chars_norm == len("nbsp joined spaced")
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """Winnowing guarantee (Schleimer et al.): any shared substring of
     length >= k + window - 1 yields >= 1 common fingerprint; disjoint
@@ -265,6 +295,78 @@ def test_url_features_parses_components(spark):
     r3 = got[3]
     assert (r3.scheme, r3.host, r3.path_depth) == ("", "", 0)
     assert (got[4].scheme, got[4].path_depth) == ("ftp", 1)
+
+
+def test_ngram_novelty_scores(spark):
+    """Planted duplicates score 0 novelty, unique docs 1, a doc sharing
+    half its 2-grams scores the exact fraction; short docs get NULLs."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta"),   # exact dup
+        Row(doc_id=3, text="alpha beta zz unique tail"),
+        Row(doc_id=4, text="totally different words here"),
+        Row(doc_id=5, text="short"),                    # no 2-grams
+    ])
+    got = {r.doc_id: r for r in
+           ngram_novelty(df, "text", "doc_id", n=2, min_df=2).collect()}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    # doc 3: grams {alpha beta, beta zz, zz unique, unique tail};
+    # only "alpha beta" is shared -> novelty 3/4
+    assert got[3].n_distinct_ngrams == 4 and got[3].n_common == 1
+    assert got[3].novelty == 0.75
+    assert got[4].novelty == 1.0
+    assert got[5].n_distinct_ngrams is None and got[5].novelty is None
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, plus the identity cases it must NOT
+    touch (non-default port, non-tracking params, path case)."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.url import canonical_url
+
+    cases = {
+        1: ("https://www.Example.COM:443/a/b/?utm_source=x&b=2&a=1#f",
+            "https://example.com/a/b?a=1&b=2"),
+        2: ("http://site.org:80//x//y/", "http://site.org/x/y"),
+        3: ("http://site.org:8080/x", "http://site.org:8080/x"),
+        4: ("https://host.net./CaseKept?gclid=1&fbclid=2&ref=h",
+            "https://host.net/CaseKept"),
+        5: ("https://u:p@host.net/q?msclkid=9", "https://host.net/q"),
+        6: ("https://host.net", "https://host.net"),
+        7: ("not a url", ""),
+        8: ("https://host.net/?z=1&a=2&utm_campaign=c",
+            "https://host.net?a=2&z=1"),
+    }
+    df = spark.createDataFrame(
+        [Row(k=k, url=u) for k, (u, _) in cases.items()])
+    got = {r.k: r.c for r in
+           df.select("k", canonical_url("url").alias("c")).collect()}
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_url_dedup_collapses_variants(spark):
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.url import url_dedup
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, url="https://www.s.com/p?utm_source=a&k=1"),
+        Row(doc_id=2, url="https://s.com:443/p/?k=1"),
+        Row(doc_id=3, url="https://s.com//p?k=1&gclid=z"),
+        Row(doc_id=4, url="https://s.com/p?k=2"),          # distinct
+    ])
+    got = {r.canonical_url: (r.doc_id, r.n_copies)
+           for r in url_dedup(df, "url", "doc_id").collect()}
+    assert got["https://s.com/p?k=1"] == (1, 3)
+    assert got["https://s.com/p?k=2"] == (4, 1)
 
 
 def test_blocklist_stats_and_filter(spark):
