@@ -204,8 +204,10 @@ def main() -> None:
             sf10 = json.load(f)
         line["sf10"] = {"total_sec": sf10.get("value"),
                         "n_queries": len(sf10.get("queries", {})),
-                        "note": "production-path subset at 100x sf0.1; "
-                                "table in BENCH_SF10.json / PLANS.md #19"}
+                        "note": "29-query subset at 100x sf0.1 (total "
+                                "includes the two deliberate uncapped "
+                                "scale-lesson rows, 588s of it); table "
+                                "in BENCH_SF10.json / PLANS.md #19-20"}
     except (OSError, ValueError):
         pass
     print(json.dumps(line))
