@@ -416,6 +416,39 @@ def _q_near_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
                                portable=True, max_bucket=32)
 
 
+def _q_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication histogram of the production near-dup grouping
+    (``dedup.dedup_group_stats`` over ``near_dup_production``): one
+    row per group SIZE with the group and document counts — the
+    corpus-health report a curation run reads first, and the direct
+    post-dedup size estimate (sum of n_groups). Rides the same capped,
+    portable pipeline as ``near_dup_production``, so the whole
+    composition stays value-hash-gated."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        dedup_group_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mapping = near_dup_production(docs, "text", "doc_id", n=3,
+                                  num_hashes=32, bands=8, threshold=0.5,
+                                  portable=True, max_bucket=32)
+    return dedup_group_stats(mapping)
+
+
+def _q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-run sizing report (``text_analysis.token_budget``):
+    per-source document/whitespace-token/BPE-token/char totals — the
+    numbers a compute budget and a data-mix spec are priced in. The
+    BPE-ish regex is the proven RE2-parity pattern, so both token
+    counts sit on the value-hash path."""
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget(docs, "text", "source")
+
+
 def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality measurement as a first-class query
     (``dedup.lsh_recall_report``): exact 3-gram-Jaccard pairs vs
@@ -3263,6 +3296,7 @@ _ROUND8_FRONT = [
     "near_dup_production", "distinct_users_hll_wide",
     "fare_anomalies_approx", "text_normalize", "url_dedup",
     "ngram_novelty", "lsh_recall_report", "hard_negatives",
+    "near_dup_stats", "corpus_token_budget",
     "curate_corpus", "minhash_dedup",
     "jsonl_ingest", "warc_ingest", "webdataset_ingest",
     "distinct_users_hll",
@@ -3276,7 +3310,6 @@ _ROUND8_FRONT = [
     "skipgram_counts", "ppmi_vectors", "lm_backoff_scores",
     "perplexity_buckets", "quality_classifier", "dsir_weights",
     "weighted_corpus_sample", "bm25_scores", "semantic_dedup_auto",
-    "incremental_dedup", "incremental_dedup_bloom",
 ]
 
 _ROUND7_FRONT = [
@@ -3398,6 +3431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_production": _q_near_dup_production,
         "lsh_recall_report": _q_lsh_recall_report,
         "hard_negatives": _q_hard_negatives,
+        "near_dup_stats": _q_near_dup_stats,
+        "corpus_token_budget": _q_corpus_token_budget,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
@@ -4856,6 +4891,32 @@ def oracle_sql() -> dict[str, str]:
         # over the shared CTEs, reduced to the one report row.
         "lsh_recall_report": _lsh_recall_oracle_sql(
             num_hashes=32, bands=8, threshold=0.5, max_df=20),
+        # Twin of dedup.dedup_group_stats over the near_dup_production
+        # mapping (the full composed oracle nests as a derived table).
+        "near_dup_stats": f"""
+            SELECT group_size, COUNT(*) AS n_groups,
+                   CAST(SUM(group_size) AS BIGINT) AS n_docs
+            FROM (
+              SELECT group_id, COUNT(*) AS group_size
+              FROM ({_near_dup_production_oracle_sql(
+                  num_hashes=32, bands=8, threshold=0.5,
+                  max_bucket=32)}) m
+              GROUP BY group_id) g
+            GROUP BY group_size
+        """,
+        # Twin of text_analysis.token_budget: same whitespace-token
+        # contract, same RE2-parity BPE pre-tokenizer pattern.
+        "corpus_token_budget": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> ''))) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(lower(text),
+                       ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS BIGINT)
+                       AS bpe_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source
+        """,
         # Full sketch-path twin: md5-derived signature words make the
         # sign-sum -> band -> Hamming pipeline reproducible in DuckDB.
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4),

@@ -582,6 +582,23 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
                      .alias("group_id")))
 
 
+def dedup_group_stats(mapping: DataFrame,
+                      group_col: str = "group_id") -> DataFrame:
+    """(group_size, n_groups, n_docs) — the duplication histogram of a
+    (row, group) mapping such as ``near_dup_production``'s output: how
+    many duplicate groups exist at each size and how many documents
+    they hold. THE corpus-health report a curation run reads first
+    ("what fraction of my crawl is 1000-copy boilerplate?") and the
+    direct estimate of post-dedup corpus size (= total n_groups). Two
+    count aggregates, both map-side combined; the second runs over the
+    group table, which is already no larger than the corpus."""
+    sizes = mapping.groupBy(group_col).agg(
+        F.count("*").alias("group_size"))
+    return sizes.groupBy("group_size").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("group_size").alias("n_docs"))
+
+
 def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
                                id_col: str) -> DataFrame:
     """Drop every row that belongs to a near-dup component but is not its

@@ -457,6 +457,31 @@ def term_frequencies(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("freq") >= min_count))
 
 
+def token_budget(df: DataFrame, text_col: str,
+                 group_col: str) -> DataFrame:
+    """(group, n_docs, ws_tokens, bpe_tokens, n_chars) — the
+    training-run sizing report: how many tokens each slice of the
+    corpus contributes, counted both ways the repo counts them
+    (whitespace ``tokens`` for document stats, the BPE-ish
+    ``bpe_tokens`` regex for what a subword tokenizer will actually
+    see — the number a compute budget is priced in). One projection +
+    one map-side-combined aggregate; no shuffle carries text."""
+    from nyctaxidatapipeline_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    return (df.select(group_col,
+                      token_count(text_col).alias("_ws"),
+                      bpe_token_count(text_col).alias("_bpe"),
+                      F.length(text_col).alias("_ch"))
+              .groupBy(group_col)
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("_ws").alias("ws_tokens"),
+                   F.sum("_bpe").alias("bpe_tokens"),
+                   F.sum("_ch").alias("n_chars")))
+
+
 def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-row corpus composition summary — the numbers a data curator
     checks before and after every pipeline stage: document/token

@@ -154,6 +154,44 @@ def test_near_dup_production_portable_matches_default(spark):
         assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
+def test_dedup_group_stats_histogram(spark):
+    """Histogram over a known mapping: groups of size 3, 2, 1, 1."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        dedup_group_stats,
+    )
+
+    mapping = spark.createDataFrame(
+        [Row(doc_id=i, group_id=g) for i, g in
+         [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6)]])
+    got = {r.group_size: (r.n_groups, r.n_docs)
+           for r in dedup_group_stats(mapping).collect()}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_token_budget_counts(spark):
+    """Whitespace vs BPE-ish token counts per group, plus chars."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        token_budget,
+    )
+
+    df = spark.createDataFrame([
+        Row(source="a", text="Hello, world!"),
+        Row(source="a", text="one two three"),
+        Row(source="b", text=""),
+    ])
+    got = {r.source: r for r in
+           token_budget(df, "text", "source").collect()}
+    # "Hello, world!": ws=2; bpe = ['hello', ',', ' world', '!'] = 4
+    assert (got["a"].n_docs, got["a"].ws_tokens) == (2, 5)
+    assert got["a"].bpe_tokens == 4 + 3
+    assert got["a"].n_chars == len("Hello, world!") + len("one two three")
+    assert (got["b"].ws_tokens, got["b"].bpe_tokens) == (0, 0)
+
+
 def test_lsh_recall_report_invariants(spark):
     """One report row; common is bounded by both sides; the exact side
     finds the three >=0.5 pairs of the fixture; ratios live in [0,1]
