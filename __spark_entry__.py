@@ -416,6 +416,33 @@ def _q_near_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
                                portable=True, max_bucket=32)
 
 
+def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment NEAR-dup admission
+    (``dedup.incremental_minhash_admission``): odd-id documents are
+    the incoming batch, even-id the standing corpus; a batch doc is
+    admitted unless banded-LSH + exact-Jaccard verification matches it
+    to the corpus or to a smaller-id batch doc (greedy first-wins —
+    the near-dup sibling of ``incremental_dedup``'s exact admission).
+    The corpus is never re-paired against itself: its band-bucket
+    table (persistable between increments) joins the batch's, and
+    verification touches only candidate corpus docs. Portable hash
+    family — the twin derives the identical verdicts from the unified
+    pair set restricted by the parity arms."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    adm = incremental_minhash_admission(batch, corpus, "text", "doc_id",
+                                        n=3, num_hashes=32, bands=8,
+                                        threshold=0.5, portable=True)
+    return adm.select("doc_id",
+                      F.md5(F.encode(F.col("text"), "utf-8"))
+                       .alias("text_md5"))
+
+
 def _q_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication histogram of the production near-dup grouping
     (``dedup.dedup_group_stats`` over ``near_dup_production``): one
@@ -3296,7 +3323,7 @@ _ROUND8_FRONT = [
     "near_dup_production", "distinct_users_hll_wide",
     "fare_anomalies_approx", "text_normalize", "url_dedup",
     "ngram_novelty", "lsh_recall_report", "hard_negatives",
-    "near_dup_stats", "corpus_token_budget",
+    "near_dup_stats", "corpus_token_budget", "incremental_minhash",
     "curate_corpus", "minhash_dedup",
     "jsonl_ingest", "warc_ingest", "webdataset_ingest",
     "distinct_users_hll",
@@ -3309,7 +3336,7 @@ _ROUND8_FRONT = [
     "pack_sequences", "doc_spans", "lm_perplexity", "pmi_collocations",
     "skipgram_counts", "ppmi_vectors", "lm_backoff_scores",
     "perplexity_buckets", "quality_classifier", "dsir_weights",
-    "weighted_corpus_sample", "bm25_scores", "semantic_dedup_auto",
+    "weighted_corpus_sample", "bm25_scores",
 ]
 
 _ROUND7_FRONT = [
@@ -3433,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "near_dup_stats": _q_near_dup_stats,
         "corpus_token_budget": _q_corpus_token_budget,
+        "incremental_minhash": _q_incremental_minhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
@@ -4903,6 +4931,27 @@ def oracle_sql() -> dict[str, str]:
                   max_bucket=32)}) m
               GROUP BY group_id) g
             GROUP BY group_size
+        """,
+        # Twin of dedup.incremental_minhash_admission over the parity
+        # split: the unified portable pair set (same hash family =>
+        # identical candidates + verification) restricted by the
+        # greedy-admission arms — an odd id is rejected iff some pair
+        # has it as the LARGER member (the partner is then corpus or a
+        # smaller batch doc) or pairs it as the smaller member with an
+        # EVEN (corpus) partner.
+        "incremental_minhash": f"""
+            WITH {_minhash_pair_ctes(num_hashes=32, bands=8,
+                                     threshold=0.5)},
+            rejected AS (
+              SELECT DISTINCT x FROM (
+                SELECT id_b AS x FROM mh_pairs WHERE id_b % 2 = 1
+                UNION ALL
+                SELECT id_a FROM mh_pairs
+                WHERE id_a % 2 = 1 AND id_b % 2 = 0))
+            SELECT doc_id, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT x FROM rejected)
         """,
         # Twin of text_analysis.token_budget: same whitespace-token
         # contract, same RE2-parity BPE pre-tokenizer pattern.

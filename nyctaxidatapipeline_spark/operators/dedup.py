@@ -203,6 +203,27 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame, id_col: str, bands: int, r: int,
+                  portable: bool) -> DataFrame:
+    """(id, band, bucket) — the LSH band-bucket table of a signature
+    frame. ``portable=True`` keys buckets with the concatenated hash
+    tuple (DuckDB-reproducible); default packs it through xxhash64.
+    Shared by the self-join (``minhash_lsh_pairs``) and the
+    batch-vs-corpus (``incremental_minhash_admission``) paths."""
+    if portable:
+        bucket_of = lambda bi: F.concat_ws(  # noqa: E731
+            ":", *[F.col(f"h{bi * r + j}").cast("string")
+                   for j in range(r)])
+    else:
+        bucket_of = lambda bi: F.xxhash64(  # noqa: E731
+            *[F.col(f"h{bi * r + j}") for j in range(r)])
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
+        for bi in range(bands)]
+    return (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+               .select(id_col, "bb.band", "bb.bucket"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
@@ -252,18 +273,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
               .localCheckpoint(eager=False) if reuse_shingles else None)
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, portable,
                              shingles_df=sh_all)
-    if portable:
-        bucket_of = lambda bi: F.concat_ws(  # noqa: E731
-            ":", *[F.col(f"h{bi * r + j}").cast("string")
-                   for j in range(r)])
-    else:
-        bucket_of = lambda bi: F.xxhash64(  # noqa: E731
-            *[F.col(f"h{bi * r + j}") for j in range(r)])
-    band_cols = [
-        F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
-        for bi in range(bands)]
-    buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
-                  .select(id_col, "bb.band", "bb.bucket"))
+    buckets = _band_buckets(sig, id_col, bands, r, portable)
     # Pair expansion per bucket (groupBy + in-array combinations) rather
     # than a bucket self-join — one shuffle keyed on (band, bucket), no
     # broadcast side, scale-stable.
@@ -488,6 +498,102 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
              .union(e.select(F.col("v").alias("id"),
                              F.col("v").alias("comp")))
              .distinct())
+
+
+def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
+                                  text_col: str, id_col: str,
+                                  n: int = 3, num_hashes: int = 32,
+                                  bands: int = 8,
+                                  threshold: float = 0.5,
+                                  portable: bool = False,
+                                  max_bucket: int | None = None
+                                  ) -> DataFrame:
+    """NEAR-dup admission for a daily increment: keep only the NEW
+    documents that are not LSH≥threshold near-duplicates of the
+    existing CORPUS nor of a smaller-id document in the same batch
+    (greedy first-wins, the stream-order convention
+    ``incremental_fingerprint_dedup`` uses for exact duplicates).
+    Returns the admitted subset of ``new`` (original columns).
+
+    Scale shape — the reason this exists next to the self-join
+    operator: running ``minhash_lsh_pairs`` over corpus ∪ batch
+    re-pairs the CORPUS against itself every day (O(corpus × bands)
+    shuffle plus the full pair expansion). Here the corpus side is
+    reduced to its band-bucket table (a pure function of corpus text —
+    a deployment persists it between increments and appends new
+    admissions' buckets, exactly like the Bloom word table), candidates
+    are batch×corpus and batch×batch bucket joins only, and
+    verification joins shingle sets for the TOUCHED corpus docs alone
+    (semi-joined by candidate id before the collect_set aggregate) —
+    cost scales with |batch| and bucket overlap, never |corpus|².
+
+    ``max_bucket`` (opt-in) skips CORPUS band buckets above the cap —
+    the boilerplate backstop: a batch doc colliding with a
+    million-member corpus bucket would otherwise verify against every
+    member. ``portable=True`` makes the whole path bit-reproducible in
+    DuckDB (the registered query's mode). Ids must be globally unique
+    across corpus and batch (the usual keyed-store contract — a shared
+    id would conflate the two sides' shingle sets)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig_c = minhash_signatures(corpus, text_col, id_col, n, num_hashes,
+                               portable)
+    sig_b = minhash_signatures(new, text_col, id_col, n, num_hashes,
+                               portable)
+    bk_c = _band_buckets(sig_c, id_col, bands, r, portable)
+    bk_b = _band_buckets(sig_b, id_col, bands, r, portable)
+    if max_bucket is not None:
+        keep = (bk_c.groupBy("band", "bucket")
+                    .agg(F.count("*").alias("_n"))
+                    .filter(F.col("_n") <= max_bucket)
+                    .select("band", "bucket"))
+        bk_c = bk_c.join(keep, ["band", "bucket"], "left_semi")
+    # batch × corpus candidates: plain bucket equi-join (the corpus
+    # bucket table is hash-partitioned on (band, bucket); the batch
+    # side is small — AQE broadcasts it in practice).
+    cand_cb = (bk_b.select(F.col(id_col).alias("_b"), "band", "bucket")
+                   .join(bk_c.select(F.col(id_col).alias("_p"),
+                                     "band", "bucket"),
+                         ["band", "bucket"])
+                   .select("_b", "_p").distinct())
+    # batch × batch candidates: posting-list expansion within the
+    # batch's own buckets; only the larger id of a pair is at risk.
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(y.alias("_b"), x.alias("_p")))))
+    cand_bb = (bk_b.groupBy("band", "bucket")
+                   .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+                   .filter(F.size("ids") >= 2)
+                   .select(F.explode(pair_structs).alias("p"))
+                   .select("p._b", "p._p").distinct())
+    cand = cand_cb.union(cand_bb).distinct()
+    # Verify only the touched docs' shingle sets (semi-join BEFORE the
+    # collect_set aggregate keeps the corpus-side aggregate bounded by
+    # the candidate set, not the corpus).
+    sh_b = (doc_shingles(new, text_col, id_col, n)
+            .groupBy(id_col).agg(F.collect_set("shingle").alias("sh_b"))
+            .withColumnRenamed(id_col, "_b"))
+    touched = cand.select(F.col("_p").alias(id_col)).distinct()
+    sh_p = (doc_shingles(corpus, text_col, id_col, n)
+            .join(touched, id_col, "left_semi")
+            .groupBy(id_col).agg(F.collect_set("shingle").alias("sh_p"))
+            .withColumnRenamed(id_col, "_p"))
+    sh_bp = (doc_shingles(new, text_col, id_col, n)
+             .groupBy(id_col).agg(F.collect_set("shingle").alias("sh_p"))
+             .withColumnRenamed(id_col, "_p"))
+    # partner sets come from whichever side the partner lives on
+    verified = (cand.join(sh_b, "_b")
+                    .join(sh_p.unionByName(sh_bp), "_p")
+                    .filter((F.size(F.array_intersect("sh_b", "sh_p"))
+                             / F.size(F.array_union("sh_b", "sh_p")))
+                            >= threshold)
+                    .select("_b").distinct())
+    return new.join(verified.withColumnRenamed("_b", id_col),
+                    id_col, "left_anti")
 
 
 def near_dup_production(df: DataFrame, text_col: str, id_col: str,

@@ -154,6 +154,45 @@ def test_near_dup_production_portable_matches_default(spark):
         assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
+def test_incremental_minhash_admission(spark):
+    """Batch docs near-matching the corpus are rejected; in-batch
+    near-dups resolve greedy-first (smaller id wins); novel docs are
+    admitted; and the decision equals components-over-everything for
+    this unambiguous fixture."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog in the park"
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=2, text="completely different corpus text with "
+                           "other words entirely present"),
+    ])
+    batch = spark.createDataFrame([
+        Row(doc_id=1, text=base),                               # dup of 0
+        Row(doc_id=3, text=base.replace("park", "yard")),       # near 0
+        Row(doc_id=5, text="a genuinely novel batch document about "
+                           "unrelated topics and fresh content"),
+        Row(doc_id=7, text="a genuinely novel batch document about "
+                           "unrelated topics and new content"),  # near 5
+    ])
+    got = {r.doc_id for r in incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True).collect()}
+    assert got == {5}
+    # max_bucket backstop: capping corpus buckets at 0 disables the
+    # corpus arm entirely — only in-batch rejections remain: 3 loses
+    # to 1 (they are near-dups of each other) and 7 loses to 5; 1 is
+    # now admitted because its only match was the corpus
+    capped = {r.doc_id for r in incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True, max_bucket=0).collect()}
+    assert capped == {1, 5}
+
+
 def test_dedup_group_stats_histogram(spark):
     """Histogram over a known mapping: groups of size 3, 2, 1, 1."""
     from pyspark.sql import Row

@@ -101,6 +101,11 @@ BNLJ_CONTRACT_OK = {
     "ann_topk": 1,
     "ann_pq": 1,
     "rrf_fusion": 1,
+    # Same brute-force contract, plus the label/id inequality filter
+    # folded into the BNLJ condition: build side is the query set
+    # (Filter vec_id < 10 over embeddings), queries ≪ corpus; the scale
+    # path is the identical composition over ivf_topk candidates.
+    "hard_negatives": 1,
     # Covariance: build sides select the single (i=-1, j=-1) count row
     # out of the d²-bounded moments frame — 1 row by construction, but
     # shaped as a sentinel Filter over ExistingRDD, not an aggregate.
