@@ -310,11 +310,25 @@ def dedup_admit_fn(corpus_dir: str, text_col: str, id_col: str):
     fingerprint set (via the Bloom pre-pass, so only filter-positive
     rows shuffle), plus the admitted rows' write.
     """
-    import shutil
-
     from nyctaxidatapipeline_spark.operators.dedup import (
         incremental_fingerprint_dedup_bloom,
     )
+
+    return _admit_commit_fn(
+        corpus_dir, text_col, id_col,
+        lambda batch, corpus: incremental_fingerprint_dedup_bloom(
+            batch, corpus, text_col, id_col))
+
+
+def _admit_commit_fn(corpus_dir: str, text_col: str, id_col: str,
+                     admitter):
+    """Shared epoch-directory admission commit (the skeleton
+    ``dedup_admit_fn``'s docstring describes): read the admitted
+    corpus, run ``admitter(batch, corpus) -> admitted subset``, land
+    the admissions in ``epoch=N`` via write-tmp-then-rename — the
+    rename IS the exactly-once commit, replayed epochs no-op on the
+    existing directory."""
+    import shutil
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
@@ -330,8 +344,7 @@ def dedup_admit_fn(corpus_dir: str, text_col: str, id_col: str):
                       .select(id_col, text_col))
         else:
             corpus = spark.createDataFrame([], batch.schema)
-        admitted = incremental_fingerprint_dedup_bloom(
-            batch, corpus, text_col, id_col)
+        admitted = admitter(batch, corpus)
         tmp = os.path.join(
             os.path.dirname(corpus_dir.rstrip("/")) or ".",
             f".tmp-epoch-{epoch_id}")
@@ -341,6 +354,53 @@ def dedup_admit_fn(corpus_dir: str, text_col: str, id_col: str):
         os.rename(tmp, edir)
 
     return admit_batch
+
+
+def near_dup_admit_fn(corpus_dir: str, text_col: str, id_col: str,
+                      threshold: float = 0.5,
+                      max_bucket: int | None = 32):
+    """``foreachBatch`` for :func:`run_streaming_near_dup`: the
+    NEAR-dup sibling of ``dedup_admit_fn`` — each micro-batch is gated
+    by ``incremental_minhash_admission`` (banded LSH vs the admitted
+    corpus + greedy in-batch, exact-Jaccard verified) instead of exact
+    fingerprints, landing through the same epoch-directory
+    exactly-once commit. Per-batch cost scales with the batch and its
+    bucket overlap against the corpus, never |corpus|²; the
+    ``max_bucket`` corpus-bucket cap (on by default here — a streaming
+    admitter must survive boilerplate storms unattended) bounds the
+    verification fan-out of any hot bucket."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+
+    return _admit_commit_fn(
+        corpus_dir, text_col, id_col,
+        lambda batch, corpus: incremental_minhash_admission(
+            batch, corpus, text_col, id_col,
+            threshold=threshold, max_bucket=max_bucket))
+
+
+def run_streaming_near_dup(stream: DataFrame, corpus_dir: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.5,
+                           max_bucket: int | None = 32,
+                           checkpoint_dir: str | None = None):
+    """foreachBatch streaming corpus admission with NEAR-dup gating:
+    documents arriving on the stream are admitted into ``corpus_dir``
+    only if no LSH≥threshold match exists in the admitted corpus or
+    earlier in their own micro-batch (see ``near_dup_admit_fn``).
+    Drained result equals applying ``incremental_minhash_admission``
+    batch-by-batch — gated e2e in ``tests/test_streaming_ext``."""
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(near_dup_admit_fn(corpus_dir, text_col, id_col,
+                                         threshold, max_bucket)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
 
 
 def run_incremental_dedup(stream: DataFrame, corpus_dir: str,

@@ -238,6 +238,69 @@ def test_streaming_dedup_admission_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_near_dup_admission_equals_batch(spark, tmp_path):
+    """Streamed NEAR-dup admission == the batch
+    incremental_minhash_admission applied to the same (single) drained
+    micro-batch, and strictly fewer-or-equal docs than exact admission
+    (near-dup gating subsumes exact duplicates)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_streaming_near_dup,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = str(tmp_path / "corpus")
+    docs = stream_table(spark, sf, "documents")
+    q = run_streaming_near_dup(docs, corpus,
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    got = {r.doc_id for r in (spark.read
+                              .option("basePath", corpus)
+                              .parquet(corpus)
+                              .select("doc_id").collect())}
+    all_docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    empty = spark.createDataFrame([], all_docs.schema)
+    want = {r.doc_id for r in incremental_minhash_admission(
+        all_docs, empty, "text", "doc_id", max_bucket=32).collect()}
+    assert got == want and 0 < len(got) <= all_docs.count()
+
+
+def test_streaming_near_dup_replay_and_increment(spark, tmp_path):
+    """Replayed epochs no-op; a new epoch rejects near-dups of the
+    admitted corpus (not just byte-exact ones) and admits novel docs."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        near_dup_admit_fn,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    fn = near_dup_admit_fn(corpus, "text", "doc_id")
+    base = "the quick brown fox jumps over the lazy dog in the park"
+    b0 = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base.replace("park", "yard")),  # near 1
+        Row(doc_id=3, text="completely different text with other "
+                           "words present here entirely")])
+    fn(b0, 0)
+    read = lambda: {r.doc_id for r in  # noqa: E731
+                    spark.read.option("basePath", corpus)
+                    .parquet(corpus).collect()}
+    assert read() == {1, 3}
+    fn(b0, 0)                                  # replay -> no-op
+    assert read() == {1, 3}
+    b1 = spark.createDataFrame([
+        Row(doc_id=4, text=base.replace("park", "lane")),  # near corpus 1
+        Row(doc_id=5, text="a wholly novel follow-up document about "
+                           "new unrelated subject matter")])
+    fn(b1, 1)
+    assert read() == {1, 3, 5}
+
+
 def test_streaming_dedup_replay_and_increment(spark, tmp_path):
     """Replayed epochs are no-ops (the epoch directory is the commit);
     a genuinely new epoch admits only documents unseen so far."""
