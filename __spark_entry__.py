@@ -418,23 +418,25 @@ def _q_near_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment NEAR-dup admission
-    (``dedup.incremental_minhash_admission``): odd-id documents are
-    the incoming batch, even-id the standing corpus; a batch doc is
-    admitted unless banded-LSH + exact-Jaccard verification matches it
-    to the corpus or to a smaller-id batch doc (greedy first-wins —
-    the near-dup sibling of ``incremental_dedup``'s exact admission).
-    The corpus is never re-paired against itself: its band-bucket
-    table (persistable between increments) joins the batch's, and
-    verification touches only candidate corpus docs. Portable hash
-    family — the twin derives the identical verdicts from the unified
-    pair set restricted by the parity arms."""
+    (``dedup.incremental_minhash_admission``): documents with
+    ``doc_id % 50 == 1`` are the incoming batch (a realistic ~2%
+    increment — the operator's contract is batch ≪ corpus), the rest
+    the standing corpus; a batch doc is admitted unless banded-LSH +
+    exact-Jaccard verification matches it to the corpus or to a
+    smaller-id batch doc (greedy first-wins — the near-dup sibling of
+    ``incremental_dedup``'s exact admission). The corpus is never
+    re-paired against itself: its band-bucket table (persistable
+    between increments) joins the batch's, and verification touches
+    only candidate corpus docs. Portable hash family — the twin
+    derives the identical verdicts from the unified pair set
+    restricted by the batch-membership arms."""
     from nyctaxidatapipeline_spark.operators.dedup import (
         incremental_minhash_admission,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 50 != 1)
+    batch = docs.filter(F.col("doc_id") % 50 == 1)
     adm = incremental_minhash_admission(batch, corpus, "text", "doc_id",
                                         n=3, num_hashes=32, bands=8,
                                         threshold=0.5, portable=True)
@@ -4932,25 +4934,25 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY group_id) g
             GROUP BY group_size
         """,
-        # Twin of dedup.incremental_minhash_admission over the parity
-        # split: the unified portable pair set (same hash family =>
-        # identical candidates + verification) restricted by the
-        # greedy-admission arms — an odd id is rejected iff some pair
-        # has it as the LARGER member (the partner is then corpus or a
-        # smaller batch doc) or pairs it as the smaller member with an
-        # EVEN (corpus) partner.
+        # Twin of dedup.incremental_minhash_admission over the ~2%
+        # increment split (batch = doc_id % 50 == 1): the unified
+        # portable pair set (same hash family => identical candidates
+        # + verification) restricted by the greedy-admission arms — a
+        # batch id is rejected iff some pair has it as the LARGER
+        # member (the partner is then corpus or a smaller batch doc)
+        # or pairs it as the smaller member with a CORPUS partner.
         "incremental_minhash": f"""
             WITH {_minhash_pair_ctes(num_hashes=32, bands=8,
                                      threshold=0.5)},
             rejected AS (
               SELECT DISTINCT x FROM (
-                SELECT id_b AS x FROM mh_pairs WHERE id_b % 2 = 1
+                SELECT id_b AS x FROM mh_pairs WHERE id_b % 50 = 1
                 UNION ALL
                 SELECT id_a FROM mh_pairs
-                WHERE id_a % 2 = 1 AND id_b % 2 = 0))
+                WHERE id_a % 50 = 1 AND id_b % 50 <> 1))
             SELECT doc_id, md5(text) AS text_md5
             FROM documents
-            WHERE doc_id % 2 = 1
+            WHERE doc_id % 50 = 1
               AND doc_id NOT IN (SELECT x FROM rejected)
         """,
         # Twin of text_analysis.token_budget: same whitespace-token
