@@ -324,6 +324,55 @@ def test_ngram_novelty_scores(spark):
     assert got[5].n_distinct_ngrams is None and got[5].novelty is None
 
 
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) — the property that
+    makes the pass safe to run at any pipeline stage (re-ingesting
+    already-clean data must be a no-op). Checked over the fixture
+    corpus AND adversarial synthetics."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.text_analysis import (
+        normalize_text_expr,
+    )
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.sources import load_table
+
+    synth = spark.createDataFrame([Row(text=t) for t in [
+        "“a” – b… c", "x\n\n\n\ny", "a  \t b", " …… ", "-‘’-",
+        "\x07\x1f", "", "plain"]])
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("text"))
+    for df in (synth, docs):
+        once = normalize_text_expr("text")
+        bad = (df.select(once.alias("n1"))
+                 .select("n1", normalize_text_expr("n1").alias("n2"))
+                 .filter(F.col("n1") != F.col("n2")))
+        assert bad.isEmpty()
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): a canonical URL must
+    survive re-canonicalization unchanged (dedup keys are stable)."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.url import canonical_url
+    from pyspark.sql import functions as F
+
+    urls = [
+        "https://www.Example.COM:443/a/b/?utm_source=x&b=2&a=1#f",
+        "http://site.org:80//x//y/", "http://site.org:8080/x",
+        "https://host.net./CaseKept?gclid=1", "https://u:p@h.net/q",
+        "https://host.net", "not a url",
+        "https://host.net/?z=1&a=2",
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    bad = (df.select(canonical_url("url").alias("c1"))
+             .select("c1", canonical_url("c1").alias("c2"))
+             .filter(F.col("c1") != F.col("c2")))
+    assert bad.isEmpty()
+
+
 def test_canonical_url_rules(spark):
     """Each canonicalization rule, plus the identity cases it must NOT
     touch (non-default port, non-tracking params, path case)."""
