@@ -500,13 +500,34 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
              .distinct())
 
 
+def build_minhash_index(corpus: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, num_hashes: int = 32,
+                        bands: int = 8,
+                        portable: bool = False) -> DataFrame:
+    """(id, band, bucket) — the persistable LSH index of a corpus: a
+    pure function of corpus text, so a deployment writes it ONCE
+    (partitioned/bucketed by (band, bucket)) and each increment both
+    probes it and appends its own admissions' rows — the corpus is
+    never re-signed, let alone re-paired. Pass the read-back frame to
+    :func:`incremental_minhash_admission` as ``corpus_index``; at sf10
+    the index build is 80%+ of a cold admission's wall clock
+    (PLANS.md #20), which is exactly the share persistence removes."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(corpus, text_col, id_col, n, num_hashes,
+                             portable)
+    return _band_buckets(sig, id_col, bands, r, portable)
+
+
 def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
                                   text_col: str, id_col: str,
                                   n: int = 3, num_hashes: int = 32,
                                   bands: int = 8,
                                   threshold: float = 0.5,
                                   portable: bool = False,
-                                  max_bucket: int | None = None
+                                  max_bucket: int | None = None,
+                                  corpus_index: DataFrame | None = None
                                   ) -> DataFrame:
     """NEAR-dup admission for a daily increment: keep only the NEW
     documents that are not LSH≥threshold near-duplicates of the
@@ -533,15 +554,24 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
     member. ``portable=True`` makes the whole path bit-reproducible in
     DuckDB (the registered query's mode). Ids must be globally unique
     across corpus and batch (the usual keyed-store contract — a shared
-    id would conflate the two sides' shingle sets)."""
+    id would conflate the two sides' shingle sets).
+
+    ``corpus_index`` takes a prebuilt :func:`build_minhash_index`
+    frame (read back from wherever the deployment persists it) and
+    skips the corpus signature pass entirely — identical results
+    (unit-pinned, incl. through a parquet round trip); the (n,
+    num_hashes, bands, portable) parameters must match the index's.
+    Corpus TEXT is still read for verification, but only the touched
+    candidate docs' shingle sets are aggregated (id-filter
+    pushdown-able on a real table)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig_c = minhash_signatures(corpus, text_col, id_col, n, num_hashes,
-                               portable)
     sig_b = minhash_signatures(new, text_col, id_col, n, num_hashes,
                                portable)
-    bk_c = _band_buckets(sig_c, id_col, bands, r, portable)
+    bk_c = (corpus_index if corpus_index is not None
+            else build_minhash_index(corpus, text_col, id_col, n,
+                                     num_hashes, bands, portable))
     bk_b = _band_buckets(sig_b, id_col, bands, r, portable)
     if max_bucket is not None:
         keep = (bk_c.groupBy("band", "bucket")

@@ -193,6 +193,37 @@ def test_incremental_minhash_admission(spark):
     assert capped == {1, 5}
 
 
+def test_incremental_minhash_prebuilt_index(spark, tmp_path):
+    """A prebuilt (and parquet-round-tripped) corpus index yields the
+    identical admitted set as the direct call — the persist-between-
+    increments contract."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_admission,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog in the park"
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=2, text="completely different corpus text with "
+                           "other words entirely present")])
+    batch = spark.createDataFrame([
+        Row(doc_id=1, text=base.replace("park", "yard")),
+        Row(doc_id=5, text="a genuinely novel batch document about "
+                           "unrelated topics and fresh content")])
+    direct = {r.doc_id for r in incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", portable=True).collect()}
+    idx = build_minhash_index(corpus, "text", "doc_id", portable=True)
+    path = str(tmp_path / "lsh_index")
+    idx.write.parquet(path)
+    via_index = {r.doc_id for r in incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", portable=True,
+        corpus_index=spark.read.parquet(path)).collect()}
+    assert direct == via_index == {5}
+
+
 def test_dedup_group_stats_histogram(spark):
     """Histogram over a known mapping: groups of size 3, 2, 1, 1."""
     from pyspark.sql import Row
