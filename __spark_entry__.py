@@ -2603,6 +2603,36 @@ def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("text_len"))
 
 
+def _q_tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TFRecord ingestion, oracle-gated end-to-end — the
+    TensorFlow/JAX input format, completing the export/ingest triangle
+    next to compressed JSONL and WebDataset tars: documents are packed
+    4-per-shard into framed ``tf.train.Example`` blobs
+    (``sources/tfrecord.py`` over the pure-stdlib proto writer +
+    masked-CRC32C record framing in ``functions/tfrecord.py``), then
+    ``read_tfrecord_shards`` verifies both checksums of every frame
+    and ``decode_examples`` parses the protos back to typed columns;
+    the md5/length run JVM-side on the decoded text. The twin
+    recomputes every column directly from ``documents`` via the
+    packing arithmetic — one wrong byte anywhere in proto encode →
+    frame → checksum → unframe → proto decode flips the value hash."""
+    from nyctaxidatapipeline_spark.sources.tfrecord import (
+        decode_examples,
+        read_tfrecord_shards,
+        tfrecord_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = tfrecord_shards(docs, "doc_id", ["text"], docs_per_shard=4)
+    recs = read_tfrecord_shards(shards)
+    typed = decode_examples(recs, {"doc_id": "long", "text": "string"})
+    return typed.select(
+        "doc_id", "shard_id", "rec_no",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5"),
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long")
+         .alias("text_len"))
+
+
 def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2), oracle-gated.
     The fixture's documents are single-line and unpunctuated, so the
@@ -3326,6 +3356,7 @@ _ROUND8_FRONT = [
     "fare_anomalies_approx", "text_normalize", "url_dedup",
     "ngram_novelty", "lsh_recall_report", "hard_negatives",
     "near_dup_stats", "corpus_token_budget", "incremental_minhash",
+    "tfrecord_ingest",
     "curate_corpus", "minhash_dedup",
     "jsonl_ingest", "warc_ingest", "webdataset_ingest",
     "distinct_users_hll",
@@ -3338,7 +3369,7 @@ _ROUND8_FRONT = [
     "pack_sequences", "doc_spans", "lm_perplexity", "pmi_collocations",
     "skipgram_counts", "ppmi_vectors", "lm_backoff_scores",
     "perplexity_buckets", "quality_classifier", "dsir_weights",
-    "weighted_corpus_sample", "bm25_scores",
+    "weighted_corpus_sample",
 ]
 
 _ROUND7_FRONT = [
@@ -3463,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_stats": _q_near_dup_stats,
         "corpus_token_budget": _q_corpus_token_budget,
         "incremental_minhash": _q_incremental_minhash,
+        "tfrecord_ingest": _q_tfrecord_ingest,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
@@ -6891,6 +6923,20 @@ def oracle_sql() -> dict[str, str]:
         # DIV 4 with lines doc_id-ordered; the shard codec rotates
         # shard_id mod 3 over (gz, bz2, xz) — the Spark side SNIFFS it
         # from magic bytes, the twin derives it arithmetically.
+        # Twin of the TFRecord roundtrip: every output column is a
+        # pure function of the packing arithmetic (4 per shard, rows
+        # id-ordered inside the shard) and the document itself.
+        "tfrecord_ingest": """
+            SELECT doc_id,
+                   doc_id // 4 AS shard_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 4
+                                           ORDER BY doc_id) - 1
+                        AS INTEGER) AS rec_no,
+                   md5(text) AS text_md5,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                       AS text_len
+            FROM documents
+        """,
         "jsonl_ingest": """
             SELECT doc_id,
                    doc_id // 4 AS shard_id,
