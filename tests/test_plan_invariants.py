@@ -36,6 +36,11 @@ ARROW_OK = {"embedding_near_dup", "image_features",
             "audio_features",
             "audio_features_mp3", "warc_ingest", "webdataset_ingest",
             "jsonl_ingest",
+            # TFRecord roundtrip: proto encode + frame (applyInPandas)
+            # and unframe + proto decode (mapInPandas) are the
+            # sanctioned codec zones, like the sibling ingest sources;
+            # md5/length run JVM-side on the decoded columns.
+            "tfrecord_ingest",
             "semantic_dedup_auto", "knn_graph_ivf"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
@@ -44,7 +49,10 @@ ARROW_OK = {"embedding_near_dup", "image_features",
 #: so a future row-group Python kernel cannot slip past the gate under
 #: the mapInPandas whitelist.
 GROUPED_PANDAS_OK = {"knn_graph", "knn_graph_ivf", "embedding_near_dup",
-                     "semantic_dedup_auto"}
+                     "semantic_dedup_auto",
+                     # per-shard proto encode + framing (the pack side
+                     # of the TFRecord codec zone)
+                     "tfrecord_ingest"}
 
 
 @pytest.fixture(scope="module")
