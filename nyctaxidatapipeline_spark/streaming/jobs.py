@@ -613,6 +613,58 @@ def run_warc_ingestion(spark: SparkSession, warc_dir: str,
     return q
 
 
+def tfrecord_admit_fn(corpus_dir: str):
+    """``foreachBatch`` for :func:`run_tfrecord_ingestion`: unframe +
+    proto-decode each micro-batch's TFRecord shards (the
+    ``sources/tfrecord.py`` readers — per-frame CRC verification, typed
+    decode), then hand the documents to the EXISTING admission commit
+    (``dedup_admit_fn``). Composition over new machinery, exactly like
+    the WARC / compressed-JSONL front doors — the only TFRecord-
+    specific lines are the unframe + decode."""
+    admit = dedup_admit_fn(corpus_dir, "text", "doc_id")
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from nyctaxidatapipeline_spark.sources.tfrecord import (
+            decode_examples,
+            read_tfrecord_shards,
+        )
+
+        recs = read_tfrecord_shards(
+            batch_df.select(F.col("path").alias("shard_id"), "content"))
+        docs = (decode_examples(recs, {"doc_id": "long",
+                                       "text": "string"})
+                .filter(F.col("doc_id").isNotNull())
+                .select("doc_id", "text"))
+        admit(docs, epoch_id)
+
+    return fn
+
+
+def run_tfrecord_ingestion(spark: SparkSession, shard_dir: str,
+                           corpus_dir: str,
+                           checkpoint_dir: str | None = None,
+                           max_files_per_trigger: int = 1):
+    """Streaming TFRecord ingestion: ``.tfrecord`` shards landing in
+    ``shard_dir`` are unframed (checksums verified), proto-decoded, and
+    admitted into ``corpus_dir`` with on-arrival dedup (exactly-once
+    per epoch; replays are no-ops) — the third streaming front door
+    next to WARC and compressed JSONL. Drained result equals the batch
+    decode + batch incremental dedup shard-by-shard — gated e2e."""
+    stream = (spark.readStream
+              .format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(shard_dir))
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(tfrecord_admit_fn(corpus_dir)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def hll_merge_fn(state_dir: str, group_col: str, key_col: str,
                  b: int = 6):
     """``foreachBatch`` function for :func:`run_streaming_hll` — the

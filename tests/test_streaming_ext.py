@@ -601,6 +601,50 @@ def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
     assert after == before  # a double-apply would double every counter
 
 
+def test_streaming_tfrecord_ingestion_e2e(spark, tmp_path):
+    """TFRecord shards landing in a directory stream through unframe
+    (checksums verified) + proto decode + on-arrival dedup; drained
+    corpus equals the batch result and a restart admits nothing
+    twice."""
+    import os
+
+    from nyctaxidatapipeline_spark.functions.tfrecord import (
+        encode_example,
+        frame_records,
+    )
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_tfrecord_ingestion,
+    )
+
+    def shard(docs):
+        return frame_records(
+            [encode_example({"doc_id": i, "text": t}) for i, t in docs])
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "s0.tfrecord").write_bytes(
+        shard([(1, "alpha beta"), (2, "gamma delta")]))
+    (land / "s1.tfrecord").write_bytes(
+        shard([(3, "epsilon zeta"), (4, "gamma delta")]))  # 4 dups 2
+    for i, f in enumerate(sorted(land.iterdir())):
+        os.utime(f, (1000 + i, 1000 + i))
+
+    corpus = str(tmp_path / "corpus")
+    q = run_tfrecord_ingestion(spark, str(land), corpus,
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    got = {(r.doc_id, r.text) for r in
+           spark.read.option("basePath", corpus).parquet(corpus).collect()}
+    assert got == {(1, "alpha beta"), (2, "gamma delta"),
+                   (3, "epsilon zeta")}
+    q2 = run_tfrecord_ingestion(spark, str(land), corpus,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.stop()
+    assert {(r.doc_id, r.text) for r in
+            spark.read.option("basePath", corpus)
+            .parquet(corpus).collect()} == got
+
+
 def test_streaming_shard_ingestion_e2e(spark, tmp_path):
     """Compressed JSONL shards (mixed codecs incl. the pure-Python
     snappy + zstd) landing in a directory stream through decompress +
