@@ -483,10 +483,17 @@ def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.lsh_recall_report``): exact 3-gram-Jaccard pairs vs
     banded MinHash-LSH pairs at the same 0.5 threshold, full-outer
     joined into ONE row of (n_exact, n_lsh, n_common, recall,
-    precision) — the number a user checks on a sample before trusting
-    the approximate path with a 100 TB corpus. Portable hash family,
-    so the entire double pipeline (both candidate generators, both
-    verifications, the join, the ratios) is value-hash-gated."""
+    precision) — the trust-the-sketch check. The registered query
+    measures the CAPPED operating point (``max_bucket=32``, the same
+    backstop ``near_dup_production`` runs — the config a user will
+    actually deploy), which ALSO makes the report itself scale-safe:
+    both sides are skew-backstopped (exact by ``max_df``, LSH by the
+    bucket cap), so it holds at corpus scale where the uncapped
+    variant is deliberately quadratic in hot-class size and belongs on
+    a sample (the uncapped full-corpus run measured 285.9 s at sf10 —
+    recorded in PLANS.md #20 as the priced lesson). Portable hash
+    family, so the whole double pipeline (both candidate generators,
+    both verifications, the join, the ratios) is value-hash-gated."""
     from nyctaxidatapipeline_spark.operators.dedup import (
         lsh_recall_report,
     )
@@ -494,7 +501,7 @@ def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return lsh_recall_report(docs, "text", "doc_id", n=3,
                              num_hashes=32, bands=8, threshold=0.5,
-                             max_df=20, portable=True)
+                             max_df=20, portable=True, max_bucket=32)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4013,11 +4020,14 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
 
 def _lsh_recall_oracle_sql(num_hashes: int = 32, bands: int = 8,
                            threshold: float = 0.5,
-                           max_df: int = 20) -> str:
+                           max_df: int = 20,
+                           max_bucket: int | None = None) -> str:
     """DuckDB twin of ``dedup.lsh_recall_report``: the shared portable
-    MinHash CTE chain plus the exact-pair pipeline (same toks/sh/sizes
-    CTEs), full-outer joined and reduced to the one report row."""
-    ctes = _minhash_pair_ctes(num_hashes, bands, threshold)
+    MinHash CTE chain (with the ``max_bucket`` operating-point cap)
+    plus the exact-pair pipeline (same toks/sh/sizes CTEs), full-outer
+    joined and reduced to the one NULL-guarded report row."""
+    ctes = _minhash_pair_ctes(num_hashes, bands, threshold,
+                              max_bucket=max_bucket)
     return f"""
             WITH {ctes}, filt AS (
               SELECT * FROM sh WHERE sg NOT IN
@@ -4046,9 +4056,12 @@ def _lsh_recall_oracle_sql(num_hashes: int = 32, bands: int = 8,
             SELECT CAST(n_exact AS BIGINT) AS n_exact,
                    CAST(n_lsh AS BIGINT) AS n_lsh,
                    CAST(n_common AS BIGINT) AS n_common,
-                   ROUND(n_common::DOUBLE / n_exact, 6) + 0.0 AS recall,
-                   ROUND(n_common::DOUBLE / n_lsh, 6) + 0.0
-                       AS precision
+                   CASE WHEN n_exact > 0 THEN
+                     ROUND(n_common::DOUBLE / n_exact, 6) + 0.0
+                   END AS recall,
+                   CASE WHEN n_lsh > 0 THEN
+                     ROUND(n_common::DOUBLE / n_lsh, 6) + 0.0
+                   END AS precision
             FROM j
         """
 
@@ -4952,7 +4965,8 @@ def oracle_sql() -> dict[str, str]:
         # Twin of dedup.lsh_recall_report: exact + sketch pipelines
         # over the shared CTEs, reduced to the one report row.
         "lsh_recall_report": _lsh_recall_oracle_sql(
-            num_hashes=32, bands=8, threshold=0.5, max_df=20),
+            num_hashes=32, bands=8, threshold=0.5, max_df=20,
+            max_bucket=32),
         # Twin of dedup.dedup_group_stats over the near_dup_production
         # mapping (the full composed oracle nests as a derived table).
         "near_dup_stats": f"""

@@ -311,7 +311,8 @@ def lsh_recall_report(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
                       max_df: int | None = 20,
-                      portable: bool = False) -> DataFrame:
+                      portable: bool = False,
+                      max_bucket: int | None = None) -> DataFrame:
     """ONE-row quality report of the approximate near-dup path against
     the exact one — "measure, don't guess" as an operator: run BOTH
     ``jaccard_pairs`` (exact candidate generation, ``max_df``
@@ -332,25 +333,41 @@ def lsh_recall_report(df: DataFrame, text_col: str, id_col: str,
     ``max_df`` cap (the cap is the exact path's own scale concession —
     the report treats capped-exact as the reference set and surfaces
     both divergences rather than hiding either).
+
+    ``max_bucket`` measures the CAPPED LSH operating point — pass the
+    production cap (e.g. ``near_dup_production``'s 32) to answer the
+    question that actually matters ("what recall does the config I
+    will run deliver"), and because both sides are then
+    skew-backstopped the report itself stays linear-ish and can run at
+    corpus scale, not just on a sample (uncapped, both pipelines are
+    deliberately quadratic in hot-class size — sample first).
     """
     exact = (jaccard_pairs(df, text_col, id_col, n=n,
                            threshold=threshold, max_df=max_df)
              .select("id_a", "id_b").withColumn("_e", F.lit(1)))
     lsh = (minhash_lsh_pairs(df, text_col, id_col, n=n,
                              num_hashes=num_hashes, bands=bands,
-                             threshold=threshold, portable=portable)
+                             threshold=threshold, portable=portable,
+                             max_bucket=max_bucket)
            .select("id_a", "id_b").withColumn("_l", F.lit(1)))
     j = exact.join(lsh, ["id_a", "id_b"], "full")
-    n_exact = F.sum("_e")
-    n_lsh = F.sum("_l")
-    n_common = F.sum(F.when(F.col("_e").isNotNull()
-                            & F.col("_l").isNotNull(), 1).otherwise(0))
+    # count semantics, not sum: an EMPTY side reads 0 (like the twin's
+    # COUNT), and the ratios are NULL-guarded so a pairless corpus
+    # yields (0, 0, 0, NULL, NULL) identically in both engines
+    n_exact = F.coalesce(F.sum("_e"), F.lit(0)).cast("long")
+    n_lsh = F.coalesce(F.sum("_l"), F.lit(0)).cast("long")
+    n_common = F.coalesce(
+        F.sum(F.when(F.col("_e").isNotNull()
+                     & F.col("_l").isNotNull(), 1).otherwise(0)),
+        F.lit(0)).cast("long")
     return j.agg(
-        n_exact.cast("long").alias("n_exact"),
-        n_lsh.cast("long").alias("n_lsh"),
-        n_common.cast("long").alias("n_common"),
-        (F.round(n_common / n_exact, 6) + F.lit(0.0)).alias("recall"),
-        (F.round(n_common / n_lsh, 6) + F.lit(0.0)).alias("precision"))
+        n_exact.alias("n_exact"),
+        n_lsh.alias("n_lsh"),
+        n_common.alias("n_common"),
+        F.when(n_exact > 0, F.round(n_common / n_exact, 6) + F.lit(0.0))
+         .alias("recall"),
+        F.when(n_lsh > 0, F.round(n_common / n_lsh, 6) + F.lit(0.0))
+         .alias("precision"))
 
 
 def _local_union_find(rows, spark, schema) -> DataFrame:
