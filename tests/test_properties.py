@@ -78,6 +78,19 @@ text_strategy = st.text(
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(text_strategy, min_size=1, max_size=15))
+def test_tokens_codegen_equals_python_split(spark, texts):
+    """The codegen tokens() (whitespace-class-trim + plain split — no
+    interpreted HOF filter) equals Python's str.split() contract on
+    arbitrary whitespace-heavy text, including tab/newline-only and
+    whitespace-bounded strings (the class the first cut got wrong)."""
+    df = spark.createDataFrame([Row(t=t) for t in texts],
+                               schema="t string")
+    got = [r[0] for r in df.select(tokens("t")).collect()]
+    assert got == [t.lower().split() for t in texts]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=15))
 def test_token_count_matches_python_split(spark, texts):
     df = spark.createDataFrame([Row(t=t) for t in texts],
                                schema="t string")
