@@ -18,6 +18,15 @@ reference has no dedup surface (its closest op is the implicit
     feature hashes; near-dups = pairs within ``max_hamming`` bits, found
     via band-exact buckets (pigeonhole: d bits differ → some band of
     ``bands > d`` is identical).
+  * **near_dup_production** — the registered 100 TB DEFAULT: exact
+    collapse first (linear), capped LSH over representatives,
+    components, per-row groups (26 s at sf10 where uncapped pairing
+    takes 302 s); **dedup_group_stats** is its duplication histogram.
+  * **incremental_minhash_admission / build_minhash_index** — the
+    daily-increment gate: the corpus reduces to a persistable
+    band-bucket index, never re-pairing against itself.
+  * **lsh_recall_report** — sketch quality (recall/precision vs the
+    exact pairs) as a first-class measured query.
 
 Sketch outputs normally depend on Spark's hash functions; MinHash and
 SimHash each also offer a ``portable=True`` hash family (md5-derived — see
