@@ -464,6 +464,37 @@ def _q_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_group_stats(mapping)
 
 
+def _q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup actually buys, priced in tokens: per source, the
+    document and whitespace-token totals before and after the
+    production near-dup grouping keeps only min-id representatives,
+    plus the saved-token fraction — the number that justifies (or
+    kills) a dedup stage in a training-data budget. Pure composition:
+    ``near_dup_production`` (capped, portable) joined back to the
+    corpus, two aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    mapping = near_dup_production(docs, "text", "doc_id", n=3,
+                                  num_hashes=32, bands=8, threshold=0.5,
+                                  portable=True, max_bucket=32)
+    from nyctaxidatapipeline_spark.functions.text import token_count
+
+    joined = (docs.select("doc_id", "source",
+                          token_count("text").alias("_n"))
+                  .join(mapping, "doc_id"))
+    kept = F.when(F.col("group_id") == F.col("doc_id"), 1).otherwise(0)
+    tokens_total = F.sum("_n")
+    tokens_kept = F.sum(F.col("_n") * kept)
+    return (joined.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(kept).cast("long").alias("n_docs_kept"),
+                 tokens_total.cast("long").alias("ws_tokens"),
+                 tokens_kept.cast("long").alias("ws_tokens_kept"),
+                 F.when(tokens_total > 0,
+                        F.round(F.lit(1.0)
+                                - tokens_kept / tokens_total, 6)
+                        + F.lit(0.0)).alias("tokens_saved_frac")))
+
+
 def _q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-run sizing report (``text_analysis.token_budget``):
     per-source document/whitespace-token/BPE-token/char totals — the
@@ -3363,7 +3394,7 @@ _ROUND8_FRONT = [
     "fare_anomalies_approx", "text_normalize", "url_dedup",
     "ngram_novelty", "lsh_recall_report", "hard_negatives",
     "near_dup_stats", "corpus_token_budget", "incremental_minhash",
-    "tfrecord_ingest",
+    "tfrecord_ingest", "dedup_savings",
     "curate_corpus", "minhash_dedup",
     "jsonl_ingest", "warc_ingest", "webdataset_ingest",
     "distinct_users_hll",
@@ -3376,7 +3407,6 @@ _ROUND8_FRONT = [
     "pack_sequences", "doc_spans", "lm_perplexity", "pmi_collocations",
     "skipgram_counts", "ppmi_vectors", "lm_backoff_scores",
     "perplexity_buckets", "quality_classifier", "dsir_weights",
-    "weighted_corpus_sample",
 ]
 
 _ROUND7_FRONT = [
@@ -3502,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": _q_corpus_token_budget,
         "incremental_minhash": _q_incremental_minhash,
         "tfrecord_ingest": _q_tfrecord_ingest,
+        "dedup_savings": _q_dedup_savings,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
@@ -4967,6 +4998,36 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_report": _lsh_recall_oracle_sql(
             num_hashes=32, bands=8, threshold=0.5, max_df=20,
             max_bucket=32),
+        # Twin of the dedup-savings report: the composed production
+        # dedup oracle nests as a derived table, joined back to the
+        # documents for per-source token accounting (tokens contract
+        # == list_filter form).
+        "dedup_savings": f"""
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN m.group_id = d.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_kept,
+                   CAST(SUM(tk_n) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(CASE WHEN m.group_id = d.doc_id
+                                 THEN tk_n ELSE 0 END) AS BIGINT)
+                       AS ws_tokens_kept,
+                   CASE WHEN SUM(tk_n) > 0 THEN
+                     ROUND(1.0 - SUM(CASE WHEN m.group_id = d.doc_id
+                                          THEN tk_n ELSE 0 END)::DOUBLE
+                               / SUM(tk_n), 6) + 0.0
+                   END AS tokens_saved_frac
+            FROM (SELECT doc_id, source,
+                         len(list_filter(
+                             string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             t -> t <> '')) AS tk_n
+                  FROM documents) d
+            JOIN ({_near_dup_production_oracle_sql(
+                num_hashes=32, bands=8, threshold=0.5,
+                max_bucket=32)}) m USING (doc_id)
+            GROUP BY d.source
+        """,
         # Twin of dedup.dedup_group_stats over the near_dup_production
         # mapping (the full composed oracle nests as a derived table).
         "near_dup_stats": f"""
