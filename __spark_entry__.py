@@ -386,11 +386,17 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup.minhash_constants``) so the DuckDB oracle reproduces the
     whole sketch→band→candidate→verify pipeline bit-for-bit: this query
     is fully value-hash-checked, not rows-only. The xxhash64 variant
-    (``portable=False``) stays the pure-JVM production default."""
+    (``portable=False``) stays the pure-JVM production default.
+    ``max_bucket=None`` is EXPLICIT here (r9 flipped the API default
+    to the capped-32 production semantics): this registration is the
+    deliberate uncapped exhaustive twin — the priced scale lesson
+    (302 s at sf10, PLANS.md #20) kept as the oracle-checked
+    reference for ``near_dup_production``'s capped composition."""
     docs = load_table(spark, sf_dir, "documents")
     return round_doubles(minhash_lsh_pairs(docs, "text", "doc_id",
                                            n=3, num_hashes=32, bands=8,
-                                           threshold=0.5, portable=True))
+                                           threshold=0.5, portable=True,
+                                           max_bucket=None))
 
 
 def _q_near_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:

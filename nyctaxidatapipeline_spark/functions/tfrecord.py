@@ -134,6 +134,10 @@ def decode_example(data: bytes) -> dict:
             else:
                 raise ValueError(f"unsupported wire type {wire}")
 
+    def _i64(n: int) -> int:
+        n &= 0xFFFFFFFFFFFFFFFF
+        return n - (1 << 64) if n >= 1 << 63 else n
+
     out: dict = {}
     for f_ex, features_msg in fields(data):
         if f_ex != 1:
@@ -147,24 +151,38 @@ def decode_example(data: bytes) -> dict:
                 if f_e == 1:
                     key = payload.decode("utf-8")
                     continue
+                # Proto3 parsers must accept BOTH packed and unpacked
+                # encodings of repeated scalars regardless of the
+                # declared form (TFRecords from non-TF writers use
+                # unpacked): wire type 0/5 entries are one value each,
+                # wire type 2 is a packed run. Repeated occurrences of
+                # the same list field concatenate (proto merge rule) —
+                # every branch APPENDS, never assigns.
                 for kind, body in fields(payload):   # Feature.oneof
                     if kind == 1:                    # BytesList
-                        vals = [v for f_b, v in fields(body) if f_b == 1]
-                    elif kind == 3:                  # Int64List packed
+                        vals.extend(v for f_b, v in fields(body)
+                                    if f_b == 1)
+                    elif kind == 3:                  # Int64List
                         for f_l, packed in fields(body):
                             if f_l != 1:
+                                continue
+                            if isinstance(packed, int):  # unpacked varint
+                                vals.append(_i64(packed))
                                 continue
                             i = 0
                             while i < len(packed):
                                 n, i = _read_varint(packed, i)
-                                if n >= 1 << 63:
-                                    n -= 1 << 64
-                                vals.append(n)
-                    elif kind == 2:                  # FloatList packed
+                                vals.append(_i64(n))
+                    elif kind == 2:                  # FloatList
                         for f_l, packed in fields(body):
-                            if f_l == 1:
-                                vals = [struct.unpack("<f", packed[j:j + 4])[0]
-                                        for j in range(0, len(packed), 4)]
+                            if f_l != 1:
+                                continue
+                            # packed run (wire 2) or one unpacked
+                            # fixed32 chunk (wire 5) — both arrive as
+                            # bytes in 4-byte float units
+                            vals.extend(
+                                struct.unpack("<f", packed[j:j + 4])[0]
+                                for j in range(0, len(packed), 4))
             if key is not None:
                 out[key] = vals
     return out

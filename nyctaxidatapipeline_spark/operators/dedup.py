@@ -237,7 +237,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
                       portable: bool = False,
-                      max_bucket: int | None = None,
+                      max_bucket: int | None = 32,
                       reuse_shingles: bool = False) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
@@ -262,8 +262,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     boilerplate classes run to millions; the production recipe is
     EXACT dedup first (``exact_dedup`` collapses copy classes to one
     representative — hash-groupBy, linear), then LSH with a cap as the
-    backstop against residual hot buckets. Default None preserves the
-    uncapped oracle-checked semantics.
+    backstop against residual hot buckets. **The cap DEFAULTS ON
+    (32)** — PLANS.md #20 measured it load-bearing, so the scale-safe
+    behavior is what a bare call gets; pass ``max_bucket=None`` to
+    opt into the uncapped exhaustive semantics (correctness oracles,
+    sample-scale recall studies).
 
     ``reuse_shingles`` materializes the (id, shingle) frame once
     (lazy ``localCheckpoint``) and shares it between the signature and
@@ -552,7 +555,7 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
                                   bands: int = 8,
                                   threshold: float = 0.5,
                                   portable: bool = False,
-                                  max_bucket: int | None = None,
+                                  max_bucket: int | None = 32,
                                   corpus_index: DataFrame | None = None
                                   ) -> DataFrame:
     """NEAR-dup admission for a daily increment: keep only the NEW
@@ -574,10 +577,14 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
     (semi-joined by candidate id before the collect_set aggregate) —
     cost scales with |batch| and bucket overlap, never |corpus|².
 
-    ``max_bucket`` (opt-in) skips CORPUS band buckets above the cap —
-    the boilerplate backstop: a batch doc colliding with a
-    million-member corpus bucket would otherwise verify against every
-    member. ``portable=True`` makes the whole path bit-reproducible in
+    ``max_bucket`` (DEFAULT 32; ``None`` opts out) skips band buckets
+    above the cap on BOTH sides — corpus buckets (a batch doc
+    colliding with a million-member corpus bucket would otherwise
+    verify against every member) AND the batch's own posting lists
+    (a boilerplate storm arriving within one micro-batch would
+    otherwise expand ~c²/2 in-batch pairs per band; an unattended
+    streaming admitter must survive that too, so the cap is symmetric).
+    ``portable=True`` makes the whole path bit-reproducible in
     DuckDB (the registered query's mode). Ids must be globally unique
     across corpus and batch (the usual keyed-store contract — a shared
     id would conflate the two sides' shingle sets).
@@ -621,11 +628,15 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
         lambda x, i: F.transform(
             F.slice(ids, i + F.lit(2), F.size(ids)),
             lambda y: F.struct(y.alias("_b"), x.alias("_p")))))
-    cand_bb = (bk_b.groupBy("band", "bucket")
-                   .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-                   .filter(F.size("ids") >= 2)
-                   .select(F.explode(pair_structs).alias("p"))
-                   .select("p._b", "p._p").distinct())
+    blists_b = (bk_b.groupBy("band", "bucket")
+                    .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+                    .filter(F.size("ids") >= 2))
+    if max_bucket is not None:
+        # symmetric storm backstop: a hot class INSIDE the batch is
+        # capped exactly like a hot corpus bucket
+        blists_b = blists_b.filter(F.size("ids") <= max_bucket)
+    cand_bb = (blists_b.select(F.explode(pair_structs).alias("p"))
+                       .select("p._b", "p._p").distinct())
     cand = cand_cb.union(cand_bb).distinct()
     # Verify only the touched docs' shingle sets (semi-join BEFORE the
     # collect_set aggregate keeps the corpus-side aggregate bounded by
@@ -656,7 +667,7 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, num_hashes: int = 32, bands: int = 8,
                         threshold: float = 0.5,
                         portable: bool = False,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = 32) -> DataFrame:
     """(id, group_id) for EVERY input row — the PRODUCTION near-dup
     composition: **exact dedup first, then banded MinHash-LSH over the
     unique texts, then connected components**, with each row's group
@@ -683,9 +694,11 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
       2. **membership map** — (id, rep) via a narrow (id, fp) join;
          document TEXT never enters this shuffle.
       3. **LSH over representatives only** — ``minhash_lsh_pairs`` on
-         the collapsed reps; ``max_bucket`` stays available as the
-         backstop against residual near-dup hot buckets (classes that
-         are near- but not exact-identical survive the collapse).
+         the collapsed reps; ``max_bucket`` (DEFAULT 32 — the backstop
+         is part of the production semantics, not an opt-in; PLANS.md
+         #20 measured it load-bearing on residual near-dup hot classes
+         that survive the exact collapse) skips overfull band buckets;
+         ``max_bucket=None`` is the explicit uncapped opt-out.
       4. **components** — ``connected_components`` over the pair graph
          (min-id labels), then every row's ``group_id`` = its rep's
          component (or the rep itself when the rep is in no pair).

@@ -77,11 +77,25 @@ except ImportError:
 
 
 def _zstd_c_decompress(data: bytes) -> bytes:
+    # Must match the pure-Python zstd_decompress on MULTI-FRAME streams
+    # and skippable frames (pzstd / parallel-compressed .jsonl.zst
+    # corpora concatenate frames; skippable frames carry seek tables).
     if hasattr(_ZSTD_C, "ZstdDecompressor"):  # zstandard package
-        # decompressobj streams, so frames without a content-size
-        # header field decode too
-        return _ZSTD_C.ZstdDecompressor().decompressobj().decompress(data)
+        import io
+
+        # stream_reader crosses frame boundaries and libzstd skips
+        # skippable frames natively; read in chunks until exhausted
+        # (read(-1) support varies across zstandard versions).
+        reader = _ZSTD_C.ZstdDecompressor().stream_reader(
+            io.BytesIO(data), read_across_frames=True)
+        out = []
+        while True:
+            chunk = reader.read(1 << 20)
+            if not chunk:
+                return b"".join(out)
+            out.append(chunk)
     return _ZSTD_C.decompress(data)  # compression.zstd (stdlib 3.14+)
+    # (stdlib decompress already walks all frames incl. skippable ones)
 
 
 def _zstd_c_compress(data: bytes) -> bytes:

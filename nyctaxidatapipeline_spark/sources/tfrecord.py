@@ -34,7 +34,7 @@ from nyctaxidatapipeline_spark.functions.tfrecord import (
 )
 
 __all__ = ["tfrecord_shards", "read_tfrecord_shards",
-           "write_tfrecord_shards"]
+           "decode_examples", "write_tfrecord_shards"]
 
 
 def _py(v):
@@ -146,7 +146,16 @@ def write_tfrecord_shards(df: DataFrame, path: str, id_col: str,
     """Materialize :func:`tfrecord_shards` as
     ``{path}/shard-NNNNNN.tfrecord`` files — executors write their
     shards directly, no driver collect; standard TFRecord files any
-    TensorFlow/JAX loader consumes."""
+    TensorFlow/JAX loader consumes.
+
+    ``path`` must be a SHARED filesystem (NFS/FUSE mount or single
+    node): shards are written with plain ``open()`` inside
+    ``foreachPartition``, so on a multi-node cluster without a shared
+    mount each executor writes only its own shards locally and the
+    directory is complete on no single node (``os.makedirs`` runs on
+    the driver only — same contract as the sibling JSONL/WebDataset
+    writers). For object stores, collect the ``tfrecord_shards``
+    frame's blobs through a distributed committer instead."""
     import os
 
     os.makedirs(path, exist_ok=True)

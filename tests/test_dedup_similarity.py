@@ -183,14 +183,77 @@ def test_incremental_minhash_admission(spark):
         batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
         threshold=0.5, portable=True).collect()}
     assert got == {5}
-    # max_bucket backstop: capping corpus buckets at 0 disables the
-    # corpus arm entirely — only in-batch rejections remain: 3 loses
-    # to 1 (they are near-dups of each other) and 7 loses to 5; 1 is
-    # now admitted because its only match was the corpus
+    # max_bucket backstop is SYMMETRIC (r9, ADVICE): capping at 0
+    # disables BOTH candidate arms — corpus buckets and the batch's
+    # own posting lists — so every batch doc is admitted
     capped = {r.doc_id for r in incremental_minhash_admission(
         batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
         threshold=0.5, portable=True, max_bucket=0).collect()}
-    assert capped == {1, 5}
+    assert capped == {1, 3, 5, 7}
+    # cap admitting pairs (>=2) but skipping nothing here: unchanged
+    assert {r.doc_id for r in incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True, max_bucket=2).collect()} == {5}
+
+
+def test_incremental_minhash_batch_side_storm_cap(spark):
+    """A boilerplate storm INSIDE one batch (class bigger than the cap)
+    is skipped by the batch-side posting-list cap — the unattended
+    streaming admitter survives it; with the cap opted out (None) the
+    storm expands and greedy first-wins keeps only the min id."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+
+    storm = "subscribe to our newsletter all rights reserved today"
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=storm) for i in range(40)])
+    corpus = spark.createDataFrame([], batch.schema)
+    # default cap (32) < class size (40): every band bucket of the
+    # storm class is skipped, no in-batch pairs form, all admitted
+    assert incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", portable=True).count() == 40
+    # explicit opt-out: the storm expands and collapses to doc_id 0
+    got = {r.doc_id for r in incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", portable=True,
+        max_bucket=None).collect()}
+    assert got == {0}
+
+
+def test_minhash_lsh_default_cap_engages(spark):
+    """r9 API-default flip (VERDICT r8 task 2): a bare
+    ``minhash_lsh_pairs`` call gets the capped-32 production semantics
+    — a 40-copy class emits NO pairs by default, while small buckets
+    pair as ever; ``max_bucket=None`` restores the exhaustive mode.
+    ``near_dup_production`` and ``incremental_minhash_admission``
+    share the same default by signature."""
+    import inspect
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+
+    hot = "the same boilerplate page body repeated everywhere verbatim"
+    near_a = "a quick brown fox jumps over the lazy dog in the park"
+    near_b = "a quick brown fox jumps over the lazy dog in the yard"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=hot) for i in range(40)]
+        + [Row(doc_id=100, text=near_a), Row(doc_id=101, text=near_b)])
+    default = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.3).collect()}
+    assert default == {(100, 101)}  # 40-copy class skipped by default
+    uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.3, max_bucket=None).collect()}
+    assert (0, 1) in uncapped and (100, 101) in uncapped
+    for fn in (minhash_lsh_pairs, near_dup_production,
+               incremental_minhash_admission):
+        assert inspect.signature(fn).parameters["max_bucket"].default == 32
 
 
 def test_incremental_minhash_prebuilt_index(spark, tmp_path):

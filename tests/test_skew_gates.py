@@ -47,11 +47,16 @@ def _canon(df):
 
 
 def test_minhash_pairs_invariant_under_repartition(skewed_docs):
+    # max_bucket=None: this gate exercises the UNCAPPED exhaustive
+    # semantics on purpose — the 200-doc hot cluster's posting lists
+    # must expand identically however the input is partitioned (the
+    # r9 default flip to the capped-32 production semantics would
+    # otherwise skip exactly the buckets this test exists to stress)
     plain = minhash_lsh_pairs(skewed_docs, "text", "doc_id",
-                              threshold=0.5)
+                              threshold=0.5, max_bucket=None)
     scattered = minhash_lsh_pairs(
         skewed_docs.repartition(13, "doc_id"), "text", "doc_id",
-        threshold=0.5)
+        threshold=0.5, max_bucket=None)
     a, b = _canon(plain), _canon(scattered)
     assert a == b
     # the hot cluster is genuinely exercised: its pairs dominate

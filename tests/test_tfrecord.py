@@ -49,6 +49,44 @@ def test_example_known_wire_bytes():
     assert encode_example({"a": 5}) == want
 
 
+def test_decode_accepts_unpacked_repeated_scalars():
+    """Proto3 parsers must accept BOTH packed and unpacked encodings of
+    repeated scalars (ADVICE r8): TFRecords from non-TF writers emit
+    Int64List values as repeated wire-type-0 varints and FloatList
+    values as repeated wire-type-5 fixed32s. Hand-built wire bytes —
+    no encoder in this repo produces the unpacked form."""
+    def example(feat_body: bytes, key: bytes = b"a") -> bytes:
+        feat = bytes([0x12, len(feat_body)]) + feat_body
+        entry = bytes([0x0A, len(key)]) + key + feat
+        mapent = bytes([0x0A, len(entry)]) + entry
+        return bytes([0x0A, len(mapent)]) + mapent
+
+    # Int64List{value: [5, -1]} unpacked: int64_list(field 3) wraps
+    # repeated `value` (field 1, wire 0) varints
+    neg = (-1) & 0xFFFFFFFFFFFFFFFF
+    negv = b""
+    n = neg
+    while n > 0x7F:
+        negv += bytes([(n & 0x7F) | 0x80])
+        n >>= 7
+    negv += bytes([n])
+    i64_body = bytes([0x08, 0x05]) + b"\x08" + negv
+    got = decode_example(example(
+        bytes([0x1A, len(i64_body)]) + i64_body))
+    assert got["a"] == [5, -1]
+
+    # FloatList{value: [0.5, -2.0]} unpacked: float_list(field 2)
+    # wraps repeated `value` (field 1, wire 5) fixed32s
+    f_body = (b"\x0D" + struct.pack("<f", 0.5)
+              + b"\x0D" + struct.pack("<f", -2.0))
+    got = decode_example(example(bytes([0x12, len(f_body)]) + f_body))
+    assert got["a"] == [0.5, -2.0]
+
+    # merge rule: two occurrences of the same list field concatenate
+    two = bytes([0x1A, 0x02, 0x08, 0x01]) + bytes([0x1A, 0x02, 0x08, 0x02])
+    assert decode_example(example(two))["a"] == [1, 2]
+
+
 def test_framing_roundtrip_and_crc_detection():
     recs = [b"", b"alpha", bytes(range(200))]
     blob = frame_records(recs)
