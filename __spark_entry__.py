@@ -451,6 +451,63 @@ def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("text_md5"))
 
 
+def _minhash_index_dir(sf_dir: str) -> str:
+    """Deterministic /tmp location of the PERSISTED corpus LSH index
+    for a fixture dir — keyed by the resolved path plus the documents
+    parquet's (size, mtime) so a regenerated fixture invalidates the
+    index instead of silently reusing a stale one. Deliberately NOT a
+    per-call scratch dir: surviving across calls IS the deployment
+    semantics being registered."""
+    import hashlib
+
+    doc_path = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:  # directory-of-parts fixtures: key on the dir itself
+        stamp = "dir"
+    key = hashlib.md5(f"{doc_path}|{stamp}|n3h32b8p".encode()).hexdigest()
+    return f"/tmp/ndpspark_minhash_index_{key[:12]}"
+
+
+def _q_incremental_minhash_indexed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of daily near-dup admission (VERDICT r8
+    task 1): the corpus's LSH band-bucket index is built ONCE
+    (``dedup.build_minhash_index``), PERSISTED to parquet, and every
+    increment reads it back and probes it via ``corpus_index=`` — the
+    corpus is never re-signed, which at sf10 is 80%+ of the registered
+    ``incremental_minhash``'s wall clock (83.1 s; PLANS.md #20). Same
+    ~2% batch split, same portable hash family, and the admitted set
+    is INDEX-REPRESENTATION-INDEPENDENT (unit-pinned identical through
+    a parquet round trip), so the DuckDB twin is the same SQL as the
+    in-query-rebuild registration. The index parquet lives under /tmp
+    keyed by fixture identity and is REUSED across calls — that
+    persistence is the semantics being registered, not an optimization
+    detail; the first call on a fresh fixture pays the one-time build
+    (the prior day's job, in deployment terms)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_admission,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 1)
+    batch = docs.filter(F.col("doc_id") % 50 == 1)
+    idx_dir = _minhash_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        (build_minhash_index(corpus, "text", "doc_id", n=3,
+                             num_hashes=32, bands=8, portable=True)
+         .write.mode("overwrite").parquet(idx_dir))
+    adm = incremental_minhash_admission(
+        batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True,
+        corpus_index=spark.read.parquet(idx_dir))
+    return adm.select("doc_id",
+                      F.md5(F.encode(F.col("text"), "utf-8"))
+                       .alias("text_md5"))
+
+
 def _q_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication histogram of the production near-dup grouping
     (``dedup.dedup_group_stats`` over ``near_dup_production``): one
@@ -3537,6 +3594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_stats": _q_near_dup_stats,
         "corpus_token_budget": _q_corpus_token_budget,
         "incremental_minhash": _q_incremental_minhash,
+        # r9: the persisted-index deployment shape of the same admission
+        "incremental_minhash_indexed": _q_incremental_minhash_indexed,
         "tfrecord_ingest": _q_tfrecord_ingest,
         "dedup_savings": _q_dedup_savings,
         "simhash_pairs": _q_simhash_pairs,
@@ -4782,6 +4841,28 @@ def _semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
     """
 
 
+def _incremental_minhash_oracle_sql() -> str:
+    """Shared twin of ``dedup.incremental_minhash_admission`` over the
+    ~2% increment split — used verbatim by BOTH the in-query-rebuild
+    (``incremental_minhash``) and the persisted-index
+    (``incremental_minhash_indexed``) registrations, because the
+    admitted set does not depend on how the corpus index was obtained."""
+    return f"""
+            WITH {_minhash_pair_ctes(num_hashes=32, bands=8,
+                                     threshold=0.5)},
+            rejected AS (
+              SELECT DISTINCT x FROM (
+                SELECT id_b AS x FROM mh_pairs WHERE id_b % 50 = 1
+                UNION ALL
+                SELECT id_a FROM mh_pairs
+                WHERE id_a % 50 = 1 AND id_b % 50 <> 1))
+            SELECT doc_id, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id % 50 = 1
+              AND doc_id NOT IN (SELECT x FROM rejected)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of each query.
 
@@ -5054,20 +5135,13 @@ def oracle_sql() -> dict[str, str]:
         # batch id is rejected iff some pair has it as the LARGER
         # member (the partner is then corpus or a smaller batch doc)
         # or pairs it as the smaller member with a CORPUS partner.
-        "incremental_minhash": f"""
-            WITH {_minhash_pair_ctes(num_hashes=32, bands=8,
-                                     threshold=0.5)},
-            rejected AS (
-              SELECT DISTINCT x FROM (
-                SELECT id_b AS x FROM mh_pairs WHERE id_b % 50 = 1
-                UNION ALL
-                SELECT id_a FROM mh_pairs
-                WHERE id_a % 50 = 1 AND id_b % 50 <> 1))
-            SELECT doc_id, md5(text) AS text_md5
-            FROM documents
-            WHERE doc_id % 50 = 1
-              AND doc_id NOT IN (SELECT x FROM rejected)
-        """,
+        "incremental_minhash": _incremental_minhash_oracle_sql(),
+        # IDENTICAL SQL on purpose: the admitted set is
+        # index-representation-independent (the persisted parquet index
+        # is a pure function of corpus text; unit-pinned identical
+        # through the round trip), so the deployment-shape registration
+        # shares the in-query-rebuild twin verbatim.
+        "incremental_minhash_indexed": _incremental_minhash_oracle_sql(),
         # Twin of text_analysis.token_budget: same whitespace-token
         # contract, same RE2-parity BPE pre-tokenizer pattern.
         "corpus_token_budget": f"""
