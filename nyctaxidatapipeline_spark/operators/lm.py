@@ -353,8 +353,15 @@ def ppmi_vectors(df: DataFrame, text_col: str, id_col: str,
     Output: (word, scale, n_dims, code_digest) — the digest value-hash
     gate-checks every byte of every code like ``quantize_embeddings``.
     """
+    # The pair table feeds FOUR branches (n1, n2, the N scalar, and the
+    # feature join); without a pipeline breaker each branch re-runs the
+    # corpus tokenize + pair-explode + count from source (exchange
+    # reuse does not dedup them — measured 4x amplification of any
+    # tokenizer cost, the r8 ppmi regression). Materialize it once:
+    # the co-occurrence matrix is vocabulary-bounded (≥min_count), tiny
+    # next to the corpus — at 100 TB this turns 4 corpus scans into 1.
     pairs = skipgram_counts(df, text_col, id_col, window=window,
-                            min_count=min_count)
+                            min_count=min_count).localCheckpoint(eager=False)
     n1 = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n1"))
     n2 = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n2"))
     tot = pairs.agg(F.sum("n_pair").alias("_n"))
