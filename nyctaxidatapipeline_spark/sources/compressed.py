@@ -118,10 +118,18 @@ TEXT_SHARD_SCHEMA = ("shard_id {shard_id_type}, line_no int, "
 
 
 def sniff_codec(data: bytes) -> str:
-    """Magic-byte codec sniff: ``gz``/``bz2``/``xz``/``none``."""
+    """Magic-byte codec sniff: ``gz``/``bz2``/``xz``/``zst``/``snappy``/
+    ``none``. A LEADING zstd skippable frame (magic 0x184D2A50-5F —
+    pzstd writes its seek table first in some layouts) also sniffs as
+    ``zst``: the decoders skip it, so the stream is a valid zstd
+    shard, and passing it through as "plain text" would silently
+    corrupt the read."""
     for magic, codec in _MAGICS:
         if data[:len(magic)] == magic:
             return codec
+    if (len(data) >= 4 and 0x50 <= data[0] <= 0x5F
+            and data[1:4] == b"\x2a\x4d\x18"):
+        return "zst"
     return "none"
 
 
@@ -167,9 +175,8 @@ def decompress_auto(data: bytes) -> bytes:
     """Magic-byte sniff, then the matching stdlib decompressor; bytes
     with no known magic pass through as plain text. Concatenated gzip
     members decompress fully (wbits 31 + explicit member walk)."""
-    for magic, codec in _MAGICS:
-        if data[:len(magic)] != magic:
-            continue
+    codec = sniff_codec(data)
+    if codec != "none":
         if codec == "gz":
             out = []
             while data:

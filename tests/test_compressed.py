@@ -44,12 +44,18 @@ def test_c_fast_path_dispatch(monkeypatch):
 
     class FakeZstd:  # mimics the 'zstandard' package surface
         class ZstdDecompressor:
-            def decompressobj(self):
-                class O:  # noqa: E742
-                    def decompress(self, d):
-                        calls.append(("zd", d))
+            def stream_reader(self, fobj, read_across_frames):
+                assert read_across_frames is True
+                class R:
+                    _done = False
+
+                    def read(self, n):
+                        if self._done:
+                            return b""
+                        self._done = True
+                        calls.append(("zd", fobj.getvalue()))
                         return b"ZD"
-                return O()
+                return R()
 
         class ZstdCompressor:
             def __init__(self, level):

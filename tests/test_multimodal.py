@@ -52,27 +52,14 @@ def test_image_features_real_codec_raises_without_pil(spark):
 
 
 @pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
-def test_image_features_real_matches_pure_png(spark):
+def test_pil_real_codec_parity(spark):
     """With pillow present, codec='real' must agree with the pure-stdlib
-    PNG codec exactly (lossless format, identical pixel bytes)."""
-    from pyspark.sql import Row
-
-    from nyctaxidatapipeline_spark.functions.png import encode_png
-
-    px = bytes((i * 7) % 256 for i in range(8 * 4))
-    blob = encode_png(8, 4, px, color_type=0)
-    df = spark.createDataFrame([Row(asset_id=1, media=blob)])
-    pure = image_features(df, codec="png").collect()[0]
-    real = image_features(df, codec="real").collect()[0]
-    assert (real.width, real.height, real.n_bytes) == \
-        (pure.width, pure.height, pure.n_bytes)
-    assert real.mean_intensity == pure.mean_intensity
-
-
-@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
-def test_image_resize_real_within_rounding_of_pure(spark):
-    """PIL BOX resampling rounds block means half-even where the pure
-    kernel floors — per-pixel difference is bounded by 1 step."""
+    kernels: image_features exactly (PNG is lossless — identical pixel
+    bytes), image_resize within 1 intensity step (PIL BOX resampling
+    rounds block means half-even where the pure kernel floors).
+    Inherently wheel-gated — it compares against PIL AT RUNTIME; the
+    wheel-free decode-direction pins live in tests/test_codec_kat.py
+    (spec-assembled PNG) instead."""
     from pyspark.sql import Row
 
     from nyctaxidatapipeline_spark.functions.png import (
@@ -82,6 +69,15 @@ def test_image_resize_real_within_rounding_of_pure(spark):
     from nyctaxidatapipeline_spark.operators.multimodal import (
         image_resize,
     )
+
+    px = bytes((i * 7) % 256 for i in range(8 * 4))
+    blob = encode_png(8, 4, px, color_type=0)
+    df = spark.createDataFrame([Row(asset_id=1, media=blob)])
+    pure = image_features(df, codec="png").collect()[0]
+    real = image_features(df, codec="real").collect()[0]
+    assert (real.width, real.height, real.n_bytes) == \
+        (pure.width, pure.height, pure.n_bytes)
+    assert real.mean_intensity == pure.mean_intensity
 
     px = bytes((i * 31) % 256 for i in range(8 * 4))
     blob = encode_png(8, 4, px, color_type=0)
