@@ -280,8 +280,11 @@ def frame_sample(df: DataFrame, every_n: int = 10,
     codes, NAL classification, SPS dimensions): frames are the slice
     NALs (types 1/5) and the offset is the NAL's absolute payload
     offset; pixel decode of the sampled frames remains the PyAV/ffmpeg
-    slot. ``codec='real'`` is where PyAV/ffmpeg slots in for full
-    compressed decode — unavailable here, so it raises. ``codec='fake'``
+    slot. ``codec='real'`` runs PyAV (libav demux) behind an import
+    guard — any container/codec ffmpeg knows, with the sampled frame's
+    packet byte position as the offset (PyAV reports -1 for positionless
+    packets; surfaced as NULL); absent the ``av`` wheel it raises the
+    documented ``NotImplementedError``. ``codec='fake'``
     treats the payload as fixed-size frames of ``frame_size`` bytes
     after the 8-byte test header (cheapest plumbing verification). All
     paths share the explode-shaped output (rows out ≫ rows in).
@@ -295,8 +298,47 @@ def frame_sample(df: DataFrame, every_n: int = 10,
 
         for pdf in batches:
             if codec == "real":
-                raise NotImplementedError(
-                    "real frame sampling needs PyAV/ffmpeg")
+                # Import-guarded PyAV path (the PIL recipe): demux the
+                # first video stream, sample every_n-th VIDEO PACKET
+                # (keyframe-agnostic, like the container walkers) and
+                # report its byte position in the container. The
+                # pure-stdlib 'avi'/'h264' walkers stay the oracle
+                # surface; absent the wheel this raises — the honest
+                # slot, not a fake.
+                try:
+                    import av
+                except ImportError as e:  # pragma: no cover - env-dep
+                    raise NotImplementedError(
+                        "codec='real' needs PyAV (av); the pure-stdlib "
+                        "'avi'/'h264' walkers cover container-typed "
+                        "sampling without it") from e
+                import io
+
+                rows = []
+                for aid, media in zip(pdf[id_col], pdf[media_col]):
+                    try:
+                        with av.open(io.BytesIO(bytes(media or b""))) \
+                                as container:
+                            vstreams = [s for s in container.streams
+                                        if s.type == "video"]
+                            if not vstreams:
+                                continue
+                            f_i = idx = 0
+                            for pkt in container.demux(vstreams[0]):
+                                if pkt.size == 0:  # flush packet
+                                    continue
+                                if f_i % every_n == 0:
+                                    pos = (pkt.pos if pkt.pos is not None
+                                           and pkt.pos >= 0 else None)
+                                    rows.append((aid, idx, pos))
+                                    idx += 1
+                                f_i += 1
+                    except Exception:  # undecodable media -> no rows
+                        continue
+                yield pd.DataFrame(
+                    rows, columns=["asset_id", "frame_index",
+                                   "frame_offset"])
+                continue
             rows = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
                 if codec == "avi":
@@ -348,9 +390,12 @@ def audio_features(df: DataFrame, media_col: str = "media",
     sample_rate / channels / n_frames (MPEG frames) / duration_sec;
     amplitude features (mean_abs, peak) are NULL for MP3 by design —
     they need the PCM decode that remains the library slot, and this
-    layer never fabricates them. ``codec='real'`` is where
-    soundfile/ffmpeg slots in for full compressed decode
-    (MP3 PCM/FLAC/Opus) — unavailable here, so it raises.
+    layer never fabricates them. ``codec='real'`` runs soundfile
+    (libsndfile) behind an import guard — full compressed decode
+    (FLAC/Ogg/MP3 where libsndfile supports it) with amplitudes over
+    int16 PCM, so 16-bit WAV features MATCH the pure path exactly
+    (unit-gated when the wheel is importable); absent the wheel it
+    raises the documented ``NotImplementedError``.
 
     Features (over the interleaved PCM stream, all channels pooled):
     ``mean_abs`` = mean absolute amplitude, ``peak`` = max absolute
@@ -368,8 +413,43 @@ def audio_features(df: DataFrame, media_col: str = "media",
 
         for pdf in batches:
             if codec == "real":
-                raise NotImplementedError(
-                    "compressed audio decode needs soundfile/ffmpeg")
+                # Import-guarded soundfile path (the PIL recipe):
+                # libsndfile decodes whatever container it knows;
+                # amplitudes are computed over int16 PCM (libsndfile's
+                # convert) so 16-bit WAV features equal the pure
+                # stdlib path bit-for-bit. Absent the wheel this
+                # raises — the honest slot, not a fake.
+                try:
+                    import soundfile as sf
+                except ImportError as e:  # pragma: no cover - env-dep
+                    raise NotImplementedError(
+                        "codec='real' needs soundfile (libsndfile); "
+                        "the pure 'wav'/'mp3' codecs cover the "
+                        "container-typed paths without it") from e
+                import io
+
+                out = []
+                for aid, media in zip(pdf[id_col], pdf[media_col]):
+                    try:
+                        data, rate = sf.read(
+                            io.BytesIO(bytes(media or b"")),
+                            dtype="int16", always_2d=True)
+                    except Exception:
+                        out.append((aid, None, None, None, None, None,
+                                    None))
+                        continue
+                    n_frames, channels = data.shape
+                    amp = np.abs(data.astype(np.int64)).ravel()
+                    out.append((aid, int(rate), int(channels),
+                                int(n_frames),
+                                (n_frames / rate) if rate else None,
+                                float(amp.mean()) if amp.size else None,
+                                int(amp.max()) if amp.size else None))
+                yield pd.DataFrame(
+                    out, columns=["asset_id", "sample_rate", "channels",
+                                  "n_frames", "duration_sec", "mean_abs",
+                                  "peak"])
+                continue
             out = []
             for aid, media in zip(pdf[id_col], pdf[media_col]):
                 if codec == "mp3":

@@ -611,7 +611,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              dim: int | None = None, kmeans_iters: int = 2,
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             corpus_index: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists
     per query, exact-rerank only vectors in probed lists.
 
@@ -626,15 +627,38 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``centroids`` overrides seeding entirely (pass
     ``ivf_seed_centroids_portable(...)`` to make the output
     SQL-oracle-reproducible).
+
+    ``corpus_index`` takes a prebuilt :func:`ivf_assign` frame —
+    (id, vec, norm, list_id), read back from wherever the deployment
+    persists it — and skips the corpus assignment pass entirely:
+    identical results when the index was built with the SAME
+    ``centroids`` (unit-pinned, incl. through a parquet round trip).
+    THE deployment shape: assignment is the O(n·k·d) corpus-side cost
+    a search service pays once at ingest, not per query batch, and an
+    index written ``partitionBy('list_id')`` turns the probe join into
+    dynamic partition pruning — probed lists are the only partitions
+    READ (plan-gated in ``tests/test_similarity.py``). ``corpus`` may
+    then be None.
     """
-    if centroids is not None:
+    if corpus_index is not None:
+        if centroids is None:
+            raise ValueError(
+                "corpus_index requires the centroids it was built "
+                "with (the index stores assignments, not the coarse "
+                "quantizer)")
         cents = centroids
+        c = corpus_index.select(id_col, "vec", "norm",
+                                F.col("list_id").cast("int"))
     else:
-        cents = ivf_kmeans_centroids(corpus, n_centroids, kmeans_iters,
-                                     id_col, vec_col, dim=dim) \
-            if kmeans_iters else \
-            ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
-    c = ivf_assign(corpus, cents, id_col, vec_col, dim)
+        if centroids is not None:
+            cents = centroids
+        else:
+            cents = ivf_kmeans_centroids(corpus, n_centroids,
+                                         kmeans_iters,
+                                         id_col, vec_col, dim=dim) \
+                if kmeans_iters else \
+                ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+        c = ivf_assign(corpus, cents, id_col, vec_col, dim)
     probes = F.expr(
         f"transform(slice(array_sort(zip_with(_dots, "
         f"sequence(0, {len(cents) - 1}), (d, i) -> struct(-d AS nd, i AS "

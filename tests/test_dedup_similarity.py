@@ -486,6 +486,39 @@ def test_ivf_exhaustive_probe_matches_brute_force(spark):
     assert ivf == exact
 
 
+def test_ivf_prebuilt_index_round_trip(spark, tmp_path):
+    """A persisted (partitionBy list_id) IVF index read back via
+    corpus_index= yields results identical to the in-query assignment
+    — the deployment contract — and the probe join's scan carries a
+    dynamic-partition-pruning filter on list_id, so probed lists are
+    the only partitions READ at 100 TB."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    vecs = _vecs(spark)
+    qs = vecs.filter(F.col("vec_id") < 2)
+    cents = ivf_seed_centroids(vecs, n_centroids=2)
+    direct = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+              for r in ivf_topk(vecs, qs, k=4, nprobe=1, dim=3,
+                                centroids=cents).collect()}
+    path = str(tmp_path / "ivf_index")
+    (ivf_assign(vecs, cents, dim=3)
+     .write.partitionBy("list_id").parquet(path))
+    via = ivf_topk(None, qs, k=4, nprobe=1, dim=3, centroids=cents,
+                   corpus_index=spark.read.parquet(path))
+    got = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+           for r in via.collect()}
+    assert got == direct
+    plan = via._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # contract: an index without its centroids is unusable
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(None, qs, k=4,
+                 corpus_index=spark.read.parquet(path))
+
+
 def test_ivf_pruned_probe_is_subset_with_exact_scores(spark):
     # nprobe < n_centroids: every returned hit must carry the same cosine
     # the exact path computes (rerank is exact; only recall is approximate).

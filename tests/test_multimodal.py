@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import Row
 
 from nyctaxidatapipeline_spark.operators.multimodal import (
+    audio_features,
     frame_sample,
     image_features,
     with_media_metadata,
@@ -88,6 +89,81 @@ def test_pil_real_codec_parity(spark):
     _, _, _, ppx = decode_png(bytes(pure.media))
     _, _, _, rpx = decode_png(bytes(real.media))
     assert all(abs(a - b) <= 1 for a, b in zip(ppx, rpx))
+
+
+def _has_av():
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _has_soundfile():
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_frame_sample_real_codec_raises_without_av(spark):
+    if _has_av():
+        pytest.skip("PyAV installed — the guard takes the av path")
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(asset_id=1, media=b"anything")])
+    with pytest.raises(Exception, match="NotImplementedError|PyAV"):
+        frame_sample(df, every_n=1, codec="real").collect()
+
+
+def test_audio_features_real_codec_raises_without_soundfile(spark):
+    if _has_soundfile():
+        pytest.skip("soundfile installed — the guard takes that path")
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(asset_id=1, media=b"anything")])
+    with pytest.raises(Exception, match="NotImplementedError|soundfile"):
+        audio_features(df, codec="real").collect()
+
+
+@pytest.mark.skipif(not _has_av(), reason="PyAV not installed")
+def test_frame_sample_real_parity_on_avi(spark):
+    """With PyAV present, codec='real' must sample the same FRAME COUNT
+    from an uncompressed AVI as the pure-stdlib container walker (libav
+    demuxes one packet per '00db' frame)."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.avi import encode_avi
+
+    frames = [bytes([i] * 24) for i in range(7)]  # 4x2 24-bit frames
+    blob = encode_avi(4, 2, frames)
+    df = spark.createDataFrame([Row(asset_id=1, media=blob)])
+    pure = frame_sample(df, every_n=2, codec="avi").collect()
+    real = frame_sample(df, every_n=2, codec="real").collect()
+    assert len(real) == len(pure) == 4
+    assert [r.frame_index for r in real] == [r.frame_index for r in pure]
+
+
+@pytest.mark.skipif(not _has_soundfile(), reason="soundfile not installed")
+def test_audio_features_real_matches_pure_wav16(spark):
+    """With soundfile present, codec='real' must agree with the pure
+    stdlib WAV path exactly on 16-bit PCM (both compute integer
+    amplitudes over the same samples)."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.wav import encode_wav
+
+    import struct as _s
+    pcm = b"".join(_s.pack("<h", v) for v in
+                   (0, 1000, -2000, 32767, -32768, 5))
+    blob = encode_wav(8000, 2, pcm)
+    df = spark.createDataFrame([Row(asset_id=1, media=blob)])
+    pure = audio_features(df, codec="wav").collect()[0]
+    real = audio_features(df, codec="real").collect()[0]
+    assert (real.sample_rate, real.channels, real.n_frames) == \
+        (pure.sample_rate, pure.channels, pure.n_frames)
+    assert real.mean_abs == pure.mean_abs and real.peak == pure.peak
 
 
 def test_frame_sample_offsets(spark):
