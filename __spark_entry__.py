@@ -722,6 +722,38 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     corpus_index=spark.read.parquet(idx_dir))
 
 
+def _q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment SEMANTIC admission
+    (``similarity.incremental_semantic_admission``) — the
+    embedding-side sibling of ``incremental_minhash``: vectors with
+    ``vec_id % 50 == 1`` are the incoming batch, the rest the standing
+    corpus; a batch vector is admitted unless some IVF-probed corpus
+    vector (or a smaller-id batch vector whose top-1 list it probes)
+    sits at cosine ≥ 0.4 (the fixture's near-dup operating point).
+    Portable seed centroids make routing + verification bit-reproducible
+    in DuckDB, so the admission verdicts are value-hash-gated; the
+    probed-lists recall contract is ``ann_ivf``'s. Output: admitted
+    (vec_id, vec_norm)."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 50 != 1)
+    batch = emb.filter(F.col("vec_id") % 50 == 1)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
+    adm = incremental_semantic_admission(
+        batch, corpus, threshold=0.4, nprobe=4,
+        dim=embedding_dim(emb), centroids=cents)
+    from nyctaxidatapipeline_spark.operators.similarity import as_double
+
+    return round_doubles(adm.select(
+        "vec_id",
+        l2_norm(as_double(F.col("embedding")),
+                embedding_dim(emb)).alias("vec_norm")))
+
+
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 kNN graph over the WHOLE embeddings table (self
     excluded) — ``similarity.knn_graph``: the block-pair BLAS kernel
@@ -3501,7 +3533,7 @@ _ROUND9_FRONT = [
     "dedup_savings", "lsh_recall_report", "curate_corpus",
     "ppmi_vectors", "skipgram_counts",
     "tfrecord_ingest", "jsonl_ingest",
-    "ann_ivf_indexed", "ann_ivf",
+    "ann_ivf_indexed", "ann_ivf", "incremental_semantic",
     # tokens()-riding twins (array_remove rewrite)
     "ngram_jaccard", "near_dup_groups", "winnow_dedup",
     "fingerprint_dedup", "substring_dedup", "vocab", "bpe_token_stats",
@@ -3515,7 +3547,7 @@ _ROUND9_FRONT = [
     # oldest driver records: r1-r3 reference-surface cohort
     "demand_heatmap", "tip_trends", "trip_performance",
     "popular_routes", "payment_analysis", "distance_distribution",
-    "fare_anomalies", "cleaning_dropna",
+    "fare_anomalies",
 ]
 
 _ROUND8_FRONT = [
@@ -3671,6 +3703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         # r9: the persisted-partitioned-index deployment shape
         "ann_ivf_indexed": _q_ann_ivf_indexed,
+        # r9: the embedding-side daily-increment admission gate
+        "incremental_semantic": _q_incremental_semantic,
         "near_dup_groups": _q_near_dup_groups,
         "lang_confusion": _q_lang_confusion,
         "token_stats": _q_token_stats,
@@ -4966,6 +5000,89 @@ def _ann_ivf_oracle_sql() -> str:
         """
 
 
+def _incremental_semantic_oracle_sql(threshold: float = 0.4,
+                                     nprobe: int = 4,
+                                     n_centroids: int = 16) -> str:
+    """Twin of ``similarity.incremental_semantic_admission`` over the
+    ~2% increment split (batch = vec_id % 50 == 1): the ``ann_ivf``
+    seeds/assignment/probes fragments (same portable centroid doubles,
+    same DESC-dot/lowest-cid tie-breaks), restricted by the admission
+    arms — a batch id is rejected iff a probed CORPUS vector sits at
+    ROUND(cosine,6) >= threshold, or a SMALLER-id batch vector's top-1
+    list is among its probes at the same bar. Zero-norm vectors are
+    outside both candidate arms (cosine undefined) and therefore
+    admitted, exactly like the Spark side's norm>0 filters."""
+    return f"""
+            WITH seeds AS (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         - 1 AS INTEGER) AS cid,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                              embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) AS cv
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+              QUALIFY row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  <= {n_centroids}),
+            nz AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0),
+            assigned AS (
+              SELECT vec_id AS p_id, vec AS p_vec, nrm AS p_nrm,
+                     cid AS list_id FROM (
+                SELECT c.vec_id, c.vec, c.nrm, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM nz c, seeds s WHERE c.vec_id % 50 <> 1)
+              WHERE rn = 1),
+            b_assigned AS (
+              SELECT vec_id AS p_id, vec AS p_vec, nrm AS p_nrm,
+                     cid AS list_id FROM (
+                SELECT b.vec_id, b.vec, b.nrm, s.cid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY list_dot_product(b.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM nz b, seeds s WHERE b.vec_id % 50 = 1)
+              WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS b_id, vec AS b_vec, nrm AS b_nrm,
+                     cid AS list_id FROM (
+                SELECT b.vec_id, b.vec, b.nrm, s.cid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY list_dot_product(b.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM nz b, seeds s WHERE b.vec_id % 50 = 1)
+              WHERE rn <= {nprobe}),
+            rejected AS (
+              SELECT DISTINCT b_id FROM (
+                SELECT p.b_id
+                FROM probes p JOIN assigned a USING (list_id)
+                WHERE ROUND(list_dot_product(p.b_vec, a.p_vec)
+                            / (p.b_nrm * a.p_nrm), 6) >= {threshold}
+                UNION ALL
+                SELECT p.b_id
+                FROM probes p JOIN b_assigned s USING (list_id)
+                WHERE p.b_id > s.p_id
+                  AND ROUND(list_dot_product(p.b_vec, s.p_vec)
+                            / (p.b_nrm * s.p_nrm), 6) >= {threshold}))
+            SELECT vec_id,
+                   ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6)
+                       AS vec_norm
+            FROM embeddings
+            WHERE vec_id % 50 = 1
+              AND vec_id NOT IN (SELECT b_id FROM rejected)
+        """
+
+
 def _incremental_minhash_oracle_sql() -> str:
     """Shared twin of ``dedup.incremental_minhash_admission`` over the
     ~2% increment split — used verbatim by BOTH the in-query-rebuild
@@ -5267,6 +5384,11 @@ def oracle_sql() -> dict[str, str]:
         # through the round trip), so the deployment-shape registration
         # shares the in-query-rebuild twin verbatim.
         "incremental_minhash_indexed": _incremental_minhash_oracle_sql(),
+        # Twin of similarity.incremental_semantic_admission — the
+        # embedding-side admission gate at the fixture's 0.4 near-dup
+        # operating point (ann_ivf's routing fragments + the
+        # greedy-admission arms).
+        "incremental_semantic": _incremental_semantic_oracle_sql(),
         # Twin of text_analysis.token_budget: same whitespace-token
         # contract, same RE2-parity BPE pre-tokenizer pattern.
         "corpus_token_budget": f"""

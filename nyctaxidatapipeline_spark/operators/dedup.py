@@ -549,6 +549,25 @@ def build_minhash_index(corpus: DataFrame, text_col: str, id_col: str,
     return _band_buckets(sig, id_col, bands, r, portable)
 
 
+def append_to_minhash_index(index: DataFrame, admitted: DataFrame,
+                            text_col: str, id_col: str,
+                            n: int = 3, num_hashes: int = 32,
+                            bands: int = 8,
+                            portable: bool = False) -> DataFrame:
+    """The index-MAINTENANCE half of the incremental loop: the standing
+    index plus the admitted increment's band-bucket rows — what a
+    deployment appends (same ``partitionBy``/bucket layout, append
+    mode) after each :func:`incremental_minhash_admission` commit, so
+    tomorrow's batch probes today's admissions without any corpus
+    re-signing. Pure union of pure functions, so
+    index(corpus) ∪ append(admitted) == index(corpus ∪ admitted)
+    exactly — the day-over-day closure is unit-pinned against the
+    full rebuild. Parameters must match the index's."""
+    return index.unionByName(
+        build_minhash_index(admitted, text_col, id_col, n, num_hashes,
+                            bands, portable))
+
+
 def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
                                   text_col: str, id_col: str,
                                   n: int = 3, num_hashes: int = 32,

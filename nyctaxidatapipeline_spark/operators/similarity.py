@@ -1161,3 +1161,89 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
         partial, ["query_id"],
         [F.col("cosine").desc(), F.col("vec_id").asc()],
         k=k, desc=False, rank_col="rank")
+
+
+def incremental_semantic_admission(new: DataFrame, corpus: DataFrame,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   threshold: float = 0.85,
+                                   n_centroids: int = 16,
+                                   nprobe: int = 4,
+                                   dim: int | None = None,
+                                   centroids: list[list[float]]
+                                   | None = None,
+                                   corpus_index: DataFrame | None = None
+                                   ) -> DataFrame:
+    """SEMANTIC near-dup admission for a daily increment — the
+    embedding-side sibling of ``dedup.incremental_minhash_admission``:
+    keep only the NEW vectors that are not cosine≥threshold neighbors
+    of the standing CORPUS (within the IVF-probed lists) nor of a
+    smaller-id vector in the same batch (greedy first-wins). Returns
+    the admitted subset of ``new`` (original columns).
+
+    Scale shape — the deployment loop this registers: the corpus is
+    reduced to its IVF inverted index (``ivf_assign`` output, a pure
+    function of (corpus, centroids) a deployment persists
+    ``partitionBy('list_id')`` and probes via ``corpus_index=`` —
+    probed lists become the only partitions read, exactly the
+    ``ivf_topk`` contract); a batch vector compares against the
+    ~nprobe/n_centroids of the corpus its probes touch, never all of
+    it, and cost scales with |batch|, never |corpus|². The in-batch
+    arm mirrors index insertion: a later (larger-id) vector sees an
+    earlier one iff the earlier one's TOP-1 list is among its probed
+    lists — the list it would have been inserted under.
+
+    Like every IVF path, recall < 1 by construction (a neighbor whose
+    list was not probed is invisible) — the S-curve knob is
+    ``nprobe``, and the exact reference for recall gating is
+    ``embedding_near_dup`` at the same threshold. Cosines are rounded
+    to 6 dp BEFORE the threshold compare (cross-engine boundary
+    stability); zero-norm vectors have no cosine — they are always
+    admitted and never block others (both sides filter norm > 0).
+    ``centroids`` must be passed when ``corpus_index`` is (the index
+    stores assignments, not the coarse quantizer).
+    """
+    if corpus_index is not None and centroids is None:
+        raise ValueError(
+            "corpus_index requires the centroids it was built with")
+    cents = centroids if centroids is not None else \
+        ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+    c = (corpus_index.select(id_col, "vec", "norm",
+                             F.col("list_id").cast("int"))
+         if corpus_index is not None
+         else ivf_assign(corpus, cents, id_col, vec_col, dim))
+    c = (c.filter(F.col("norm") > 0)
+          .select(F.col(id_col).alias("_p"), F.col("vec").alias("p_vec"),
+                  F.col("norm").alias("p_norm"), "list_id"))
+    probes = F.expr(
+        f"transform(slice(array_sort(zip_with(_dots, "
+        f"sequence(0, {len(cents) - 1}), (d, i) -> struct(-d AS nd, i AS "
+        f"cid))), 1, {min(nprobe, len(cents))}), s -> s.cid)")
+    vec_d = as_double(F.col(vec_col))
+    b = (fan_out(new, id_col)
+         .select(F.col(id_col).alias("_b"), vec_d.alias("b_vec"),
+                 l2_norm(vec_d, dim).alias("b_norm"))
+         .filter(F.col("b_norm") > 0)
+         .withColumn("_dots", _centroid_dots("b_vec", cents)))
+    bp = (b.withColumn("_probe", F.explode(probes))
+           .select("_b", "b_vec", "b_norm",
+                   F.col("_probe").cast("int").alias("list_id")))
+    cos = F.round(dot(F.col("b_vec"), F.col("p_vec"))
+                  / (F.col("b_norm") * F.col("p_norm")), 6)
+    # batch x corpus: probe join against the inverted lists
+    rej_c = (bp.join(c, "list_id")
+               .filter(cos >= threshold)
+               .select("_b"))
+    # batch x batch: a larger id probes the list a smaller id would be
+    # INSERTED under (its argmax top-1 assignment)
+    b1 = b.select(
+        F.col("_b").alias("_p"), F.col("b_vec").alias("p_vec"),
+        F.col("b_norm").alias("p_norm"),
+        (F.expr("array_position(_dots, array_max(_dots))") - 1)
+         .cast("int").alias("list_id"))
+    rej_b = (bp.join(b1, "list_id")
+               .filter((F.col("_b") > F.col("_p")) & (cos >= threshold))
+               .select("_b"))
+    rejected = rej_c.union(rej_b).distinct() \
+                    .withColumnRenamed("_b", id_col)
+    return new.join(rejected, id_col, "left_anti")

@@ -287,6 +287,53 @@ def test_incremental_minhash_prebuilt_index(spark, tmp_path):
     assert direct == via_index == {5}
 
 
+def test_append_to_minhash_index_day_over_day(spark):
+    """Index maintenance closure: index(corpus) ∪ append(admitted) ==
+    index(corpus ∪ admitted) EXACTLY, so a day-2 admission against the
+    appended index equals one against a full rebuild."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_minhash_admission,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog in the park"
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=2, text="completely different corpus text with "
+                           "other words entirely present")])
+    day1 = spark.createDataFrame([
+        Row(doc_id=11, text="a genuinely novel batch document about "
+                            "unrelated topics and fresh content")])
+    idx = build_minhash_index(corpus, "text", "doc_id", portable=True)
+    admitted = incremental_minhash_admission(
+        day1, corpus, "text", "doc_id", portable=True, corpus_index=idx)
+    assert admitted.count() == 1
+    idx2 = append_to_minhash_index(idx, admitted, "text", "doc_id",
+                                   portable=True)
+    rebuilt = build_minhash_index(corpus.unionByName(day1),
+                                  "text", "doc_id", portable=True)
+    assert (sorted(tuple(r) for r in idx2.collect())
+            == sorted(tuple(r) for r in rebuilt.collect()))
+    # day 2: a near-dup of day-1's admission is rejected through the
+    # APPENDED index (it never saw a rebuild)
+    day2 = spark.createDataFrame([
+        Row(doc_id=21, text="a genuinely novel batch document about "
+                            "unrelated topics and new content"),
+        Row(doc_id=23, text="entirely fresh day two material with "
+                            "wholly distinct words")])
+    corpus2 = corpus.unionByName(day1)
+    via_append = {r.doc_id for r in incremental_minhash_admission(
+        day2, corpus2, "text", "doc_id", portable=True,
+        corpus_index=idx2).collect()}
+    via_rebuild = {r.doc_id for r in incremental_minhash_admission(
+        day2, corpus2, "text", "doc_id", portable=True,
+        corpus_index=rebuilt).collect()}
+    assert via_append == via_rebuild == {23}
+
+
 def test_dedup_group_stats_histogram(spark):
     """Histogram over a known mapping: groups of size 3, 2, 1, 1."""
     from pyspark.sql import Row
@@ -517,6 +564,49 @@ def test_ivf_prebuilt_index_round_trip(spark, tmp_path):
     with pytest.raises(ValueError, match="centroids"):
         ivf_topk(None, qs, k=4,
                  corpus_index=spark.read.parquet(path))
+
+
+def test_incremental_semantic_admission(spark, tmp_path):
+    """Embedding-side admission gate: batch vectors near the corpus are
+    rejected, in-batch near-dups resolve greedy-first (smaller id
+    wins), novel and zero-norm vectors are admitted; a persisted
+    (partitionBy list_id) index via corpus_index= yields identical
+    verdicts; exhaustive probes equal the brute-force decision."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0])])
+    batch = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0]),   # near corpus 0
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),      # novel
+        Row(vec_id=5, embedding=[0.0, 0.01, 0.999]),   # near batch 3
+        Row(vec_id=7, embedding=[0.0, 0.0, 0.0])])     # zero-norm
+    cents = ivf_seed_centroids(corpus, n_centroids=2)
+    got = {r.vec_id for r in incremental_semantic_admission(
+        batch, corpus, threshold=0.95, nprobe=2, dim=3,
+        centroids=cents).collect()}
+    assert got == {3, 7}
+    # persisted-index path: identical verdicts through the round trip
+    path = str(tmp_path / "ivf_adm_index")
+    (ivf_assign(corpus, cents, dim=3)
+     .write.partitionBy("list_id").parquet(path))
+    via = {r.vec_id for r in incremental_semantic_admission(
+        batch, None, threshold=0.95, nprobe=2, dim=3, centroids=cents,
+        corpus_index=spark.read.parquet(path)).collect()}
+    assert via == got
+    with pytest.raises(ValueError, match="centroids"):
+        incremental_semantic_admission(
+            batch, None, corpus_index=spark.read.parquet(path))
+    # nprobe=1 can only reject FEWER (probed lists shrink)
+    fewer = {r.vec_id for r in incremental_semantic_admission(
+        batch, corpus, threshold=0.95, nprobe=1, dim=3,
+        centroids=cents).collect()}
+    assert got <= fewer
 
 
 def test_ivf_pruned_probe_is_subset_with_exact_scores(spark):
