@@ -754,6 +754,37 @@ def _q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 embedding_dim(emb)).alias("vec_norm")))
 
 
+def _q_incremental_semantic_auto(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The 100 TB operating point of the semantic admission gate
+    (``similarity.incremental_semantic_admission_auto``): same ~2%
+    split and 0.4 threshold as ``incremental_semantic``, but with the
+    corpus-size-aware list count (ceil(sqrt(4·|corpus|)) — a FIXED
+    list count bends the cost curve quadratic: 12.0 s at sf1 for the
+    16-list point) and the ``knn_graph_ivf`` Arrow/BLAS routing +
+    verification kernels, routing dots rounded 6 dp pre-argmax so the
+    DuckDB twin reproduces every list assignment. Output: admitted
+    (vec_id, vec_norm)."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        as_double,
+        incremental_semantic_admission_auto,
+        knn_graph_ivf_n_centroids,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 50 != 1)
+    batch = emb.filter(F.col("vec_id") % 50 == 1)
+    kk = knn_graph_ivf_n_centroids(corpus.count(), 4)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=kk)
+    adm = incremental_semantic_admission_auto(
+        batch, corpus, threshold=0.4, nprobe=4, centroids=cents)
+    return round_doubles(adm.select(
+        "vec_id",
+        l2_norm(as_double(F.col("embedding")),
+                embedding_dim(emb)).alias("vec_norm")))
+
+
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 kNN graph over the WHOLE embeddings table (self
     excluded) — ``similarity.knn_graph``: the block-pair BLAS kernel
@@ -3534,6 +3565,7 @@ _ROUND9_FRONT = [
     "ppmi_vectors", "skipgram_counts",
     "tfrecord_ingest", "jsonl_ingest",
     "ann_ivf_indexed", "ann_ivf", "incremental_semantic",
+    "incremental_semantic_auto",
     # tokens()-riding twins (array_remove rewrite)
     "ngram_jaccard", "near_dup_groups", "winnow_dedup",
     "fingerprint_dedup", "substring_dedup", "vocab", "bpe_token_stats",
@@ -3547,7 +3579,6 @@ _ROUND9_FRONT = [
     # oldest driver records: r1-r3 reference-surface cohort
     "demand_heatmap", "tip_trends", "trip_performance",
     "popular_routes", "payment_analysis", "distance_distribution",
-    "fare_anomalies",
 ]
 
 _ROUND8_FRONT = [
@@ -3705,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         # r9: the embedding-side daily-increment admission gate
         "incremental_semantic": _q_incremental_semantic,
+        "incremental_semantic_auto": _q_incremental_semantic_auto,
         "near_dup_groups": _q_near_dup_groups,
         "lang_confusion": _q_lang_confusion,
         "token_stats": _q_token_stats,
@@ -5083,6 +5115,91 @@ def _incremental_semantic_oracle_sql(threshold: float = 0.4,
         """
 
 
+def _incremental_semantic_auto_oracle_sql(threshold: float = 0.4,
+                                          nprobe: int = 4) -> str:
+    """Twin of ``similarity.incremental_semantic_admission_auto``: the
+    ``knn_graph_ivf`` routing recipe (corpus-size-aware list count
+    ceil(sqrt(nprobe·|corpus|)); routing dots ROUNDed 6 dp before
+    ranking, mirroring the BLAS kernel's pre-argmax rounding) with the
+    admission arms of the fixed-k twin."""
+    return f"""
+            WITH kk AS (
+              SELECT CAST(CEIL(SQRT({nprobe}.0 * COUNT(*))) AS INTEGER)
+                  AS k
+              FROM embeddings WHERE vec_id % 50 <> 1),
+            seeds AS (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         - 1 AS INTEGER) AS cid,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                              embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) AS cv
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+              QUALIFY row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  <= (SELECT k FROM kk)),
+            nz AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0),
+            assigned AS (
+              SELECT vec_id AS p_id, vec AS p_vec, nrm AS p_nrm,
+                     cid AS list_id FROM (
+                SELECT c.vec_id, c.vec, c.nrm, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY ROUND(list_dot_product(c.vec, s.cv),
+                                          6) DESC,
+                                    s.cid) AS rn
+                FROM nz c, seeds s WHERE c.vec_id % 50 <> 1)
+              WHERE rn = 1),
+            b_assigned AS (
+              SELECT vec_id AS p_id, vec AS p_vec, nrm AS p_nrm,
+                     cid AS list_id FROM (
+                SELECT b.vec_id, b.vec, b.nrm, s.cid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY ROUND(list_dot_product(b.vec, s.cv),
+                                          6) DESC,
+                                    s.cid) AS rn
+                FROM nz b, seeds s WHERE b.vec_id % 50 = 1)
+              WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS b_id, vec AS b_vec, nrm AS b_nrm,
+                     cid AS list_id FROM (
+                SELECT b.vec_id, b.vec, b.nrm, s.cid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY ROUND(list_dot_product(b.vec, s.cv),
+                                          6) DESC,
+                                    s.cid) AS rn
+                FROM nz b, seeds s WHERE b.vec_id % 50 = 1)
+              WHERE rn <= {nprobe}),
+            rejected AS (
+              SELECT DISTINCT b_id FROM (
+                SELECT p.b_id
+                FROM probes p JOIN assigned a USING (list_id)
+                WHERE ROUND(list_dot_product(p.b_vec, a.p_vec)
+                            / (p.b_nrm * a.p_nrm), 6) >= {threshold}
+                UNION ALL
+                SELECT p.b_id
+                FROM probes p JOIN b_assigned s USING (list_id)
+                WHERE p.b_id > s.p_id
+                  AND ROUND(list_dot_product(p.b_vec, s.p_vec)
+                            / (p.b_nrm * s.p_nrm), 6) >= {threshold}))
+            SELECT vec_id,
+                   ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6)
+                       AS vec_norm
+            FROM embeddings
+            WHERE vec_id % 50 = 1
+              AND vec_id NOT IN (SELECT b_id FROM rejected)
+        """
+
+
 def _incremental_minhash_oracle_sql() -> str:
     """Shared twin of ``dedup.incremental_minhash_admission`` over the
     ~2% increment split — used verbatim by BOTH the in-query-rebuild
@@ -5389,6 +5506,9 @@ def oracle_sql() -> dict[str, str]:
         # operating point (ann_ivf's routing fragments + the
         # greedy-admission arms).
         "incremental_semantic": _incremental_semantic_oracle_sql(),
+        # Its 100 TB operating point: auto-sized lists + BLAS routing
+        # (rounded-6dp routing ranks, the knn_graph_ivf recipe).
+        "incremental_semantic_auto": _incremental_semantic_auto_oracle_sql(),
         # Twin of text_analysis.token_budget: same whitespace-token
         # contract, same RE2-parity BPE pre-tokenizer pattern.
         "corpus_token_budget": f"""

@@ -1247,3 +1247,130 @@ def incremental_semantic_admission(new: DataFrame, corpus: DataFrame,
     rejected = rej_c.union(rej_b).distinct() \
                     .withColumnRenamed("_b", id_col)
     return new.join(rejected, id_col, "left_anti")
+
+
+def incremental_semantic_admission_auto(new: DataFrame, corpus: DataFrame,
+                                        id_col: str = "vec_id",
+                                        vec_col: str = "embedding",
+                                        threshold: float = 0.85,
+                                        nprobe: int = 4,
+                                        n_centroids: int | None = None,
+                                        centroids: list[list[float]]
+                                        | None = None) -> DataFrame:
+    """The 100 TB operating point of
+    :func:`incremental_semantic_admission` — same admission contract
+    (probed-corpus arm + greedy insertion-list in-batch arm, cosines
+    rounded 6 dp before the threshold), but with the two things the
+    fixed-k expression path cannot scale past:
+
+    * ``n_centroids`` defaults to the corpus-size-aware
+      ``knn_graph_ivf_n_centroids`` sizing (ceil(sqrt(nprobe·n)) — a
+      FIXED list count leaves per-probe candidate volume growing
+      linearly with the corpus, so the admission cost curve bends
+      quadratic: measured 12.0 s at sf1 for the 16-list registered
+      point vs sub-linear here);
+    * routing and verification run in the ``knn_graph_ivf`` Arrow/BLAS
+      kernels (one matmul per routing pass, one |probes|x|members|
+      matmul per list) — the literal-centroid expression tree
+      de-codegens past ~10⁴ centroid doubles (PLANS.md; the janino
+      method-size cliff), and routing dots are rounded 6 dp half-away
+      BEFORE argmax/top-nprobe so BLAS-vs-fold last-ulp drift cannot
+      flip a near-tied list assignment against the SQL twin.
+
+    Shuffle shape: both sides route map-side, one hash exchange on
+    ``list_id``, per-list kernel emits only REJECTED batch ids —
+    output is O(|batch|), the aggregate input O(batch·nprobe +
+    corpus). Zero-norm vectors are admitted and never block (dropped
+    in routing, exactly like the sibling paths)."""
+    import pandas as pd  # noqa: F401  (driver-side availability check)
+
+    if n_centroids is None:
+        n_centroids = knn_graph_ivf_n_centroids(corpus.count(), nprobe)
+    cents = centroids if centroids is not None else \
+        ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cm_list = [list(map(float, c)) for c in cents]
+    npr = min(nprobe, len(cents))
+
+    def make_router(emit_probes: bool, side_top1: str):
+        def route(batches):
+            import numpy as np
+            import pandas as pd
+
+            cm = np.array(cm_list, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+                ids = pdf["_id"].to_numpy()
+                nz = np.einsum("ij,ij->i", vm, vm) > 0.0
+                vm, ids = vm[nz], ids[nz]
+                if not len(ids):
+                    continue
+                dots = vm @ cm.T
+                _round6_half_away(dots, np.empty_like(dots))
+                best = np.argmax(dots, axis=1)  # first max = lowest cid
+                vecs = [list(v) for v in vm]
+                out = {
+                    "list_id": [best.astype("int32")],
+                    "_side": [np.full(len(ids), side_top1)],
+                    "_id": [ids], "_vec": [vecs]}
+                if emit_probes:
+                    order = np.argsort(-dots, axis=1,
+                                       kind="stable")[:, :npr]
+                    out["list_id"].append(order.ravel().astype("int32"))
+                    out["_side"].append(np.full(len(ids) * npr, "q"))
+                    out["_id"].append(np.repeat(ids, npr))
+                    out["_vec"].append(
+                        [v for v in vecs for _ in range(npr)])
+                yield pd.DataFrame({
+                    "list_id": np.concatenate(out["list_id"]),
+                    "_side": np.concatenate(out["_side"]),
+                    "_id": np.concatenate(out["_id"]),
+                    "_vec": sum(out["_vec"], [])})
+        return route
+
+    schema = "list_id int, _side string, _id long, _vec array<double>"
+    c_tagged = (fan_out(corpus, id_col)
+                .select(F.col(id_col).alias("_id"),
+                        as_double(F.col(vec_col)).alias("_vec"))
+                .mapInPandas(make_router(False, "c"), schema=schema))
+    b_tagged = (fan_out(new, id_col)
+                .select(F.col(id_col).alias("_id"),
+                        as_double(F.col(vec_col)).alias("_vec"))
+                .mapInPandas(make_router(True, "s"), schema=schema))
+
+    thr = float(threshold)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"_b": pd.array([], dtype="int64")})
+        cand = pdf[pdf["_side"] != "q"]
+        qs = pdf[pdf["_side"] == "q"]
+        if not len(cand) or not len(qs):
+            return empty
+
+        def prep(part):
+            ids = part["_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.stack(part["_vec"].to_numpy())[order].astype(
+                np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
+            return ids, mat, part["_side"].to_numpy()[order]
+
+        c_ids, c_mat, c_side = prep(cand)
+        q_ids, q_mat, _ = prep(qs)
+        sims = q_mat @ c_mat.T
+        _round6_half_away(sims, np.empty_like(sims))
+        blockable = ((c_side == "c")[None, :]
+                     | (c_ids[None, :] < q_ids[:, None]))
+        hit = (sims >= thr) & blockable
+        return pd.DataFrame({"_b": q_ids[hit.any(axis=1)]})
+
+    rejected = (c_tagged.unionByName(b_tagged)
+                .groupBy("list_id").applyInPandas(kernel, schema="_b long")
+                .distinct().withColumnRenamed("_b", id_col))
+    return new.join(rejected, id_col, "left_anti")

@@ -609,6 +609,41 @@ def test_incremental_semantic_admission(spark, tmp_path):
     assert got <= fewer
 
 
+def test_incremental_semantic_auto_matches_expr_path(spark):
+    """The BLAS-routed auto variant reaches the same verdicts as the
+    expression path on well-separated vectors (same centroids, same
+    nprobe), and its default list count follows the corpus-size-aware
+    sizing."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids,
+        knn_graph_ivf_n_centroids,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0])])
+    batch = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=5, embedding=[0.0, 0.01, 0.999]),
+        Row(vec_id=7, embedding=[0.0, 0.0, 0.0])])
+    cents = ivf_seed_centroids(corpus, n_centroids=2)
+    expr = {r.vec_id for r in incremental_semantic_admission(
+        batch, corpus, threshold=0.95, nprobe=2, dim=3,
+        centroids=cents).collect()}
+    auto = {r.vec_id for r in incremental_semantic_admission_auto(
+        batch, corpus, threshold=0.95, nprobe=2,
+        centroids=cents).collect()}
+    assert auto == expr == {3, 7}
+    # default sizing engages when n_centroids omitted
+    assert knn_graph_ivf_n_centroids(2, 2) == 2
+    auto_sized = {r.vec_id for r in incremental_semantic_admission_auto(
+        batch, corpus, threshold=0.95, nprobe=2).collect()}
+    assert auto_sized == {3, 7}
+
+
 def test_ivf_pruned_probe_is_subset_with_exact_scores(spark):
     # nprobe < n_centroids: every returned hit must carry the same cosine
     # the exact path computes (rerank is exact; only recall is approximate).
