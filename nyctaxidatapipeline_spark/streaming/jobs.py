@@ -403,6 +403,65 @@ def run_streaming_near_dup(stream: DataFrame, corpus_dir: str,
     return q
 
 
+def semantic_admit_fn(corpus_dir: str, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      threshold: float = 0.85,
+                      n_centroids: int = 16, nprobe: int = 4):
+    """``foreachBatch`` for :func:`run_streaming_semantic_admission`:
+    the EMBEDDING-side sibling of ``near_dup_admit_fn`` — each
+    micro-batch is gated by
+    ``similarity.incremental_semantic_admission`` (IVF-probed cosine
+    vs the admitted corpus + greedy in-batch) through the same
+    epoch-directory exactly-once commit. Centroids are seeded from
+    the CURRENT admitted corpus each epoch (deterministic given the
+    corpus; from the batch itself on the first epoch); a batch with
+    no non-zero vectors admits wholesale — there is nothing to
+    compare."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        ivf_seed_centroids,
+    )
+
+    def admitter(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+        seed_src = corpus if not corpus.isEmpty() else batch
+        cents = ivf_seed_centroids(seed_src, n_centroids, id_col,
+                                   vec_col)
+        if not cents:
+            return batch
+        return incremental_semantic_admission(
+            batch, corpus, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, nprobe=nprobe, centroids=cents)
+
+    return _admit_commit_fn(corpus_dir, vec_col, id_col, admitter)
+
+
+def run_streaming_semantic_admission(stream: DataFrame, corpus_dir: str,
+                                     vec_col: str = "embedding",
+                                     id_col: str = "vec_id",
+                                     threshold: float = 0.85,
+                                     n_centroids: int = 16,
+                                     nprobe: int = 4,
+                                     checkpoint_dir: str | None = None):
+    """foreachBatch streaming corpus admission with SEMANTIC gating:
+    vectors arriving on the stream are admitted into ``corpus_dir``
+    only if no IVF-probed cosine≥threshold neighbor exists in the
+    admitted corpus or earlier in their own micro-batch (see
+    ``semantic_admit_fn``). Completes the admission-front-door
+    family: exact fingerprints (``run_incremental_dedup``), MinHash
+    near-dup (``run_streaming_near_dup``), and embeddings — one
+    epoch-commit skeleton under all three."""
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(semantic_admit_fn(corpus_dir, vec_col, id_col,
+                                         threshold, n_centroids,
+                                         nprobe)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def run_incremental_dedup(stream: DataFrame, corpus_dir: str,
                           text_col: str = "text",
                           id_col: str = "doc_id",

@@ -41,7 +41,10 @@ ARROW_OK = {"embedding_near_dup", "image_features",
             # sanctioned codec zones, like the sibling ingest sources;
             # md5/length run JVM-side on the decoded columns.
             "tfrecord_ingest",
-            "semantic_dedup_auto", "knn_graph_ivf"}
+            "semantic_dedup_auto", "knn_graph_ivf",
+            # BLAS routing passes of the auto-sized semantic admission
+            # gate (the knn_graph_ivf kernels re-applied to admission)
+            "incremental_semantic_auto"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
 #: applyInPandas) — the two block-pair BLAS kernels (kNN partial top-k
@@ -52,7 +55,10 @@ GROUPED_PANDAS_OK = {"knn_graph", "knn_graph_ivf", "embedding_near_dup",
                      "semantic_dedup_auto",
                      # per-shard proto encode + framing (the pack side
                      # of the TFRecord codec zone)
-                     "tfrecord_ingest"}
+                     "tfrecord_ingest",
+                     # per-list BLAS verification of the auto-sized
+                     # semantic admission gate
+                     "incremental_semantic_auto"}
 
 
 @pytest.fixture(scope="module")

@@ -691,3 +691,47 @@ def test_streaming_shard_ingestion_e2e(spark, tmp_path):
     assert {(r.doc_id, r.text) for r in
             spark.read.option("basePath", corpus)
             .parquet(corpus).collect()} == got
+
+
+def test_streaming_semantic_admission_replay_and_increment(spark,
+                                                           tmp_path):
+    """Embedding-side streaming admission: replayed epochs no-op; a
+    later epoch rejects cosine-near vectors of the admitted corpus
+    (seeded from that corpus) and admits novel directions; a drained
+    single-batch stream equals the batch admission with the same
+    seeding."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        ivf_seed_centroids,
+    )
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        semantic_admit_fn,
+    )
+
+    corpus = str(tmp_path / "vcorpus")
+    fn = semantic_admit_fn(corpus, threshold=0.95, n_centroids=2,
+                           nprobe=2)
+    b0 = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),   # near 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0])])
+    fn(b0, 0)
+    read = lambda: {r.vec_id for r in  # noqa: E731
+                    spark.read.option("basePath", corpus)
+                    .parquet(corpus).collect()}
+    assert read() == {1, 3}
+    fn(b0, 0)                                  # replay -> no-op
+    assert read() == {1, 3}
+    b1 = spark.createDataFrame([
+        Row(vec_id=4, embedding=[0.998, 0.02, 0.0]),   # near corpus 1
+        Row(vec_id=5, embedding=[0.0, 0.0, 1.0])])     # novel axis
+    fn(b1, 1)
+    assert read() == {1, 3, 5}
+    # single-batch drain == the batch operator with the same seeding
+    empty = spark.createDataFrame([], b0.schema)
+    cents = ivf_seed_centroids(b0, 2)
+    want = {r.vec_id for r in incremental_semantic_admission(
+        b0, empty, threshold=0.95, nprobe=2, centroids=cents).collect()}
+    assert want == {1, 3}
