@@ -138,6 +138,15 @@ def main() -> None:
                               "scale": "semantic_dedup"},
         "incremental_dedup": {"exact": "incremental_dedup",
                               "scale": "incremental_dedup_bloom"},
+        # r9 deployment shapes: the "exact" member is the in-query
+        # rebuild/assignment registration (the parity surface), the
+        # "scale" member probes the persisted index / auto-sized lists
+        "incremental_near_dup": {"exact": "incremental_minhash",
+                                 "scale": "incremental_minhash_indexed"},
+        "ann_ivf_index": {"exact": "ann_ivf",
+                          "scale": "ann_ivf_indexed"},
+        "semantic_admission": {"exact": "incremental_semantic",
+                               "scale": "incremental_semantic_auto"},
     }
     # Mechanically-trackable headline per path class: regressions on the
     # scale members must be visible round-over-round without re-deriving

@@ -624,8 +624,30 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
     bk_c = (corpus_index if corpus_index is not None
             else build_minhash_index(corpus, text_col, id_col, n,
                                      num_hashes, bands, portable))
-    bk_b = _band_buckets(sig_b, id_col, bands, r, portable)
+    bk_b = (_band_buckets(sig_b, id_col, bands, r, portable)
+            # read by the touched-restriction, the corpus join, AND
+            # the in-batch posting lists — one materialization, not
+            # three signature recomputes (batch-sized, tiny)
+            .localCheckpoint(eager=False))
+    # Restrict the corpus index to buckets the BATCH actually touches
+    # before anything else: untouched buckets can produce no
+    # candidates, so this is semantically free, and it means the cap's
+    # bucket-size aggregate below runs over a |batch·bands|-bounded
+    # subset instead of the whole corpus index (the uncapped r8 path
+    # had no corpus-side aggregate at all; without this restriction
+    # the default-on cap re-priced the admission +60% at sf0.1).
+    # Bucket sizes are unchanged by the restriction — the semi join
+    # keeps whole buckets.
+    bk_c = bk_c.join(bk_b.select("band", "bucket").distinct(),
+                     ["band", "bucket"], "left_semi")
     if max_bucket is not None:
+        # The capped path reads bk_c TWICE (the keep aggregate and the
+        # candidate join); without a pipeline breaker the in-query
+        # index-build registration would re-run the whole corpus
+        # signature pass for each (+60% measured at sf0.1 — the same
+        # multiply-consumed-subplan lesson as ppmi_vectors). The
+        # restricted frame is |batch·bands|-bucket-bounded — tiny.
+        bk_c = bk_c.localCheckpoint(eager=False)
         keep = (bk_c.groupBy("band", "bucket")
                     .agg(F.count("*").alias("_n"))
                     .filter(F.col("_n") <= max_bucket)
