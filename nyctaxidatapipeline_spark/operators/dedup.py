@@ -641,18 +641,19 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
     bk_c = bk_c.join(bk_b.select("band", "bucket").distinct(),
                      ["band", "bucket"], "left_semi")
     if max_bucket is not None:
-        # The capped path reads bk_c TWICE (the keep aggregate and the
-        # candidate join); without a pipeline breaker the in-query
-        # index-build registration would re-run the whole corpus
-        # signature pass for each (+60% measured at sf0.1 — the same
-        # multiply-consumed-subplan lesson as ppmi_vectors). The
-        # restricted frame is |batch·bands|-bucket-bounded — tiny.
-        bk_c = bk_c.localCheckpoint(eager=False)
-        keep = (bk_c.groupBy("band", "bucket")
-                    .agg(F.count("*").alias("_n"))
-                    .filter(F.col("_n") <= max_bucket)
-                    .select("band", "bucket"))
-        bk_c = bk_c.join(keep, ["band", "bucket"], "left_semi")
+        # Window count, NOT aggregate-and-rejoin: a keep-set semi join
+        # reads bk_c twice, which in the rebuild registration re-runs
+        # the whole corpus signature pass (+60% measured at sf0.1 —
+        # the multiply-consumed-subplan lesson again), and breaking
+        # that with a checkpoint writes a potentially index-sized
+        # frame per run (measured 13-55 s variance at sf10). The
+        # window is ONE pass: one exchange on (band, bucket) that the
+        # candidate equi-join on the same key then REUSES.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        bk_c = (bk_c.withColumn("_n", F.count("*").over(w))
+                    .filter(F.col("_n") <= max_bucket).drop("_n"))
     # batch × corpus candidates: plain bucket equi-join (the corpus
     # bucket table is hash-partitioned on (band, bucket); the batch
     # side is small — AQE broadcasts it in practice).
