@@ -577,6 +577,33 @@ def _q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget(docs, "text", "source")
 
 
+def _q_cross_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup (``dedup.cross_signal_dedup``): connected
+    components over the UNION of the lexical near-dup graph (the
+    ``near_dup_production`` composition — exact collapse + capped
+    banded MinHash, entering as its (id, group) star edges) and the
+    semantic near-dup graph (``rp_lsh_near_dup_auto`` at the fixture's
+    0.4 cosine point — corpus-size-aware (planes, bands), so the
+    embedding arm scales linearly like the ``ann_lsh_auto``
+    registration). Paraphrases that pass lexical dedup fall to the
+    embedding edge; boilerplate below the cosine bar falls to the
+    text edge. Both generators are the capped/auto scale paths, both
+    portable — the whole two-graph closure is value-hash-gated.
+    vec_id == doc_id is the fixtures' convention."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        cross_signal_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cross_signal_dedup(docs, emb, jaccard_threshold=0.5,
+                              cosine_threshold=0.4,
+                              num_hashes=32, bands=8,
+                              target_recall=0.9, max_bands=8,
+                              dim=embedding_dim(emb), portable=True,
+                              max_bucket=32)
+
+
 def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality measurement as a first-class query
     (``dedup.lsh_recall_report``): exact 3-gram-Jaccard pairs vs
@@ -3565,7 +3592,7 @@ _ROUND9_FRONT = [
     "ppmi_vectors", "skipgram_counts",
     "tfrecord_ingest", "jsonl_ingest",
     "ann_ivf_indexed", "ann_ivf", "incremental_semantic",
-    "incremental_semantic_auto",
+    "incremental_semantic_auto", "cross_signal_dedup",
     # tokens()-riding twins (array_remove rewrite)
     "ngram_jaccard", "near_dup_groups", "winnow_dedup",
     "fingerprint_dedup", "substring_dedup", "vocab", "bpe_token_stats",
@@ -3578,7 +3605,7 @@ _ROUND9_FRONT = [
     "line_dedup",
     # oldest driver records: r1-r3 reference-surface cohort
     "demand_heatmap", "tip_trends", "trip_performance",
-    "popular_routes", "payment_analysis", "distance_distribution",
+    "popular_routes", "payment_analysis",
 ]
 
 _ROUND8_FRONT = [
@@ -3737,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: the embedding-side daily-increment admission gate
         "incremental_semantic": _q_incremental_semantic,
         "incremental_semantic_auto": _q_incremental_semantic_auto,
+        "cross_signal_dedup": _q_cross_signal_dedup,
         "near_dup_groups": _q_near_dup_groups,
         "lang_confusion": _q_lang_confusion,
         "token_stats": _q_token_stats,
@@ -5115,6 +5143,52 @@ def _incremental_semantic_oracle_sql(threshold: float = 0.4,
         """
 
 
+def _cross_signal_oracle_sql() -> str:
+    """Twin of ``dedup.cross_signal_dedup``: the near_dup_production
+    mapping (derived table) contributes star edges, the portable
+    RP-LSH pipeline (derived table) contributes cosine edges, one
+    recursive closure folds both, and every document inherits the min
+    reachable id (itself when isolated)."""
+    return f"""
+            WITH RECURSIVE tmap AS (
+              SELECT * FROM (
+                {_near_dup_production_oracle_sql(num_hashes=32, bands=8,
+                                                 threshold=0.5,
+                                                 max_bucket=32)}
+              ) t
+            ), eedges AS (
+              SELECT id_a, id_b FROM (
+                {_rp_lsh_auto_oracle_sql(n=500, threshold=0.4,
+                                         target_recall=0.9,
+                                         max_bands=8, dim=64)}
+              ) e
+            ), xs_edges AS (
+              -- CTE names here must NOT collide with the nested
+              -- fragments' own (edges/reach/comp): an outer CTE of the
+              -- same name captures the inner references in DuckDB and
+              -- silently corrupts the inner closure (measured: 5% of
+              -- groups lost their text edges)
+              SELECT doc_id AS a, group_id AS b FROM tmap
+              WHERE doc_id <> group_id
+              UNION
+              SELECT group_id, doc_id FROM tmap WHERE doc_id <> group_id
+              UNION
+              SELECT id_a, id_b FROM eedges
+              UNION
+              SELECT id_b, id_a FROM eedges
+            ), xs_reach(id, t) AS (
+              SELECT a, a FROM xs_edges
+              UNION
+              SELECT xs_reach.id, e.b
+              FROM xs_reach JOIN xs_edges e ON e.a = xs_reach.t
+            ), xs_comp AS (
+              SELECT id, MIN(t) AS comp FROM xs_reach GROUP BY id
+            )
+            SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN xs_comp c ON c.id = d.doc_id
+        """
+
+
 def _incremental_semantic_auto_oracle_sql(threshold: float = 0.4,
                                           nprobe: int = 4) -> str:
     """Twin of ``similarity.incremental_semantic_admission_auto``: the
@@ -5509,6 +5583,9 @@ def oracle_sql() -> dict[str, str]:
         # Its 100 TB operating point: auto-sized lists + BLAS routing
         # (rounded-6dp routing ranks, the knn_graph_ivf recipe).
         "incremental_semantic_auto": _incremental_semantic_auto_oracle_sql(),
+        # Multi-signal dedup: lexical star edges + RP-LSH cosine edges,
+        # one recursive closure (both fragments individually proven).
+        "cross_signal_dedup": _cross_signal_oracle_sql(),
         # Twin of text_analysis.token_budget: same whitespace-token
         # contract, same RE2-parity BPE pre-tokenizer pattern.
         "corpus_token_budget": f"""

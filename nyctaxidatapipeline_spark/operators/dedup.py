@@ -1110,3 +1110,75 @@ def incremental_fingerprint_dedup_bloom(new: DataFrame, corpus: DataFrame,
                .join(corpus_fps, "fingerprint", "left_anti")
                .select(id_col))
     return new.join(fresh.union(checked), id_col, "left_semi")
+
+
+def cross_signal_dedup(docs: DataFrame, emb: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       vec_id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       jaccard_threshold: float = 0.5,
+                       cosine_threshold: float = 0.95,
+                       num_hashes: int = 32, bands: int = 8,
+                       lsh_planes: int | None = None,
+                       lsh_bands: int = 4,
+                       target_recall: float = 0.9,
+                       max_bands: int = 8,
+                       dim: int | None = None,
+                       portable: bool = False,
+                       max_bucket: int | None = 32) -> DataFrame:
+    """(id, group_id) over the UNION of the lexical and semantic
+    near-dup graphs — multi-signal dedup, the shape production
+    curation actually runs: paraphrases/translations that sail past
+    shingle overlap fall to the EMBEDDING edge, boilerplate whose
+    noisy embeddings sit below the cosine bar falls to the TEXT edge,
+    and one connected-components closure folds both into a single
+    grouping. ``emb`` carries each document's embedding under the
+    documents' id space (``vec_id == doc_id`` — the fixtures'
+    convention; pass a pre-joined frame otherwise).
+
+    Both edge generators are the SCALE paths, not the exact ones:
+    text = ``near_dup_production`` (exact md5-collapse first, capped
+    banded MinHash over representatives — its (id, group) mapping
+    enters the union as star edges, which preserve its components
+    exactly), embeddings = ``rp_lsh_near_dup_auto`` by default
+    (corpus-size-aware (planes, bands) — band width ceil(log2 n) pins
+    candidate volume LINEAR in the corpus, the fix for the
+    fixed-parameter 11.6x-at-10x curve; pass ``lsh_planes``/
+    ``lsh_bands`` explicitly to pin an operating point instead). Each
+    is individually oracle-gated; ``portable=True`` makes the whole
+    composition value-hash-reproducible in SQL. Every stage is
+    linear-ish in the corpus (bucket caps and band bucketing bound
+    the pair expansions) — nothing here is all-pairs."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_near_dup,
+        rp_lsh_near_dup_auto,
+    )
+
+    mapping = near_dup_production(docs, text_col, id_col, n=3,
+                                  num_hashes=num_hashes, bands=bands,
+                                  threshold=jaccard_threshold,
+                                  portable=portable,
+                                  max_bucket=max_bucket)
+    text_edges = (mapping.filter(F.col(id_col) != F.col("group_id"))
+                  .select(F.col(id_col).alias("id_a"),
+                          F.col("group_id").alias("id_b")))
+    if lsh_planes is not None:
+        emb_pairs = rp_lsh_near_dup(emb, threshold=cosine_threshold,
+                                    planes=lsh_planes, bands=lsh_bands,
+                                    id_col=vec_id_col, vec_col=vec_col,
+                                    dim=dim, portable=portable)
+    else:
+        emb_pairs = rp_lsh_near_dup_auto(emb,
+                                         threshold=cosine_threshold,
+                                         target_recall=target_recall,
+                                         max_bands=max_bands,
+                                         id_col=vec_id_col,
+                                         vec_col=vec_col, dim=dim)
+    emb_edges = emb_pairs.select("id_a", "id_b")
+    edges = text_edges.unionByName(emb_edges).distinct()
+    comp = connected_components(edges)
+    return (docs.select(F.col(id_col))
+            .join(comp, docs[id_col] == comp["id"], "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("comp"), F.col(id_col))
+                     .alias("group_id")))

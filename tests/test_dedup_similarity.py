@@ -287,6 +287,39 @@ def test_incremental_minhash_prebuilt_index(spark, tmp_path):
     assert direct == via_index == {5}
 
 
+def test_cross_signal_dedup_union_semantics(spark):
+    """One group forms only through the TEXT edge (near-identical
+    wording, orthogonal embeddings), one only through the EMBEDDING
+    edge (unrelated wording, parallel vectors), and the two signals
+    CHAIN: text-links a-b plus embedding-links b-c put a,b,c in one
+    group."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        cross_signal_dedup,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy "
+                           "dog in the park"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy "
+                           "dog in the yard"),       # text-near 0
+        Row(doc_id=2, text="completely different material about other "
+                           "unrelated topics entirely"),  # emb-near 1
+        Row(doc_id=3, text="a standalone document with wholly distinct "
+                           "content and words")])
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.999, 0.01]),  # parallel to 1
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0])])
+    got = {r.doc_id: r.group_id for r in cross_signal_dedup(
+        docs, emb, jaccard_threshold=0.5, cosine_threshold=0.95,
+        lsh_planes=8, lsh_bands=4, dim=3).collect()}
+    # 0-1 text edge, 1-2 embedding edge -> {0,1,2} chain; 3 isolated
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
 def test_append_to_minhash_index_day_over_day(spark):
     """Index maintenance closure: index(corpus) ∪ append(admitted) ==
     index(corpus ∪ admitted) EXACTLY, so a day-2 admission against the
