@@ -1685,6 +1685,24 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "seq_offset"))
 
 
+def _q_pretokenize_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end PRETOKENIZATION pipeline
+    (``packing.pretokenized_sequences``): corpus → deterministic
+    frequency-ranked vocabulary ids (two-pass distributed rank, no
+    global window) → id stream in doc_id order (the proven
+    ``pack_sequences`` offsets) → one row per 256-id training
+    sequence with the md5 of its exact id payload. This is the
+    artifact a training loader consumes; the digest puts every id of
+    every sequence on the value-hash path (the raw arrays export via
+    the TFRecord/sharded sinks)."""
+    from nyctaxidatapipeline_spark.operators.packing import (
+        pretokenized_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pretokenized_sequences(docs, "text", "doc_id", budget=256)
+
+
 def _q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing spans: one row per (document, training sequence) slice —
     documents longer than the 256-token budget spill across sequence
@@ -3593,6 +3611,7 @@ _ROUND9_FRONT = [
     "tfrecord_ingest", "jsonl_ingest",
     "ann_ivf_indexed", "ann_ivf", "incremental_semantic",
     "incremental_semantic_auto", "cross_signal_dedup",
+    "pretokenize_export",
     # tokens()-riding twins (array_remove rewrite)
     "ngram_jaccard", "near_dup_groups", "winnow_dedup",
     "fingerprint_dedup", "substring_dedup", "vocab", "bpe_token_stats",
@@ -3605,7 +3624,7 @@ _ROUND9_FRONT = [
     "line_dedup",
     # oldest driver records: r1-r3 reference-surface cohort
     "demand_heatmap", "tip_trends", "trip_performance",
-    "popular_routes", "payment_analysis",
+    "popular_routes",
 ]
 
 _ROUND8_FRONT = [
@@ -3790,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_recent": _q_range_join_recent,
         "profile_lineitem": _q_profile_lineitem,
         "pack_sequences": _q_pack_sequences,
+        "pretokenize_export": _q_pretokenize_export,
         "doc_spans": _q_doc_spans,
         "chunk_documents": _q_chunk_documents,
         "html_strip": _q_html_strip,
@@ -6477,6 +6497,44 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_params,
                    scheme = 'https' AS is_https
             FROM x
+        """,
+        # Twin of packing.pretokenized_sequences: same tokens contract,
+        # vocabulary ids by row_number over (count DESC, token) — equal
+        # to the Spark side's distributed prefix-count rank — doc
+        # offsets by the running sum, sequences by integer division,
+        # digests over the comma-joined ids in stream order.
+        "pretokenize_export": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, tk[i] AS tok,
+                     CAST(i - 1 AS BIGINT) AS pos
+              FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+            vid AS (
+              SELECT tok,
+                     CAST(row_number() OVER (ORDER BY COUNT(*) DESC,
+                                             tok) - 1 AS INTEGER) AS tid
+              FROM pos GROUP BY tok),
+            off AS (
+              SELECT doc_id,
+                     CAST(SUM(len(tk)) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - len(tk)
+                          AS BIGINT) AS start_global
+              FROM toks),
+            g AS (
+              SELECT o.start_global + p.pos AS gpos, v.tid
+              FROM pos p JOIN vid v USING (tok)
+                         JOIN off o USING (doc_id))
+            SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
+                   COUNT(*) AS n_ids,
+                   md5(string_agg(CAST(tid AS VARCHAR), ','
+                                  ORDER BY gpos)) AS ids_md5
+            FROM g GROUP BY 1
         """,
         "pack_sequences": """
             WITH toks AS (

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from nyctaxidatapipeline_spark.functions.text import token_count, tokens
 
 __all__ = ["distributed_prefix_sum", "pack_sequences", "packed_doc_spans",
-           "chunk_documents"]
+           "chunk_documents", "vocab_ids", "pretokenized_sequences"]
 
 
 def distributed_prefix_sum(df: DataFrame, value_col: str | Column,
@@ -232,3 +232,76 @@ def length_bucketed_batches(df: DataFrame, text_col: str, id_col: str,
                     / (F.col("n_docs") * F.col("max_tokens")), 6)
     return (out.withColumn("padding_tokens", waste)
                .withColumn("pad_ratio", ratio))
+
+
+def vocab_ids(df: DataFrame, text_col: str,
+              id_col: str | None = None) -> DataFrame:
+    """(tok, n, tid) — the corpus vocabulary with DETERMINISTIC integer
+    ids: tid = 0-based rank in (count DESC, token) order, the
+    frequency-sorted id assignment every tokenizer ships.
+
+    The rank is NOT a global ``row_number`` window (one task over the
+    whole vocabulary — 10⁸ rows at web scale): it reuses
+    :func:`distributed_prefix_sum` ordered by the NEGATED count with
+    the token as tiebreak — bucket assignment is a pure function of
+    the count, ties resolve inside buckets, and the result equals the
+    single-task ranking exactly (the same two-pass scan
+    ``pack_sequences`` runs over documents)."""
+    from nyctaxidatapipeline_spark.plans.util import fan_out
+
+    src = fan_out(df, id_col) if id_col is not None else df
+    counts = (src.select(F.explode(tokens(text_col)).alias("tok"))
+                 .groupBy("tok").agg(F.count("*").alias("n"))
+                 .withColumn("_negn", -F.col("n")))
+    ranked = distributed_prefix_sum(counts, F.lit(1), "_negn",
+                                    alias="_rank",
+                                    tiebreak_cols=("tok",))
+    return (ranked.withColumn("tid", (F.col("_rank") - 1).cast("int"))
+                  .select("tok", "n", "tid"))
+
+
+def pretokenized_sequences(df: DataFrame, text_col: str, id_col: str,
+                           budget: int = 256,
+                           n_buckets: int = 64) -> DataFrame:
+    """The TRAINING-INPUT artifact, end to end: corpus tokenized,
+    tokens mapped to the deterministic :func:`vocab_ids` vocabulary,
+    the id stream laid end-to-end in ``id_col`` order and cut every
+    ``budget`` ids — one row per training sequence:
+
+      (seq_id, n_ids, ids_md5)
+
+    with ``ids_md5`` = md5 of the comma-joined ids in stream order
+    (the value-hash surface standing in for the raw ``array<int>``
+    payload a real export writes — feed the same pipeline into
+    ``sinks.write_sharded`` / the TFRecord sink for bytes on disk).
+    The final partial sequence is kept.
+
+    Scale shape: both global orderings ride the two-pass
+    ``distributed_prefix_sum`` (document offsets over ``id_col``,
+    vocabulary ranks over counts) — no single-task window anywhere;
+    the token→id join shuffles on the token (Zipf-hot keys → AQE skew
+    split, same as every vocabulary join here); the per-sequence
+    digest aggregate holds ≤ ``budget`` elements per group."""
+    from nyctaxidatapipeline_spark.plans.util import fan_out
+
+    toks = (fan_out(df, id_col)
+            .select(id_col, F.posexplode(tokens(text_col))
+                    .alias("_pos", "_tok")))
+    vids = vocab_ids(df, text_col).select(
+        F.col("tok").alias("_tok"), "tid")
+    offsets = pack_sequences(
+        with_token_count(df.select(id_col, text_col), text_col),
+        "n_tokens", id_col, budget=budget, n_buckets=n_buckets
+    ).select(id_col, "start_global")
+    g = (toks.join(vids, "_tok")
+             .join(offsets, id_col)
+             .select((F.col("start_global") + F.col("_pos"))
+                     .alias("_gpos"), "tid"))
+    seq = F.expr(f"_gpos div {int(budget)}")
+    return (g.groupBy(seq.alias("seq_id"))
+             .agg(F.count("*").cast("long").alias("n_ids"),
+                  F.md5(F.concat_ws(",", F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("_gpos"), F.col("tid")))),
+                      lambda s: s["tid"].cast("string"))))
+                   .alias("ids_md5")))

@@ -292,3 +292,34 @@ def test_c4_line_filter_plan_is_python_free(spark):
     df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
     plan = explain_str(c4_line_filter(df, "text", "doc_id"), "simple")
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_pretokenized_sequences_hand_computed(spark):
+    """Tiny corpus, every value hand-derived: vocab ids by (count DESC,
+    token) — a=0, b=1, c=2 — stream [0,1,0 | 2,0,1], budget 4 →
+    seq0 = [0,1,0,2], seq1 = [0,1] (final partial kept)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.packing import (
+        pretokenized_sequences,
+        vocab_ids,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b a"),
+        Row(doc_id=1, text="c a b")])
+    vids = {r.tok: (r.n, r.tid) for r in
+            vocab_ids(docs, "text", "doc_id").collect()}
+    assert vids == {"a": (3, 0), "b": (2, 1), "c": (1, 2)}
+    got = {r.seq_id: (r.n_ids, r.ids_md5) for r in
+           pretokenized_sequences(docs, "text", "doc_id",
+                                  budget=4).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {0: (4, md5("0,1,0,2")), 1: (2, md5("0,1"))}
+    # repartition-invariant (pure function of the data + order)
+    again = {r.seq_id: (r.n_ids, r.ids_md5) for r in
+             pretokenized_sequences(docs.repartition(7), "text",
+                                    "doc_id", budget=4).collect()}
+    assert again == got
