@@ -433,9 +433,13 @@ def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``incremental_dedup``'s exact admission). The corpus is never
     re-paired against itself: its band-bucket table (persistable
     between increments) joins the batch's, and verification touches
-    only candidate corpus docs. Portable hash family — the twin
-    derives the identical verdicts from the unified pair set
-    restricted by the batch-membership arms."""
+    only candidate corpus docs. Since r9 the registered semantics
+    include the DEFAULT ``max_bucket=32`` symmetric storm backstop
+    (no fixture bucket exceeds 19, so the twin's uncapped pair set
+    derives identical verdicts — the cap is load-bearing only at
+    scale). Portable hash family — the twin derives the identical
+    verdicts from the unified pair set restricted by the
+    batch-membership arms."""
     from nyctaxidatapipeline_spark.operators.dedup import (
         incremental_minhash_admission,
     )
