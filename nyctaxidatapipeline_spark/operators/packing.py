@@ -262,7 +262,8 @@ def vocab_ids(df: DataFrame, text_col: str,
 
 def pretokenized_sequences(df: DataFrame, text_col: str, id_col: str,
                            budget: int = 256,
-                           n_buckets: int = 64) -> DataFrame:
+                           n_buckets: int = 64,
+                           payload: str = "digest") -> DataFrame:
     """The TRAINING-INPUT artifact, end to end: corpus tokenized,
     tokens mapped to the deterministic :func:`vocab_ids` vocabulary,
     the id stream laid end-to-end in ``id_col`` order and cut every
@@ -271,10 +272,12 @@ def pretokenized_sequences(df: DataFrame, text_col: str, id_col: str,
       (seq_id, n_ids, ids_md5)
 
     with ``ids_md5`` = md5 of the comma-joined ids in stream order
-    (the value-hash surface standing in for the raw ``array<int>``
-    payload a real export writes — feed the same pipeline into
-    ``sinks.write_sharded`` / the TFRecord sink for bytes on disk).
-    The final partial sequence is kept.
+    (the value-hash surface; the registered query's mode).
+    ``payload='ids'`` returns the raw ``array<int>`` column instead —
+    the frame a real export feeds straight into the TFRecord /
+    sharded sinks (e2e-gated: sequences → ``tfrecord_shards`` →
+    unframe+decode round-trips the exact ids). The final partial
+    sequence is kept.
 
     Scale shape: both global orderings ride the two-pass
     ``distributed_prefix_sum`` (document offsets over ``id_col``,
@@ -284,6 +287,9 @@ def pretokenized_sequences(df: DataFrame, text_col: str, id_col: str,
     digest aggregate holds ≤ ``budget`` elements per group."""
     from nyctaxidatapipeline_spark.plans.util import fan_out
 
+    if payload not in ("digest", "ids"):
+        raise ValueError(f"payload must be 'digest' or 'ids', "
+                         f"got {payload!r}")
     toks = (fan_out(df, id_col)
             .select(id_col, F.posexplode(tokens(text_col))
                     .alias("_pos", "_tok")))
@@ -298,10 +304,13 @@ def pretokenized_sequences(df: DataFrame, text_col: str, id_col: str,
              .select((F.col("start_global") + F.col("_pos"))
                      .alias("_gpos"), "tid"))
     seq = F.expr(f"_gpos div {int(budget)}")
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("_gpos"), F.col("tid")))),
+        lambda s: s["tid"])
+    out_val = (ids_in_order.alias("ids") if payload == "ids"
+               else F.md5(F.concat_ws(",", F.transform(
+                   ids_in_order, lambda t: t.cast("string"))))
+                     .alias("ids_md5"))
     return (g.groupBy(seq.alias("seq_id"))
-             .agg(F.count("*").cast("long").alias("n_ids"),
-                  F.md5(F.concat_ws(",", F.transform(
-                      F.array_sort(F.collect_list(
-                          F.struct(F.col("_gpos"), F.col("tid")))),
-                      lambda s: s["tid"].cast("string"))))
-                   .alias("ids_md5")))
+             .agg(F.count("*").cast("long").alias("n_ids"), out_val))

@@ -38,7 +38,14 @@ __all__ = ["tfrecord_shards", "read_tfrecord_shards",
 
 
 def _py(v):
-    """numpy/pandas scalar -> plain Python value for the proto writer."""
+    """numpy/pandas value -> plain Python value for the proto writer.
+    Arrays/lists become Python lists (multi-valued features — e.g. a
+    pretokenized sequence's ``array<int>`` ids column encodes as a
+    packed Int64List); scalars unwrap via ``.item()``."""
+    if isinstance(v, (list, tuple)):
+        return [_py(x) for x in v]
+    if hasattr(v, "tolist"):  # numpy array OR numpy scalar
+        return v.tolist()
     if hasattr(v, "item"):
         return v.item()
     return v

@@ -323,3 +323,36 @@ def test_pretokenized_sequences_hand_computed(spark):
              pretokenized_sequences(docs.repartition(7), "text",
                                     "doc_id", budget=4).collect()}
     assert again == got
+
+
+def test_pretokenized_export_tfrecord_roundtrip(spark):
+    """The FULL export loop: pretokenized id sequences (payload='ids')
+    packed into TFRecord shards, unframed and proto-decoded back — the
+    exact ids of every sequence survive the wire format."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.functions.tfrecord import (
+        decode_example,
+        unframe_records,
+    )
+    from nyctaxidatapipeline_spark.operators.packing import (
+        pretokenized_sequences,
+    )
+    from nyctaxidatapipeline_spark.sources.tfrecord import tfrecord_shards
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b a c d"),
+        Row(doc_id=1, text="c a b b e f")])
+    seqs = pretokenized_sequences(docs, "text", "doc_id", budget=4,
+                                  payload="ids")
+    want = {r.seq_id: list(r.ids) for r in seqs.collect()}
+    assert sorted(want) == [0, 1, 2]
+    assert sum(len(v) for v in want.values()) == 11
+    shards = tfrecord_shards(seqs, "seq_id", ["ids"],
+                             docs_per_shard=2).collect()
+    got = {}
+    for r in shards:
+        for rec in unframe_records(bytes(r.content)):
+            ex = decode_example(rec)
+            got[ex["seq_id"][0]] = ex["ids"]
+    assert got == want
