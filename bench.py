@@ -209,8 +209,9 @@ def main() -> None:
             sf1 = json.load(f)
         line["sf1"] = {"total_sec": sf1.get("value"),
                        "n_queries": len(sf1.get("queries", {})),
-                       "note": "full table + per-query ratios in "
-                               "BENCH_SF1.json / PLANS.md #12"}
+                       "note": "r9 refresh: 179 queries single-shot at 10x; "
+                               "worst ratio 11x (GK-1e6/JPEG rows); "
+                               "full table in BENCH_SF1.json"}
     except (OSError, ValueError):
         pass
     # Same for the 100x fixture (BENCH_SF10.json — two orders of
