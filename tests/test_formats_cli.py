@@ -112,3 +112,63 @@ def test_xml_round_trip(spark, tmp_path):
                     schema="k bigint, name string, price double")
     assert {tuple(r) for r in back.collect()} == \
            {tuple(r) for r in df.collect()}
+
+
+def test_curation_cli_end_to_end(spark, tmp_path, monkeypatch):
+    """Drive the curation CLI main(): raw documents -> curated parquet,
+    duplication histogram, savings report, pretokenized TFRecord shards
+    — and the shards decode back to the exact sequences the operator
+    yields."""
+    import json as _json
+
+    import tools.run_curation_pipeline as cli
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(cli, "get_spark",
+                        lambda *a, **k: _NoStop(spark))
+    out = str(tmp_path / "run")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["--documents",
+                       "/root/testdata/sf0.001/documents.parquet",
+                       "--out", out, "--export-tfrecord",
+                       "--budget", "64"])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert 0 < rep["n_curated_docs"] <= rep["n_input_docs"]
+    assert rep["n_sequences"] > 0
+    import os
+
+    assert os.path.exists(f"{out}/curated/_SUCCESS")
+    assert os.path.exists(f"{out}/dup_histogram/_SUCCESS")
+    shards = [f for f in os.listdir(f"{out}/tfrecord")
+              if f.endswith(".tfrecord")]
+    assert shards
+    from nyctaxidatapipeline_spark.functions.tfrecord import (
+        decode_example,
+        unframe_records,
+    )
+    from nyctaxidatapipeline_spark.operators.packing import (
+        pretokenized_sequences,
+    )
+
+    curated = spark.read.parquet(f"{out}/curated")
+    want = {r.seq_id: list(r.ids) for r in pretokenized_sequences(
+        curated, "text", "doc_id", budget=64, payload="ids").collect()}
+    got = {}
+    for name in shards:
+        with open(f"{out}/tfrecord/{name}", "rb") as f:
+            for rec in unframe_records(f.read()):
+                ex = decode_example(rec)
+                got[ex["seq_id"][0]] = ex["ids"]
+    assert got == want and len(got) == rep["n_sequences"]
