@@ -456,14 +456,23 @@ def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_dir(sf_dir: str, table: str, tag: str) -> str:
-    """Deterministic /tmp location of a PERSISTED index for a fixture
+    """Deterministic temp location of a PERSISTED index for a fixture
     table — keyed by the resolved path plus the source parquet's
     (size, mtime) so a regenerated fixture invalidates the index
     instead of silently reusing a stale one, and by ``tag`` (the index
     parameters). Deliberately NOT a per-call scratch dir: surviving
     across calls IS the deployment semantics the ``*_indexed`` queries
-    register."""
+    register.
+
+    The cache root is PER-USER (0o700, ownership-checked) so another
+    user on a shared host can neither pre-create/poison the index
+    location nor collide on permissions; writes go through
+    ``_materialize_index``'s write-to-unique-then-rename, so two
+    concurrent runs race to an atomic rename instead of interleaving
+    overwrite-writes against each other's reads."""
+    import getpass
     import hashlib
+    import tempfile
 
     src = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
     try:
@@ -472,7 +481,40 @@ def _index_dir(sf_dir: str, table: str, tag: str) -> str:
     except OSError:  # directory-of-parts fixtures: key on the dir itself
         stamp = "dir"
     key = hashlib.md5(f"{src}|{stamp}|{tag}".encode()).hexdigest()
-    return f"/tmp/ndpspark_index_{tag}_{key[:12]}"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"ndpspark-index-{getpass.getuser()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    bst = os.stat(base)
+    if hasattr(os, "getuid") and bst.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index cache dir {base} is owned by uid {bst.st_uid}, not "
+            f"this process's uid {os.getuid()} — refusing to read or "
+            "write indexes through a directory another user controls")
+    return os.path.join(base, f"{tag}_{key[:12]}")
+
+
+def _materialize_index(df: DataFrame, idx_dir: str,
+                       partition_by: str | None = None) -> None:
+    """Idempotent, race-safe index persist: no-op when ``idx_dir``
+    already carries a complete (``_SUCCESS``-marked) index; otherwise
+    write to a unique sibling temp dir and atomically rename into
+    place. A concurrent run that loses the rename race discards its
+    own build and reads the winner's — readers never observe a
+    half-written index directory."""
+    if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        return
+    import shutil
+    import uuid
+
+    tmp = f"{idx_dir}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    try:
+        os.rename(tmp, idx_dir)
+    except OSError:  # lost the race — the winner's index is complete
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _minhash_index_dir(sf_dir: str) -> str:
@@ -504,10 +546,10 @@ def _q_incremental_minhash_indexed(spark: SparkSession,
     corpus = docs.filter(F.col("doc_id") % 50 != 1)
     batch = docs.filter(F.col("doc_id") % 50 == 1)
     idx_dir = _minhash_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        (build_minhash_index(corpus, "text", "doc_id", n=3,
-                             num_hashes=32, bands=8, portable=True)
-         .write.mode("overwrite").parquet(idx_dir))
+    _materialize_index(
+        build_minhash_index(corpus, "text", "doc_id", n=3,
+                            num_hashes=32, bands=8, portable=True),
+        idx_dir)
     adm = incremental_minhash_admission(
         batch, corpus, "text", "doc_id", n=3, num_hashes=32, bands=8,
         threshold=0.5, portable=True,
@@ -744,10 +786,8 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids_portable(emb, n_centroids=16)
     idx_dir = _index_dir(sf_dir, "embeddings", "ivf16p")
-    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        (ivf_assign(emb, cents, dim=embedding_dim(emb))
-         .write.mode("overwrite").partitionBy("list_id")
-         .parquet(idx_dir))
+    _materialize_index(ivf_assign(emb, cents, dim=embedding_dim(emb)),
+                       idx_dir, partition_by="list_id")
     return ivf_topk(None, emb.filter(F.col("vec_id") < 5), k=10,
                     nprobe=4, dim=embedding_dim(emb), centroids=cents,
                     corpus_index=spark.read.parquet(idx_dir))

@@ -266,7 +266,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     (32)** — PLANS.md #20 measured it load-bearing, so the scale-safe
     behavior is what a bare call gets; pass ``max_bucket=None`` to
     opt into the uncapped exhaustive semantics (correctness oracles,
-    sample-scale recall studies).
+    sample-scale recall studies). *Changed in 0.2.0* (was ``None``):
+    external callers relying on exhaustive pair enumeration must now
+    opt out explicitly — see CHANGELOG.md.
 
     ``reuse_shingles`` materializes the (id, shingle) frame once
     (lazy ``localCheckpoint``) and shares it between the signature and

@@ -316,6 +316,13 @@ def frame_sample(df: DataFrame, every_n: int = 10,
 
                 rows = []
                 for aid, media in zip(pdf[id_col], pdf[media_col]):
+                    # Per-asset rows accumulate locally and land in the
+                    # batch only after the demux walks the WHOLE
+                    # container — all-or-nothing, matching the avi/h264
+                    # walkers (which parse fully before emitting). A
+                    # container that demuxes N packets then raises
+                    # contributes zero rows, not a silent prefix.
+                    asset_rows = []
                     try:
                         with av.open(io.BytesIO(bytes(media or b""))) \
                                 as container:
@@ -330,11 +337,12 @@ def frame_sample(df: DataFrame, every_n: int = 10,
                                 if f_i % every_n == 0:
                                     pos = (pkt.pos if pkt.pos is not None
                                            and pkt.pos >= 0 else None)
-                                    rows.append((aid, idx, pos))
+                                    asset_rows.append((aid, idx, pos))
                                     idx += 1
                                 f_i += 1
                     except Exception:  # undecodable media -> no rows
                         continue
+                    rows.extend(asset_rows)
                 yield pd.DataFrame(
                     rows, columns=["asset_id", "frame_index",
                                    "frame_offset"])
