@@ -825,6 +825,49 @@ def _q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 embedding_dim(emb)).alias("vec_norm")))
 
 
+def _q_incremental_semantic_indexed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of the semantic admission gate — the third
+    leg of the persisted-index family (``incremental_minhash_indexed``
+    is the lexical admission, ``ann_ivf_indexed`` the search path):
+    the standing CORPUS's inverted index (``similarity.ivf_assign``
+    output, the O(corpus·k·d) assignment a deployment pays once at
+    ingest) is built once, persisted ``partitionBy('list_id')``, and
+    every daily increment probes the read-back index via
+    ``corpus_index=`` — the corpus is never re-routed, and because the
+    probe join keys on the PARTITION column, dynamic partition pruning
+    reads only the probed lists' files (plan-gated in
+    ``tests/test_dedup_similarity.py``). Same ~2% batch split, 0.4
+    threshold, nprobe and portable seed centroids as
+    ``incremental_semantic``, and the admitted set is
+    INDEX-REPRESENTATION-INDEPENDENT (unit-pinned through the parquet
+    round trip), so the DuckDB twin is the same SQL as the
+    in-query-assignment registration. Output: admitted
+    (vec_id, vec_norm)."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        as_double,
+        incremental_semantic_admission,
+        ivf_assign,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 50 != 1)
+    batch = emb.filter(F.col("vec_id") % 50 == 1)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
+    idx_dir = _index_dir(sf_dir, "embeddings", "ivf16p_c50")
+    _materialize_index(ivf_assign(corpus, cents, dim=embedding_dim(emb)),
+                       idx_dir, partition_by="list_id")
+    adm = incremental_semantic_admission(
+        batch, None, threshold=0.4, nprobe=4,
+        dim=embedding_dim(emb), centroids=cents,
+        corpus_index=spark.read.parquet(idx_dir))
+    return round_doubles(adm.select(
+        "vec_id",
+        l2_norm(as_double(F.col("embedding")),
+                embedding_dim(emb)).alias("vec_norm")))
+
+
 def _q_incremental_semantic_auto(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The 100 TB operating point of the semantic admission gate
@@ -3827,6 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: the embedding-side daily-increment admission gate
         "incremental_semantic": _q_incremental_semantic,
         "incremental_semantic_auto": _q_incremental_semantic_auto,
+        # r10: the persisted-index deployment shape (third index family)
+        "incremental_semantic_indexed": _q_incremental_semantic_indexed,
         "cross_signal_dedup": _q_cross_signal_dedup,
         "near_dup_groups": _q_near_dup_groups,
         "lang_confusion": _q_lang_confusion,
@@ -5647,6 +5692,11 @@ def oracle_sql() -> dict[str, str]:
         # Its 100 TB operating point: auto-sized lists + BLAS routing
         # (rounded-6dp routing ranks, the knn_graph_ivf recipe).
         "incremental_semantic_auto": _incremental_semantic_auto_oracle_sql(),
+        # The persisted-index registration admits the IDENTICAL set —
+        # the index stores the same (vec, norm, list_id) assignments the
+        # in-query pass derives (unit-pinned through the parquet round
+        # trip) — so the twin is the same SQL.
+        "incremental_semantic_indexed": _incremental_semantic_oracle_sql(),
         # Multi-signal dedup: lexical star edges + RP-LSH cosine edges,
         # one recursive closure (both fragments individually proven).
         "cross_signal_dedup": _cross_signal_oracle_sql(),

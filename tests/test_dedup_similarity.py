@@ -628,10 +628,17 @@ def test_incremental_semantic_admission(spark, tmp_path):
     path = str(tmp_path / "ivf_adm_index")
     (ivf_assign(corpus, cents, dim=3)
      .write.partitionBy("list_id").parquet(path))
-    via = {r.vec_id for r in incremental_semantic_admission(
+    via_df = incremental_semantic_admission(
         batch, None, threshold=0.95, nprobe=2, dim=3, centroids=cents,
-        corpus_index=spark.read.parquet(path)).collect()}
+        corpus_index=spark.read.parquet(path))
+    via = {r.vec_id for r in via_df.collect()}
     assert via == got
+    # deployment contract: the probe join keys on the partition column,
+    # so the index scan carries a dynamic-partition-pruning filter —
+    # probed lists are the only partitions READ at 100 TB (the same
+    # plan gate as the ivf_topk round trip)
+    plan = via_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
     with pytest.raises(ValueError, match="centroids"):
         incremental_semantic_admission(
             batch, None, corpus_index=spark.read.parquet(path))
