@@ -650,6 +650,56 @@ def _q_cross_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_bucket=32)
 
 
+def _q_cross_signal_dedup_indexed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of multi-signal dedup (VERDICT r9 task 3):
+    both arms' persisted index structures — the lexical arm's MinHash
+    band-bucket table over the exact-dedup REPRESENTATIVES
+    (``build_minhash_index(exact_representatives(docs))``) and the
+    embedding arm's random-hyperplane bucket table at the auto
+    operating point (``build_rp_lsh_index``) — are built once,
+    persisted to parquet, and the composition reads them back via
+    ``lex_index=`` / ``emb_index=``, skipping BOTH signature passes
+    (the dominant cost of the in-query-rebuild registration; at sf10
+    the rebuild pays both arms' index builds every run). Identical
+    edges → identical components (unit-pinned through the parquet
+    round trips), so the DuckDB twin is the same SQL as
+    ``cross_signal_dedup`` — the grouping is
+    index-representation-independent, the
+    ``incremental_minhash_indexed`` argument applied to the composed
+    closure. Same thresholds/params as the rebuild registration."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        cross_signal_dedup,
+        exact_representatives,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_rp_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex_dir = _index_dir(sf_dir, "documents", "mhreps_n3h32b8p")
+    _materialize_index(
+        build_minhash_index(exact_representatives(docs, "text", "doc_id"),
+                            "text", "doc_id", n=3, num_hashes=32,
+                            bands=8, portable=True),
+        lex_dir)
+    emb_dir = _index_dir(sf_dir, "embeddings", "rplsh_t04r09b8")
+    _materialize_index(
+        build_rp_lsh_index(emb, threshold=0.4, target_recall=0.9,
+                           max_bands=8, dim=embedding_dim(emb)),
+        emb_dir)
+    return cross_signal_dedup(docs, emb, jaccard_threshold=0.5,
+                              cosine_threshold=0.4,
+                              num_hashes=32, bands=8,
+                              target_recall=0.9, max_bands=8,
+                              dim=embedding_dim(emb), portable=True,
+                              max_bucket=32,
+                              lex_index=spark.read.parquet(lex_dir),
+                              emb_index=spark.read.parquet(emb_dir))
+
+
 def _q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality measurement as a first-class query
     (``dedup.lsh_recall_report``): exact 3-gram-Jaccard pairs vs
@@ -3873,6 +3923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: the persisted-index deployment shape (third index family)
         "incremental_semantic_indexed": _q_incremental_semantic_indexed,
         "cross_signal_dedup": _q_cross_signal_dedup,
+        # r10: both arms' persisted indexes plumbed through
+        "cross_signal_dedup_indexed": _q_cross_signal_dedup_indexed,
         "near_dup_groups": _q_near_dup_groups,
         "lang_confusion": _q_lang_confusion,
         "token_stats": _q_token_stats,
@@ -5700,6 +5752,11 @@ def oracle_sql() -> dict[str, str]:
         # Multi-signal dedup: lexical star edges + RP-LSH cosine edges,
         # one recursive closure (both fragments individually proven).
         "cross_signal_dedup": _cross_signal_oracle_sql(),
+        # The persisted-index registration computes the IDENTICAL edge
+        # union (both indexes store the same bucket rows the in-query
+        # passes derive; unit-pinned through the parquet round trips),
+        # so the twin is the same SQL.
+        "cross_signal_dedup_indexed": _cross_signal_oracle_sql(),
         # Twin of text_analysis.token_budget: same whitespace-token
         # contract, same RE2-parity BPE pre-tokenizer pattern.
         "corpus_token_budget": f"""

@@ -238,7 +238,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.5,
                       portable: bool = False,
                       max_bucket: int | None = 32,
-                      reuse_shingles: bool = False) -> DataFrame:
+                      reuse_shingles: bool = False,
+                      corpus_index: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     ``bands`` bands of ``num_hashes/bands`` rows each: collision probability
@@ -279,15 +280,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     the terminal consumer of its input (the curation pipeline, the
     exact-first production composition); default False keeps the
     storage-free recompute for callers embedding this in a larger plan.
+
+    ``corpus_index`` takes a prebuilt :func:`build_minhash_index` frame
+    for EXACTLY this ``df`` (read back from wherever the deployment
+    persists it) and skips the signature + banding pass — the dominant
+    cost of a cold run — leaving only the bucket→pair expansion and the
+    exact-Jaccard verification (which still reads ``df``'s text).
+    Identical pairs (the index stores the same (id, band, bucket) rows
+    the in-query pass derives; unit-pinned through a parquet round
+    trip); the (n, num_hashes, bands, portable) parameters must match
+    the index's, and ``max_bucket`` applies to the read-back buckets
+    exactly as it does in-query.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
     sh_all = (doc_shingles(df, text_col, id_col, n)
               .localCheckpoint(eager=False) if reuse_shingles else None)
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, portable,
-                             shingles_df=sh_all)
-    buckets = _band_buckets(sig, id_col, bands, r, portable)
+    if corpus_index is not None:
+        buckets = corpus_index.select(id_col, "band", "bucket")
+    else:
+        sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
+                                 portable, shingles_df=sh_all)
+        buckets = _band_buckets(sig, id_col, bands, r, portable)
     # Pair expansion per bucket (groupBy + in-array combinations) rather
     # than a bucket self-join — one shuffle keyed on (band, bucket), no
     # broadcast side, scale-stable.
@@ -707,11 +722,28 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
                     id_col, "left_anti")
 
 
+def exact_representatives(df: DataFrame, text_col: str,
+                          id_col: str) -> DataFrame:
+    """(id, text) of each exact (md5) duplicate class's min-id
+    representative — stage 1 of :func:`near_dup_production` as a
+    standalone frame. Pure function of the corpus text, so a
+    deployment can persist it (it IS the exact-dedup output) and build
+    the production LSH index over it with :func:`build_minhash_index`
+    — the ``reps_index=`` input of :func:`near_dup_production`."""
+    fp = F.md5(F.encode(F.col(text_col), "utf-8")).alias("_fp")
+    return (df.select(F.col(id_col), F.col(text_col), fp)
+              .groupBy("_fp")
+              .agg(F.min(id_col).alias(id_col),
+                   F.min(text_col).alias(text_col))
+              .select(id_col, text_col))
+
+
 def near_dup_production(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, num_hashes: int = 32, bands: int = 8,
                         threshold: float = 0.5,
                         portable: bool = False,
-                        max_bucket: int | None = 32) -> DataFrame:
+                        max_bucket: int | None = 32,
+                        reps_index: DataFrame | None = None) -> DataFrame:
     """(id, group_id) for EVERY input row — the PRODUCTION near-dup
     composition: **exact dedup first, then banded MinHash-LSH over the
     unique texts, then connected components**, with each row's group
@@ -756,6 +788,19 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
     ``portable=True`` makes the whole pipeline bit-reproducible in
     DuckDB (see ``minhash_signatures``), which is how the registered
     ``near_dup_production`` query is value-hash-gated end to end.
+
+    ``reps_index`` takes a prebuilt :func:`build_minhash_index` frame
+    over the REPRESENTATIVES (``build_minhash_index(
+    exact_representatives(df, ...), ...)`` — note: over reps, not the
+    raw corpus, or every copy class's identical signatures would
+    re-inflate the buckets the exact collapse exists to deflate) and
+    skips stage 3's signature pass — at scale the dominant cost of a
+    cold run. The md5 collapse (stages 1-2) is recomputed in-query:
+    it is one linear hash-groupBy, and reps are deterministic (min id
+    per class), so the in-query reps match the index's. Identical
+    grouping either way (unit-pinned through a parquet round trip);
+    (n, num_hashes, bands, portable, max_bucket) must match the
+    index's build parameters.
     """
     fp = F.md5(F.encode(F.col(text_col), "utf-8")).alias("_fp")
     with_fp = df.select(F.col(id_col), F.col(text_col), fp)
@@ -792,8 +837,12 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
                               num_hashes=num_hashes, bands=bands,
                               threshold=threshold, portable=portable,
                               max_bucket=max_bucket,
+                              # still pays off with an index: the
+                              # verification shingle frame has two
+                              # consumers (the id_a and id_b sides)
                               reuse_shingles=(nbytes is not None
-                                              and nbytes < 32 << 20))
+                                              and nbytes < 32 << 20),
+                              corpus_index=reps_index)
     comp = connected_components(pairs)
     return (members.join(comp, members["_rep"] == comp["id"], "left")
             .select(F.col(id_col),
@@ -1127,7 +1176,9 @@ def cross_signal_dedup(docs: DataFrame, emb: DataFrame,
                        max_bands: int = 8,
                        dim: int | None = None,
                        portable: bool = False,
-                       max_bucket: int | None = 32) -> DataFrame:
+                       max_bucket: int | None = 32,
+                       lex_index: DataFrame | None = None,
+                       emb_index: DataFrame | None = None) -> DataFrame:
     """(id, group_id) over the UNION of the lexical and semantic
     near-dup graphs — multi-signal dedup, the shape production
     curation actually runs: paraphrases/translations that sail past
@@ -1150,17 +1201,33 @@ def cross_signal_dedup(docs: DataFrame, emb: DataFrame,
     is individually oracle-gated; ``portable=True`` makes the whole
     composition value-hash-reproducible in SQL. Every stage is
     linear-ish in the corpus (bucket caps and band bucketing bound
-    the pair expansions) — nothing here is all-pairs."""
+    the pair expansions) — nothing here is all-pairs.
+
+    ``lex_index`` / ``emb_index`` take the two arms' PERSISTED index
+    structures — ``build_minhash_index(exact_representatives(docs))``
+    for the lexical arm (see ``near_dup_production``'s ``reps_index``)
+    and ``build_rp_lsh_index(emb)`` at this call's (threshold,
+    target_recall, max_bands) operating point for the embedding arm
+    (auto mode only — an explicit ``lsh_planes`` operating point takes
+    no index) — skipping both signature passes, the dominant cost of a
+    cold run. The grouping is index-representation-independent
+    (identical edges → identical components; unit-pinned), so the same
+    oracle gates both registrations."""
     from nyctaxidatapipeline_spark.operators.similarity import (
         rp_lsh_near_dup,
         rp_lsh_near_dup_auto,
     )
 
+    if emb_index is not None and lsh_planes is not None:
+        raise ValueError("emb_index is the auto operating point's "
+                         "index; it cannot serve an explicit "
+                         "lsh_planes configuration")
     mapping = near_dup_production(docs, text_col, id_col, n=3,
                                   num_hashes=num_hashes, bands=bands,
                                   threshold=jaccard_threshold,
                                   portable=portable,
-                                  max_bucket=max_bucket)
+                                  max_bucket=max_bucket,
+                                  reps_index=lex_index)
     text_edges = (mapping.filter(F.col(id_col) != F.col("group_id"))
                   .select(F.col(id_col).alias("id_a"),
                           F.col("group_id").alias("id_b")))
@@ -1175,7 +1242,8 @@ def cross_signal_dedup(docs: DataFrame, emb: DataFrame,
                                          target_recall=target_recall,
                                          max_bands=max_bands,
                                          id_col=vec_id_col,
-                                         vec_col=vec_col, dim=dim)
+                                         vec_col=vec_col, dim=dim,
+                                         corpus_index=emb_index)
     emb_edges = emb_pairs.select("id_a", "id_b")
     edges = text_edges.unionByName(emb_edges).distinct()
     comp = connected_components(edges)

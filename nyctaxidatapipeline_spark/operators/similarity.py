@@ -1006,13 +1006,52 @@ def rp_band_buckets_static(vec_name: str, components: list[list[float]],
     return out
 
 
+def build_rp_lsh_index(df: DataFrame, threshold: float = 0.95,
+                       target_recall: float = 0.9,
+                       max_bands: int = 128,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       dim: int | None = None,
+                       n: int | None = None) -> DataFrame:
+    """(id, band, bucket) — the persistable random-hyperplane LSH index
+    of a corpus at :func:`rp_lsh_params`'s corpus-size-aware operating
+    point: the signature projection (planes × dim fold per vector, the
+    CPU hot loop of a cold :func:`rp_lsh_near_dup_auto` run) computed
+    ONCE, to be written ``partitionBy('band')`` (or bucketed on (band,
+    bucket)) and read back via that function's ``corpus_index=``. Pure
+    function of (corpus, threshold, target_recall, max_bands) — the
+    same md5-portable plane matrix both sides derive — so index ∘
+    persist ∘ read-back yields bit-identical buckets to the in-query
+    pass (unit-pinned). ``n`` (the corpus count the parameterization
+    keys on) defaults to ``df.count()``; a deployment passes the count
+    it sized the index with."""
+    if n is None:
+        n = df.count()
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    planes, bands = rp_lsh_params(n, threshold, target_recall, max_bands)
+    comps = rp_plane_components_portable(dim, planes)
+    vec_d = as_double(F.col(vec_col))
+    base = (fan_out(df, id_col)
+              .filter(F.size(F.col(vec_col)) > 0)
+              .select(F.col(id_col), vec_d.alias("vec")))
+    band_exprs = rp_band_buckets_static("vec", comps, bands)
+    band_cols = [F.struct(F.lit(bi).alias("band"), e.alias("bucket"))
+                 for bi, e in enumerate(band_exprs)]
+    return (base.select(id_col,
+                        F.explode(F.array(*band_cols)).alias("bb"))
+                .select(id_col, "bb.band", "bb.bucket"))
+
+
 def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
                          target_recall: float = 0.9,
                          max_bands: int = 128,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          dim: int | None = None,
-                         n: int | None = None) -> DataFrame:
+                         n: int | None = None,
+                         corpus_index: DataFrame | None = None
+                         ) -> DataFrame:
     """Corpus-size-aware LSH near-dup — ``rp_lsh_near_dup`` with
     (planes, bands) derived from the corpus count via ``rp_lsh_params``
     instead of fixed by the caller.
@@ -1027,24 +1066,38 @@ def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
     ``rp_band_buckets_static`` (per-band integers), so the plane budget
     is not capped at the packed-long 63 bits. Always uses the portable
     md5 plane matrix — oracle-twinnable at any operating point.
+
+    ``corpus_index`` takes a prebuilt :func:`build_rp_lsh_index` frame
+    for EXACTLY this ``df`` (read back from wherever the deployment
+    persists it) and skips the signature projection entirely — the
+    rerank sides re-derive only (vec, norm) from the scan, a
+    single dim-sized fold per vector (~planes× cheaper than the
+    signature). Identical pairs (same bucket rows → same candidates →
+    same exact-cosine rerank; unit-pinned through a parquet round
+    trip); the index must have been built at the same (threshold,
+    target_recall, max_bands, n) operating point.
     """
-    if n is None:
-        n = df.count()
     if dim is None:
         dim = embedding_dim(df, vec_col)
-    planes, bands = rp_lsh_params(n, threshold, target_recall, max_bands)
-    comps = rp_plane_components_portable(dim, planes)
     vec_d = as_double(F.col(vec_col))
     base = (fan_out(df, id_col)
               .filter(F.size(F.col(vec_col)) > 0)
               .select(F.col(id_col), vec_d.alias("vec"),
                       l2_norm(vec_d, dim).alias("norm")))
-    band_exprs = rp_band_buckets_static("vec", comps, bands)
-    band_cols = [F.struct(F.lit(bi).alias("band"), e.alias("bucket"))
-                 for bi, e in enumerate(band_exprs)]
-    buckets = (base.select(id_col,
-                           F.explode(F.array(*band_cols)).alias("bb"))
-                   .select(id_col, "bb.band", "bb.bucket"))
+    if corpus_index is not None:
+        buckets = corpus_index.select(id_col, "band", "bucket")
+    else:
+        if n is None:
+            n = df.count()
+        planes, bands = rp_lsh_params(n, threshold, target_recall,
+                                      max_bands)
+        comps = rp_plane_components_portable(dim, planes)
+        band_exprs = rp_band_buckets_static("vec", comps, bands)
+        band_cols = [F.struct(F.lit(bi).alias("band"), e.alias("bucket"))
+                     for bi, e in enumerate(band_exprs)]
+        buckets = (base.select(id_col,
+                               F.explode(F.array(*band_cols)).alias("bb"))
+                       .select(id_col, "bb.band", "bb.bucket"))
     return _posting_list_rerank(base, buckets, threshold, id_col)
 
 

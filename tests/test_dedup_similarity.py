@@ -932,3 +932,123 @@ def test_knn_graph_zero_vector_anchor_survives(spark):
     assert set(got) == {0, 1, 2, 3, 4, 5}
     # zero anchor ranks by tie-broken id at cosine 0.0
     assert got[0] == (1, 0.0)
+
+
+def test_lsh_pairs_and_production_index_round_trip(spark, tmp_path):
+    """A persisted MinHash band-bucket index read back via
+    corpus_index= / reps_index= yields pairs and groupings identical
+    to the in-query signature pass — the deployment contract of the
+    cross_signal_dedup_indexed registration's lexical arm. The index
+    for the production path is built over the exact-collapse
+    REPRESENTATIVES (an index over the raw corpus would re-inflate
+    the copy-class buckets the collapse deflates)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        exact_representatives,
+    )
+
+    df = _docs(spark)
+    direct = {(r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True).collect()}
+    path = str(tmp_path / "mh_index")
+    (build_minhash_index(df, "text", "doc_id", n=3, num_hashes=32,
+                         bands=8, portable=True).write.parquet(path))
+    via = {(r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True,
+        corpus_index=spark.read.parquet(path)).collect()}
+    assert via == direct and direct  # non-vacuous
+    # production path: index over representatives
+    reps = exact_representatives(df, "text", "doc_id")
+    assert {(r.doc_id, r.text) for r in reps.collect()} == {
+        (0, DOCS[0][1]), (1, DOCS[1][1]), (3, DOCS[3][1])}
+    want = {r.doc_id: r.group_id for r in near_dup_production(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True).collect()}
+    rpath = str(tmp_path / "mh_reps_index")
+    (build_minhash_index(reps, "text", "doc_id", n=3, num_hashes=32,
+                         bands=8, portable=True).write.parquet(rpath))
+    got = {r.doc_id: r.group_id for r in near_dup_production(
+        df, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.5, portable=True,
+        reps_index=spark.read.parquet(rpath)).collect()}
+    assert got == want == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_rp_lsh_auto_index_round_trip(spark, tmp_path):
+    """build_rp_lsh_index persisted + read back via corpus_index=
+    yields pairs identical to the in-query signature projection, at
+    the same auto operating point."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_rp_lsh_index,
+        rp_lsh_near_dup_auto,
+    )
+
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0]),   # near 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.999, 0.02]),   # near 2
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0])])
+    direct = {(r.id_a, r.id_b, r.cosine) for r in rp_lsh_near_dup_auto(
+        emb, threshold=0.95, target_recall=0.9, max_bands=8,
+        dim=3).collect()}
+    path = str(tmp_path / "rp_index")
+    (build_rp_lsh_index(emb, threshold=0.95, target_recall=0.9,
+                        max_bands=8, dim=3).write.parquet(path))
+    via = {(r.id_a, r.id_b, r.cosine) for r in rp_lsh_near_dup_auto(
+        emb, threshold=0.95, target_recall=0.9, max_bands=8, dim=3,
+        corpus_index=spark.read.parquet(path)).collect()}
+    assert via == direct and (0, 1, 1.0) not in direct  # rounded cosines
+    assert {(a, b) for a, b, _ in direct} >= {(0, 1), (2, 3)}
+
+
+def test_cross_signal_dedup_indexed_round_trip(spark, tmp_path):
+    """Both arms' persisted indexes plumbed through cross_signal_dedup
+    yield the IDENTICAL grouping as the in-query rebuild — the
+    index-representation-independence the shared oracle SQL of the
+    cross_signal_dedup_indexed registration relies on."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        cross_signal_dedup,
+        exact_representatives,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_rp_lsh_index,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy "
+                           "dog in the park"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy "
+                           "dog in the yard"),       # text-near 0
+        Row(doc_id=2, text="completely different material about other "
+                           "unrelated topics entirely"),  # emb-near 1
+        Row(doc_id=3, text="a standalone document with wholly distinct "
+                           "content and words")])
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.999, 0.01]),  # parallel to 1
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0])])
+    kw = dict(jaccard_threshold=0.5, cosine_threshold=0.95,
+              target_recall=0.9, max_bands=8, dim=3, portable=True)
+    want = {r.doc_id: r.group_id
+            for r in cross_signal_dedup(docs, emb, **kw).collect()}
+    lex = str(tmp_path / "lex_index")
+    (build_minhash_index(exact_representatives(docs, "text", "doc_id"),
+                         "text", "doc_id", portable=True)
+     .write.parquet(lex))
+    embp = str(tmp_path / "emb_index")
+    (build_rp_lsh_index(emb, threshold=0.95, target_recall=0.9,
+                        max_bands=8, dim=3).write.parquet(embp))
+    got = {r.doc_id: r.group_id for r in cross_signal_dedup(
+        docs, emb, lex_index=spark.read.parquet(lex),
+        emb_index=spark.read.parquet(embp), **kw).collect()}
+    assert got == want == {0: 0, 1: 0, 2: 0, 3: 3}
+    # an emb index is the AUTO operating point's; explicit planes
+    # cannot consume it
+    with pytest.raises(ValueError, match="lsh_planes"):
+        cross_signal_dedup(docs, emb, lsh_planes=8, lsh_bands=4,
+                           emb_index=spark.read.parquet(embp), **kw)
