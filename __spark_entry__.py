@@ -3739,6 +3739,33 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: regression fix); the remaining slots go to the OLDEST driver records
 #: (the r1-r3 reference-surface cohort, last driver-checked in
 #: CORRECTNESS_r02/_r03 — VERDICT r8 stretch task 8).
+_ROUND10_FRONT = [
+    # new r10 (never driver-verified): the two remaining persisted-index
+    # registrations
+    "incremental_semantic_indexed", "cross_signal_dedup_indexed",
+    # the r1-r3-cohort queries whose latest driver record predates r4
+    # (all 31 independently harness-verified green in r9's judge pass;
+    # this completes the archival rotation — VERDICT r9 task 1)
+    "payment_analysis", "distance_distribution", "fare_anomalies",
+    "cleaning_dropna", "hourly_window", "tpch_q1_sql",
+    "star_join_revenue", "rollup_revenue", "cube_revenue",
+    "grouping_sets_sql", "pivot_qty", "melt_measures",
+    "sessionize_users", "scd2_versions", "ann_topk", "ann_lsh",
+    "embedding_near_dup", "top_orders_per_customer",
+    "urgent_customers_semi", "customers_no_orders_anti",
+    "purchasers_without_errors", "signup_and_purchase",
+    "asof_last_purchase", "dataset_split", "distinct_parts",
+    "grouped_percentiles", "json_extract_k", "profile_lineitem",
+    "range_join_recent", "stratified_sample", "user_interarrival",
+    # fill to 50 with the oldest remaining records (r4 cohort)
+    "cohort_retention", "corpus_report", "correlations",
+    "data_quality", "dataset_mix", "domain_cap", "frame_sample",
+    "fuzzy_names", "image_features", "incremental_dedup",
+    "incremental_dedup_bloom", "incremental_rollup", "interval_join",
+    "merge_upsert", "quantize_embeddings", "tpch_q2_sql",
+    "tpch_q3_sql",
+]
+
 _ROUND9_FRONT = [
     # new + API-touched r9
     "incremental_minhash_indexed", "incremental_minhash",
@@ -3823,11 +3850,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
-    the first 50 entries. Rounds 1-6 drove all 147 queries to a driver
-    record (146 green at latest; the one red — ``embedding_covariance``
-    — was the signed-zero class, fixed this round). The round-7 window
-    leads with ``_ROUND7_FRONT`` (changed-semantics + new + re-record
-    queries), then the r6/r5 fronts, then the rest in prior order."""
+    the first 50 entries. Rounds 1-9 drove all 183 queries to a green
+    driver record (cumulative union of windows). The round-10 window
+    leads with ``_ROUND10_FRONT``: the two new persisted-index
+    registrations, then the 31 r1-r3-cohort queries whose records were
+    the oldest on file (completing the archival rotation — after r10
+    every query's latest record is ≤6 rounds old and the oldest cohort
+    is r4), then r4-cohort fill; prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4010,7 +4039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "weighted_corpus_sample": _q_weighted_corpus_sample,
     }
-    ordered = {name: full[name] for name in _ROUND9_FRONT}
+    ordered = {name: full[name] for name in _ROUND10_FRONT}
+    ordered.update({name: full[name] for name in _ROUND9_FRONT})
     ordered.update({name: full[name] for name in _ROUND8_FRONT})
     ordered.update({name: full[name] for name in _ROUND7_FRONT})
     ordered.update({name: full[name] for name in _ROUND6_FRONT})
