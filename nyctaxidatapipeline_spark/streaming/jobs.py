@@ -328,6 +328,15 @@ def _admit_commit_fn(corpus_dir: str, text_col: str, id_col: str,
     the admissions in ``epoch=N`` via write-tmp-then-rename — the
     rename IS the exactly-once commit, replayed epochs no-op on the
     existing directory."""
+    return _admit_commit_cols_fn(corpus_dir, [id_col, text_col],
+                                 admitter)
+
+
+def _admit_commit_cols_fn(corpus_dir: str, cols: list[str], admitter):
+    """``_admit_commit_fn`` generalized to an arbitrary payload
+    column list (id first) — the cross-signal admitter carries BOTH a
+    text and an embedding column through the same epoch-directory
+    exactly-once commit."""
     import shutil
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -335,13 +344,13 @@ def _admit_commit_fn(corpus_dir: str, text_col: str, id_col: str,
         if os.path.exists(edir):
             return                       # replayed epoch — committed
         spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col)
+        batch = batch_df.select(*cols)
         if os.path.isdir(corpus_dir) and any(
                 e.startswith("epoch=") for e in os.listdir(corpus_dir)):
             corpus = (spark.read
                       .option("basePath", corpus_dir)
                       .parquet(corpus_dir)
-                      .select(id_col, text_col))
+                      .select(*cols))
         else:
             corpus = spark.createDataFrame([], batch.schema)
         admitted = admitter(batch, corpus)
@@ -455,6 +464,92 @@ def run_streaming_semantic_admission(stream: DataFrame, corpus_dir: str,
          .foreachBatch(semantic_admit_fn(corpus_dir, vec_col, id_col,
                                          threshold, n_centroids,
                                          nprobe)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
+def cross_signal_admit_fn(corpus_dir: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          vec_col: str = "embedding",
+                          jaccard_threshold: float = 0.5,
+                          cosine_threshold: float = 0.85,
+                          max_bucket: int | None = 32,
+                          n_centroids: int = 16, nprobe: int = 4):
+    """``foreachBatch`` for :func:`run_streaming_cross_signal_admission`:
+    the streaming twin of ``dedup.cross_signal_dedup`` — each
+    micro-batch row (carrying BOTH its text and its embedding) is
+    admitted only if NEITHER signal links it to the admitted corpus or
+    to a smaller-id row of its own batch: the lexical gate is
+    ``incremental_minhash_admission`` (banded LSH, capped, exact-
+    Jaccard verified), the semantic gate
+    ``incremental_semantic_admission`` (IVF-probed cosine, corpus-
+    seeded centroids like ``semantic_admit_fn``).
+
+    Running the two gates independently and INTERSECTING their
+    admitted sets IS the union-graph greedy admission: a row is
+    rejected by the union graph iff some eligible partner sits within
+    the lexical OR the cosine threshold, i.e. iff at least one gate
+    rejects it — exactly the complement of the intersection (both
+    gates use the same eligible-partner convention: corpus, or
+    smaller id in the same batch). Same epoch-directory exactly-once
+    commit as the single-signal front doors; per-batch cost is the
+    sum of the two gates' batch-proportional costs, never
+    |corpus|²."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        ivf_seed_centroids,
+    )
+
+    def admitter(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+        lex = incremental_minhash_admission(
+            batch.select(id_col, text_col),
+            corpus.select(id_col, text_col), text_col, id_col,
+            threshold=jaccard_threshold, max_bucket=max_bucket)
+        seed_src = corpus if not corpus.isEmpty() else batch
+        cents = ivf_seed_centroids(seed_src, n_centroids, id_col,
+                                   vec_col)
+        if cents:
+            sem = incremental_semantic_admission(
+                batch.select(id_col, vec_col),
+                corpus.select(id_col, vec_col), id_col=id_col,
+                vec_col=vec_col, threshold=cosine_threshold,
+                nprobe=nprobe, centroids=cents)
+        else:   # no non-degenerate vectors anywhere: nothing to gate
+            sem = batch
+        return (batch.join(lex.select(id_col), id_col, "left_semi")
+                     .join(sem.select(id_col), id_col, "left_semi"))
+
+    return _admit_commit_cols_fn(corpus_dir, [id_col, text_col, vec_col],
+                                 admitter)
+
+
+def run_streaming_cross_signal_admission(
+        stream: DataFrame, corpus_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        jaccard_threshold: float = 0.5,
+        cosine_threshold: float = 0.85,
+        max_bucket: int | None = 32,
+        n_centroids: int = 16, nprobe: int = 4,
+        checkpoint_dir: str | None = None):
+    """foreachBatch streaming corpus admission gated by BOTH signals:
+    a row enters ``corpus_dir`` only if it has no lexical near-dup AND
+    no semantic near-dup among the admitted corpus or earlier rows of
+    its own micro-batch (see ``cross_signal_admit_fn``) — the
+    streaming twin of the registered ``cross_signal_dedup`` batch
+    composition, on the same epoch-commit skeleton as the exact /
+    MinHash / semantic front doors."""
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(cross_signal_admit_fn(
+             corpus_dir, text_col, id_col, vec_col, jaccard_threshold,
+             cosine_threshold, max_bucket, n_centroids, nprobe)))
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()

@@ -735,3 +735,109 @@ def test_streaming_semantic_admission_replay_and_increment(spark,
     want = {r.vec_id for r in incremental_semantic_admission(
         b0, empty, threshold=0.95, nprobe=2, centroids=cents).collect()}
     assert want == {1, 3}
+
+
+def test_streaming_cross_signal_admission_replay_and_increment(
+        spark, tmp_path):
+    """Multi-signal streaming admission: a row is rejected by EITHER
+    signal (lexical near-dup with an orthogonal embedding, or
+    cosine-near vector with unrelated text); replayed epochs no-op; a
+    later epoch rejects against the admitted corpus via each signal
+    independently and admits rows novel under both."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        cross_signal_admit_fn,
+    )
+
+    corpus = str(tmp_path / "xcorpus")
+    fn = cross_signal_admit_fn(corpus, jaccard_threshold=0.5,
+                               cosine_threshold=0.95,
+                               n_centroids=2, nprobe=2)
+    base = "the quick brown fox jumps over the lazy dog in the park"
+    b0 = spark.createDataFrame([
+        Row(doc_id=1, text=base, embedding=[1.0, 0.0, 0.0]),
+        # lexical near 1, orthogonal embedding -> rejected by TEXT only
+        Row(doc_id=2, text=base.replace("park", "yard"),
+            embedding=[0.0, 1.0, 0.0]),
+        # unrelated text, cosine-near 1 -> rejected by EMBEDDING only
+        Row(doc_id=3, text="completely different material about other "
+                           "unrelated topics entirely",
+            embedding=[0.999, 0.01, 0.0]),
+        # novel under both signals
+        Row(doc_id=4, text="another wholly distinct document with "
+                           "fresh content and words",
+            embedding=[0.0, 0.0, 1.0])])
+    fn(b0, 0)
+    read = lambda: {r.doc_id for r in  # noqa: E731
+                    spark.read.option("basePath", corpus)
+                    .parquet(corpus).collect()}
+    assert read() == {1, 4}
+    fn(b0, 0)                                  # replay -> no-op
+    assert read() == {1, 4}
+    b1 = spark.createDataFrame([
+        # lexical near corpus 1 (embedding novel)
+        Row(doc_id=5, text=base.replace("park", "lane"),
+            embedding=[0.0, 1.0, 0.0]),
+        # cosine near corpus 1 (text novel)
+        Row(doc_id=6, text="fresh follow-up subject matter about new "
+                           "themes entirely again",
+            embedding=[0.998, 0.02, 0.0]),
+        # novel under both
+        Row(doc_id=7, text="a third standalone piece covering its own "
+                           "separate ground completely",
+            embedding=[0.5, 0.5, 0.5])])
+    fn(b1, 1)
+    assert read() == {1, 4, 7}
+    # the admitted corpus carries BOTH payloads (it feeds both gates)
+    cols = set(spark.read.option("basePath", corpus)
+               .parquet(corpus).columns)
+    assert {"doc_id", "text", "embedding"} <= cols
+
+
+def test_streaming_cross_signal_drained_equals_batch(spark, tmp_path):
+    """A drained single-batch cross-signal stream equals the
+    intersection of the two batch admissions with the same seeding —
+    the union-graph greedy admission the operator documents."""
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission,
+        ivf_seed_centroids,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_streaming_cross_signal_admission,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = (load_table(spark, sf, "embeddings")
+           .select(F.col("vec_id").alias("doc_id"), "embedding"))
+    joined = docs.join(emb, "doc_id")
+    src = str(tmp_path / "src")
+    joined.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.format("parquet")
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", "8").load(src))
+    corpus = str(tmp_path / "corpus")
+    q = run_streaming_cross_signal_admission(
+        stream, corpus, cosine_threshold=0.4, n_centroids=4, nprobe=4,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    got = {r.doc_id for r in spark.read.option("basePath", corpus)
+           .parquet(corpus).select("doc_id").collect()}
+    lex = {r.doc_id for r in incremental_minhash_admission(
+        joined.select("doc_id", "text"),
+        spark.createDataFrame([], "doc_id long, text string"),
+        "text", "doc_id", max_bucket=32).collect()}
+    cents = ivf_seed_centroids(joined, 4, "doc_id", "embedding")
+    sem = {r.doc_id for r in incremental_semantic_admission(
+        joined.select("doc_id", "embedding"),
+        spark.createDataFrame([], "doc_id long, embedding array<float>"),
+        id_col="doc_id", threshold=0.4, nprobe=4,
+        centroids=cents).collect()}
+    assert got == (lex & sem) and 0 < len(got) <= joined.count()
