@@ -247,6 +247,49 @@ def _q_fare_anomalies_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         q=0.99, mode="approx", accuracy=1_000_000)
 
 
+def _q_fare_anomalies_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-AT-ANY-SCALE quantile mode (VERDICT r9 stretch 7):
+    the p99 threshold from a deterministic bottom-16384 md5-rank row
+    sample (``sketches.hash_sample_bottom_k`` — the KMV construction
+    pointed at row sampling; mergeable, O(k) state, one
+    TakeOrderedAndProject merge). GK at oracle-parity accuracy=1e6 is
+    the suite's one super-linear registered point (109.4 s at sf10,
+    11x at 10x) BECAUSE hash parity forced the sketch to stay
+    uncompressed; this sketch is hash-checkable at its HONEST
+    accuracy — rank error ~sqrt(q(1-q)/k) ≈ ±0.08% at p99, tighter
+    than the reference's approxQuantile(rel_err=0.01) contract
+    (yellow_taxi_etl.py:121) — so the twin reproduces the sample, the
+    threshold, and the filtered rows verbatim (md5 ranks are
+    engine-portable; randomized KLL / order-dependent t-digest could
+    only ever be rows-only checked). ``fare_anomalies_approx`` (GK,
+    reference parity) and ``fare_anomalies`` (exact) stay
+    registered."""
+    return threshold_anomalies(
+        _lineitem(spark, sf_dir), "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "l_partkey",
+         "l_extendedprice", "l_quantity"],
+        q=0.99, mode="sketch",
+        rank_cols=["l_orderkey", "l_linenumber"], sample_k=16384)
+
+
+def _q_grouped_percentiles_sketch(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-group p50/p95 over per-group bottom-4096 md5-rank samples
+    (``sketches.grouped_hash_sample_percentiles``) — the grouped
+    sibling of ``fare_anomalies_sketch``: one row_number window
+    bounds every group's state at k rows where the exact percentile
+    (and GK at parity accuracy) buffers the whole group. Same
+    engine-portable determinism: the twin replays the window, the
+    sample, and the discrete index arithmetic verbatim."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_percentiles,
+    )
+
+    return grouped_hash_sample_percentiles(
+        _lineitem(spark, sf_dir), ["l_returnflag"], "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], (0.5, 0.95), k=4096)
+
+
 def _q_cleaning_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 (`cleaning.py:10-18`): drop rows with NULL in any column."""
     return drop_null_rows(_events(spark, sf_dir))
@@ -3741,8 +3784,9 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CORRECTNESS_r02/_r03 — VERDICT r8 stretch task 8).
 _ROUND10_FRONT = [
     # new r10 (never driver-verified): the two remaining persisted-index
-    # registrations
+    # registrations + the hash-sample quantile modes
     "incremental_semantic_indexed", "cross_signal_dedup_indexed",
+    "fare_anomalies_sketch", "grouped_percentiles_sketch",
     # the r1-r3-cohort queries whose latest driver record predates r4
     # (all 31 independently harness-verified green in r9's judge pass;
     # this completes the archival rotation — VERDICT r9 task 1)
@@ -3762,8 +3806,7 @@ _ROUND10_FRONT = [
     "data_quality", "dataset_mix", "domain_cap", "frame_sample",
     "fuzzy_names", "image_features", "incremental_dedup",
     "incremental_dedup_bloom", "incremental_rollup", "interval_join",
-    "merge_upsert", "quantize_embeddings", "tpch_q2_sql",
-    "tpch_q3_sql",
+    "merge_upsert", "quantize_embeddings",
 ]
 
 _ROUND9_FRONT = [
@@ -3916,6 +3959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_distribution": _q_distance_distribution,
         "fare_anomalies": _q_fare_anomalies,
         "fare_anomalies_approx": _q_fare_anomalies_approx,
+        # r10: the linear-at-any-scale hash-sample quantile modes
+        "fare_anomalies_sketch": _q_fare_anomalies_sketch,
+        "grouped_percentiles_sketch": _q_grouped_percentiles_sketch,
         "cleaning_dropna": _q_cleaning_dropna,
         "hourly_window": _q_hourly_window,
         "star_join_revenue": _q_star_join_revenue,
@@ -5578,6 +5624,50 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_extendedprice >=
                   (SELECT quantile_disc(l_extendedprice, 0.99) FROM lineitem)
+        """,
+        # Hash-sample sketch mode: the twin replays the deterministic
+        # bottom-k md5-rank sample and the discrete index arithmetic
+        # verbatim — full hash parity at the sketch's HONEST accuracy
+        # (unlike GK, which only stays checkable uncompressed).
+        "fare_anomalies_sketch": """
+            WITH samp AS (
+                SELECT l_extendedprice AS v
+                FROM lineitem
+                ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                             CAST(l_linenumber AS VARCHAR)), v
+                LIMIT 16384
+            ), thr AS (
+                SELECT list_sort(list(v))[GREATEST(
+                           CAST(CEIL(0.99 * COUNT(*)) AS BIGINT),
+                           1)] AS t
+                FROM samp
+            )
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   l_extendedprice, l_quantity
+            FROM lineitem
+            WHERE l_extendedprice >= (SELECT t FROM thr)
+        """,
+        "grouped_percentiles_sketch": """
+            WITH samp AS (
+                SELECT l_returnflag, v FROM (
+                    SELECT l_returnflag, l_extendedprice AS v,
+                           row_number() OVER (
+                               PARTITION BY l_returnflag
+                               ORDER BY md5(
+                                   CAST(l_orderkey AS VARCHAR) || ':' ||
+                                   CAST(l_linenumber AS VARCHAR)),
+                                        l_extendedprice) AS rn
+                    FROM lineitem)
+                WHERE rn <= 4096
+            )
+            SELECT l_returnflag,
+                   ROUND(list_sort(list(v))[GREATEST(
+                       CAST(CEIL(0.5 * COUNT(*)) AS BIGINT), 1)], 6)
+                       + 0.0 AS p50,
+                   ROUND(list_sort(list(v))[GREATEST(
+                       CAST(CEIL(0.95 * COUNT(*)) AS BIGINT), 1)], 6)
+                       + 0.0 AS p95
+            FROM samp GROUP BY l_returnflag
         """,
         "cleaning_dropna": """
             SELECT event_id, ts, user_id, event_type, value, props

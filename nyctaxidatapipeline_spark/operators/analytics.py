@@ -116,7 +116,9 @@ def distance_distribution(df: DataFrame, group_cols: Sequence[str],
 def quantile_threshold(df: DataFrame, col: str, q: float = 0.99,
                        mode: str = "approx",
                        rel_err: float = 0.01,
-                       accuracy: int | None = None) -> DataFrame:
+                       accuracy: int | None = None,
+                       rank_cols: Sequence[str] | None = None,
+                       sample_k: int = 16384) -> DataFrame:
     """A7 — single-row DataFrame holding the q-quantile of ``col``.
 
     ``mode='approx'`` matches the reference exactly
@@ -132,20 +134,37 @@ def quantile_threshold(df: DataFrame, col: str, q: float = 0.99,
     Returned as a DataFrame (not a collected float) so callers can broadcast
     it and keep the two-phase anomaly query inside one lazy plan.
     """
+    if mode == "sketch":
+        # Deterministic bottom-k hash sample (sketches module): one
+        # linear scan + O(k) merge at ANY size, hash-checkable at its
+        # honest accuracy — the production mode whose scaling stays
+        # linear where GK at oracle-parity accuracy=1e6 goes
+        # super-linear (PLANS.md; the one registered super-linear row).
+        if not rank_cols:
+            raise ValueError("mode='sketch' needs rank_cols (a unique "
+                             "integer/string row key to hash)")
+        from nyctaxidatapipeline_spark.operators.sketches import (
+            hash_sample_quantile_threshold,
+        )
+
+        return hash_sample_quantile_threshold(df, col, rank_cols, q,
+                                              sample_k)
     if mode == "approx":
         acc = accuracy if accuracy is not None else int(1.0 / rel_err)
         expr = F.percentile_approx(col, F.lit(q), F.lit(acc))
     elif mode == "exact":
         expr = F.percentile(col, F.lit(q))
     else:
-        raise ValueError(f"mode must be approx|exact, got {mode!r}")
+        raise ValueError(f"mode must be approx|exact|sketch, got {mode!r}")
     return df.select(expr.alias("threshold"))
 
 
 def threshold_anomalies(df: DataFrame, col: str,
                         select_cols: Sequence[str], q: float = 0.99,
                         mode: str = "exact",
-                        accuracy: int | None = None) -> DataFrame:
+                        accuracy: int | None = None,
+                        rank_cols: Sequence[str] | None = None,
+                        sample_k: int = 16384) -> DataFrame:
     """A7+F2+P3 — rows whose ``col`` >= the q-quantile, narrow projection.
 
     Reference shape (``yellow_taxi_etl.py:121-129``) collects the sketch
@@ -154,7 +173,8 @@ def threshold_anomalies(df: DataFrame, col: str,
     and the filter stays in the JVM plan (BroadcastNestedLoopJoin over one
     row ≡ a scalar subquery).
     """
-    thr = quantile_threshold(df, col, q, mode=mode, accuracy=accuracy)
+    thr = quantile_threshold(df, col, q, mode=mode, accuracy=accuracy,
+                             rank_cols=rank_cols, sample_k=sample_k)
     return (df.join(F.broadcast(thr))
               .filter(F.col(col) >= F.col("threshold"))
               .select(*select_cols))

@@ -54,6 +54,8 @@ intermediate comfortably inside exact-int53 double territory too.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -322,3 +324,116 @@ def kmv_overlap(sketch: DataFrame, group_col: str,
                       .alias("jaccard_est"),
                      (F.round(jac_raw * union_raw, 6) + F.lit(0.0))
                       .alias("intersection_est")))
+
+
+def hash_sample_rank(rank_cols: Sequence[str]) -> Column:
+    """The deterministic sampling rank: md5 over the ':'-joined key
+    columns (cast to string — integer/string keys only; float keys
+    would format differently across engines). A fixed uniform hash of
+    the ROW KEY, independent of the sampled value, so ordering by it
+    is a reproducible uniform row sample in both engines (DuckDB:
+    ``md5(CAST(k1 AS VARCHAR) || ':' || ...)``)."""
+    return F.md5(F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in rank_cols]))
+
+
+def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
+                         payload_cols: Sequence[str],
+                         k: int = 16384) -> DataFrame:
+    """The k rows with the SMALLEST md5 rank — a deterministic
+    bottom-k order sketch (the KMV construction pointed at row
+    sampling instead of distinct counting), this engine's
+    hash-checkable alternative to randomized KLL/t-digest compaction
+    for quantile estimation:
+
+      * **uniform**: md5 of the row key is uniform on [0, 2^128), so
+        the bottom k ranks are a uniform k-row sample without
+        replacement — the empirical q-quantile of the sample misses
+        the true rank by ~sqrt(q(1-q)/k) (k=16384 → ±0.4% rank at
+        the median, ±0.08% at p99 — TIGHTER than the reference's
+        approxQuantile(rel_err=0.01) contract);
+      * **mergeable**: bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪
+        bottom_k(B)) — the fixed global rank makes the partial
+        sketches losslessly combinable (unit-pinned), which is
+        exactly how Spark executes it: per-partition top-k, one
+        k-row merge (TakeOrderedAndProject — no full sort, no
+        whole-column buffer);
+      * **deterministic**: same rows in ANY order → same sample →
+        same quantile, reproducible verbatim in DuckDB (``ORDER BY
+        md5(...) LIMIT k``) — unlike KLL (random compaction offsets)
+        or t-digest (insertion-order-dependent clusters), which can
+        only ever be rows-only checked.
+
+    Memory/shuffle: O(k) rows total regardless of input size; the
+    scan stays a full linear pass (one md5 per row).
+
+    ``rank_cols`` need NOT uniquely key the rows: ties on the md5
+    rank are broken by the payload columns, so rows identical in
+    (rank, payload) are interchangeable and the sampled payload
+    MULTISET is deterministic either way (the sf0.01 lineitem fixture
+    has ~20% duplicate (orderkey, linenumber) pairs — rank-only
+    ordering was measurably flaky there)."""
+    return (df.select(hash_sample_rank(rank_cols).alias("_rk"),
+                      *payload_cols)
+              .orderBy("_rk", *payload_cols).limit(int(k)))
+
+
+def _disc_index(q: float, n: Column) -> Column:
+    """1-based discrete-quantile index: ceil(q·n), floored at 1 —
+    the same arithmetic the DuckDB twin spells out (both engines
+    evaluate the identical double product, so the boundary cannot
+    disagree)."""
+    return F.greatest(F.ceil(F.lit(float(q)) * n).cast("int"), F.lit(1))
+
+
+def hash_sample_quantile_threshold(df: DataFrame, value_col: str,
+                                   rank_cols: Sequence[str],
+                                   q: float = 0.99,
+                                   k: int = 16384) -> DataFrame:
+    """Single-row (threshold) frame: the discrete q-quantile of the
+    :func:`hash_sample_bottom_k` sample — the production quantile mode
+    whose cost is ONE linear scan + an O(k) merge at any corpus size
+    (the GK sketch at oracle-parity accuracy=1e6 is the suite's one
+    super-linear registered point; this sketch is hash-checkable at
+    its HONEST accuracy). Returned as a DataFrame for the broadcast
+    two-phase anomaly shape (``analytics.quantile_threshold``)."""
+    s = hash_sample_bottom_k(df, rank_cols, [value_col], k)
+    arr = F.sort_array(F.collect_list(value_col))
+    return (s.agg(arr.alias("_arr"))
+             .select(F.element_at("_arr", _disc_index(q, F.size("_arr")))
+                      .alias("threshold")))
+
+
+def grouped_hash_sample_percentiles(df: DataFrame,
+                                    group_cols: Sequence[str],
+                                    value_col: str,
+                                    rank_cols: Sequence[str],
+                                    percentiles: Sequence[float]
+                                    = (0.5, 0.95),
+                                    k: int = 4096) -> DataFrame:
+    """Per-group discrete percentiles over a per-group bottom-k hash
+    sample — the grouped sibling of
+    :func:`hash_sample_quantile_threshold`: one row_number window on
+    the md5 rank bounds every group's state at k rows (the exact
+    percentile buffers the whole group; GK at parity accuracy ≈ does
+    too), then one O(k) sort per group. Output columns ``p50``-style,
+    rounded 6 dp — the ``grouped_percentiles`` contract at sampling
+    accuracy sqrt(q(1-q)/k)."""
+    from pyspark.sql import Window
+
+    # rank ties broken by the value (see hash_sample_bottom_k) — the
+    # per-group sampled value multiset is deterministic without a
+    # unique row key
+    w = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
+    s = (df.select(*group_cols, F.col(value_col).alias("_v"),
+                   hash_sample_rank(rank_cols).alias("_rk"))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= int(k)))
+    agg = s.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_v")).alias("_arr"))
+    cols = [*group_cols] + [
+        (F.round(F.element_at("_arr",
+                              _disc_index(p, F.size("_arr"))), 6)
+          + F.lit(0.0)).alias(f"p{int(p * 100)}")
+        for p in percentiles]
+    return agg.select(*cols)

@@ -285,3 +285,93 @@ def test_cms_validates_params(spark):
     df = spark.createDataFrame([Row(k="x")])
     with pytest.raises(ValueError):
         cms_counters(df, F.col("k"), w=1, d=4)
+
+
+def test_hash_sample_quantile_accuracy_and_determinism(spark):
+    """The bottom-k hash-sample quantile sits within the documented
+    sampling error of the exact rank statistic, and is IDENTICAL
+    across partitionings / row orders (the determinism the oracle
+    twin relies on)."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_quantile_threshold,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [Row(id=i, v=float((i * 7919) % n)) for i in range(n)])
+    got = hash_sample_quantile_threshold(
+        df, "v", ["id"], q=0.9, k=1024).collect()[0]["threshold"]
+    # true p90 of 0..n-1 is ~4500; sampling error ~sqrt(.09/1024)≈0.9%
+    # of rank -> ±~3.5 sigma bound of 160 on the value scale
+    assert abs(got - 4500.0) < 160
+    again = hash_sample_quantile_threshold(
+        df.repartition(13).orderBy(F.rand(seed=1)),
+        "v", ["id"], q=0.9, k=1024).collect()[0]["threshold"]
+    assert again == got
+    # k >= n degenerates to the exact discrete quantile
+    exact = hash_sample_quantile_threshold(
+        df, "v", ["id"], q=0.9, k=n).collect()[0]["threshold"]
+    assert exact == 4499.0  # ceil(0.9*5000)=4500th smallest = 4499.0
+
+
+def test_hash_sample_bottom_k_is_mergeable(spark):
+    """bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪ bottom_k(B)) — the
+    fixed global md5 rank makes partial sketches losslessly
+    combinable, the property that lets per-partition/per-day sketches
+    merge without revisiting rows."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+    )
+
+    a = spark.createDataFrame([Row(id=i, v=float(i))
+                               for i in range(0, 400)])
+    b = spark.createDataFrame([Row(id=i, v=float(i))
+                               for i in range(400, 900)])
+    k = 64
+    direct = {(r._rk, r.v) for r in hash_sample_bottom_k(
+        a.unionByName(b), ["id"], ["v"], k).collect()}
+    pa = hash_sample_bottom_k(a, ["id"], ["v"], k)
+    pb = hash_sample_bottom_k(b, ["id"], ["v"], k)
+    merged = {(r._rk, r.v) for r in
+              pa.unionByName(pb).orderBy("_rk", "v").limit(k).collect()}
+    assert merged == direct and len(direct) == k
+
+
+def test_hash_sample_rank_ties_break_on_value(spark):
+    """Duplicate rank keys (the sf0.01 lineitem fixture shape) cannot
+    make the sampled value multiset flap: ties order by the payload,
+    so truncation at k keeps a deterministic multiset."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+    )
+
+    # every row shares ONE rank key; values force the tie-break
+    df = spark.createDataFrame([Row(id=1, v=float(99 - i))
+                                for i in range(100)])
+    for seed in (1, 2):
+        got = sorted(r.v for r in hash_sample_bottom_k(
+            df.repartition(7).orderBy(F.rand(seed=seed)),
+            ["id"], ["v"], 10).collect())
+        assert got == [float(x) for x in range(10)]
+
+
+def test_grouped_hash_sample_percentiles_contract(spark):
+    """Grouped sketch percentiles: per-group columns p50/p95, exact
+    discrete quantiles when k >= group size, deterministic under
+    reshuffling."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_percentiles,
+    )
+
+    rows = [Row(g="a", id=i, v=float(i)) for i in range(100)] + \
+           [Row(g="b", id=1000 + i, v=float(10 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    got = {r.g: (r.p50, r.p95) for r in grouped_hash_sample_percentiles(
+        df, ["g"], "v", ["id"], (0.5, 0.95), k=4096).collect()}
+    # k >= group sizes -> exact: a: ceil(.5*100)=50th -> 49.0,
+    # ceil(.95*100)=95th -> 94.0 ; b: 25th -> 240.0, ceil(47.5)=48th -> 470.0
+    assert got == {"a": (49.0, 94.0), "b": (240.0, 470.0)}
+    again = {r.g: (r.p50, r.p95) for r in grouped_hash_sample_percentiles(
+        df.repartition(11).orderBy(F.rand(seed=3)),
+        ["g"], "v", ["id"], (0.5, 0.95), k=4096).collect()}
+    assert again == got
