@@ -263,13 +263,21 @@ def _q_fare_anomalies_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable; randomized KLL / order-dependent t-digest could
     only ever be rows-only checked). ``fare_anomalies_approx`` (GK,
     reference parity) and ``fare_anomalies`` (exact) stay
-    registered."""
+    registered.
+
+    The rank key is (l_orderkey, l_linenumber, l_partkey) — the
+    fixture duplicates ~24% of (orderkey, linenumber) pairs but only
+    ~0.001% of the triple, so the sample is (near-)simple rather than
+    the cluster sample a duplicated key yields (ADVICE r10: duplicate
+    keys weaken the ±sqrt(q(1-q)/k) bound; residual ties still break
+    deterministically on the value)."""
     return threshold_anomalies(
         _lineitem(spark, sf_dir), "l_extendedprice",
         ["l_orderkey", "l_linenumber", "l_partkey",
          "l_extendedprice", "l_quantity"],
         q=0.99, mode="sketch",
-        rank_cols=["l_orderkey", "l_linenumber"], sample_k=16384)
+        rank_cols=["l_orderkey", "l_linenumber", "l_partkey"],
+        sample_k=16384)
 
 
 def _q_grouped_percentiles_sketch(spark: SparkSession,
@@ -280,14 +288,23 @@ def _q_grouped_percentiles_sketch(spark: SparkSession,
     bounds every group's state at k rows where the exact percentile
     (and GK at parity accuracy) buffers the whole group. Same
     engine-portable determinism: the twin replays the window, the
-    sample, and the discrete index arithmetic verbatim."""
+    sample, and the discrete index arithmetic verbatim.
+
+    r11: the PHYSICAL shape is the two-phase salted bottom-k
+    (VERDICT r10 item 1 — no task ever sorts a whole group; the
+    grouping key has 3 values, so the old single window was three
+    whole-table-third sort tasks at 100×); the logical sample — and
+    therefore the twin SQL, which spells the single-window form — is
+    unchanged. Rank key widened to the near-unique triple (see
+    ``fare_anomalies_sketch``)."""
     from nyctaxidatapipeline_spark.operators.sketches import (
         grouped_hash_sample_percentiles,
     )
 
     return grouped_hash_sample_percentiles(
         _lineitem(spark, sf_dir), ["l_returnflag"], "l_extendedprice",
-        ["l_orderkey", "l_linenumber"], (0.5, 0.95), k=4096)
+        ["l_orderkey", "l_linenumber", "l_partkey"], (0.5, 0.95),
+        k=4096)
 
 
 def _q_cleaning_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5633,8 +5650,12 @@ def oracle_sql() -> dict[str, str]:
             WITH samp AS (
                 SELECT l_extendedprice AS v
                 FROM lineitem
-                ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' ||
-                             CAST(l_linenumber AS VARCHAR)), v
+                ORDER BY md5(COALESCE(CAST(l_orderkey AS VARCHAR), chr(0))
+                             || ':' ||
+                             COALESCE(CAST(l_linenumber AS VARCHAR), chr(0))
+                             || ':' ||
+                             COALESCE(CAST(l_partkey AS VARCHAR), chr(0))),
+                         v
                 LIMIT 16384
             ), thr AS (
                 SELECT list_sort(list(v))[GREATEST(
@@ -5654,8 +5675,12 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (
                                PARTITION BY l_returnflag
                                ORDER BY md5(
-                                   CAST(l_orderkey AS VARCHAR) || ':' ||
-                                   CAST(l_linenumber AS VARCHAR)),
+                                   COALESCE(CAST(l_orderkey AS VARCHAR),
+                                            chr(0)) || ':' ||
+                                   COALESCE(CAST(l_linenumber AS VARCHAR),
+                                            chr(0)) || ':' ||
+                                   COALESCE(CAST(l_partkey AS VARCHAR),
+                                            chr(0))),
                                         l_extendedprice) AS rn
                     FROM lineitem)
                 WHERE rn <= 4096

@@ -141,8 +141,13 @@ def quantile_threshold(df: DataFrame, col: str, q: float = 0.99,
         # linear where GK at oracle-parity accuracy=1e6 goes
         # super-linear (PLANS.md; the one registered super-linear row).
         if not rank_cols:
-            raise ValueError("mode='sketch' needs rank_cols (a unique "
-                             "integer/string row key to hash)")
+            raise ValueError(
+                "mode='sketch' needs rank_cols (integer/string key "
+                "columns to hash — ideally a unique row key; duplicate "
+                "keys are tolerated (ties break on the value, multiset "
+                "deterministic) but turn the sample into a cluster "
+                "sample, loosening the +-sqrt(q(1-q)/k) accuracy bound "
+                "in proportion to the duplication rate)")
         from nyctaxidatapipeline_spark.operators.sketches import (
             hash_sample_quantile_threshold,
         )

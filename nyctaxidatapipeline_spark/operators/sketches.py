@@ -331,10 +331,20 @@ def hash_sample_rank(rank_cols: Sequence[str]) -> Column:
     columns (cast to string — integer/string keys only; float keys
     would format differently across engines). A fixed uniform hash of
     the ROW KEY, independent of the sampled value, so ordering by it
-    is a reproducible uniform row sample in both engines (DuckDB:
-    ``md5(CAST(k1 AS VARCHAR) || ':' || ...)``)."""
+    is a reproducible uniform row sample in both engines.
+
+    NULL key columns coalesce to a NUL-byte sentinel BEFORE joining —
+    ``concat_ws`` alone silently *skips* NULL arguments, which would
+    collapse distinct keys onto one rank ((1, NULL) and (NULL, 1)
+    both hashing ``'1'``) and diverge from a ``||``-spelled twin
+    (where NULL propagates). The portable DuckDB spelling is
+    ``md5(COALESCE(CAST(k1 AS VARCHAR), chr(0)) || ':' || ...)`` —
+    identical bytes in both engines, NULL or not. Out of contract:
+    string keys that contain NUL or ':' themselves (ambiguous joins —
+    use integer keys or pre-escape)."""
     return F.md5(F.concat_ws(
-        ":", *[F.col(c).cast("string") for c in rank_cols]))
+        ":", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+               for c in rank_cols]))
 
 
 def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
@@ -410,25 +420,56 @@ def grouped_hash_sample_percentiles(df: DataFrame,
                                     rank_cols: Sequence[str],
                                     percentiles: Sequence[float]
                                     = (0.5, 0.95),
-                                    k: int = 4096) -> DataFrame:
+                                    k: int = 4096,
+                                    salt_buckets: int = 32) -> DataFrame:
     """Per-group discrete percentiles over a per-group bottom-k hash
     sample — the grouped sibling of
-    :func:`hash_sample_quantile_threshold`: one row_number window on
-    the md5 rank bounds every group's state at k rows (the exact
-    percentile buffers the whole group; GK at parity accuracy ≈ does
-    too), then one O(k) sort per group. Output columns ``p50``-style,
-    rounded 6 dp — the ``grouped_percentiles`` contract at sampling
-    accuracy sqrt(q(1-q)/k)."""
+    :func:`hash_sample_quantile_threshold`. Output columns
+    ``p50``-style, rounded 6 dp — the ``grouped_percentiles`` contract
+    at sampling accuracy sqrt(q(1-q)/k).
+
+    Scale shape — TWO-PHASE SALTED bottom-k (VERDICT r10 item 1): a
+    single ``Window.partitionBy(group)`` would sort each group's
+    ENTIRE partition in one task (a 3-value grouping key at 100×
+    means three tasks each sorting a third of the table — the window
+    bounds post-filter *state* at k, not the sort). Instead:
+
+      1. row_number within ``(group, _salt)`` keeps ≤ k rows per
+         (group, salt-bucket) — ``salt_buckets`` tasks per group,
+         each sorting ~1/S of the group;
+      2. re-window the ≤ k·S survivors per group — a bounded input
+         (k·S rows per group regardless of corpus size), so the
+         group-only sort is O(k·S log k·S) per group, never
+         O(group) — then the same O(k) sorted-array percentile.
+
+    The salt derives from the TAIL hex of the same md5 rank
+    (decorrelated from the bottom-k head order; rows with EQUAL rank
+    keys share a salt, so tie-groups stay in one bucket): every row in
+    a group's global bottom-k is by definition in its own bucket's
+    bottom-k, so phase 2 selects exactly the single-window sample —
+    the output (and the DuckDB twin, which spells the logical
+    single-window form) is unchanged (unit-pinned)."""
     from pyspark.sql import Window
 
+    s_b = int(salt_buckets)
+    base = df.select(*group_cols, F.col(value_col).alias("_v"),
+                     hash_sample_rank(rank_cols).alias("_rk"))
+    # phase 1: bound each (group, salt) bucket at k — no task ever
+    # sorts more than its bucket's share of the group
+    salt = F.pmod(F.conv(F.substring("_rk", 29, 4), 16, 10).cast("long"),
+                  F.lit(s_b)).cast("int")
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_rk", "_v")
+    survivors = (base.withColumn("_salt", salt)
+                     .withColumn("_rn1", F.row_number().over(w1))
+                     .filter(F.col("_rn1") <= int(k))
+                     .drop("_salt", "_rn1"))
+    # phase 2: the group-only window now sees ≤ k·S rows per group.
     # rank ties broken by the value (see hash_sample_bottom_k) — the
     # per-group sampled value multiset is deterministic without a
     # unique row key
-    w = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
-    s = (df.select(*group_cols, F.col(value_col).alias("_v"),
-                   hash_sample_rank(rank_cols).alias("_rk"))
-           .withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") <= int(k)))
+    w2 = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
+    s = (survivors.withColumn("_rn", F.row_number().over(w2))
+                  .filter(F.col("_rn") <= int(k)))
     agg = s.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_v")).alias("_arr"))
     cols = [*group_cols] + [

@@ -375,3 +375,90 @@ def test_grouped_hash_sample_percentiles_contract(spark):
         df.repartition(11).orderBy(F.rand(seed=3)),
         ["g"], "v", ["id"], (0.5, 0.95), k=4096).collect()}
     assert again == got
+
+
+def test_grouped_percentiles_salted_two_phase_identity(spark):
+    """The r11 two-phase salted bottom-k (VERDICT r10 item 1) yields
+    the EXACT sample of the logical single-window form: k smaller
+    than group sizes (so truncation actually bites), compared against
+    an inline single-window reference."""
+    from pyspark.sql import Window
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_percentiles,
+        hash_sample_rank,
+    )
+
+    rows = [Row(g="a", id=i, v=float((i * 37) % 1000))
+            for i in range(500)] + \
+           [Row(g="b", id=10_000 + i, v=float((i * 13) % 700))
+            for i in range(300)]
+    df = spark.createDataFrame(rows).repartition(9)
+    k = 64
+    got = {r.g: (r.p50, r.p95)
+           for r in grouped_hash_sample_percentiles(
+               df, ["g"], "v", ["id"], (0.5, 0.95), k=k,
+               salt_buckets=8).collect()}
+    # logical single-window reference (the shape the DuckDB twin spells)
+    w = Window.partitionBy("g").orderBy("_rk", "_v")
+    ref_s = (df.select("g", F.col("v").alias("_v"),
+                       hash_sample_rank(["id"]).alias("_rk"))
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= k))
+    ref_agg = ref_s.groupBy("g").agg(
+        F.sort_array(F.collect_list("_v")).alias("arr"))
+    ref = {}
+    for r in ref_agg.collect():
+        arr, n = r.arr, len(r.arr)
+        ref[r.g] = tuple(
+            round(arr[max(math.ceil(p * n), 1) - 1], 6) + 0.0
+            for p in (0.5, 0.95))
+    assert got == ref
+
+
+def test_grouped_percentiles_plan_has_no_whole_group_window(spark):
+    """Scale-shape pin: the FIRST window (the one over the full scan)
+    partitions by (group, _salt) — never by the group key alone — and
+    the group-only window runs only over the phase-1 survivors (a
+    Filter on _rn1 sits between the two windows)."""
+    import re
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_percentiles,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    df = spark.createDataFrame([Row(g="a", id=1, v=1.0)])
+    plan = explain_str(grouped_hash_sample_percentiles(
+        df, ["g"], "v", ["id"], (0.5,), k=4))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2, plan
+    # formatted explain lists nodes in execution order: the full-scan
+    # window first (salted), the survivor window second (group-only)
+    assert "_salt" in specs[0], specs[0]
+    assert "_salt" not in specs[1], specs[1]
+
+
+def test_hash_sample_rank_null_keys_stay_distinct(spark):
+    """ADVICE r10: concat_ws silently skips NULLs, collapsing
+    (1, NULL) and (NULL, 1) onto one rank. The coalesce-to-NUL
+    sentinel keeps them distinct and matches the DuckDB
+    COALESCE(..., chr(0)) twin byte-for-byte."""
+    import duckdb
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_rank,
+    )
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=None, b=1), Row(a=1, b=2)],
+        schema="a int, b int")
+    got = sorted(r.rk for r in df.select(
+        hash_sample_rank(["a", "b"]).alias("rk")).collect())
+    assert len(set(got)) == 3  # no collapse
+    ref = sorted(r[0] for r in duckdb.sql("""
+        SELECT md5(COALESCE(CAST(a AS VARCHAR), chr(0)) || ':' ||
+                   COALESCE(CAST(b AS VARCHAR), chr(0)))
+        FROM (VALUES (1, NULL), (NULL, 1), (1, 2)) t(a, b)
+    """).fetchall())
+    assert got == ref
