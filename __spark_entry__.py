@@ -544,7 +544,18 @@ def _index_dir(sf_dir: str, table: str, tag: str) -> str:
     base = os.path.join(tempfile.gettempdir(),
                         f"ndpspark-index-{getpass.getuser()}")
     os.makedirs(base, mode=0o700, exist_ok=True)
-    bst = os.stat(base)
+    # lstat, not stat (ADVICE r10): another user pre-creating `base` as
+    # a SYMLINK to a victim-owned directory would pass a followed-stat
+    # uid check while redirecting every index read/write to an
+    # attacker-chosen location. Reject anything that isn't a real
+    # directory owned by this uid.
+    import stat as statmod
+    bst = os.lstat(base)
+    if not statmod.S_ISDIR(bst.st_mode):
+        raise RuntimeError(
+            f"index cache path {base} is not a directory "
+            f"(mode {oct(bst.st_mode)}) — a symlink here redirects "
+            "index I/O to a location someone else controls; refusing")
     if hasattr(os, "getuid") and bst.st_uid != os.getuid():
         raise RuntimeError(
             f"index cache dir {base} is owned by uid {bst.st_uid}, not "

@@ -42,6 +42,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyctaxidatapipeline_spark.functions.text import shingles, tokens
+from nyctaxidatapipeline_spark.operators.indexmeta import (
+    check_index_params,
+    stamp_index_params,
+)
 from nyctaxidatapipeline_spark.plans.util import fan_out
 
 
@@ -289,8 +293,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     Identical pairs (the index stores the same (id, band, bucket) rows
     the in-query pass derives; unit-pinned through a parquet round
     trip); the (n, num_hashes, bands, portable) parameters must match
-    the index's, and ``max_bucket`` applies to the read-back buckets
-    exactly as it does in-query.
+    the index's — indexes from :func:`build_minhash_index` carry a
+    parameter stamp in column metadata (surviving parquet round trips)
+    that is VALIDATED here, so a mismatched index raises instead of
+    silently emitting wrong pairs; unstamped frames fall back to this
+    docstring contract. ``max_bucket`` applies to the read-back
+    buckets exactly as it does in-query.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -298,6 +306,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     sh_all = (doc_shingles(df, text_col, id_col, n)
               .localCheckpoint(eager=False) if reuse_shingles else None)
     if corpus_index is not None:
+        check_index_params(
+            corpus_index, _minhash_params(n, num_hashes, bands, portable),
+            "minhash_lsh_pairs")
         buckets = corpus_index.select(id_col, "band", "bucket")
     else:
         sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
@@ -546,6 +557,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
              .distinct())
 
 
+def _minhash_params(n: int, num_hashes: int, bands: int,
+                    portable: bool) -> dict:
+    """The stamped/validated build-parameter dict for MinHash LSH
+    indexes (see :mod:`indexmeta`)."""
+    return {"kind": "minhash_lsh", "n": n, "num_hashes": num_hashes,
+            "bands": bands, "portable": bool(portable)}
+
+
 def build_minhash_index(corpus: DataFrame, text_col: str, id_col: str,
                         n: int = 3, num_hashes: int = 32,
                         bands: int = 8,
@@ -557,13 +576,21 @@ def build_minhash_index(corpus: DataFrame, text_col: str, id_col: str,
     never re-signed, let alone re-paired. Pass the read-back frame to
     :func:`incremental_minhash_admission` as ``corpus_index``; at sf10
     the index build is 80%+ of a cold admission's wall clock
-    (PLANS.md #20), which is exactly the share persistence removes."""
+    (PLANS.md #20), which is exactly the share persistence removes.
+
+    The (n, num_hashes, bands, portable) build parameters are STAMPED
+    into the ``band`` column's metadata (persisted through parquet, see
+    :mod:`indexmeta`); every ``corpus_index=`` consumer validates the
+    stamp, so probing with mismatched parameters raises instead of
+    silently pairing wrong (ADVICE r10)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
     sig = minhash_signatures(corpus, text_col, id_col, n, num_hashes,
                              portable)
-    return _band_buckets(sig, id_col, bands, r, portable)
+    return stamp_index_params(
+        _band_buckets(sig, id_col, bands, r, portable),
+        _minhash_params(n, num_hashes, bands, portable))
 
 
 def append_to_minhash_index(index: DataFrame, admitted: DataFrame,
@@ -579,7 +606,11 @@ def append_to_minhash_index(index: DataFrame, admitted: DataFrame,
     re-signing. Pure union of pure functions, so
     index(corpus) ∪ append(admitted) == index(corpus ∪ admitted)
     exactly — the day-over-day closure is unit-pinned against the
-    full rebuild. Parameters must match the index's."""
+    full rebuild. Parameters must match the index's (validated against
+    the stamp when the index carries one)."""
+    check_index_params(index, _minhash_params(n, num_hashes, bands,
+                                              portable),
+                       "append_to_minhash_index")
     return index.unionByName(
         build_minhash_index(admitted, text_col, id_col, n, num_hashes,
                             bands, portable))
@@ -638,6 +669,10 @@ def incremental_minhash_admission(new: DataFrame, corpus: DataFrame,
     r = num_hashes // bands
     sig_b = minhash_signatures(new, text_col, id_col, n, num_hashes,
                                portable)
+    if corpus_index is not None:
+        check_index_params(
+            corpus_index, _minhash_params(n, num_hashes, bands, portable),
+            "incremental_minhash_admission")
     bk_c = (corpus_index if corpus_index is not None
             else build_minhash_index(corpus, text_col, id_col, n,
                                      num_hashes, bands, portable))

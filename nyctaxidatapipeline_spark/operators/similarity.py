@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyctaxidatapipeline_spark.operators.indexmeta import (
+    check_index_params,
+    stamp_index_params,
+)
 from nyctaxidatapipeline_spark.operators.windows import top_k_per_group
 from nyctaxidatapipeline_spark.plans.util import fan_out
 
@@ -1024,7 +1028,14 @@ def build_rp_lsh_index(df: DataFrame, threshold: float = 0.95,
     persist ∘ read-back yields bit-identical buckets to the in-query
     pass (unit-pinned). ``n`` (the corpus count the parameterization
     keys on) defaults to ``df.count()``; a deployment passes the count
-    it sized the index with."""
+    it sized the index with.
+
+    The operating point — including the DERIVED (planes, bands), which
+    is what actually shapes the buckets — is STAMPED into the ``band``
+    column's metadata (persisted through parquet, see
+    :mod:`indexmeta`); ``rp_lsh_near_dup_auto`` validates the stamp on
+    its ``corpus_index=`` path, so probing with a mismatched index
+    raises instead of silently pairing wrong (ADVICE r10)."""
     if n is None:
         n = df.count()
     if dim is None:
@@ -1038,9 +1049,25 @@ def build_rp_lsh_index(df: DataFrame, threshold: float = 0.95,
     band_exprs = rp_band_buckets_static("vec", comps, bands)
     band_cols = [F.struct(F.lit(bi).alias("band"), e.alias("bucket"))
                  for bi, e in enumerate(band_exprs)]
-    return (base.select(id_col,
-                        F.explode(F.array(*band_cols)).alias("bb"))
-                .select(id_col, "bb.band", "bb.bucket"))
+    return stamp_index_params(
+        base.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+            .select(id_col, "bb.band", "bb.bucket"),
+        _rp_lsh_index_params(threshold, target_recall, max_bands, n,
+                             dim, planes, bands))
+
+
+def _rp_lsh_index_params(threshold: float, target_recall: float,
+                         max_bands: int, n: int | None,
+                         dim: int | None, planes: int | None = None,
+                         bands: int | None = None) -> dict:
+    """The stamped/validated operating-point dict for RP-LSH indexes.
+    ``threshold``/``target_recall`` are normalized through ``float``
+    so 0.95 and .95 stringify identically on both sides; probe-side
+    unknowns (None) are omitted and therefore not compared."""
+    p = {"kind": "rp_lsh", "threshold": float(threshold),
+         "target_recall": float(target_recall), "max_bands": max_bands,
+         "n": n, "dim": dim, "planes": planes, "bands": bands}
+    return {k: v for k, v in p.items() if v is not None}
 
 
 def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
@@ -1075,7 +1102,12 @@ def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
     signature). Identical pairs (same bucket rows → same candidates →
     same exact-cosine rerank; unit-pinned through a parquet round
     trip); the index must have been built at the same (threshold,
-    target_recall, max_bands, n) operating point.
+    target_recall, max_bands, n) operating point — indexes from
+    :func:`build_rp_lsh_index` carry a parameter stamp (column
+    metadata, parquet-persistent) that is VALIDATED here on every key
+    this call knows (n only when the caller passes it), so a
+    mismatched index raises instead of silently pairing wrong;
+    unstamped frames fall back to this docstring contract.
     """
     if dim is None:
         dim = embedding_dim(df, vec_col)
@@ -1085,6 +1117,11 @@ def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
               .select(F.col(id_col), vec_d.alias("vec"),
                       l2_norm(vec_d, dim).alias("norm")))
     if corpus_index is not None:
+        check_index_params(
+            corpus_index,
+            _rp_lsh_index_params(threshold, target_recall, max_bands,
+                                 n, dim),
+            "rp_lsh_near_dup_auto")
         buckets = corpus_index.select(id_col, "band", "bucket")
     else:
         if n is None:

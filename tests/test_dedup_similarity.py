@@ -1052,3 +1052,74 @@ def test_cross_signal_dedup_indexed_round_trip(spark, tmp_path):
     with pytest.raises(ValueError, match="lsh_planes"):
         cross_signal_dedup(docs, emb, lsh_planes=8, lsh_bands=4,
                            emb_index=spark.read.parquet(embp), **kw)
+
+
+def test_index_param_stamp_survives_parquet_and_rejects_mismatch(
+        spark, tmp_path):
+    """ADVICE r10: corpus_index consumers must not silently accept an
+    index built at different parameters. The stamp rides column
+    metadata through the parquet round trip; a mismatched probe
+    raises, a matched probe passes, an UNSTAMPED index still passes
+    (back-compat with pre-stamp persists)."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.operators.indexmeta import (
+        read_index_params,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS])
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(docs, "text", "doc_id", n=3, num_hashes=32,
+                        bands=8, portable=True).write.parquet(path)
+    back = spark.read.parquet(path)
+    got = read_index_params(back)
+    assert got and got["kind"] == "minhash_lsh" and got["bands"] == "8"
+    batch = docs.limit(2)
+    # matched: runs
+    assert incremental_minhash_admission(
+        batch, docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        portable=True, corpus_index=back).count() >= 0
+    # mismatched bands: raises before any job
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_minhash_admission(
+            batch, docs, "text", "doc_id", n=3, num_hashes=32, bands=4,
+            portable=True, corpus_index=back)
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_lsh_pairs(docs, "text", "doc_id", n=5, num_hashes=32,
+                          bands=8, portable=True, corpus_index=back)
+    with pytest.raises(ValueError, match="different parameters"):
+        append_to_minhash_index(back, batch, "text", "doc_id", n=3,
+                                num_hashes=64, bands=8, portable=True)
+    # unstamped (hand-built / pre-0.2.1): docstring contract only
+    plain = back.select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bucket")
+    assert read_index_params(plain) is None
+    assert minhash_lsh_pairs(docs, "text", "doc_id", n=3, num_hashes=32,
+                             bands=8, portable=True,
+                             corpus_index=plain).count() >= 0
+
+
+def test_rp_lsh_index_stamp_rejects_mismatched_operating_point(
+        spark, tmp_path):
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_rp_lsh_index,
+        rp_lsh_near_dup_auto,
+    )
+
+    emb = spark.createDataFrame([
+        Row(vec_id=i, embedding=[float(i == j) for j in range(3)])
+        for i in range(3)])
+    path = str(tmp_path / "rp_index")
+    (build_rp_lsh_index(emb, threshold=0.95, target_recall=0.9,
+                        max_bands=8, dim=3).write.parquet(path))
+    back = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="different parameters"):
+        rp_lsh_near_dup_auto(emb, threshold=0.90, target_recall=0.9,
+                             max_bands=8, dim=3, corpus_index=back)
+    with pytest.raises(ValueError, match="different parameters"):
+        rp_lsh_near_dup_auto(emb, threshold=0.95, target_recall=0.9,
+                             max_bands=16, dim=3, corpus_index=back)

@@ -23,3 +23,29 @@ def test_queries_run_at_sf0001(spark):
 def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles).issubset(set(qs))
+
+
+def test_index_cache_rejects_symlinked_base(tmp_path, monkeypatch):
+    """ADVICE r10: the per-user cache ownership check must lstat —
+    a pre-created SYMLINK at the base path (pointing anywhere, even a
+    directory this uid owns) must be rejected, or another user could
+    redirect index I/O to a location they chose."""
+    import getpass
+    import tempfile
+
+    import pytest
+
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    fake_tmp = tmp_path / "tmp"
+    fake_tmp.mkdir()
+    base = fake_tmp / f"ndpspark-index-{getpass.getuser()}"
+    base.symlink_to(victim)
+    monkeypatch.setattr(tempfile, "tempdir", str(fake_tmp))
+    with pytest.raises(RuntimeError, match="not a directory"):
+        entrymod._index_dir("/root/testdata/sf0.001", "documents", "t")
+    # and a REAL directory at the same path is accepted
+    base.unlink()
+    base.mkdir(mode=0o700)
+    assert entrymod._index_dir(
+        "/root/testdata/sf0.001", "documents", "t").startswith(str(base))
