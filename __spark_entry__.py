@@ -3810,6 +3810,37 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: regression fix); the remaining slots go to the OLDEST driver records
 #: (the r1-r3 reference-surface cohort, last driver-checked in
 #: CORRECTNESS_r02/_r03 — VERDICT r8 stretch task 8).
+#: Round-11 driver window front (the driver records the FIRST 50
+#: ``queries()`` entries): the two sketch queries whose RESULTS changed
+#: this round (rank key widened to the near-unique triple — ADVICE r10;
+#: the grouped variant also carries the new salted two-phase physical
+#: shape); then TPC-H q2-q22 — the last r4-era records (VERDICT r10
+#: task 3; all 21 independently re-verified green by the r10 judge), so
+#: after r11 the rotation reaches steady state (oldest record ≤ r5);
+#: then the r5/r6-era cohorts (the next-oldest records); the remaining
+#: slots re-record the index-family queries riding this round's
+#: param-stamp/validation code (results unit-pinned unchanged,
+#: re-recorded anyway per the materially-touched convention).
+_ROUND11_FRONT = [
+    # results changed this round (new rank key; salted two-phase shape)
+    "fare_anomalies_sketch", "grouped_percentiles_sketch",
+    # the last r4-era records: TPC-H q2-q22
+    *[f"tpch_q{i}_sql" for i in range(2, 23)],
+    # r5-era records
+    "keep_latest", "kmeans_assign", "semantic_dedup",
+    # r6-era records
+    "curriculum_order", "knn_communities", "knn_graph", "mad_outliers",
+    "negative_samples", "pagerank", "rrf_fusion", "temperature_mix",
+    "time_travel_read", "version_pruned_scan",
+    # index-family re-records (param-stamp/validation code touched)
+    "incremental_minhash", "incremental_minhash_indexed",
+    "minhash_dedup", "near_dup_production", "near_dup_stats",
+    "dedup_savings", "lsh_recall_report", "cross_signal_dedup",
+    "cross_signal_dedup_indexed", "incremental_semantic_indexed",
+    "embedding_near_dup", "ann_lsh", "ann_lsh_auto",
+    "semantic_dedup_auto",
+]
+
 _ROUND10_FRONT = [
     # new r10 (never driver-verified): the two remaining persisted-index
     # registrations + the hash-sample quantile modes
@@ -3921,13 +3952,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
-    the first 50 entries. Rounds 1-9 drove all 183 queries to a green
-    driver record (cumulative union of windows). The round-10 window
-    leads with ``_ROUND10_FRONT``: the two new persisted-index
-    registrations, then the 31 r1-r3-cohort queries whose records were
-    the oldest on file (completing the archival rotation — after r10
-    every query's latest record is ≤6 rounds old and the oldest cohort
-    is r4), then r4-cohort fill; prior fronts follow in order."""
+    the first 50 entries. Rounds 1-10 drove all 187 queries to a green
+    driver record (cumulative union of windows). The round-11 window
+    (``_ROUND11_FRONT``) leads with the two sketch queries whose
+    results changed this round, then TPC-H q2-q22 (the last r4-era
+    records — after r11 the oldest record anywhere is r5 and the
+    rotation is steady-state oldest-first), then the r5/r6 cohorts,
+    then the index-family queries riding this round's
+    param-stamp/validation code; prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4113,7 +4145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "weighted_corpus_sample": _q_weighted_corpus_sample,
     }
-    ordered = {name: full[name] for name in _ROUND10_FRONT}
+    ordered = {name: full[name] for name in _ROUND11_FRONT}
+    ordered.update({name: full[name] for name in _ROUND10_FRONT})
     ordered.update({name: full[name] for name in _ROUND9_FRONT})
     ordered.update({name: full[name] for name in _ROUND8_FRONT})
     ordered.update({name: full[name] for name in _ROUND7_FRONT})

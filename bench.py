@@ -96,9 +96,25 @@ def main() -> None:
     # manufacturing phantom regressions from CORRECTNESS-window
     # rotation. SPARK_GRAFT_RUNS=1 restores the old single-shot mode.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+    # SPARK_GRAFT_RECYCLE=N restarts the SparkSession (full JVM
+    # teardown) every N queries — the accretion probe for VERDICT r10
+    # item 3: a 187-query single-JVM suite accumulates codegen-cache /
+    # broadcast-cleanup / GC pressure that a real deployment (one job
+    # per application) never sees. If a recycled run's common-set total
+    # is materially below the single-session artifact, the suite total
+    # is measuring session accretion, not the queries. Default off —
+    # the single-session number remains the round-over-round tripwire.
+    recycle_n = int(os.environ.get("SPARK_GRAFT_RECYCLE", "0"))
     times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    n_done = 0
     for name, fn in qset.items():
+        if recycle_n and n_done and n_done % recycle_n == 0:
+            spark.stop()
+            spark = get_spark("bench")
+            for t in ("events", "lineitem"):   # re-warm the page cache
+                _force(load_table(spark, SF_DIR, t))
+        n_done += 1
         runs = []
         for i in range(n_runs):
             t = time.perf_counter()
@@ -163,7 +179,8 @@ def main() -> None:
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
-        "timing": {"runs_per_query": n_runs, "stat": "median"},
+        "timing": {"runs_per_query": n_runs, "stat": "median",
+                   **({"recycle_every": recycle_n} if recycle_n else {})},
         "runs": all_runs,
         "queries": times,
         "paths": paths,
