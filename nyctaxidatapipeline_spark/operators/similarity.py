@@ -1339,14 +1339,111 @@ def incremental_semantic_admission(new: DataFrame, corpus: DataFrame,
     return new.join(rejected, id_col, "left_anti")
 
 
-def incremental_semantic_admission_auto(new: DataFrame, corpus: DataFrame,
+_IVF_ROUTED_SCHEMA = "list_id int, _side string, _id long, " \
+                     "_vec array<double>"
+
+
+def _ivf_router(cm_list: list[list[float]], npr: int,
+                emit_probes: bool, side_top1: str):
+    """Arrow-batched IVF routing kernel (one BLAS matmul per batch,
+    routing dots rounded 6 dp half-away BEFORE argmax/top-nprobe so
+    BLAS-vs-fold last-ulp drift cannot flip a near-tied assignment
+    against the SQL twin). Emits each vector's top-1 row tagged
+    ``side_top1`` and, when ``emit_probes``, its top-``npr`` probe
+    rows tagged ``'q'``. Zero-norm vectors drop (admitted, never
+    blocking — the sibling paths' convention)."""
+    def route(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(cm_list, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            ids = pdf["_id"].to_numpy()
+            nz = np.einsum("ij,ij->i", vm, vm) > 0.0
+            vm, ids = vm[nz], ids[nz]
+            if not len(ids):
+                continue
+            dots = vm @ cm.T
+            _round6_half_away(dots, np.empty_like(dots))
+            best = np.argmax(dots, axis=1)  # first max = lowest cid
+            vecs = [list(v) for v in vm]
+            out = {
+                "list_id": [best.astype("int32")],
+                "_side": [np.full(len(ids), side_top1)],
+                "_id": [ids], "_vec": [vecs]}
+            if emit_probes:
+                order = np.argsort(-dots, axis=1,
+                                   kind="stable")[:, :npr]
+                out["list_id"].append(order.ravel().astype("int32"))
+                out["_side"].append(np.full(len(ids) * npr, "q"))
+                out["_id"].append(np.repeat(ids, npr))
+                out["_vec"].append(
+                    [v for v in vecs for _ in range(npr)])
+            yield pd.DataFrame({
+                "list_id": np.concatenate(out["list_id"]),
+                "_side": np.concatenate(out["_side"]),
+                "_id": np.concatenate(out["_id"]),
+                "_vec": sum(out["_vec"], [])})
+    return route
+
+
+def _semantic_routing_params(cm_list: list[list[float]]) -> dict:
+    """Stamp/validation dict for routed-corpus semantic indexes: the
+    identity of such an index IS its centroid matrix, so the stamp
+    carries an md5 of the (rounded-routing-precision) centroid doubles
+    — a probe with different centroids (even the same count) raises
+    instead of silently mis-routing."""
+    import hashlib
+    import json
+
+    payload = json.dumps([[round(x, 6) for x in c] for c in cm_list])
+    return {"kind": "semantic_routed", "n_centroids": len(cm_list),
+            "centroids_md5": hashlib.md5(payload.encode()).hexdigest()}
+
+
+def build_semantic_routing_index(corpus: DataFrame,
+                                 centroids: list[list[float]],
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding"
+                                 ) -> DataFrame:
+    """(list_id, _id, _vec) — the persistable ROUTED corpus for
+    :func:`incremental_semantic_admission_auto`: every corpus vector's
+    top-1 IVF list assignment (the one corpus-sized BLAS routing pass
+    a cold admission pays every day), computed ONCE to be written
+    ``partitionBy('list_id')`` and read back via that function's
+    ``corpus_routed=``. Pure function of (corpus, centroids) — same
+    rounded-dot argmax both paths run — so index ∘ persist ∘ read-back
+    yields the identical admitted set (unit-pinned). The centroid
+    matrix identity is stamped into column metadata and validated on
+    probe (see :func:`_semantic_routing_params`)."""
+    cm_list = [list(map(float, c)) for c in centroids]
+    routed = (fan_out(corpus, id_col)
+              .select(F.col(id_col).alias("_id"),
+                      as_double(F.col(vec_col)).alias("_vec"))
+              .mapInPandas(_ivf_router(cm_list, 1, False, "c"),
+                           schema=_IVF_ROUTED_SCHEMA)
+              .select("list_id", "_id", "_vec"))
+    # stamped on _id, NOT list_id: a partitionBy('list_id') persist
+    # turns list_id into a partition column, which does not carry
+    # schema metadata through the round trip
+    return stamp_index_params(routed, _semantic_routing_params(cm_list),
+                              col="_id")
+
+
+def incremental_semantic_admission_auto(new: DataFrame,
+                                        corpus: DataFrame | None,
                                         id_col: str = "vec_id",
                                         vec_col: str = "embedding",
                                         threshold: float = 0.85,
                                         nprobe: int = 4,
                                         n_centroids: int | None = None,
                                         centroids: list[list[float]]
-                                        | None = None) -> DataFrame:
+                                        | None = None,
+                                        corpus_routed: DataFrame | None
+                                        = None) -> DataFrame:
     """The 100 TB operating point of
     :func:`incremental_semantic_admission` — same admission contract
     (probed-corpus arm + greedy insertion-list in-batch arm, cosines
@@ -1371,63 +1468,61 @@ def incremental_semantic_admission_auto(new: DataFrame, corpus: DataFrame,
     ``list_id``, per-list kernel emits only REJECTED batch ids —
     output is O(|batch|), the aggregate input O(batch·nprobe +
     corpus). Zero-norm vectors are admitted and never block (dropped
-    in routing, exactly like the sibling paths)."""
+    in routing, exactly like the sibling paths).
+
+    ``corpus_routed`` takes a prebuilt
+    :func:`build_semantic_routing_index` frame (read back from
+    wherever the deployment persists it, ``partitionBy('list_id')``)
+    and skips the corpus routing pass — the remaining per-increment
+    cost is batch routing plus the probed lists' kernels; the
+    read-back corpus is semi-joined to the batch's probed list_ids
+    first, so untouched lists (and their files, on a partitioned
+    persist) are never read. Requires ``centroids`` (the matrix the
+    index was built with — a deployment persists it alongside);
+    identity is validated against the index's centroid-md5 stamp, and
+    the admitted set is INDEX-REPRESENTATION-INDEPENDENT (unit-pinned
+    through a parquet round trip). ``corpus`` may be None then."""
     import pandas as pd  # noqa: F401  (driver-side availability check)
 
-    if n_centroids is None:
+    if corpus_routed is None and corpus is None:
+        raise ValueError("need a corpus (to route in-query) or a "
+                         "corpus_routed index (plus its centroids)")
+    if n_centroids is None and centroids is None:
         n_centroids = knn_graph_ivf_n_centroids(corpus.count(), nprobe)
     cents = centroids if centroids is not None else \
         ivf_seed_centroids(corpus, n_centroids, id_col, vec_col)
     cm_list = [list(map(float, c)) for c in cents]
     npr = min(nprobe, len(cents))
 
-    def make_router(emit_probes: bool, side_top1: str):
-        def route(batches):
-            import numpy as np
-            import pandas as pd
-
-            cm = np.array(cm_list, dtype=np.float64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-                ids = pdf["_id"].to_numpy()
-                nz = np.einsum("ij,ij->i", vm, vm) > 0.0
-                vm, ids = vm[nz], ids[nz]
-                if not len(ids):
-                    continue
-                dots = vm @ cm.T
-                _round6_half_away(dots, np.empty_like(dots))
-                best = np.argmax(dots, axis=1)  # first max = lowest cid
-                vecs = [list(v) for v in vm]
-                out = {
-                    "list_id": [best.astype("int32")],
-                    "_side": [np.full(len(ids), side_top1)],
-                    "_id": [ids], "_vec": [vecs]}
-                if emit_probes:
-                    order = np.argsort(-dots, axis=1,
-                                       kind="stable")[:, :npr]
-                    out["list_id"].append(order.ravel().astype("int32"))
-                    out["_side"].append(np.full(len(ids) * npr, "q"))
-                    out["_id"].append(np.repeat(ids, npr))
-                    out["_vec"].append(
-                        [v for v in vecs for _ in range(npr)])
-                yield pd.DataFrame({
-                    "list_id": np.concatenate(out["list_id"]),
-                    "_side": np.concatenate(out["_side"]),
-                    "_id": np.concatenate(out["_id"]),
-                    "_vec": sum(out["_vec"], [])})
-        return route
-
-    schema = "list_id int, _side string, _id long, _vec array<double>"
-    c_tagged = (fan_out(corpus, id_col)
-                .select(F.col(id_col).alias("_id"),
-                        as_double(F.col(vec_col)).alias("_vec"))
-                .mapInPandas(make_router(False, "c"), schema=schema))
+    schema = _IVF_ROUTED_SCHEMA
     b_tagged = (fan_out(new, id_col)
                 .select(F.col(id_col).alias("_id"),
                         as_double(F.col(vec_col)).alias("_vec"))
-                .mapInPandas(make_router(True, "s"), schema=schema))
+                .mapInPandas(_ivf_router(cm_list, npr, True, "s"),
+                             schema=schema))
+    if corpus_routed is not None:
+        check_index_params(
+            corpus_routed, _semantic_routing_params(cm_list),
+            "incremental_semantic_admission_auto", col="_id")
+        # the batch routing feeds both the probed-list restriction and
+        # the kernel union — materialize it once (batch-sized, tiny)
+        b_tagged = b_tagged.localCheckpoint(eager=False)
+        # Restrict the read-back routed corpus to lists the batch
+        # actually probes: every q row's top-1 list is among its
+        # probes, so distinct batch list_ids cover every list where a
+        # corpus row could block anything — untouched lists (and, on a
+        # list_id-partitioned persist, their FILES) are never read.
+        probed = b_tagged.select("list_id").distinct()
+        c_tagged = (corpus_routed
+                    .join(probed, "list_id", "left_semi")
+                    .select("list_id", F.lit("c").alias("_side"),
+                            "_id", "_vec"))
+    else:
+        c_tagged = (fan_out(corpus, id_col)
+                    .select(F.col(id_col).alias("_id"),
+                            as_double(F.col(vec_col)).alias("_vec"))
+                    .mapInPandas(_ivf_router(cm_list, npr, False, "c"),
+                                 schema=schema))
 
     thr = float(threshold)
 

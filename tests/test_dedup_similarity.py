@@ -1123,3 +1123,55 @@ def test_rp_lsh_index_stamp_rejects_mismatched_operating_point(
     with pytest.raises(ValueError, match="different parameters"):
         rp_lsh_near_dup_auto(emb, threshold=0.95, target_recall=0.9,
                              max_bands=16, dim=3, corpus_index=back)
+
+
+def test_semantic_auto_routed_index_round_trip(spark, tmp_path):
+    """build_semantic_routing_index persisted partitionBy(list_id) +
+    read back via corpus_routed= yields the SAME admitted set as the
+    in-query corpus routing; wrong centroids raise on the stamp."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_semantic_routing_index,
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids_portable,
+    )
+
+    # pseudo-random corpus; batch = near-copies of corpus vectors
+    # (must reject) + novel orthogonal-ish vectors (must admit)
+    def vec(seed):
+        return [float((seed * 2654435761 + j * 40503) % 997) / 997.0
+                for j in range(4)]
+
+    corpus_rows = [Row(vec_id=i, embedding=vec(i)) for i in range(50)]
+    batch_rows = ([Row(vec_id=100 + i,
+                       embedding=[x * 1.001 for x in vec(i)])
+                   for i in range(5)] +          # near-dups of corpus
+                  [Row(vec_id=200 + i,
+                       embedding=[0.0, 0.0, 0.0, float(i + 1)])
+                   for i in range(3)])           # novel direction
+    corpus = spark.createDataFrame(corpus_rows)
+    batch = spark.createDataFrame(batch_rows)
+    cents = ivf_seed_centroids_portable(
+        corpus.unionByName(batch), n_centroids=4)
+    direct = {r.vec_id for r in incremental_semantic_admission_auto(
+        batch, corpus, threshold=0.995, nprobe=2,
+        centroids=cents).collect()}
+    assert direct and any(v >= 200 for v in direct) \
+        and not all(100 <= v < 200 for v in direct)
+    path = str(tmp_path / "routed")
+    (build_semantic_routing_index(corpus, cents)
+     .write.partitionBy("list_id").parquet(path))
+    back = spark.read.parquet(path)
+    via = {r.vec_id for r in incremental_semantic_admission_auto(
+        batch, None, threshold=0.995, nprobe=2, centroids=cents,
+        corpus_routed=back).collect()}
+    assert via == direct and 0 < len(direct) < batch.count() + 1
+    # wrong centroids (same count, different matrix): stamp rejects
+    bad = [[c + 0.5 for c in row] for row in cents]
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_semantic_admission_auto(
+            batch, None, threshold=0.995, nprobe=2, centroids=bad,
+            corpus_routed=back)
+    # neither corpus nor index: explicit error
+    with pytest.raises(ValueError, match="corpus"):
+        incremental_semantic_admission_auto(
+            batch, None, threshold=0.995, nprobe=2, centroids=cents)
