@@ -226,9 +226,11 @@ def main() -> None:
             sf1 = json.load(f)
         line["sf1"] = {"total_sec": sf1.get("value"),
                        "n_queries": len(sf1.get("queries", {})),
-                       "note": "r9 refresh: 179 queries single-shot at 10x; "
-                               "worst ratio 11x (GK-1e6/JPEG rows); "
-                               "full table in BENCH_SF1.json"}
+                       "note": "r9 single-shot base + r11 median-of-3 "
+                               "rows for the 5 index/sketch "
+                               "registrations; worst ratio 11x "
+                               "(GK-1e6/JPEG rows); full table in "
+                               "BENCH_SF1.json"}
     except (OSError, ValueError):
         pass
     # Same for the 100x fixture (BENCH_SF10.json — two orders of
@@ -239,10 +241,11 @@ def main() -> None:
             sf10 = json.load(f)
         line["sf10"] = {"total_sec": sf10.get("value"),
                         "n_queries": len(sf10.get("queries", {})),
-                        "note": "29-query subset at 100x sf0.1 (total "
-                                "includes the two deliberate uncapped "
-                                "scale-lesson rows, 588s of it); table "
-                                "in BENCH_SF10.json / PLANS.md #19-20"}
+                        "note": "46-query subset at 100x sf0.1 (total "
+                                "includes the deliberate uncapped "
+                                "scale-lesson rows and both GK-1e6 "
+                                "parity points, ~600s of it); table "
+                                "in BENCH_SF10.json / PLANS.md #19-23"}
     except (OSError, ValueError):
         pass
     print(json.dumps(line))
