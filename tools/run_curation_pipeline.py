@@ -74,10 +74,14 @@ def main(argv: list[str] | None = None) -> int:
         pretokenized_sequences,
     )
 
+    import time
+
     spark = get_spark("curation_pipeline")
     docs = read_parquet(spark, args.documents)
     mb = None if args.max_bucket < 0 else args.max_bucket
     n_in = docs.count()
+    stage_sec: dict[str, float] = {}
+    t0 = time.perf_counter()
 
     # 1. curation (quality/PII/line/exact/near-dup recipe)
     curated = curate_corpus(docs, "text", "doc_id",
@@ -88,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
     curated.write.mode("overwrite").parquet(f"{args.out}/curated")
     curated = read_parquet(spark, f"{args.out}/curated")
     n_curated = curated.count()
+    stage_sec["curate"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # 2. duplication histogram + savings, priced in tokens
     mapping = near_dup_production(curated, "text", "doc_id",
@@ -105,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
         F.sum(F.col("_n") * kept).cast("long").alias("ws_tokens_kept"))
     savings.write.mode("overwrite").parquet(f"{args.out}/savings")
     srow = read_parquet(spark, f"{args.out}/savings").collect()[0]
+    stage_sec["dedup_reports"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # 3. pretokenized training sequences (raw id arrays)
     seqs = pretokenized_sequences(curated, "text", "doc_id",
@@ -122,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         seqs.write.mode("overwrite").parquet(f"{args.out}/sequences")
         n_seqs = read_parquet(spark, f"{args.out}/sequences").count()
 
+    stage_sec["pretokenize_export"] = round(time.perf_counter() - t0, 3)
     print(json.dumps({
         "n_input_docs": n_in,
         "n_curated_docs": n_curated,
@@ -130,6 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         "ws_tokens_kept": srow["ws_tokens_kept"],
         "n_sequences": n_seqs,
         "budget": args.budget,
+        "stage_sec": stage_sec,
+        "total_sec": round(sum(stage_sec.values()), 3),
         "out": args.out,
     }))
     spark.stop()
