@@ -955,9 +955,17 @@ def _q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_incremental_semantic_indexed(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
-    """The DEPLOYMENT shape of the semantic admission gate — the third
-    leg of the persisted-index family (``incremental_minhash_indexed``
-    is the lexical admission, ``ann_ivf_indexed`` the search path):
+    """The FIXED-16-LIST persisted-index semantic admission — kept as
+    the oracle-parity point and a measured shape lesson, NOT the
+    deployment shape: the r11 sf10 pricing (PLANS.md #23) showed this
+    query is verification-bound at scale (warm 82.7 s vs ~5-10 s for
+    the auto-sized paths — a fixed list count leaves per-probe
+    candidate volume growing with the corpus, and persisting the index
+    only removes the assignment pass). The deployment registration is
+    ``incremental_semantic_auto_indexed``. Original design (r10) — the
+    third leg of the persisted-index family
+    (``incremental_minhash_indexed`` is the lexical admission,
+    ``ann_ivf_indexed`` the search path):
     the standing CORPUS's inverted index (``similarity.ivf_assign``
     output, the O(corpus·k·d) assignment a deployment pays once at
     ingest) is built once, persisted ``partitionBy('list_id')``, and
