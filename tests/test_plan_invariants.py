@@ -43,8 +43,11 @@ ARROW_OK = {"embedding_near_dup", "image_features",
             "tfrecord_ingest",
             "semantic_dedup_auto", "knn_graph_ivf",
             # BLAS routing passes of the auto-sized semantic admission
-            # gate (the knn_graph_ivf kernels re-applied to admission)
-            "incremental_semantic_auto"}
+            # gate (the knn_graph_ivf kernels re-applied to admission);
+            # the indexed twin routes only the BATCH (corpus read back
+            # pre-routed from the persisted index)
+            "incremental_semantic_auto",
+            "incremental_semantic_auto_indexed"}
 
 #: queries allowed a grouped pandas kernel (FlatMapGroupsInPandas /
 #: applyInPandas) — the two block-pair BLAS kernels (kNN partial top-k
@@ -57,8 +60,9 @@ GROUPED_PANDAS_OK = {"knn_graph", "knn_graph_ivf", "embedding_near_dup",
                      # of the TFRecord codec zone)
                      "tfrecord_ingest",
                      # per-list BLAS verification of the auto-sized
-                     # semantic admission gate
-                     "incremental_semantic_auto"}
+                     # semantic admission gate (both persistence modes)
+                     "incremental_semantic_auto",
+                     "incremental_semantic_auto_indexed"}
 
 
 @pytest.fixture(scope="module")
