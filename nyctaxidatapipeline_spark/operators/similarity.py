@@ -1433,6 +1433,32 @@ def build_semantic_routing_index(corpus: DataFrame,
                               col="_id")
 
 
+def append_to_semantic_routing_index(index: DataFrame,
+                                     admitted: DataFrame,
+                                     centroids: list[list[float]],
+                                     id_col: str = "vec_id",
+                                     vec_col: str = "embedding"
+                                     ) -> DataFrame:
+    """The index-MAINTENANCE half of the semantic admission loop — the
+    embedding-side sibling of ``dedup.append_to_minhash_index``: the
+    standing routed corpus plus the admitted increment's routed rows.
+    Because routing is a pure PER-ROW function of (vector, centroids),
+    route(corpus ∪ admitted) == route(corpus) ∪ route(admitted)
+    exactly — a deployment appends (same ``partitionBy('list_id')``
+    layout, append mode) after each admission commit instead of ever
+    re-routing the corpus. Centroid identity is validated against the
+    index's stamp; NOTE the centroid matrix is frozen by the standing
+    index — growing the corpus past the sizing the matrix was derived
+    for degrades per-list balance, and the re-center/re-route decision
+    is the deployment's (the stamp makes a stale probe loud)."""
+    check_index_params(index, _semantic_routing_params(
+        [list(map(float, c)) for c in centroids]),
+        "append_to_semantic_routing_index", col="_id")
+    return index.unionByName(
+        build_semantic_routing_index(admitted, centroids, id_col,
+                                     vec_col))
+
+
 def incremental_semantic_admission_auto(new: DataFrame,
                                         corpus: DataFrame | None,
                                         id_col: str = "vec_id",
@@ -1487,6 +1513,12 @@ def incremental_semantic_admission_auto(new: DataFrame,
     if corpus_routed is None and corpus is None:
         raise ValueError("need a corpus (to route in-query) or a "
                          "corpus_routed index (plus its centroids)")
+    if corpus_routed is not None and centroids is None:
+        raise ValueError(
+            "corpus_routed requires the centroids it was built with "
+            "(a deployment persists the matrix alongside the index); "
+            "re-deriving them from a corpus here could silently "
+            "diverge from the index's routing")
     if n_centroids is None and centroids is None:
         n_centroids = knn_graph_ivf_n_centroids(corpus.count(), nprobe)
     cents = centroids if centroids is not None else \

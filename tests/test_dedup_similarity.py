@@ -1175,3 +1175,51 @@ def test_semantic_auto_routed_index_round_trip(spark, tmp_path):
     with pytest.raises(ValueError, match="corpus"):
         incremental_semantic_admission_auto(
             batch, None, threshold=0.995, nprobe=2, centroids=cents)
+
+
+def test_append_to_semantic_routing_index_equals_rebuild(spark):
+    """route(corpus + admitted) == route(corpus) + route(admitted) —
+    the day-over-day closure that lets a deployment append routed
+    admissions instead of re-routing the corpus; mismatched centroids
+    on the append side raise on the stamp."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        append_to_semantic_routing_index,
+        build_semantic_routing_index,
+        ivf_seed_centroids_portable,
+    )
+
+    def vec(seed):
+        return [float((seed * 2654435761 + j * 40503) % 997) / 997.0
+                for j in range(4)]
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(40)])
+    admitted = spark.createDataFrame(
+        [Row(vec_id=100 + i, embedding=vec(77 + i)) for i in range(10)])
+    cents = ivf_seed_centroids_portable(corpus, n_centroids=4)
+    rebuilt = {(r.list_id, r._id) for r in build_semantic_routing_index(
+        corpus.unionByName(admitted), cents).collect()}
+    appended = {(r.list_id, r._id) for r in
+                append_to_semantic_routing_index(
+                    build_semantic_routing_index(corpus, cents),
+                    admitted, cents).collect()}
+    assert appended == rebuilt and len(rebuilt) == 50
+    bad = [[c + 0.25 for c in row] for row in cents]
+    with pytest.raises(ValueError, match="different parameters"):
+        append_to_semantic_routing_index(
+            build_semantic_routing_index(corpus, cents), admitted, bad)
+
+
+def test_corpus_routed_without_centroids_raises(spark):
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission_auto,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="requires the centroids"):
+        incremental_semantic_admission_auto(
+            emb, None, corpus_routed=emb.select(
+                F.lit(0).alias("list_id"),
+                F.col("vec_id").alias("_id"),
+                F.col("embedding").alias("_vec")))
