@@ -444,6 +444,144 @@ def semantic_admit_fn(corpus_dir: str, vec_col: str = "embedding",
     return _admit_commit_fn(corpus_dir, vec_col, id_col, admitter)
 
 
+def semantic_admit_indexed_fn(corpus_dir: str, index_dir: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.85,
+                              n_centroids: int = 16, nprobe: int = 4):
+    """``foreachBatch`` for :func:`run_streaming_semantic_admission_indexed`
+    — the MAINTAINED-INDEX streaming shape of semantic admission
+    (r11, composing the batch pieces): instead of re-seeding centroids
+    and re-routing the whole admitted corpus every epoch
+    (``semantic_admit_fn``), the centroid matrix is FROZEN at the
+    first non-degenerate epoch (persisted as ``_centroids.json`` in
+    ``index_dir``, atomic-rename committed) and the ROUTED corpus is
+    maintained as epoch-append parquet under ``index_dir`` — each
+    epoch probes the read-back index via ``corpus_routed=`` and
+    appends only its own admissions' routed rows
+    (``build_semantic_routing_index`` of the admitted subset; the
+    pure-per-row closure ``append_to_semantic_routing_index``
+    unit-pins). Per-epoch cost is batch routing + probed lists'
+    kernels — the corpus is NEVER re-routed, the cost the in-query
+    streaming twin pays every epoch.
+
+    Exactly-once: the INDEX epoch commits before the CORPUS epoch
+    (both write-tmp-then-rename). A replayed epoch whose corpus dir
+    exists no-ops; a crash between the two commits re-delivers the
+    epoch with its own routed rows already in the index, so the probe
+    anti-joins the read-back index on the batch's ids first — rows a
+    batch could only have contributed itself can never block it, and
+    the recomputed admission (deterministic) matches the committed
+    index epoch. The frozen matrix trades per-list balance as the
+    corpus grows for never re-routing; re-centering is a deployment
+    decision (start a new index_dir), and the stamp makes a stale
+    probe loud."""
+    import json
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_semantic_routing_index,
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids,
+    )
+
+    def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
+        if os.path.exists(edir):
+            return                       # replayed epoch — committed
+        spark = batch_df.sparkSession
+        batch = (batch_df.select(id_col, vec_col)
+                 .localCheckpoint())     # probed + routed + committed
+        # underscore prefix: Spark's file index ignores _-prefixed
+        # files, so the sidecar cannot break the parquet read
+        cents_path = os.path.join(index_dir, "_centroids.json")
+        if os.path.exists(cents_path):
+            with open(cents_path) as f:
+                cents = json.load(f)
+        else:
+            cents = [list(map(float, c)) for c in
+                     ivf_seed_centroids(batch, n_centroids, id_col,
+                                        vec_col)]
+            if cents:
+                os.makedirs(index_dir, exist_ok=True)
+                tmp_c = f"{cents_path}.tmp-{os.getpid()}-{epoch_id}"
+                with open(tmp_c, "w") as f:
+                    json.dump(cents, f)
+                try:
+                    os.rename(tmp_c, cents_path)
+                except OSError:
+                    os.unlink(tmp_c)
+                with open(cents_path) as f:   # read the race winner
+                    cents = json.load(f)
+        if not cents:
+            # all-zero/empty first batch: nothing to route or compare —
+            # admit wholesale, seed again next epoch (sibling
+            # convention: zero-norm vectors never block)
+            admitted = batch
+        else:
+            has_idx = os.path.isdir(index_dir) and any(
+                e.startswith("epoch=") for e in os.listdir(index_dir))
+            if has_idx:
+                routed = (spark.read.option("basePath", index_dir)
+                          .parquet(index_dir)
+                          .select("list_id", "_id", "_vec")
+                          # crash-healing: a half-committed replay's own
+                          # routed rows (batch ids) must never block it
+                          .join(batch.select(F.col(id_col).alias("_id")),
+                                "_id", "left_anti"))
+            else:
+                routed = spark.createDataFrame(
+                    [], "list_id int, _id long, _vec array<double>")
+            admitted = incremental_semantic_admission_auto(
+                batch, None, id_col=id_col, vec_col=vec_col,
+                threshold=threshold, nprobe=nprobe, centroids=cents,
+                corpus_routed=routed)
+        admitted = admitted.localCheckpoint()
+        # index epoch FIRST (a missing index epoch would silently
+        # under-reject forever; a missing corpus epoch is healed above)
+        if cents:
+            idx_edir = os.path.join(index_dir, f"epoch={epoch_id}")
+            if not os.path.exists(idx_edir):
+                tmp = os.path.join(index_dir, f".tmp-epoch-{epoch_id}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                (build_semantic_routing_index(admitted, cents, id_col,
+                                              vec_col)
+                 .coalesce(1).write.mode("overwrite").parquet(tmp))
+                os.rename(tmp, idx_edir)
+        tmp = os.path.join(
+            os.path.dirname(corpus_dir.rstrip("/")) or ".",
+            f".tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        admitted.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(corpus_dir, exist_ok=True)
+        os.rename(tmp, edir)
+
+    return admit_batch
+
+
+def run_streaming_semantic_admission_indexed(
+        stream: DataFrame, corpus_dir: str, index_dir: str,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        threshold: float = 0.85, n_centroids: int = 16,
+        nprobe: int = 4, checkpoint_dir: str | None = None):
+    """foreachBatch streaming semantic admission over a MAINTAINED
+    persisted routed-corpus index (see
+    :func:`semantic_admit_indexed_fn`): frozen centroids, epoch-append
+    index, per-epoch cost that never re-routes the corpus — the
+    streaming deployment shape of
+    ``incremental_semantic_auto_indexed``."""
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(semantic_admit_indexed_fn(
+             corpus_dir, index_dir, vec_col, id_col, threshold,
+             n_centroids, nprobe)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def run_streaming_semantic_admission(stream: DataFrame, corpus_dir: str,
                                      vec_col: str = "embedding",
                                      id_col: str = "vec_id",

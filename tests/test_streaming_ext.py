@@ -841,3 +841,124 @@ def test_streaming_cross_signal_drained_equals_batch(spark, tmp_path):
         id_col="doc_id", threshold=0.4, nprobe=4,
         centroids=cents).collect()}
     assert got == (lex & sem) and 0 < len(got) <= joined.count()
+
+
+def _sem_vec(seed):
+    # signed components spread the directions (all-positive vectors
+    # cluster in one orthant and cross-block at high thresholds)
+    return [float((seed * 2654435761 + j * 40503) % 997) / 997.0 * 2 - 1.0
+            for j in range(4)]
+
+
+def test_streaming_semantic_indexed_epochs_replay_and_healing(
+        spark, tmp_path):
+    """The maintained-index streaming semantic front door
+    (semantic_admit_indexed_fn): centroids frozen at epoch 0, routed
+    corpus epoch-appended, per-epoch admission equals the batch
+    incremental_semantic_admission_auto applied batch-by-batch with
+    the SAME frozen centroids and the in-query (unindexed) corpus;
+    replayed epochs no-op; a crash between the index and corpus
+    commits heals on replay (the probe anti-joins the batch's own
+    ids out of the read-back index)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids,
+    )
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        semantic_admit_indexed_fn,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [Row(vec_id=i, embedding=_sem_vec(i)) for i in range(10)]),
+        spark.createDataFrame(
+            [Row(vec_id=20, embedding=_sem_vec(0)),      # dup of id 0
+             Row(vec_id=21, embedding=[0.0, 0.0, 0.0, 5.0])]),  # novel
+        spark.createDataFrame(
+            [Row(vec_id=30, embedding=[0.0, 0.0, 0.0, 7.0]),  # dup of 21
+             Row(vec_id=31, embedding=_sem_vec(555))]),        # novel
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    fn = semantic_admit_indexed_fn(corpus_dir, index_dir,
+                                   threshold=0.995, n_centroids=4,
+                                   nprobe=2)
+    for i, b in enumerate(batches):
+        fn(b, i)
+    got = {r.vec_id for r in spark.read.option("basePath", corpus_dir)
+           .parquet(corpus_dir).select("vec_id").collect()}
+    # manual twin: frozen centroids from epoch 0, in-query corpus;
+    # epoch 0 runs the same admission (in-batch arm, empty corpus)
+    cents = [list(map(float, c)) for c in
+             ivf_seed_centroids(batches[0], 4, "vec_id", "embedding")]
+    admitted = spark.createDataFrame([], batches[0].schema)
+    want = set()
+    for b in batches:
+        adm = incremental_semantic_admission_auto(
+            b, admitted, threshold=0.995, nprobe=2, centroids=cents)
+        want |= {r.vec_id for r in adm.collect()}
+        admitted = admitted.unionByName(adm)
+    assert got == want
+    assert 20 not in got and 30 not in got   # cross-epoch rejections
+    assert {21, 31} <= got                   # novelty admitted
+    # replayed epoch: byte-identical corpus
+    fn(batches[1], 1)
+    again = {r.vec_id for r in spark.read.option("basePath", corpus_dir)
+             .parquet(corpus_dir).select("vec_id").collect()}
+    assert again == got
+    # crash between index and corpus commits: corpus epoch=2 missing,
+    # index epoch=2 present -> replay must converge to the same state
+    shutil.rmtree(f"{corpus_dir}/epoch=2")
+    fn(batches[2], 2)
+    healed = {r.vec_id for r in spark.read.option("basePath", corpus_dir)
+              .parquet(corpus_dir).select("vec_id").collect()}
+    assert healed == got
+    # index epochs mirror the corpus admissions (routed-append closure)
+    idx_ids = {r._id for r in spark.read.option("basePath", index_dir)
+               .parquet(index_dir).select("_id").collect()}
+    assert idx_ids == got
+
+
+def test_streaming_semantic_indexed_drained_equals_batch(spark,
+                                                         tmp_path):
+    """A drained single-batch indexed stream equals the batch auto
+    admission with batch-seeded centroids — the e2e readStream
+    plumbing of the maintained-index front door."""
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_streaming_semantic_admission_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("vec_id",
+                                                     "embedding")
+    src = str(tmp_path / "src")
+    emb.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.format("parquet")
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", "8").load(src))
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    q = run_streaming_semantic_admission_indexed(
+        stream, corpus, index, threshold=0.4, n_centroids=4, nprobe=4,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    got = {r.vec_id for r in spark.read.option("basePath", corpus)
+           .parquet(corpus).select("vec_id").collect()}
+    cents = [list(map(float, c)) for c in
+             ivf_seed_centroids(emb, 4, "vec_id", "embedding")]
+    empty = spark.createDataFrame([], emb.schema)
+    want = {r.vec_id for r in incremental_semantic_admission_auto(
+        emb, empty, threshold=0.4, nprobe=4,
+        centroids=cents).collect()}
+    assert got == want and 0 < len(got) <= emb.count()

@@ -36,6 +36,7 @@ from nyctaxidatapipeline_spark.streaming.jobs import (  # noqa: E402
     dedup_admit_fn,
     near_dup_admit_fn,
     semantic_admit_fn,
+    semantic_admit_indexed_fn,
 )
 
 SF_DIR = (sys.argv[1] if len(sys.argv) > 1
@@ -75,10 +76,16 @@ def main() -> None:
             d, "text", "doc_id", "embedding", jaccard_threshold=0.5,
             cosine_threshold=0.85, max_bucket=32, n_centroids=16,
             nprobe=4),
+        # maintained persisted routed index: frozen centroids,
+        # epoch-append, corpus never re-routed (r11)
+        "semantic_indexed": lambda d: semantic_admit_indexed_fn(
+            d, d + "_index", "embedding", "doc_id", threshold=0.85,
+            n_centroids=16, nprobe=4),
     }
     cols = {"exact": ["doc_id", "text"],
             "near_dup": ["doc_id", "text"],
             "semantic": ["doc_id", "embedding"],
+            "semantic_indexed": ["doc_id", "embedding"],
             "cross_signal": ["doc_id", "text", "embedding"]}
     out: dict[str, dict] = {}
     for name, make in arms.items():
