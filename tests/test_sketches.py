@@ -462,3 +462,27 @@ def test_hash_sample_rank_null_keys_stay_distinct(spark):
         FROM (VALUES (1, NULL), (NULL, 1), (1, 2)) t(a, b)
     """).fetchall())
     assert got == ref
+
+
+def test_grouped_percentiles_salt_bucket_invariance(spark):
+    """The salt count is a pure physical knob: ANY salt_buckets value
+    (including 1, which degenerates to the single-window form) yields
+    the identical percentile output — duplicate rank keys included
+    (same _rk → same salt, so tie-groups never split)."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_percentiles,
+    )
+
+    rows = ([Row(g="a", id=i % 37, v=float((i * 31) % 500))
+             for i in range(300)] +          # duplicated rank keys
+            [Row(g="b", id=50 + (i % 11), v=float(i))
+             for i in range(120)])
+    df = spark.createDataFrame(rows).repartition(7)
+    results = []
+    for s_b in (1, 2, 7, 32):
+        got = {r.g: (r.p50, r.p95)
+               for r in grouped_hash_sample_percentiles(
+                   df, ["g"], "v", ["id"], (0.5, 0.95), k=32,
+                   salt_buckets=s_b).collect()}
+        results.append(got)
+    assert all(r == results[0] for r in results[1:]), results
