@@ -294,6 +294,92 @@ def run_incremental_rollup(stream: DataFrame, state_dir: str,
     return q
 
 
+def quantile_sketch_merge_fn(state_dir: str, value_col: str,
+                             rank_cols: list[str], k: int = 16384):
+    """``foreachBatch`` for :func:`run_streaming_quantile_sketch` —
+    a LIVE quantile monitor as maintained state (r11, composing the
+    hash-sample bottom-k sketch with the rollup state skeleton): each
+    micro-batch reduces to ITS bottom-k by the fixed md5 row-rank
+    (``sketches.hash_sample_bottom_k`` — O(k) rows, one
+    TakeOrderedAndProject), merges with the standing k-row state, and
+    re-truncates at k. The sketch's pinned mergeability —
+    bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪ bottom_k(B)) — makes the
+    drained state EXACTLY the sketch of the whole stream (and, the
+    rank being deterministic, byte-equal to the batch operator on the
+    same rows), so a deployment reads a p99 threshold off a k-row
+    parquet at any moment at ±sqrt(q(1-q)/k) rank accuracy. Per-batch
+    cost: one linear scan of the batch + an O(k) merge — never stream
+    history. Same epoch-marker swap + replay no-op as
+    ``rollup_merge_fn``."""
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= applied_epoch(state_dir):
+            return                       # replayed epoch — committed
+        spark = batch_df.sparkSession
+        new = hash_sample_bottom_k(batch_df, rank_cols, [value_col], k)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = spark.read.parquet(state_dir).select(new.columns)
+            merged = (cur.unionByName(new)
+                      .orderBy("_rk", value_col).limit(int(k)))
+        else:
+            merged = new
+        tmp = state_dir + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+            f.write(str(epoch_id))
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    return merge_batch
+
+
+def run_streaming_quantile_sketch(stream: DataFrame, state_dir: str,
+                                  value_col: str,
+                                  rank_cols: list[str],
+                                  k: int = 16384,
+                                  checkpoint_dir: str | None = None):
+    """foreachBatch maintenance of the deterministic bottom-k quantile
+    sketch (see :func:`quantile_sketch_merge_fn`): k rows of state,
+    O(batch + k) per epoch, drained state == the batch sketch of the
+    whole stream. Read thresholds off the state with
+    :func:`read_quantile_threshold`."""
+    w = (stream.writeStream
+         .outputMode("update")
+         .foreachBatch(quantile_sketch_merge_fn(state_dir, value_col,
+                                                rank_cols, k)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
+def read_quantile_threshold(spark: SparkSession, state_dir: str,
+                            value_col: str, q: float = 0.99):
+    """The discrete q-quantile of a
+    :func:`run_streaming_quantile_sketch` state — the same
+    ceil(q·n)-index arithmetic as the batch
+    ``hash_sample_quantile_threshold``, off a k-row parquet (a
+    monitoring read, not a stream-history scan). Returns a 1-row
+    DataFrame (``threshold``) for the broadcast two-phase anomaly
+    shape."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        _disc_index,
+    )
+
+    s = spark.read.parquet(state_dir)
+    arr = F.sort_array(F.collect_list(value_col))
+    return (s.agg(arr.alias("_arr"))
+             .select(F.element_at("_arr",
+                                  _disc_index(q, F.size("_arr")))
+                      .alias("threshold")))
+
+
 def dedup_admit_fn(corpus_dir: str, text_col: str, id_col: str):
     """The ``foreachBatch`` function for ``run_incremental_dedup``:
     admit only batch documents that are not fingerprint-duplicates of

@@ -962,3 +962,60 @@ def test_streaming_semantic_indexed_drained_equals_batch(spark,
         emb, empty, threshold=0.4, nprobe=4,
         centroids=cents).collect()}
     assert got == want and 0 < len(got) <= emb.count()
+
+
+def test_streaming_quantile_sketch_equals_batch_and_replays(
+        spark, tmp_path):
+    """Drained quantile-sketch state == the batch bottom-k of the
+    whole fixture BYTE-FOR-BYTE (the pinned mergeability + fixed md5
+    rank), the threshold read matches the batch sketch threshold, and
+    a replayed epoch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+        hash_sample_quantile_threshold,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        quantile_sketch_merge_fn,
+        read_quantile_threshold,
+        run_streaming_quantile_sketch,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "qstate")
+    k = 256
+    li_stream = stream_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    q = run_streaming_quantile_sketch(
+        li_stream, state, "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "l_partkey"], k=k,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    li = load_table(spark, sf, "lineitem")
+    want = [(r._rk, r.l_extendedprice) for r in hash_sample_bottom_k(
+        li, ["l_orderkey", "l_linenumber", "l_partkey"],
+        ["l_extendedprice"], k).collect()]
+    got = [(r._rk, r.l_extendedprice) for r in
+           spark.read.parquet(state)
+           .orderBy("_rk", "l_extendedprice").collect()]
+    assert got == want and len(got) == k
+    # threshold read == batch sketch threshold
+    t_stream = read_quantile_threshold(
+        spark, state, "l_extendedprice", q=0.99).collect()[0][0]
+    t_batch = hash_sample_quantile_threshold(
+        li, "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "l_partkey"], q=0.99,
+        k=k).collect()[0][0]
+    assert t_stream == t_batch
+    # replayed epoch: state byte-identical (marker skips the merge)
+    fn = quantile_sketch_merge_fn(
+        state, "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "l_partkey"], k)
+    fn(li.limit(50), 0)   # epoch 0 already applied -> no-op
+    again = [(r._rk, r.l_extendedprice) for r in
+             spark.read.parquet(state)
+             .orderBy("_rk", "l_extendedprice").collect()]
+    assert again == got
