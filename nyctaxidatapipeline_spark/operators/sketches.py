@@ -414,6 +414,47 @@ def hash_sample_quantile_threshold(df: DataFrame, value_col: str,
                       .alias("threshold")))
 
 
+def grouped_hash_sample_bottom_k(df: DataFrame,
+                                 group_cols: Sequence[str],
+                                 value_col: str,
+                                 rank_cols: Sequence[str],
+                                 k: int = 4096,
+                                 salt_buckets: int = 32) -> DataFrame:
+    """Per-group bottom-k hash sample — (group cols, ``_rk``, ``_v``)
+    with ≤ k rows per group, the grouped sibling of
+    :func:`hash_sample_bottom_k` and the sample
+    :func:`grouped_hash_sample_percentiles` reads percentiles off.
+    Mergeable per group exactly like the ungrouped sketch (same fixed
+    md5 rank), which is what the streaming grouped-quantile state
+    maintains.
+
+    TWO-PHASE SALTED (VERDICT r10 item 1): phase 1 keeps ≤ k rows per
+    (group, salt-from-rank-tail) so no task ever sorts a whole group;
+    phase 2 re-windows the ≤ k·S survivors per group (bounded input).
+    Every row of a group's global bottom-k is in its own bucket's
+    bottom-k (equal ranks share a salt, so tie-groups never split) —
+    output identical to the logical single-window form."""
+    from pyspark.sql import Window
+
+    s_b = int(salt_buckets)
+    base = df.select(*group_cols, F.col(value_col).alias("_v"),
+                     hash_sample_rank(rank_cols).alias("_rk"))
+    salt = F.pmod(F.conv(F.substring("_rk", 29, 4), 16, 10).cast("long"),
+                  F.lit(s_b)).cast("int")
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_rk", "_v")
+    survivors = (base.withColumn("_salt", salt)
+                     .withColumn("_rn1", F.row_number().over(w1))
+                     .filter(F.col("_rn1") <= int(k))
+                     .drop("_salt", "_rn1"))
+    # rank ties broken by the value (see hash_sample_bottom_k) — the
+    # per-group sampled value multiset is deterministic without a
+    # unique row key
+    w2 = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
+    return (survivors.withColumn("_rn", F.row_number().over(w2))
+                     .filter(F.col("_rn") <= int(k))
+                     .drop("_rn"))
+
+
 def grouped_hash_sample_percentiles(df: DataFrame,
                                     group_cols: Sequence[str],
                                     value_col: str,
@@ -449,27 +490,8 @@ def grouped_hash_sample_percentiles(df: DataFrame,
     bottom-k, so phase 2 selects exactly the single-window sample —
     the output (and the DuckDB twin, which spells the logical
     single-window form) is unchanged (unit-pinned)."""
-    from pyspark.sql import Window
-
-    s_b = int(salt_buckets)
-    base = df.select(*group_cols, F.col(value_col).alias("_v"),
-                     hash_sample_rank(rank_cols).alias("_rk"))
-    # phase 1: bound each (group, salt) bucket at k — no task ever
-    # sorts more than its bucket's share of the group
-    salt = F.pmod(F.conv(F.substring("_rk", 29, 4), 16, 10).cast("long"),
-                  F.lit(s_b)).cast("int")
-    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_rk", "_v")
-    survivors = (base.withColumn("_salt", salt)
-                     .withColumn("_rn1", F.row_number().over(w1))
-                     .filter(F.col("_rn1") <= int(k))
-                     .drop("_salt", "_rn1"))
-    # phase 2: the group-only window now sees ≤ k·S rows per group.
-    # rank ties broken by the value (see hash_sample_bottom_k) — the
-    # per-group sampled value multiset is deterministic without a
-    # unique row key
-    w2 = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
-    s = (survivors.withColumn("_rn", F.row_number().over(w2))
-                  .filter(F.col("_rn") <= int(k)))
+    s = grouped_hash_sample_bottom_k(df, group_cols, value_col,
+                                     rank_cols, k, salt_buckets)
     agg = s.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_v")).alias("_arr"))
     cols = [*group_cols] + [

@@ -359,6 +359,98 @@ def run_streaming_quantile_sketch(stream: DataFrame, state_dir: str,
     return q
 
 
+def grouped_quantile_sketch_merge_fn(state_dir: str,
+                                     group_cols: list[str],
+                                     value_col: str,
+                                     rank_cols: list[str],
+                                     k: int = 4096,
+                                     salt_buckets: int = 32):
+    """``foreachBatch`` for :func:`run_streaming_grouped_quantile_sketch`
+    — the per-group sibling of :func:`quantile_sketch_merge_fn`: each
+    micro-batch reduces to its per-group bottom-k
+    (``sketches.grouped_hash_sample_bottom_k`` — the salted two-phase
+    shape, so no task ever sorts a whole group even inside one batch),
+    merges with the standing state and re-truncates per group. The
+    merge window's input is bounded at 2·k rows per group regardless
+    of stream history; state is ≤ k rows per live group. Same
+    epoch-marker swap / replay no-op as the siblings."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_bottom_k,
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= applied_epoch(state_dir):
+            return                       # replayed epoch — committed
+        spark = batch_df.sparkSession
+        new = grouped_hash_sample_bottom_k(batch_df, group_cols,
+                                           value_col, rank_cols, k,
+                                           salt_buckets)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = spark.read.parquet(state_dir).select(new.columns)
+            # bounded merge: ≤ 2k rows per group enter this window
+            w = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
+            merged = (cur.unionByName(new)
+                      .withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= int(k)).drop("_rn"))
+        else:
+            merged = new
+        tmp = state_dir + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+            f.write(str(epoch_id))
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    return merge_batch
+
+
+def run_streaming_grouped_quantile_sketch(
+        stream: DataFrame, state_dir: str, group_cols: list[str],
+        value_col: str, rank_cols: list[str], k: int = 4096,
+        salt_buckets: int = 32, checkpoint_dir: str | None = None):
+    """foreachBatch maintenance of PER-GROUP bottom-k quantile
+    sketches (see :func:`grouped_quantile_sketch_merge_fn`); read
+    per-group percentiles off the state with
+    :func:`read_grouped_percentiles`."""
+    w = (stream.writeStream
+         .outputMode("update")
+         .foreachBatch(grouped_quantile_sketch_merge_fn(
+             state_dir, group_cols, value_col, rank_cols, k,
+             salt_buckets)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
+def read_grouped_percentiles(spark: SparkSession, state_dir: str,
+                             group_cols: list[str],
+                             percentiles=(0.5, 0.95)):
+    """Per-group discrete percentiles off a
+    :func:`run_streaming_grouped_quantile_sketch` state — the same
+    sorted-array index arithmetic (and ``p50``-style output contract)
+    as the batch ``grouped_hash_sample_percentiles``, over ≤ k rows
+    per group."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        _disc_index,
+    )
+
+    s = spark.read.parquet(state_dir)
+    agg = s.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_v")).alias("_arr"))
+    cols = [*group_cols] + [
+        (F.round(F.element_at("_arr",
+                              _disc_index(p, F.size("_arr"))), 6)
+          + F.lit(0.0)).alias(f"p{int(p * 100)}")
+        for p in percentiles]
+    return agg.select(*cols)
+
+
 def read_quantile_threshold(spark: SparkSession, state_dir: str,
                             value_col: str, q: float = 0.99):
     """The discrete q-quantile of a

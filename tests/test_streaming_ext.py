@@ -1019,3 +1019,57 @@ def test_streaming_quantile_sketch_equals_batch_and_replays(
              spark.read.parquet(state)
              .orderBy("_rk", "l_extendedprice").collect()]
     assert again == got
+
+
+def test_streaming_grouped_quantile_sketch_equals_batch(spark,
+                                                        tmp_path):
+    """Drained per-group sketch state == the batch grouped bottom-k of
+    the whole fixture (per-group mergeability), the percentile read
+    matches the batch grouped_hash_sample_percentiles, and a replayed
+    epoch no-ops."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_bottom_k,
+        grouped_hash_sample_percentiles,
+    )
+    from nyctaxidatapipeline_spark.sources import load_table
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        grouped_quantile_sketch_merge_fn,
+        read_grouped_percentiles,
+        run_streaming_grouped_quantile_sketch,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "gqstate")
+    k = 64
+    cols = ["l_orderkey", "l_linenumber", "l_partkey"]
+    li_stream = stream_table(spark, sf, "lineitem").select(
+        "l_returnflag", *cols, "l_extendedprice")
+    q = run_streaming_grouped_quantile_sketch(
+        li_stream, state, ["l_returnflag"], "l_extendedprice", cols,
+        k=k, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    li = load_table(spark, sf, "lineitem")
+    want = {(r.l_returnflag, r._rk, r._v)
+            for r in grouped_hash_sample_bottom_k(
+                li, ["l_returnflag"], "l_extendedprice", cols,
+                k=k).collect()}
+    got = {(r.l_returnflag, r._rk, r._v)
+           for r in spark.read.parquet(state).collect()}
+    assert got == want and len(got) == 3 * k
+    # percentile read == batch percentiles
+    p_stream = {r.l_returnflag: (r.p50, r.p95)
+                for r in read_grouped_percentiles(
+                    spark, state, ["l_returnflag"]).collect()}
+    p_batch = {r.l_returnflag: (r.p50, r.p95)
+               for r in grouped_hash_sample_percentiles(
+                   li, ["l_returnflag"], "l_extendedprice", cols,
+                   (0.5, 0.95), k=k).collect()}
+    assert p_stream == p_batch
+    # replay no-op
+    fn = grouped_quantile_sketch_merge_fn(
+        state, ["l_returnflag"], "l_extendedprice", cols, k)
+    fn(li.limit(100), 0)
+    again = {(r.l_returnflag, r._rk, r._v)
+             for r in spark.read.parquet(state).collect()}
+    assert again == got
