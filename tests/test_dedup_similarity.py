@@ -1223,3 +1223,44 @@ def test_corpus_routed_without_centroids_raises(spark):
                 F.lit(0).alias("list_id"),
                 F.col("vec_id").alias("_id"),
                 F.col("embedding").alias("_vec")))
+
+
+def test_corpus_routed_plan_routes_only_the_batch(spark, tmp_path):
+    """Structural pin of the corpus_routed= claim: the in-query auto
+    admission plan carries TWO mapInPandas routing kernels (batch +
+    corpus); the indexed plan carries exactly ONE (the batch) — the
+    corpus side is a parquet scan of the persisted routed table,
+    never a re-route."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_semantic_routing_index,
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids_portable,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    def vec(seed):
+        return [float((seed * 2654435761 + j * 40503) % 997) / 997.0
+                for j in range(4)]
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(30)])
+    corpus = emb.filter(F.col("vec_id") % 5 != 1)
+    batch = emb.filter(F.col("vec_id") % 5 == 1)
+    cents = ivf_seed_centroids_portable(emb, n_centroids=4)
+    inq = explain_str(incremental_semantic_admission_auto(
+        batch, corpus, threshold=0.9, nprobe=2, centroids=cents))
+    path = str(tmp_path / "routed")
+    (build_semantic_routing_index(corpus, cents)
+     .write.partitionBy("list_id").parquet(path))
+    idx = explain_str(incremental_semantic_admission_auto(
+        batch, None, threshold=0.9, nprobe=2, centroids=cents,
+        corpus_routed=spark.read.parquet(path)))
+    # formatted explain lists each node twice (tree + details):
+    # the in-query plan carries both routing kernels (batch + corpus)
+    assert inq.count("MapInPandas") == 4, inq
+    # the indexed plan's only Python kernel is the batch routing, which
+    # sits behind the lazy localCheckpoint (shown as an RDD scan), so
+    # the final plan shows NO MapInPandas at all — and the corpus side
+    # is a parquet scan of the persisted routed table, never a kernel
+    assert idx.count("MapInPandas") == 0, idx
+    assert "Scan parquet" in idx
