@@ -603,7 +603,15 @@ def semantic_admit_fn(corpus_dir: str, vec_col: str = "embedding",
     the CURRENT admitted corpus each epoch (deterministic given the
     corpus; from the batch itself on the first epoch); a batch with
     no non-zero vectors admits wholesale — there is nothing to
-    compare."""
+    compare.
+
+    SCALE: this door re-seeds and RE-ROUTES the admitted corpus every
+    epoch at a fixed list count, so per-epoch cost grows with the
+    corpus (measured 9.9 → 58.5 s over 12 sf1 epochs —
+    BENCH_STREAMING.json). It is the simple door for short/bounded
+    streams; a long-running deployment wants
+    :func:`semantic_admit_indexed_fn` (frozen centroids + maintained
+    persisted routed index — flat 6-8.6 s over the same 12 epochs)."""
     from nyctaxidatapipeline_spark.operators.similarity import (
         incremental_semantic_admission,
         ivf_seed_centroids,
