@@ -567,6 +567,113 @@ def near_dup_admit_fn(corpus_dir: str, text_col: str, id_col: str,
             threshold=threshold, max_bucket=max_bucket))
 
 
+def near_dup_admit_indexed_fn(corpus_dir: str, index_dir: str,
+                              text_col: str, id_col: str,
+                              threshold: float = 0.5,
+                              max_bucket: int | None = 32,
+                              n: int = 3, num_hashes: int = 32,
+                              bands: int = 8, portable: bool = False):
+    """``foreachBatch`` for :func:`run_streaming_near_dup_indexed` —
+    the MAINTAINED-INDEX streaming shape of lexical near-dup admission
+    (r11, the lexical sibling of :func:`semantic_admit_indexed_fn`):
+    the corpus's LSH band-bucket table lives as epoch-append parquet
+    under ``index_dir``; each epoch probes the read-back index via
+    ``corpus_index=`` (skipping the corpus SIGNATURE pass — 80%+ of a
+    cold admission's wall at sf10, PLANS.md #20) and appends only its
+    own admissions' bucket rows (``build_minhash_index`` of the
+    admitted subset; the pure-union closure ``append_to_minhash_index``
+    unit-pins). Corpus TEXT is still read from ``corpus_dir`` for the
+    exact-Jaccard verification of touched candidates — that read is
+    candidate-filtered, never corpus-wide.
+
+    Exactly-once: index epoch commits BEFORE the corpus epoch; a crash
+    between the two re-delivers the epoch with its own bucket rows
+    already indexed, so the probe anti-joins the batch's ids out of
+    the read-back index first (rows only the batch itself could have
+    contributed can never block it) and the recomputed admission
+    matches the committed index epoch. Parameter identity is validated
+    against the index's stamp on every probe."""
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_admission,
+    )
+
+    def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
+        if os.path.exists(edir):
+            return                       # replayed epoch — committed
+        spark = batch_df.sparkSession
+        batch = (batch_df.select(id_col, text_col)
+                 .localCheckpoint())
+        if os.path.isdir(corpus_dir) and any(
+                e.startswith("epoch=") for e in os.listdir(corpus_dir)):
+            corpus = (spark.read.option("basePath", corpus_dir)
+                      .parquet(corpus_dir).select(id_col, text_col))
+        else:
+            corpus = spark.createDataFrame([], batch.schema)
+        has_idx = os.path.isdir(index_dir) and any(
+            e.startswith("epoch=") for e in os.listdir(index_dir))
+        if has_idx:
+            idx = (spark.read.option("basePath", index_dir)
+                   .parquet(index_dir)
+                   .select(id_col, "band", "bucket")
+                   # crash-healing: a half-committed replay's own
+                   # bucket rows (batch ids) must never block it
+                   .join(batch.select(id_col), id_col, "left_anti"))
+        else:
+            # no standing index yet: build from the (possibly empty)
+            # corpus once — from epoch 1 on, the probe never re-signs
+            idx = build_minhash_index(corpus, text_col, id_col, n,
+                                      num_hashes, bands, portable)
+        admitted = incremental_minhash_admission(
+            batch, corpus, text_col, id_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            portable=portable, max_bucket=max_bucket,
+            corpus_index=idx).localCheckpoint()
+        idx_edir = os.path.join(index_dir, f"epoch={epoch_id}")
+        if not os.path.exists(idx_edir):
+            tmp = os.path.join(index_dir, f".tmp-epoch-{epoch_id}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            (build_minhash_index(admitted, text_col, id_col, n,
+                                 num_hashes, bands, portable)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            os.makedirs(index_dir, exist_ok=True)
+            os.rename(tmp, idx_edir)
+        tmp = os.path.join(
+            os.path.dirname(corpus_dir.rstrip("/")) or ".",
+            f".tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        admitted.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(corpus_dir, exist_ok=True)
+        os.rename(tmp, edir)
+
+    return admit_batch
+
+
+def run_streaming_near_dup_indexed(
+        stream: DataFrame, corpus_dir: str, index_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        threshold: float = 0.5, max_bucket: int | None = 32,
+        portable: bool = False,
+        checkpoint_dir: str | None = None):
+    """foreachBatch streaming near-dup admission over a MAINTAINED
+    persisted LSH index (see :func:`near_dup_admit_indexed_fn`):
+    per-epoch cost never re-signs the corpus — the streaming
+    deployment shape of ``incremental_minhash_indexed``."""
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(near_dup_admit_indexed_fn(
+             corpus_dir, index_dir, text_col, id_col, threshold,
+             max_bucket, portable=portable)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def run_streaming_near_dup(stream: DataFrame, corpus_dir: str,
                            text_col: str = "text",
                            id_col: str = "doc_id",

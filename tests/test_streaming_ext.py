@@ -1073,3 +1073,103 @@ def test_streaming_grouped_quantile_sketch_equals_batch(spark,
     again = {(r.l_returnflag, r._rk, r._v)
              for r in spark.read.parquet(state).collect()}
     assert again == got
+
+
+def test_streaming_near_dup_indexed_epochs_replay_and_healing(
+        spark, tmp_path):
+    """The maintained-LSH-index streaming near-dup door
+    (near_dup_admit_indexed_fn): multi-epoch admission equals the
+    batch incremental_minhash_admission applied batch-by-batch with
+    the in-query (unindexed) corpus; replayed epochs no-op; a crash
+    between the index and corpus commits heals on replay."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        near_dup_admit_indexed_fn,
+    )
+
+    base = "a quick brown fox jumps over the lazy dog in the park"
+    other = "completely different text with other words here entirely"
+    batches = [
+        spark.createDataFrame([
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=other)]),
+        spark.createDataFrame([
+            Row(doc_id=10, text=base.replace("park", "yard")),  # near 0
+            Row(doc_id=11, text="novel second epoch document about "
+                                "streaming admission with an index")]),
+        spark.createDataFrame([
+            Row(doc_id=20, text="novel second epoch document about "
+                                "streaming admission with an index "
+                                "slightly extended"),            # near 11
+            Row(doc_id=21, text="another genuinely novel third epoch "
+                                "text that matches nothing else")]),
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    fn = near_dup_admit_indexed_fn(corpus_dir, index_dir, "text",
+                                   "doc_id", threshold=0.3)
+    for i, b in enumerate(batches):
+        fn(b, i)
+    got = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
+           .parquet(corpus_dir).select("doc_id").collect()}
+    # manual twin: batch-by-batch, in-query corpus, no index
+    admitted = spark.createDataFrame([], batches[0].schema)
+    want = set()
+    for b in batches:
+        adm = incremental_minhash_admission(
+            b, admitted, "text", "doc_id", threshold=0.3)
+        want |= {r.doc_id for r in adm.collect()}
+        admitted = admitted.unionByName(adm)
+    assert got == want
+    assert 10 not in got and 20 not in got   # cross-epoch near-dups
+    assert {0, 1, 11, 21} <= got
+    # replay no-op
+    fn(batches[1], 1)
+    again = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
+             .parquet(corpus_dir).select("doc_id").collect()}
+    assert again == got
+    # crash between index and corpus commits
+    shutil.rmtree(f"{corpus_dir}/epoch=2")
+    fn(batches[2], 2)
+    healed = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
+              .parquet(corpus_dir).select("doc_id").collect()}
+    assert healed == got
+    # index rows mirror the admitted corpus
+    idx_ids = {r.doc_id for r in spark.read.option("basePath", index_dir)
+               .parquet(index_dir).select("doc_id").collect()}
+    assert idx_ids == got
+
+
+def test_streaming_near_dup_indexed_drained_equals_plain_door(
+        spark, tmp_path):
+    """Same stream through the indexed and the re-signing doors →
+    identical admitted corpora (the index is a pure physical skip)."""
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_streaming_near_dup,
+        run_streaming_near_dup_indexed,
+        stream_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = stream_table(spark, sf, "documents")
+    plain = str(tmp_path / "plain")
+    q = run_streaming_near_dup(docs, plain,
+                               checkpoint_dir=str(tmp_path / "c1"))
+    q.stop()
+    docs2 = stream_table(spark, sf, "documents")
+    idxd = str(tmp_path / "idxd")
+    q = run_streaming_near_dup_indexed(
+        docs2, idxd, str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "c2"))
+    q.stop()
+    a = {r.doc_id for r in spark.read.option("basePath", plain)
+         .parquet(plain).select("doc_id").collect()}
+    b = {r.doc_id for r in spark.read.option("basePath", idxd)
+         .parquet(idxd).select("doc_id").collect()}
+    assert a == b and len(a) > 0

@@ -35,6 +35,7 @@ from nyctaxidatapipeline_spark.streaming.jobs import (  # noqa: E402
     cross_signal_admit_fn,
     dedup_admit_fn,
     near_dup_admit_fn,
+    near_dup_admit_indexed_fn,
     semantic_admit_fn,
     semantic_admit_indexed_fn,
 )
@@ -76,6 +77,10 @@ def main() -> None:
             d, "text", "doc_id", "embedding", jaccard_threshold=0.5,
             cosine_threshold=0.85, max_bucket=32, n_centroids=16,
             nprobe=4),
+        # maintained persisted LSH index: corpus never re-signed (r11)
+        "near_dup_indexed": lambda d: near_dup_admit_indexed_fn(
+            d, d + "_index", "text", "doc_id", threshold=0.5,
+            max_bucket=32),
         # maintained persisted routed index: frozen centroids,
         # epoch-append, corpus never re-routed (r11)
         "semantic_indexed": lambda d: semantic_admit_indexed_fn(
@@ -84,6 +89,7 @@ def main() -> None:
     }
     cols = {"exact": ["doc_id", "text"],
             "near_dup": ["doc_id", "text"],
+            "near_dup_indexed": ["doc_id", "text"],
             "semantic": ["doc_id", "embedding"],
             "semantic_indexed": ["doc_id", "embedding"],
             "cross_signal": ["doc_id", "text", "embedding"]}
