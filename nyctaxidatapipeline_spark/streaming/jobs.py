@@ -960,6 +960,185 @@ def cross_signal_admit_fn(corpus_dir: str, text_col: str = "text",
                                  admitter)
 
 
+def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  vec_col: str = "embedding",
+                                  jaccard_threshold: float = 0.5,
+                                  cosine_threshold: float = 0.85,
+                                  max_bucket: int | None = 32,
+                                  n_centroids: int = 16,
+                                  nprobe: int = 4):
+    """``foreachBatch`` for
+    :func:`run_streaming_cross_signal_admission_indexed` — the
+    MAINTAINED-INDEX cross-signal door (r11, completing the family):
+    BOTH standing indexes live as epoch-append parquet under
+    ``index_dir`` — the lexical band-bucket table (``lex/``) and the
+    routed corpus (``sem/``, with the centroid matrix frozen at the
+    first non-degenerate epoch in a ``_centroids.json`` sidecar) —
+    and each epoch's row is admitted iff NEITHER gate links it to the
+    corpus or a smaller-id batch row, with both gates probing their
+    read-back index (no corpus re-sign, no corpus re-route; the
+    intersection-equals-union-graph argument of
+    ``cross_signal_admit_fn`` is unchanged — only the physical probe
+    source moved).
+
+    NOTE the semantic gate here runs at the FROZEN-centroid auto
+    operating point (the indexable shape), where the plain door
+    re-seeds per epoch at fixed 16 lists: admissions can differ from
+    the plain door at the IVF recall margin, exactly as the batch
+    indexed twins document — the gate-level contract (reject iff an
+    eligible partner is probed at ≥ threshold) is identical.
+
+    Exactly-once across THREE stores: both index epochs commit before
+    the corpus epoch; replays with any half-committed prefix heal
+    because each gate anti-joins the batch's own ids out of its
+    read-back index (rows only this batch could have contributed can
+    never block it), and the recomputed admission is deterministic."""
+    import json
+    import shutil
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        build_semantic_routing_index,
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids,
+    )
+
+    lex_dir = os.path.join(index_dir, "lex")
+    sem_dir = os.path.join(index_dir, "sem")
+
+    def _epoch_append(build_df, root: str, epoch_id: int) -> None:
+        edir = os.path.join(root, f"epoch={epoch_id}")
+        if os.path.exists(edir):
+            return
+        tmp = os.path.join(root, f".tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(root, exist_ok=True)
+        os.rename(tmp, edir)
+
+    def _read_index(spark, root: str, cols, batch_ids):
+        has = os.path.isdir(root) and any(
+            e.startswith("epoch=") for e in os.listdir(root))
+        if not has:
+            return None
+        return (spark.read.option("basePath", root).parquet(root)
+                .select(*cols)
+                .join(batch_ids, cols[0], "left_anti"))
+
+    def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
+        if os.path.exists(edir):
+            return                       # replayed epoch — committed
+        spark = batch_df.sparkSession
+        batch = (batch_df.select(id_col, text_col, vec_col)
+                 .localCheckpoint())
+        bids = batch.select(id_col)
+        if os.path.isdir(corpus_dir) and any(
+                e.startswith("epoch=") for e in os.listdir(corpus_dir)):
+            corpus = (spark.read.option("basePath", corpus_dir)
+                      .parquet(corpus_dir)
+                      .select(id_col, text_col, vec_col))
+        else:
+            corpus = spark.createDataFrame([], batch.schema)
+        # --- lexical gate over the maintained band-bucket index ---
+        lex_idx = _read_index(spark, lex_dir,
+                              [id_col, "band", "bucket"], bids)
+        if lex_idx is None:
+            lex_idx = build_minhash_index(
+                corpus.select(id_col, text_col), text_col, id_col)
+        lex = incremental_minhash_admission(
+            batch.select(id_col, text_col),
+            corpus.select(id_col, text_col), text_col, id_col,
+            threshold=jaccard_threshold, max_bucket=max_bucket,
+            corpus_index=lex_idx)
+        # --- semantic gate over the maintained routed corpus ---
+        cents_path = os.path.join(sem_dir, "_centroids.json")
+        if os.path.exists(cents_path):
+            with open(cents_path) as f:
+                cents = json.load(f)
+        else:
+            cents = [list(map(float, c)) for c in
+                     ivf_seed_centroids(batch, n_centroids, id_col,
+                                        vec_col)]
+            if cents:
+                os.makedirs(sem_dir, exist_ok=True)
+                tmp_c = f"{cents_path}.tmp-{os.getpid()}-{epoch_id}"
+                with open(tmp_c, "w") as f:
+                    json.dump(cents, f)
+                try:
+                    os.rename(tmp_c, cents_path)
+                except OSError:
+                    os.unlink(tmp_c)
+                with open(cents_path) as f:
+                    cents = json.load(f)
+        if not cents:
+            sem = batch                 # nothing non-degenerate to gate
+        else:
+            routed = _read_index(spark, sem_dir,
+                                 ["_id", "list_id", "_vec"],
+                                 bids.select(F.col(id_col)
+                                             .alias("_id")))
+            if routed is None:
+                routed = spark.createDataFrame(
+                    [], "_id long, list_id int, _vec array<double>")
+            sem = incremental_semantic_admission_auto(
+                batch.select(id_col, vec_col), None, id_col=id_col,
+                vec_col=vec_col, threshold=cosine_threshold,
+                nprobe=nprobe, centroids=cents,
+                corpus_routed=routed.select("list_id", "_id", "_vec"))
+        admitted = (batch.join(lex.select(id_col), id_col, "left_semi")
+                         .join(sem.select(id_col), id_col, "left_semi")
+                         .localCheckpoint())
+        # both index epochs commit BEFORE the corpus epoch
+        _epoch_append(build_minhash_index(
+            admitted.select(id_col, text_col), text_col, id_col),
+            lex_dir, epoch_id)
+        if cents:
+            _epoch_append(build_semantic_routing_index(
+                admitted.select(id_col, vec_col), cents, id_col,
+                vec_col), sem_dir, epoch_id)
+        tmp = os.path.join(
+            os.path.dirname(corpus_dir.rstrip("/")) or ".",
+            f".tmp-epoch-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        admitted.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(corpus_dir, exist_ok=True)
+        os.rename(tmp, edir)
+
+    return admit_batch
+
+
+def run_streaming_cross_signal_admission_indexed(
+        stream: DataFrame, corpus_dir: str, index_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        jaccard_threshold: float = 0.5,
+        cosine_threshold: float = 0.85,
+        max_bucket: int | None = 32,
+        n_centroids: int = 16, nprobe: int = 4,
+        checkpoint_dir: str | None = None):
+    """foreachBatch cross-signal admission over MAINTAINED persisted
+    indexes for both signals (see
+    :func:`cross_signal_admit_indexed_fn`) — the streaming deployment
+    shape of ``cross_signal_dedup_indexed``."""
+    w = (stream.writeStream
+         .outputMode("append")
+         .foreachBatch(cross_signal_admit_indexed_fn(
+             corpus_dir, index_dir, text_col, id_col, vec_col,
+             jaccard_threshold, cosine_threshold, max_bucket,
+             n_centroids, nprobe)))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def run_streaming_cross_signal_admission(
         stream: DataFrame, corpus_dir: str,
         text_col: str = "text", id_col: str = "doc_id",

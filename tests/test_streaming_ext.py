@@ -1173,3 +1173,93 @@ def test_streaming_near_dup_indexed_drained_equals_plain_door(
     b = {r.doc_id for r in spark.read.option("basePath", idxd)
          .parquet(idxd).select("doc_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_cross_signal_indexed_epochs_replay_and_healing(
+        spark, tmp_path):
+    """The maintained-index cross-signal door: per-epoch admission ==
+    intersection of the two in-query gates (lexical in-query LSH +
+    semantic auto at the SAME frozen centroids) applied batch-by-batch;
+    replay no-ops; a crash with both index epochs committed but the
+    corpus epoch missing heals on replay."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        incremental_minhash_admission,
+    )
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        incremental_semantic_admission_auto,
+        ivf_seed_centroids,
+    )
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        cross_signal_admit_indexed_fn,
+    )
+
+    base = "a quick brown fox jumps over the lazy dog in the park"
+    novel = "entirely different prose about streaming admission gates"
+
+    def vec(seed):
+        return [float((seed * 2654435761 + j * 40503) % 997) / 997.0
+                * 2 - 1.0 for j in range(4)]
+
+    batches = [
+        spark.createDataFrame([
+            Row(doc_id=0, text=base, embedding=vec(0)),
+            Row(doc_id=1, text=novel, embedding=vec(1))]),
+        spark.createDataFrame([
+            # lexical near-dup of 0, novel embedding -> lexical reject
+            Row(doc_id=10, text=base.replace("park", "yard"),
+                embedding=vec(50)),
+            # novel text, embedding copy of 1 -> semantic reject
+            Row(doc_id=11, text="second epoch fresh words that match "
+                                "no earlier document at all",
+                embedding=[x * 1.001 for x in vec(1)]),
+            # novel on both signals -> admit
+            Row(doc_id=12, text="third fresh text of the second epoch "
+                                "unlike anything already admitted",
+                embedding=vec(77))]),
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    fn = cross_signal_admit_indexed_fn(
+        corpus_dir, index_dir, jaccard_threshold=0.3,
+        cosine_threshold=0.995, n_centroids=4, nprobe=2)
+    for i, b in enumerate(batches):
+        fn(b, i)
+    got = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
+           .parquet(corpus_dir).select("doc_id").collect()}
+    # manual twin: same frozen centroids (seeded from batch 0),
+    # intersection of the two in-query gates, batch-by-batch
+    cents = [list(map(float, c)) for c in
+             ivf_seed_centroids(batches[0], 4, "doc_id", "embedding")]
+    admitted = spark.createDataFrame([], batches[0].schema)
+    want = set()
+    for b in batches:
+        lex = incremental_minhash_admission(
+            b.select("doc_id", "text"),
+            admitted.select("doc_id", "text"), "text", "doc_id",
+            threshold=0.3)
+        sem = incremental_semantic_admission_auto(
+            b.select("doc_id", "embedding"),
+            admitted.select("doc_id", "embedding"), id_col="doc_id",
+            vec_col="embedding", threshold=0.995, nprobe=2,
+            centroids=cents)
+        adm = (b.join(lex.select("doc_id"), "doc_id", "left_semi")
+                .join(sem.select("doc_id"), "doc_id", "left_semi"))
+        want |= {r.doc_id for r in adm.collect()}
+        admitted = admitted.unionByName(adm)
+    assert got == want
+    assert 10 not in got and 11 not in got and 12 in got
+    # replay no-op
+    fn(batches[1], 1)
+    again = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
+             .parquet(corpus_dir).select("doc_id").collect()}
+    assert again == got
+    # crash: both index epochs committed, corpus epoch missing
+    shutil.rmtree(f"{corpus_dir}/epoch=1")
+    fn(batches[1], 1)
+    healed = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
+              .parquet(corpus_dir).select("doc_id").collect()}
+    assert healed == got
