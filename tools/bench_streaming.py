@@ -33,6 +33,7 @@ from nyctaxidatapipeline_spark import get_spark  # noqa: E402
 from nyctaxidatapipeline_spark.sources import load_table  # noqa: E402
 from nyctaxidatapipeline_spark.streaming.jobs import (  # noqa: E402
     cross_signal_admit_fn,
+    cross_signal_admit_indexed_fn,
     dedup_admit_fn,
     near_dup_admit_fn,
     near_dup_admit_indexed_fn,
@@ -77,6 +78,11 @@ def main() -> None:
             d, "text", "doc_id", "embedding", jaccard_threshold=0.5,
             cosine_threshold=0.85, max_bucket=32, n_centroids=16,
             nprobe=4),
+        # both standing indexes maintained (r11)
+        "cross_signal_indexed": lambda d: cross_signal_admit_indexed_fn(
+            d, d + "_index", jaccard_threshold=0.5,
+            cosine_threshold=0.85, max_bucket=32, n_centroids=16,
+            nprobe=4),
         # maintained persisted LSH index: corpus never re-signed (r11)
         "near_dup_indexed": lambda d: near_dup_admit_indexed_fn(
             d, d + "_index", "text", "doc_id", threshold=0.5,
@@ -92,7 +98,8 @@ def main() -> None:
             "near_dup_indexed": ["doc_id", "text"],
             "semantic": ["doc_id", "embedding"],
             "semantic_indexed": ["doc_id", "embedding"],
-            "cross_signal": ["doc_id", "text", "embedding"]}
+            "cross_signal": ["doc_id", "text", "embedding"],
+            "cross_signal_indexed": ["doc_id", "text", "embedding"]}
     out: dict[str, dict] = {}
     for name, make in arms.items():
         corpus_dir = os.path.join(scratch, name)
