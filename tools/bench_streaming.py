@@ -128,9 +128,21 @@ def main() -> None:
     line = {"metric": "streaming_admission_rows_per_sec",
             "sf_dir": SF_DIR, "n_batches": N_BATCHES,
             "batch_rows": batch_rows, "arms": out}
+    # MERGE into the committed artifact (keyed by the sf dir's basename)
+    # instead of clobbering it — the artifact accumulates runs at
+    # several scales plus hand-recorded crossover experiments.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_STREAMING.json"), "w") as f:
-        json.dump(line, f, indent=1, sort_keys=True)
+    art = os.path.join(root, "BENCH_STREAMING.json")
+    try:
+        with open(art) as f:
+            full = json.load(f)
+        if "runs" not in full:
+            full = {"metric": line["metric"], "runs": {}, "notes": {}}
+    except (OSError, ValueError):
+        full = {"metric": line["metric"], "runs": {}, "notes": {}}
+    full["runs"][os.path.basename(SF_DIR.rstrip("/"))] = line
+    with open(art, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(line))
     spark.stop()
 
