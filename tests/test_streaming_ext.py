@@ -1263,3 +1263,66 @@ def test_streaming_cross_signal_indexed_epochs_replay_and_healing(
     healed = {r.doc_id for r in spark.read.option("basePath", corpus_dir)
               .parquet(corpus_dir).select("doc_id").collect()}
     assert healed == got
+
+
+def test_indexed_doors_survive_empty_epochs(spark, tmp_path):
+    """foreachBatch can deliver an EMPTY micro-batch (e.g. a trigger
+    with no new files): every maintained-index door must commit the
+    empty epoch and keep working — before any index exists, after one
+    exists, and for the cross-signal door's three stores."""
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        cross_signal_admit_indexed_fn,
+        near_dup_admit_indexed_fn,
+        semantic_admit_indexed_fn,
+    )
+
+    def vec(seed):
+        return [float((seed * 2654435761 + j * 40503) % 997) / 997.0
+                * 2 - 1.0 for j in range(4)]
+
+    text_schema = "doc_id long, text string"
+    full_schema = "doc_id long, text string, embedding array<double>"
+    doc = Row(doc_id=1, text="one real document with several words",
+              embedding=vec(1))
+
+    # near-dup door
+    nd = near_dup_admit_indexed_fn(str(tmp_path / "nd_c"),
+                                   str(tmp_path / "nd_i"),
+                                   "text", "doc_id")
+    nd(spark.createDataFrame([], text_schema), 0)      # empty, no index
+    nd(spark.createDataFrame([doc]).select("doc_id", "text"), 1)
+    nd(spark.createDataFrame([], text_schema), 2)      # empty, with index
+    got = {r.doc_id for r in spark.read
+           .option("basePath", str(tmp_path / "nd_c"))
+           .parquet(str(tmp_path / "nd_c")).collect()}
+    assert got == {1}
+
+    # semantic door
+    sd = semantic_admit_indexed_fn(str(tmp_path / "sd_c"),
+                                   str(tmp_path / "sd_i"),
+                                   n_centroids=2, nprobe=1,
+                                   id_col="doc_id",
+                                   vec_col="embedding")
+    sd(spark.createDataFrame([], "doc_id long, embedding array<double>"),
+       0)
+    sd(spark.createDataFrame([doc]).select("doc_id", "embedding"), 1)
+    sd(spark.createDataFrame([], "doc_id long, embedding array<double>"),
+       2)
+    got = {r.doc_id for r in spark.read
+           .option("basePath", str(tmp_path / "sd_c"))
+           .parquet(str(tmp_path / "sd_c")).collect()}
+    assert got == {1}
+
+    # cross-signal door (three stores)
+    xd = cross_signal_admit_indexed_fn(str(tmp_path / "xd_c"),
+                                       str(tmp_path / "xd_i"),
+                                       n_centroids=2, nprobe=1)
+    xd(spark.createDataFrame([], full_schema), 0)
+    xd(spark.createDataFrame([doc]), 1)
+    xd(spark.createDataFrame([], full_schema), 2)
+    got = {r.doc_id for r in spark.read
+           .option("basePath", str(tmp_path / "xd_c"))
+           .parquet(str(tmp_path / "xd_c")).collect()}
+    assert got == {1}
