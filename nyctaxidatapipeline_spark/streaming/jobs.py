@@ -510,6 +510,84 @@ def _admit_commit_fn(corpus_dir: str, text_col: str, id_col: str,
                                  admitter)
 
 
+#: epoch-store compaction watermark — epochs ≤ this id were merged
+#: into one partition by :func:`compact_epoch_store`; their dirs are
+#: gone but they ARE committed (replays must no-op on the marker)
+_COMPACTED_MARKER = "_compacted_through"
+
+
+def _compacted_through(root: str) -> int:
+    """Highest epoch id folded into the store by
+    :func:`compact_epoch_store` (-1 when never compacted)."""
+    try:
+        with open(os.path.join(root, _COMPACTED_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _epoch_committed(root: str, epoch_id: int) -> bool:
+    """True when this epoch's output is already in the store — either
+    its own ``epoch=`` dir exists, or compaction folded it away (the
+    watermark is the proof of commit)."""
+    return (epoch_id <= _compacted_through(root)
+            or os.path.exists(os.path.join(root, f"epoch={epoch_id}")))
+
+
+def compact_epoch_store(spark: SparkSession, store_dir: str,
+                        n_files: int = 1) -> dict:
+    """Small-files maintenance for the epoch-append stores (admission
+    corpora and their maintained indexes): fold EVERY ``epoch=`` dir
+    into one, committed by a whole-store directory swap — the
+    streaming sibling of ``sinks.compact_parquet``. Each epoch appends
+    one file, so a long-running door accumulates thousands of tiny
+    files; after compaction the store holds one merged
+    ``epoch=<max>`` partition plus the ``_compacted_through`` marker,
+    which keeps the exactly-once contract intact: replayed epochs
+    ≤ the watermark no-op on the marker instead of the (now absent)
+    epoch dirs. Non-epoch sidecars (``_centroids.json``) are carried
+    over verbatim.
+
+    SINGLE-WRITER: run between triggers (the same serialization the
+    epoch commits themselves assume) — the swap is atomic for new
+    readers, but a door mid-batch could hold pre-swap file handles.
+    Returns before/after file counts."""
+    import shutil
+
+    root = store_dir.rstrip("/")
+    eps = sorted(int(e.split("=", 1)[1]) for e in os.listdir(root)
+                 if e.startswith("epoch="))
+    if not eps:
+        return {"epochs": 0, "files_before": 0, "files_after": 0}
+    through = max(max(eps), _compacted_through(root))
+    files_before = sum(len([f for f in fs if f.endswith(".parquet")])
+                       for _, _, fs in os.walk(root))
+    merged = (spark.read.option("basePath", root).parquet(root)
+              .drop("epoch"))
+    tmp = root + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (merged.coalesce(max(1, int(n_files)))
+           .write.mode("overwrite")
+           .parquet(os.path.join(tmp, f"epoch={through}")))
+    for entry in os.listdir(root):
+        src = os.path.join(root, entry)
+        if (not entry.startswith("epoch=")
+                and entry != _COMPACTED_MARKER
+                and os.path.isfile(src)):
+            shutil.copy2(src, os.path.join(tmp, entry))
+    with open(os.path.join(tmp, _COMPACTED_MARKER), "w") as f:
+        f.write(str(through))
+    bak = root + "._compact_bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(root, bak)
+    os.rename(tmp, root)
+    shutil.rmtree(bak, ignore_errors=True)
+    files_after = sum(len([f for f in fs if f.endswith(".parquet")])
+                      for _, _, fs in os.walk(root))
+    return {"epochs": len(eps), "compacted_through": through,
+            "files_before": files_before, "files_after": files_after}
+
+
 def _admit_commit_cols_fn(corpus_dir: str, cols: list[str], admitter):
     """``_admit_commit_fn`` generalized to an arbitrary payload
     column list (id first) — the cross-signal admitter carries BOTH a
@@ -519,7 +597,7 @@ def _admit_commit_cols_fn(corpus_dir: str, cols: list[str], admitter):
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
-        if os.path.exists(edir):
+        if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
         spark = batch_df.sparkSession
         batch = batch_df.select(*cols)
@@ -602,7 +680,7 @@ def near_dup_admit_indexed_fn(corpus_dir: str, index_dir: str,
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
-        if os.path.exists(edir):
+        if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
         spark = batch_df.sparkSession
         batch = (batch_df.select(id_col, text_col)
@@ -633,7 +711,7 @@ def near_dup_admit_indexed_fn(corpus_dir: str, index_dir: str,
             portable=portable, max_bucket=max_bucket,
             corpus_index=idx).localCheckpoint()
         idx_edir = os.path.join(index_dir, f"epoch={epoch_id}")
-        if not os.path.exists(idx_edir):
+        if not _epoch_committed(index_dir, epoch_id):
             tmp = os.path.join(index_dir, f".tmp-epoch-{epoch_id}")
             shutil.rmtree(tmp, ignore_errors=True)
             (build_minhash_index(admitted, text_col, id_col, n,
@@ -780,7 +858,7 @@ def semantic_admit_indexed_fn(corpus_dir: str, index_dir: str,
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
-        if os.path.exists(edir):
+        if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
         spark = batch_df.sparkSession
         batch = (batch_df.select(id_col, vec_col)
@@ -834,7 +912,7 @@ def semantic_admit_indexed_fn(corpus_dir: str, index_dir: str,
         # under-reject forever; a missing corpus epoch is healed above)
         if cents:
             idx_edir = os.path.join(index_dir, f"epoch={epoch_id}")
-            if not os.path.exists(idx_edir):
+            if not _epoch_committed(index_dir, epoch_id):
                 tmp = os.path.join(index_dir, f".tmp-epoch-{epoch_id}")
                 shutil.rmtree(tmp, ignore_errors=True)
                 (build_semantic_routing_index(admitted, cents, id_col,
@@ -1013,7 +1091,7 @@ def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
 
     def _epoch_append(build_df, root: str, epoch_id: int) -> None:
         edir = os.path.join(root, f"epoch={epoch_id}")
-        if os.path.exists(edir):
+        if _epoch_committed(root, epoch_id):
             return
         tmp = os.path.join(root, f".tmp-epoch-{epoch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1032,7 +1110,7 @@ def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
-        if os.path.exists(edir):
+        if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
         spark = batch_df.sparkSession
         batch = (batch_df.select(id_col, text_col, vec_col)

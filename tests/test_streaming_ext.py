@@ -1326,3 +1326,70 @@ def test_indexed_doors_survive_empty_epochs(spark, tmp_path):
            .option("basePath", str(tmp_path / "xd_c"))
            .parquet(str(tmp_path / "xd_c")).collect()}
     assert got == {1}
+
+
+def test_compact_epoch_store_preserves_semantics(spark, tmp_path):
+    """compact_epoch_store folds every epoch into one partition while
+    keeping the exactly-once contract: replays of pre-compaction
+    epochs no-op on the watermark, post-compaction epochs still see
+    the full merged corpus/index (a near-dup of a pre-compaction doc
+    is still rejected), sidecars survive, and the file count drops."""
+    import os
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        compact_epoch_store,
+        near_dup_admit_indexed_fn,
+        semantic_admit_indexed_fn,
+    )
+
+    base = "a quick brown fox jumps over the lazy dog in the park"
+    corpus_dir = str(tmp_path / "c")
+    index_dir = str(tmp_path / "i")
+    fn = near_dup_admit_indexed_fn(corpus_dir, index_dir, "text",
+                                   "doc_id", threshold=0.3)
+    fn(spark.createDataFrame([Row(doc_id=0, text=base)]), 0)
+    fn(spark.createDataFrame(
+        [Row(doc_id=1, text="completely different words entirely "
+                            "unrelated to anything previous")]), 1)
+    before = {r.doc_id for r in spark.read
+              .option("basePath", corpus_dir).parquet(corpus_dir)
+              .select("doc_id").collect()}
+    stats_c = compact_epoch_store(spark, corpus_dir)
+    stats_i = compact_epoch_store(spark, index_dir)
+    assert stats_c["files_after"] < stats_c["files_before"]
+    assert stats_i["epochs"] == 2
+    # data intact after the swap
+    after = {r.doc_id for r in spark.read
+             .option("basePath", corpus_dir).parquet(corpus_dir)
+             .select("doc_id").collect()}
+    assert after == before == {0, 1}
+    # replay of a folded epoch: no-op on the watermark
+    fn(spark.createDataFrame([Row(doc_id=0, text=base)]), 0)
+    assert not os.path.exists(f"{corpus_dir}/epoch=0")
+    # a post-compaction epoch still rejects near-dups of folded docs
+    fn(spark.createDataFrame(
+        [Row(doc_id=10, text=base.replace("park", "yard")),
+         Row(doc_id=11, text="fresh post-compaction document about "
+                             "nothing seen before at all")]), 2)
+    final = {r.doc_id for r in spark.read
+             .option("basePath", corpus_dir).parquet(corpus_dir)
+             .select("doc_id").collect()}
+    assert final == {0, 1, 11}
+    # semantic store: the _centroids.json sidecar survives compaction
+    sc, si = str(tmp_path / "sc"), str(tmp_path / "si")
+    sfn = semantic_admit_indexed_fn(sc, si, n_centroids=2, nprobe=1,
+                                    id_col="doc_id",
+                                    vec_col="embedding")
+    sfn(spark.createDataFrame(
+        [Row(doc_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+         Row(doc_id=1, embedding=[0.0, 1.0, 0.0, 0.0])]), 0)
+    compact_epoch_store(spark, si)
+    assert os.path.exists(os.path.join(si, "_centroids.json"))
+    sfn(spark.createDataFrame(
+        [Row(doc_id=10, embedding=[1.0, 0.0, 0.0, 0.0]),   # dup of 0
+         Row(doc_id=11, embedding=[0.0, 0.0, 0.0, 3.0])]), 1)
+    got = {r.doc_id for r in spark.read.option("basePath", sc)
+           .parquet(sc).select("doc_id").collect()}
+    assert got == {0, 1, 11}, got
