@@ -551,6 +551,9 @@ def compact_epoch_store(spark: SparkSession, store_dir: str,
     SINGLE-WRITER: run between triggers (the same serialization the
     epoch commits themselves assume) — the swap is atomic for new
     readers, but a door mid-batch could hold pre-swap file handles.
+    Crash recovery: a crash between the two renames leaves the store
+    absent with ``<root>._compact_bak`` intact — restore by renaming
+    the bak back (same manual window as ``sinks.compact_parquet``).
     Returns before/after file counts."""
     import shutil
 
