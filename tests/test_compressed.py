@@ -91,6 +91,7 @@ def test_c_fast_path_dispatch(monkeypatch):
         compress(b"x", "zst", prefer="fast")
 
 
+@pytest.mark.wheels
 def test_c_fast_path_byte_identity():
     """When a real C codec library IS importable, pin cross-decoder
     byte-identity on shared vectors: C-decode(pure-encode(v)) == v and

@@ -52,6 +52,7 @@ def test_image_features_real_codec_raises_without_pil(spark):
         image_features(_assets(spark), codec="real").collect()
 
 
+@pytest.mark.wheels
 @pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
 def test_pil_real_codec_parity(spark):
     """With pillow present, codec='real' must agree with the pure-stdlib
@@ -127,6 +128,7 @@ def test_audio_features_real_codec_raises_without_soundfile(spark):
         audio_features(df, codec="real").collect()
 
 
+@pytest.mark.wheels
 @pytest.mark.skipif(not _has_av(), reason="PyAV not installed")
 def test_frame_sample_real_parity_on_avi(spark):
     """With PyAV present, codec='real' must sample the same FRAME COUNT
@@ -145,6 +147,7 @@ def test_frame_sample_real_parity_on_avi(spark):
     assert [r.frame_index for r in real] == [r.frame_index for r in pure]
 
 
+@pytest.mark.wheels
 @pytest.mark.skipif(not _has_soundfile(), reason="soundfile not installed")
 def test_audio_features_real_matches_pure_wav16(spark):
     """With soundfile present, codec='real' must agree with the pure
