@@ -50,15 +50,36 @@ def read_index_params(df: DataFrame, col: str = "band") -> dict | None:
     return None
 
 
+#: ``what`` labels already warned about an unstamped frame this
+#: process — warn once per call-site label, not per batch
+_WARNED_UNSTAMPED: set[str] = set()
+
+
 def check_index_params(df: DataFrame, expected: dict, what: str,
-                       col: str = "band") -> None:
+                       col: str = "band",
+                       expect_stamp: bool = False) -> None:
     """Raise ``ValueError`` when ``df`` carries a stamp whose values
     disagree with ``expected`` on any key BOTH sides know (the probe
     side may not know build-only values like the corpus count — those
     compare only when the caller supplies them). Unstamped frames pass
-    (back-compat; the docstring parameter contract still applies)."""
+    (back-compat; the docstring parameter contract still applies) —
+    but when the CALLER knows the framework itself built the index
+    (``expect_stamp=True``: the streaming doors' read-back paths,
+    where the stamp can be dropped in transit by e.g. an anti-join
+    that rebuilds the schema), a missing stamp means validation has
+    silently degraded to a no-op, so warn once per ``what`` to make
+    that observable (ADVICE r11)."""
     got = read_index_params(df, col)
     if got is None:
+        if expect_stamp and what not in _WARNED_UNSTAMPED:
+            _WARNED_UNSTAMPED.add(what)
+            import warnings
+            warnings.warn(
+                f"{what}: corpus_index arrived UNSTAMPED on a path "
+                "where the framework built the index — parameter "
+                "validation is degraded to the docstring contract "
+                "only (stamp lost in transit, or a pre-0.2.1 "
+                "persist)", stacklevel=2)
         return
     exp = {k: str(v) for k, v in expected.items() if v is not None}
     bad = {k: (got[k], exp[k])

@@ -1264,3 +1264,29 @@ def test_corpus_routed_plan_routes_only_the_batch(spark, tmp_path):
     # is a parquet scan of the persisted routed table, never a kernel
     assert idx.count("MapInPandas") == 0, idx
     assert "Scan parquet" in idx
+
+
+def test_unstamped_framework_index_warns_once(spark):
+    """ADVICE r11: when the FRAMEWORK built the index (the streaming
+    doors' read-back paths pass ``expect_stamp=True``), an unstamped
+    frame means validation silently degraded — warn once per call-site
+    label; external/hand-built frames (default ``expect_stamp=False``)
+    stay silent."""
+    import warnings
+
+    from nyctaxidatapipeline_spark.operators import indexmeta
+    from nyctaxidatapipeline_spark.operators.indexmeta import (
+        check_index_params,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=0, band=1, bucket="x")])
+    label = "test_unstamped_framework_index_warns_once"
+    indexmeta._WARNED_UNSTAMPED.discard(label)
+    with pytest.warns(UserWarning, match="UNSTAMPED"):
+        check_index_params(df, {"bands": 8}, label, expect_stamp=True)
+    # once per label: the second call is silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        check_index_params(df, {"bands": 8}, label, expect_stamp=True)
+        # default path (hand-built frames): never warns
+        check_index_params(df, {"bands": 8}, label + "-other")

@@ -1393,3 +1393,120 @@ def test_compact_epoch_store_preserves_semantics(spark, tmp_path):
     got = {r.doc_id for r in spark.read.option("basePath", sc)
            .parquet(sc).select("doc_id").collect()}
     assert got == {0, 1, 11}, got
+
+
+def test_state_swap_crash_between_renames_recovers(spark, tmp_path):
+    """ADVICE r11: the whole-state swap keeps the old state as
+    ``<dir>.bak`` across the commit rename, so a crash BETWEEN the two
+    renames (live dir gone, bak intact) no longer loses the standing
+    sketch + epoch marker — the next merge or read heals first, the
+    interrupted epoch replays, and the final state equals the
+    no-crash run's."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        applied_epoch,
+        quantile_sketch_merge_fn,
+        read_quantile_threshold,
+    )
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [Row(k=i, v=float(i)) for i in range(lo, hi)])
+
+    # reference run: two epochs, no crash
+    ref = str(tmp_path / "ref")
+    fn = quantile_sketch_merge_fn(ref, "v", ["k"], k=64)
+    fn(batch(0, 50), 0)
+    fn(batch(50, 100), 1)
+    want = {tuple(r) for r in spark.read.parquet(ref).collect()}
+
+    # crashed run: epoch 0 commits, then the epoch-1 swap dies between
+    # rename(state, bak) and rename(tmp, state)
+    st = str(tmp_path / "crashed")
+    fn2 = quantile_sketch_merge_fn(st, "v", ["k"], k=64)
+    fn2(batch(0, 50), 0)
+    os.rename(st, st + ".bak")           # simulated mid-swap crash
+    assert not os.path.exists(st)
+    # restart: foreachBatch re-delivers epoch 1; applied_epoch heals
+    # the bak back first, so the replay merges instead of rebuilding
+    # the sketch from the replay window only
+    fn2(batch(50, 100), 1)
+    got = {tuple(r) for r in spark.read.parquet(st).collect()}
+    assert got == want
+    assert applied_epoch(st) == 1
+    assert not os.path.exists(st + ".bak")
+
+    # the read path heals too
+    os.rename(st, st + ".bak")
+    thr = read_quantile_threshold(spark, st, "v", 0.5).collect()
+    assert len(thr) == 1 and os.path.exists(st)
+
+    # stale bak left AFTER a committed swap (crash before the final
+    # cleanup) must NOT clobber the newer live state
+    shutil.copytree(st, st + ".bak")
+    fn2(batch(100, 150), 2)
+    assert applied_epoch(st) == 2
+    assert not os.path.exists(st + ".bak")
+
+
+def test_compact_store_crash_between_renames_self_heals(spark,
+                                                        tmp_path):
+    """ADVICE r11: a compact_epoch_store crash between its two renames
+    (root absent, ``._compact_bak`` intact) self-heals — the doors'
+    ``_epoch_committed`` check and the next compaction both restore
+    the bak instead of requiring the r11 docstring's manual rename."""
+    import os
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        _epoch_committed,
+        compact_epoch_store,
+        dedup_admit_fn,
+    )
+
+    corpus = str(tmp_path / "c")
+    fn = dedup_admit_fn(corpus, "text", "doc_id")
+    fn(spark.createDataFrame([Row(doc_id=0, text="alpha")]), 0)
+    fn(spark.createDataFrame([Row(doc_id=1, text="beta")]), 1)
+    want = {r.doc_id for r in spark.read.option("basePath", corpus)
+            .parquet(corpus).select("doc_id").collect()}
+
+    # simulated crash between rename(root, bak) and rename(tmp, root)
+    os.rename(corpus, corpus + "._compact_bak")
+    assert not os.path.exists(corpus)
+    # the door's pre-batch check restores the store
+    assert _epoch_committed(corpus, 0)
+    assert os.path.exists(corpus)
+    assert not os.path.exists(corpus + "._compact_bak")
+    got = {r.doc_id for r in spark.read.option("basePath", corpus)
+           .parquet(corpus).select("doc_id").collect()}
+    assert got == want
+
+    # compaction itself also heals a crashed predecessor
+    os.rename(corpus, corpus + "._compact_bak")
+    stats = compact_epoch_store(spark, corpus)
+    assert stats["epochs"] == 2
+    got = {r.doc_id for r in spark.read.option("basePath", corpus)
+           .parquet(corpus).select("doc_id").collect()}
+    assert got == want
+
+
+def test_stage_path_is_door_unique():
+    """ADVICE r11: two doors whose corpus dirs share a parent and
+    process the same epoch id stage under DIFFERENT names (the store
+    basename is part of the staging dir), so neither can rename the
+    other's admissions into its corpus."""
+    from nyctaxidatapipeline_spark.streaming.jobs import _stage_path
+
+    a = _stage_path("/x/door_a/corpus", 5)
+    b = _stage_path("/x/door_b/corpus", 5)
+    assert a != b
+    assert _stage_path("/x/a", 5) != _stage_path("/x/b", 5)
+    # staged beside the store (same parent → same-filesystem rename)
+    import os
+    assert os.path.dirname(_stage_path("/x/a/c", 7)) == "/x/a"
