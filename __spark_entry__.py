@@ -3880,6 +3880,36 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: slots re-record the index-family queries riding this round's
 #: param-stamp/validation code (results unit-pinned unchanged,
 #: re-recorded anyway per the materially-touched convention).
+#: Round-12 driver window front (the driver records the FIRST 50
+#: ``queries()`` entries): steady-state oldest-first rotation
+#: (VERDICT r11 task 5) — the 40 r7-era records (the multimodal/
+#: image/audio/PCA/graph-adjacent cohort, all untouched since r7 and
+#: locally hash-green) plus 10 of the 12 r8-era records; the two
+#: remaining r8 rows (``url_dedup``, ``hard_negatives``) lead the r13
+#: window.
+_ROUND12_FRONT = [
+    # r7-era records (oldest-first)
+    "resample_hourly", "heavy_hitters", "funnel", "histogram_prices",
+    "moving_avg", "snapshot_diff", "daily_top_events",
+    "rank_normalized", "ann_pq", "frame_sample_avi", "audio_features",
+    "importance_resample", "html_strip", "url_features",
+    "label_propagation", "triangle_count", "shortest_paths",
+    "ann_ivfpq", "embedding_covariance", "pca_project",
+    "winsorized_prices", "feature_hash_counts", "length_buckets",
+    "time_range_avg", "semantic_dedup_auto", "knn_graph_ivf",
+    "winsorized_prices_approx", "grouped_percentiles_approx",
+    "image_features_jpeg", "image_features_gif", "image_dedup_dhash",
+    "char_entropy", "audience_overlap_kmv", "image_resize_png",
+    "ewma_daily", "weighted_corpus_sample", "image_features_jpeg_prog",
+    "audio_features_mp3", "frame_sample_h264",
+    "image_features_png_i7",
+    # r8-era records (next-oldest; 10 of 12 fit)
+    "exact_dedup", "simhash_pairs", "pii_stats", "warc_ingest",
+    "webdataset_ingest", "c4_line_filter", "distinct_users_hll",
+    "distinct_users_hll_wide", "fare_anomalies_approx",
+    "text_normalize",
+]
+
 _ROUND11_FRONT = [
     # new r11 (never driver-verified): the auto-operating-point
     # persisted-index semantic admission
@@ -4013,14 +4043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
-    the first 50 entries. Rounds 1-10 drove all 187 queries to a green
-    driver record (cumulative union of windows). The round-11 window
-    (``_ROUND11_FRONT``) leads with the two sketch queries whose
-    results changed this round, then TPC-H q2-q22 (the last r4-era
-    records — after r11 the oldest record anywhere is r5 and the
-    rotation is steady-state oldest-first), then the r5/r6 cohorts,
-    then the index-family queries riding this round's
-    param-stamp/validation code; prior fronts follow in order."""
+    the first 50 entries. Rounds 1-11 drove all 188 queries to a green
+    driver record (cumulative union of windows; oldest records r7-era
+    after r11). The round-12 window (``_ROUND12_FRONT``) is the
+    steady-state oldest-first rotation: the 40 r7-era records plus 10
+    of the 12 r8-era records (``url_dedup`` and ``hard_negatives``
+    lead r13); prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4210,7 +4238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "weighted_corpus_sample": _q_weighted_corpus_sample,
     }
-    ordered = {name: full[name] for name in _ROUND11_FRONT}
+    ordered = {name: full[name] for name in _ROUND12_FRONT}
+    ordered.update({name: full[name] for name in _ROUND11_FRONT})
     ordered.update({name: full[name] for name in _ROUND10_FRONT})
     ordered.update({name: full[name] for name in _ROUND9_FRONT})
     ordered.update({name: full[name] for name in _ROUND8_FRONT})
@@ -4219,6 +4248,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered.update({name: full[name] for name in _ROUND5_FRONT})
     ordered.update(full)
     return ordered
+
+
+#: Deliberate SCALE-LESSON registrations (VERDICT r11 item 2): rows
+#: kept in the suite as priced counter-examples — each is CORRECT and
+#: has a registered deployment-shape twin that is the headline for its
+#: operator class. Bench tooling (bench.py, tools/merge_sf10.py) uses
+#: this map to report deployment-total vs lesson-total so no reader
+#: has to re-derive which rows are lessons from the artifact notes.
+LESSON_QUERIES: dict[str, str] = {
+    "minhash_dedup":
+        "uncapped full-corpus LSH self-join lesson (302 s sf10); "
+        "deployment twins: near_dup_production (capped/verified) and "
+        "incremental_minhash_indexed (persisted-index admission)",
+    "fare_anomalies_approx":
+        "GK accuracy=1e6 ORACLE-PARITY point (super-linear compress; "
+        "121 s sf10); production point is accuracy=1e4 (fare_acc "
+        "experiment, ~13x cheaper) and the linear hash-sample twin is "
+        "fare_anomalies_sketch",
+    "incremental_semantic_indexed":
+        "fixed-16-list verification-bound operating point (82.7 s "
+        "warm sf10 — no index fixes a wrong operating point); "
+        "deployment twin: incremental_semantic_auto_indexed (auto "
+        "list count, 5.9-6.5 s warm sf10)",
+}
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -138,6 +138,20 @@ def main() -> None:
         all_runs[name] = runs
 
     total = round(sum(times.values()), 3)
+    # Deployment-total vs lesson-total (VERDICT r11 item 2): the
+    # deliberate scale-lesson rows (LESSON_QUERIES — each correct,
+    # each twinned by a registered deployment shape) are separated out
+    # so the headline a reader should track is visible without
+    # re-deriving it from the artifact notes. "value" stays the full
+    # total for round-over-round continuity.
+    lessons = getattr(entrymod, "LESSON_QUERIES", {})
+    lesson_total = round(sum(t for n, t in times.items()
+                             if n in lessons), 3)
+    totals = {
+        "deployment_total_sec": round(total - lesson_total, 3),
+        "lesson_total_sec": lesson_total,
+        "lesson_queries": sorted(n for n in times if n in lessons),
+    }
     # Exact/scale twins: the "exact" member is the brute-force
     # correctness oracle for the same semantics; the "scale" member is
     # the sketch/index path that survives 100 TB. The scale number is the
@@ -185,6 +199,7 @@ def main() -> None:
         "queries": times,
         "paths": paths,
         "path_totals": path_totals,
+        "totals": totals,
         "experiments": {
             # SPARK_GRAFT_EXPERIMENTS=fare_acc runs the fare-anomaly
             # GK-accuracy A/B even in subset mode (how the BENCH_SF10
@@ -241,11 +256,12 @@ def main() -> None:
             sf10 = json.load(f)
         line["sf10"] = {"total_sec": sf10.get("value"),
                         "n_queries": len(sf10.get("queries", {})),
-                        "note": "46-query subset at 100x sf0.1 (total "
-                                "includes the deliberate uncapped "
-                                "scale-lesson rows and both GK-1e6 "
-                                "parity points, ~600s of it); table "
-                                "in BENCH_SF10.json / PLANS.md #19-23"}
+                        **({"totals": sf10["totals"]}
+                           if "totals" in sf10 else {}),
+                        "note": "46-query subset at 100x sf0.1; "
+                                "deployment vs lesson split in "
+                                "'totals' (LESSON_QUERIES); table in "
+                                "BENCH_SF10.json / PLANS.md #19-23"}
     except (OSError, ValueError):
         pass
     print(json.dumps(line))
