@@ -213,13 +213,27 @@ def main() -> None:
         "load_sec": load_sec,
         "warmup_sec": warmup_sec,
         "sf": sf,
+        # Same-instrument provenance (VERDICT r11 task 2): one session,
+        # one instrument — cross-scale ratios are only trustworthy when
+        # both scales' tables carry the same stamp shape.
+        "session": {"date": time.strftime("%Y-%m-%d"),
+                    "pid": os.getpid(),
+                    "runs_per_query": n_runs, "stat": "median"},
     }
     # The driver records only a ~2 KB tail of stdout, and the full
     # per-query map (100+ queries) no longer fits — round 3's official
     # artifact was an unparseable truncated string. Persist the full
     # object to BENCH_FULL.json and keep stdout to ONE compact line
     # (headline totals + the slowest queries) that fits the capture.
-    out_name = "BENCH_SUBSET.json" if only else "BENCH_FULL.json"
+    # Full runs at sf>=1 land in their scale's committed artifact
+    # (BENCH_SF1.json etc. — one same-session table per scale, VERDICT
+    # r11 task 2); sf0.1 full runs stay the per-round BENCH_FULL.json.
+    if only:
+        out_name = "BENCH_SUBSET.json"
+    elif sf is not None and sf >= 0.99:
+        out_name = f"BENCH_SF{int(round(sf))}.json"
+    else:
+        out_name = "BENCH_FULL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            out_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -241,10 +255,13 @@ def main() -> None:
             sf1 = json.load(f)
         line["sf1"] = {"total_sec": sf1.get("value"),
                        "n_queries": len(sf1.get("queries", {})),
-                       "note": "r9 single-shot base + r11 median-of-3 "
-                               "rows for the 5 index/sketch "
-                               "registrations; worst ratio 11x "
-                               "(GK-1e6/JPEG rows); full table in "
+                       **({"totals": sf1["totals"]}
+                          if "totals" in sf1 else {}),
+                       **({"session": sf1["session"]}
+                          if "session" in sf1 else {}),
+                       "note": "full 10x sweep, one session, "
+                               "median-of-3 (same instrument as the "
+                               "sf0.1 table); full table in "
                                "BENCH_SF1.json"}
     except (OSError, ValueError):
         pass
