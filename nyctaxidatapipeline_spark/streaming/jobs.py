@@ -869,18 +869,25 @@ def semantic_admit_fn(corpus_dir: str, vec_col: str = "embedding",
     compare.
 
     SCALE: this door re-seeds and RE-ROUTES the admitted corpus every
-    epoch, so per-epoch cost grows with the corpus. It is the simple
-    door for short/bounded streams; a long-running deployment wants
-    :func:`semantic_admit_indexed_fn` (frozen centroids + maintained
-    persisted routed index — flat per-epoch cost; crossover curves in
-    BENCH_STREAMING.json).
+    epoch — per-epoch cost is corpus-proportional by construction.
+    On the BLAS kernel path (r12) that re-route is one matmul, so the
+    measured curve is FLAT at fixture scale (1.7-2.3 s/epoch across
+    12 sf1 epochs — the r11 9.9→58.5 s climb was the expression
+    path's cost, retracted in BENCH_STREAMING ``notes.crossover_r12``);
+    the corpus-proportional term only starts to matter at large
+    corpus × dim. :func:`semantic_admit_indexed_fn` (frozen centroids
+    + maintained persisted routed index) GUARANTEES a flat per-epoch
+    cost independent of corpus size and carries the exactly-once
+    index machinery — it costs more at fixture scale (7-9 s/epoch,
+    epoch-append + healing overhead) and pays off in the
+    large-corpus regime the batch-side sf10 pricing shows.
 
     r12 (VERDICT r11 task 4): the gate runs the Arrow/BLAS kernel path
     (``incremental_semantic_admission_auto`` with this door's per-epoch
     seeded centroids — verdict-identical to the expression path, both
     round cosines/routing dots 6 dp before compare), so the
-    indexed-vs-re-route crossover comparison is KERNEL-CONTROLLED: the
-    doors now differ only in route maintenance, not compute path."""
+    indexed-vs-re-route comparison is KERNEL-CONTROLLED: the doors
+    differ only in route maintenance, not compute path."""
     from nyctaxidatapipeline_spark.operators.similarity import (
         incremental_semantic_admission_auto,
         ivf_seed_centroids,
