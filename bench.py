@@ -225,15 +225,20 @@ def main() -> None:
     # artifact was an unparseable truncated string. Persist the full
     # object to BENCH_FULL.json and keep stdout to ONE compact line
     # (headline totals + the slowest queries) that fits the capture.
-    # Full runs at sf>=1 land in their scale's committed artifact
-    # (BENCH_SF1.json etc. — one same-session table per scale, VERDICT
-    # r11 task 2); sf0.1 full runs stay the per-round BENCH_FULL.json.
+    # Full sf1 runs land in the committed same-session artifact
+    # (BENCH_SF1.json — VERDICT r11 task 2); sf0.1 full runs stay the
+    # per-round BENCH_FULL.json. Any OTHER scale gets its own file —
+    # never BENCH_SF10.json, which is assembled from SERIAL subset
+    # runs via tools/merge_sf10.py (PLANS.md #20: a single-JVM full
+    # suite at sf10 self-contaminates) and must not be clobbered.
     if only:
         out_name = "BENCH_SUBSET.json"
-    elif sf is not None and sf >= 0.99:
-        out_name = f"BENCH_SF{int(round(sf))}.json"
-    else:
+    elif sf is not None and abs(sf - 1.0) < 1e-9:
+        out_name = "BENCH_SF1.json"
+    elif sf is None or abs(sf - 0.1) < 1e-9:
         out_name = "BENCH_FULL.json"
+    else:
+        out_name = f"BENCH_FULL_sf{sf:g}.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            out_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

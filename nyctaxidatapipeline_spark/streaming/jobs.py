@@ -753,6 +753,9 @@ def near_dup_admit_indexed_fn(corpus_dir: str, index_dir: str,
     )
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # heal a crashed index-store compaction before the has_idx
+        # read (corpus_dir heals via _epoch_committed just after)
+        _recover_compacted_store(index_dir)
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
         if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
@@ -952,6 +955,11 @@ def semantic_admit_indexed_fn(corpus_dir: str, index_dir: str,
     )
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # heal a crashed index-store compaction BEFORE anything reads
+        # or recreates index_dir — the centroid-sidecar write below
+        # would otherwise resurrect the dir and orphan the bak (the
+        # corpus_dir heal rides _epoch_committed just after)
+        _recover_compacted_store(index_dir)
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
         if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
@@ -1145,7 +1153,10 @@ def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
                                   cosine_threshold: float = 0.85,
                                   max_bucket: int | None = 32,
                                   n_centroids: int = 16,
-                                  nprobe: int = 4):
+                                  nprobe: int = 4,
+                                  n: int = 3, num_hashes: int = 32,
+                                  bands: int = 8,
+                                  portable: bool = False):
     """``foreachBatch`` for
     :func:`run_streaming_cross_signal_admission_indexed` — the
     MAINTAINED-INDEX cross-signal door (r11, completing the family):
@@ -1213,6 +1224,12 @@ def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
                 .join(batch_ids, cols[0], "left_anti"))
 
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # heal crashed index-store compactions BEFORE anything reads
+        # or recreates them — the sem centroid-sidecar write below
+        # would otherwise resurrect sem_dir and orphan its bak
+        # (corpus_dir heals via _epoch_committed just after)
+        _recover_compacted_store(lex_dir)
+        _recover_compacted_store(sem_dir)
         edir = os.path.join(corpus_dir, f"epoch={epoch_id}")
         if _epoch_committed(corpus_dir, epoch_id):
             return                       # replayed epoch — committed
@@ -1232,17 +1249,20 @@ def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
                               [id_col, "band", "bucket"], bids)
         if lex_idx is None:
             lex_idx = build_minhash_index(
-                corpus.select(id_col, text_col), text_col, id_col)
+                corpus.select(id_col, text_col), text_col, id_col,
+                n, num_hashes, bands, portable)
         else:
             check_index_params(
-                lex_idx, _minhash_params(3, 32, 8, False),
+                lex_idx, _minhash_params(n, num_hashes, bands,
+                                         portable),
                 "run_streaming_cross_signal_admission_indexed "
                 "(lex index read-back)", expect_stamp=True)
         lex = incremental_minhash_admission(
             batch.select(id_col, text_col),
             corpus.select(id_col, text_col), text_col, id_col,
-            threshold=jaccard_threshold, max_bucket=max_bucket,
-            corpus_index=lex_idx)
+            n=n, num_hashes=num_hashes, bands=bands,
+            threshold=jaccard_threshold, portable=portable,
+            max_bucket=max_bucket, corpus_index=lex_idx)
         # --- semantic gate over the maintained routed corpus ---
         cents_path = os.path.join(sem_dir, "_centroids.json")
         if os.path.exists(cents_path):
@@ -1289,7 +1309,8 @@ def cross_signal_admit_indexed_fn(corpus_dir: str, index_dir: str,
                          .localCheckpoint())
         # both index epochs commit BEFORE the corpus epoch
         _epoch_append(build_minhash_index(
-            admitted.select(id_col, text_col), text_col, id_col),
+            admitted.select(id_col, text_col), text_col, id_col,
+            n, num_hashes, bands, portable),
             lex_dir, epoch_id)
         if cents:
             _epoch_append(build_semantic_routing_index(

@@ -1510,3 +1510,76 @@ def test_stage_path_is_door_unique():
     # staged beside the store (same parent → same-filesystem rename)
     import os
     assert os.path.dirname(_stage_path("/x/a/c", 7)) == "/x/a"
+
+
+def test_semantic_indexed_door_heals_crashed_index_compaction(
+        spark, tmp_path):
+    """r12 review finding: a crashed index-store compaction (index_dir
+    absent, ._compact_bak intact) must be healed BEFORE the door reads
+    or recreates index_dir — the centroid-sidecar write would
+    otherwise resurrect the dir, orphan the bak (losing the routed
+    index AND the original centroids), and gate the batch against
+    nothing."""
+    import os
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        semantic_admit_indexed_fn,
+    )
+
+    sc, si = str(tmp_path / "sc"), str(tmp_path / "si")
+    fn = semantic_admit_indexed_fn(sc, si, id_col="doc_id",
+                                   vec_col="embedding",
+                                   n_centroids=2, nprobe=1)
+    fn(spark.createDataFrame(
+        [Row(doc_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+         Row(doc_id=1, embedding=[0.0, 1.0, 0.0, 0.0])]), 0)
+    with open(os.path.join(si, "_centroids.json")) as f:
+        cents_before = f.read()
+    # simulated crash between compact_epoch_store's two renames
+    os.rename(si, si + "._compact_bak")
+    # next epoch: a duplicate of admitted doc 0 plus a novel axis
+    fn(spark.createDataFrame(
+        [Row(doc_id=10, embedding=[1.0, 0.0, 0.0, 0.0]),   # dup of 0
+         Row(doc_id=11, embedding=[0.0, 0.0, 0.0, 3.0])]), 1)
+    got = {r.doc_id for r in spark.read.option("basePath", sc)
+           .parquet(sc).select("doc_id").collect()}
+    assert got == {0, 1, 11}, got        # dup rejected, not admitted
+    assert not os.path.exists(si + "._compact_bak")   # bak consumed
+    with open(os.path.join(si, "_centroids.json")) as f:
+        assert f.read() == cents_before  # original centroids restored
+
+
+def test_cross_signal_indexed_door_heals_crashed_sem_compaction(
+        spark, tmp_path):
+    """Same heal-order pin for the cross-signal door's sem store (its
+    centroid sidecar has the identical resurrect-and-orphan hazard)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        cross_signal_admit_indexed_fn,
+    )
+
+    c, i = str(tmp_path / "c"), str(tmp_path / "i")
+    fn = cross_signal_admit_indexed_fn(c, i, n_centroids=2, nprobe=1)
+    fn(spark.createDataFrame(
+        [Row(doc_id=0, text="alpha words entirely about one topic",
+             embedding=[1.0, 0.0, 0.0, 0.0]),
+         Row(doc_id=1, text="beta prose concerning a second matter",
+             embedding=[0.0, 1.0, 0.0, 0.0])]), 0)
+    sem = os.path.join(i, "sem")
+    os.rename(sem, sem + "._compact_bak")
+    fn(spark.createDataFrame(
+        # lexically novel but semantically a dup of doc 0: only the
+        # (healed) sem gate can reject it
+        [Row(doc_id=10, text="gamma sentence with fresh vocabulary",
+             embedding=[1.0, 0.0, 0.0, 0.0]),
+         Row(doc_id=11, text="delta unseen wording again different",
+             embedding=[0.0, 0.0, 0.0, 3.0])]), 1)
+    got = {r.doc_id for r in spark.read.option("basePath", c)
+           .parquet(c).select("doc_id").collect()}
+    assert got == {0, 1, 11}, got
+    assert not os.path.exists(sem + "._compact_bak")
