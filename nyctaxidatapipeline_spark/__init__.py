@@ -21,4 +21,4 @@ Design rules (see SURVEY.md §7):
 from nyctaxidatapipeline_spark.session import get_spark
 
 __all__ = ["get_spark"]
-__version__ = "0.2.2"
+__version__ = "0.2.3"

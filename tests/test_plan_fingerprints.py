@@ -1,0 +1,128 @@
+"""Plan-fingerprint normalizer: the properties that make the committed
+PLAN_FINGERPRINTS.json artifact a usable drift witness.
+
+The artifact's whole value is that a fingerprint is invariant to the
+run-specific noise two otherwise-identical sessions produce (expression
+id allocation, temp index directories, cached statistics) while still
+changing whenever the plan structurally changes. Both directions are
+pinned here on real Spark plans, not string fixtures.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_fingerprints import (  # noqa: E402
+    diff, fingerprint_df, normalize_plan, plan_features)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_agg(spark, sf_dir=SF):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (df.filter(F.col("o_totalprice") > 100.0)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("o_totalprice").alias("revenue")))
+
+
+def test_exprid_invariance(spark):
+    """Same logical query built twice — with unrelated plans allocated
+    in between so the second build's expression ids differ — must
+    fingerprint identically."""
+    h1, f1 = fingerprint_df(_orders_agg(spark))
+    # Burn expression ids: analyze a few unrelated frames.
+    for t in ("nation", "region", "customer"):
+        spark.read.parquet(f"{SF}/{t}.parquet").schema  # noqa: B018
+        spark.read.parquet(f"{SF}/{t}.parquet").select("*").columns  # noqa: B018
+    h2, f2 = fingerprint_df(_orders_agg(spark))
+    assert h1 == h2
+    assert f1 == f2
+
+
+def test_path_invariance(spark, tmp_path):
+    """The same data written to two different temp directories must
+    fingerprint identically — temp index/corpus dirs differ every run."""
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    src.write.parquet(a)
+    src.write.parquet(b)
+    ha, _ = fingerprint_df(spark.read.parquet(a).groupBy("n_regionkey").count())
+    hb, _ = fingerprint_df(spark.read.parquet(b).groupBy("n_regionkey").count())
+    assert ha == hb
+
+
+def test_structural_change_changes_hash(spark):
+    """The counter-direction: a real plan change (added filter reaching
+    the scan, join vs no join) must change the hash."""
+    base, _ = fingerprint_df(_orders_agg(spark))
+    narrowed, _ = fingerprint_df(
+        _orders_agg(spark).filter(F.col("revenue") > 0))
+    assert base != narrowed
+
+
+def test_features_census(spark):
+    """Operator census counts NODES (tree section only) and sees pushed
+    filters from the detail section."""
+    _, feats = fingerprint_df(_orders_agg(spark))
+    assert feats["scans"] == 1
+    assert feats["hash_aggregates"] == 2  # partial + final
+    assert feats["exchanges"] == 1
+    assert feats.get("scans_with_pushed_filters", 0) >= 1
+
+    joined = _orders_agg(spark).join(
+        F.broadcast(spark.read.parquet(f"{SF}/nation.parquet")),
+        F.col("o_orderstatus") == F.col("n_name"), "left")
+    _, jf = fingerprint_df(joined)
+    assert jf["broadcast_hash_joins"] == 1
+    assert jf["broadcast_exchanges"] == 1
+
+
+def test_diff_reports_changes():
+    old = {"queries": {"a": {"hash": "x", "features": {"scans": 1}},
+                       "b": {"hash": "y", "features": {}},
+                       "gone": {"hash": "z", "features": {}}}}
+    new = {"queries": {"a": {"hash": "x2", "features": {"scans": 2}},
+                       "b": {"hash": "y", "features": {}},
+                       "added": {"hash": "w", "features": {}}}}
+    msgs = diff(old, new)
+    assert any(m.startswith("a: HASH CHANGED") and "scans 1->2" in m
+               for m in msgs)
+    assert "added: ADDED" in msgs
+    assert "gone: REMOVED" in msgs
+    assert not any(m.startswith("b:") for m in msgs)
+    assert diff(new, new) == []
+
+
+def test_normalizer_strips_volatiles():
+    raw = ("HashAggregate(keys=[k#123L], functions=[sum(v#45)])\n"
+           "Scan parquet [k#123L,v#45] Batched: true, "
+           "Location: InMemoryFileIndex(1 paths)[file:/tmp/x9q/t.parquet], "
+           "PushedFilters: [IsNotNull(v)]\n"
+           "Statistics(sizeInBytes=12.3 KiB, rowCount=42)")
+    norm = normalize_plan(raw)
+    assert "#123" not in norm and "#45" not in norm
+    assert "/tmp/x9q" not in norm
+    assert "12.3 KiB" not in norm and "rowCount=42" not in norm
+    assert "PushedFilters: [IsNotNull(v)]" in norm
+
+
+def test_lambda_vars_renumbered_not_collapsed():
+    """Higher-order-function lambda variables carry a session-global
+    counter; normalization renumbers per-plan (first-appearance order)
+    while keeping DISTINCT variables distinct."""
+    a = ("transform(filter(c#1, lambdafunction(lambda x_350#2._keep, "
+         "lambda x_350#2, false)), lambdafunction(lambda x_351#3.line, "
+         "lambda x_351#3, false))")
+    b = a.replace("x_350", "x_7").replace("x_351", "x_9")
+    assert normalize_plan(a) == normalize_plan(b)
+    assert "lambda x_0" in normalize_plan(a)
+    assert "lambda x_1" in normalize_plan(a)
+    # swapping which variable is referenced IS a change
+    swapped = ("transform(filter(c#1, lambdafunction(lambda x_351#2._keep, "
+               "lambda x_350#2, false)), lambdafunction(lambda x_350#3.line, "
+               "lambda x_351#3, false))")
+    assert normalize_plan(swapped) != normalize_plan(a)
