@@ -1,0 +1,205 @@
+"""Executed-plan data-movement census: measured bytes, not guessed.
+
+`PLAN_FINGERPRINTS.json` witnesses the STATIC plan; this tool executes
+every registered query at the bench scale and reads the raw
+``SQLMetric`` values off the AQE FINAL plan (py4j traversal — no UI,
+no REST, no string parsing), recording per query:
+
+  * ``input_bytes`` / ``scan_rows``   — files actually read (post
+    partition-pruning) and rows surviving the scan;
+  * ``shuffle_write_bytes`` / ``shuffle_records`` — total exchange
+    traffic (the thing to MINIMIZE at 100 TB);
+  * ``broadcast_bytes``               — build-side sizes actually
+    broadcast (must stay bounded regardless of input scale);
+  * ``spill_bytes``                   — operator spill (expected 0 at
+    every test scale; nonzero means a partition no longer fits);
+  * ``peak_memory_bytes``             — max single-operator peak;
+  * ``codegen_nodes`` / ``compute_nodes`` — whole-stage-codegen
+    coverage measured on the EXECUTED plan (the static fingerprint
+    can't see it under AQE): compute nodes fused into a codegen span
+    vs all compute nodes (Exchange/scan/Python nodes can never fuse;
+    they count in the denominator deliberately — coverage is "how much
+    of this query runs inside generated code", not "how much of the
+    fusable part").
+
+Execution forces the dataframe's OWN QueryExecution via
+``queryExecution().toRdd().count()`` — same plan the bench runs, but
+without driver-side row materialization, so big-output queries (dedup
+survivors, curated corpora) don't bottleneck on py4j transfer.
+
+The summary block totals the suite and lists the top shuffle writers
+and any spillers. Shuffle/broadcast/spill metrics aggregate over each
+plan NODE once (reused exchanges are counted at their definition, not
+per reference).
+
+Usage::
+
+    python tools/plan_metrics.py                  # all queries, sf0.1
+    python tools/plan_metrics.py --only a,b --sf-dir ... --out X.json
+
+Writes ``PLAN_METRICS.json`` (committed artifact) by default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_OUT = os.path.join(_REPO, "PLAN_METRICS.json")
+
+#: metric-name -> artifact field, summed over nodes
+_SUM_FIELDS = {
+    "filesSize": "input_bytes",
+    "shuffleBytesWritten": "shuffle_write_bytes",
+    "shuffleRecordsWritten": "shuffle_records",
+    "spillSize": "spill_bytes",
+}
+
+
+def _iter_scala_map(jmap):
+    it = jmap.iterator()
+    while it.hasNext():
+        kv = it.next()
+        yield kv._1(), kv._2()
+
+
+def _iter_scala_seq(jseq):
+    it = jseq.iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def collect_metrics(df) -> dict:
+    """Execute ``df``'s own QueryExecution and walk the AQE final plan,
+    aggregating SQLMetric values into the artifact fields."""
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    # NOT toJavaRDD()/rdd: Dataset.rdd silently builds a SEPARATE
+    # rddQueryExecution (deserializer wrapper), leaving this one's
+    # metrics at zero. toRdd() is THIS QueryExecution's internal-row
+    # RDD; count() forces it without driver-side row materialization.
+    qe.toRdd().count()
+    root = qe.executedPlan()
+
+    agg = {v: 0 for v in _SUM_FIELDS.values()}
+    agg.update(broadcast_bytes=0, scan_rows=0, peak_memory_bytes=0,
+               compute_nodes=0, codegen_nodes=0)
+    seen: set[int] = set()
+
+    def visit(node, in_codegen: bool) -> None:
+        name = node.getClass().getSimpleName()
+        node_id = node.id()
+        new = node_id not in seen
+        seen.add(node_id)
+
+        if name == "WholeStageCodegenExec":
+            in_codegen = True
+        elif name == "InputAdapter":
+            # children of an InputAdapter are OUTSIDE the codegen span
+            in_codegen = False
+        elif not name.endswith("QueryStageExec") and new:
+            # a compute node (skip the pure AQE/codegen wrappers)
+            agg["compute_nodes"] += 1
+            if in_codegen:
+                agg["codegen_nodes"] += 1
+
+        if new:
+            for k, m in _iter_scala_map(node.metrics()):
+                v = m.value()
+                if v <= 0:
+                    continue
+                if k in _SUM_FIELDS:
+                    agg[_SUM_FIELDS[k]] += v
+                elif k == "dataSize" and name == "BroadcastExchangeExec":
+                    agg["broadcast_bytes"] += v
+                elif k == "numOutputRows" and name.endswith("ScanExec"):
+                    agg["scan_rows"] += v
+                elif k == "peakMemory":
+                    agg["peak_memory_bytes"] = max(agg["peak_memory_bytes"],
+                                                   v)
+
+        # descend: QueryStageExec holds its executed subtree in .plan(),
+        # AdaptiveSparkPlanExec its final tree in .executedPlan()
+        if name == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan(), in_codegen)
+        elif name.endswith("QueryStageExec"):
+            visit(node.plan(), in_codegen)
+        for child in _iter_scala_seq(node.children()):
+            visit(child, in_codegen)
+
+    visit(root, False)
+    return agg
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--out", default=DEFAULT_OUT)
+    p.add_argument("--sf-dir",
+                   default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.1"))
+    p.add_argument("--only", help="comma-separated query subset")
+    args = p.parse_args()
+
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entrymod
+    from nyctaxidatapipeline_spark import get_spark
+
+    spark = get_spark("plan-metrics")
+    qset = entrymod.queries()
+    if args.only:
+        qset = {n: qset[n] for n in args.only.split(",")}
+
+    out: dict[str, dict] = {}
+    t0 = time.perf_counter()
+    for name, fn in qset.items():
+        try:
+            m = collect_metrics(fn(spark, args.sf_dir))
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            continue
+        m["codegen_coverage"] = (round(m["codegen_nodes"]
+                                       / m["compute_nodes"], 3)
+                                 if m["compute_nodes"] else 0.0)
+        out[name] = {k: v for k, v in m.items() if v or k in (
+            "input_bytes", "shuffle_write_bytes", "codegen_coverage")}
+
+    ok = {n: q for n, q in out.items() if "error" not in q}
+    spillers = {n: q["spill_bytes"] for n, q in ok.items()
+                if q.get("spill_bytes")}
+    top_shuffle = sorted(ok.items(),
+                         key=lambda kv: -kv[1].get("shuffle_write_bytes", 0))
+    summary = {
+        "total_input_bytes": sum(q.get("input_bytes", 0)
+                                 for q in ok.values()),
+        "total_shuffle_write_bytes": sum(q.get("shuffle_write_bytes", 0)
+                                         for q in ok.values()),
+        "total_broadcast_bytes": sum(q.get("broadcast_bytes", 0)
+                                     for q in ok.values()),
+        "spillers": spillers,
+        "top_shuffle_writers": {n: q.get("shuffle_write_bytes", 0)
+                                for n, q in top_shuffle[:10]},
+        "mean_codegen_coverage": round(
+            sum(q["codegen_coverage"] for q in ok.values()) / len(ok), 3)
+        if ok else 0.0,
+    }
+    art = {"sf_dir": args.sf_dir, "n_queries": len(out),
+           "wall_sec": round(time.perf_counter() - t0, 1),
+           "summary": summary, "queries": dict(sorted(out.items()))}
+    with open(args.out, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+        f.write("\n")
+    errs = {n: q["error"] for n, q in out.items() if "error" in q}
+    print(f"wrote {len(out)} metric rows to {args.out} in "
+          f"{art['wall_sec']}s ({len(errs)} errors); "
+          f"spillers={list(spillers) or 'none'}; "
+          f"mean codegen coverage={summary['mean_codegen_coverage']}")
+    for n, e in errs.items():
+        print(f"  ERROR {n}: {e}")
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
