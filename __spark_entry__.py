@@ -1939,6 +1939,37 @@ def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "l_discount", "l_tax"])
 
 
+def _q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``profile_lineitem`` through the 100 TB distinct-count mode: the
+    PLAN_METRICS census showed the exact profile's entire 18 MB shuffle
+    is its per-column ``countDistinct`` (a distinct-shuffle of every
+    column's values — data-sized at scale). This twin swaps in the
+    portable HyperLogLog (``sketches.hll_registers``/``hll_finish``,
+    b=12 → 4,096 registers, ~1.6 % rse): shuffle volume collapses to
+    O(registers) per column regardless of corpus size, and — unlike
+    Spark's native ``approx_count_distinct`` — the estimator is
+    bit-reproducible in the DuckDB twin (md5-prefix hash over the
+    DECIMAL(38,10) canonical rendering, integer rho, scaled-integer
+    indicator sum, the ``distinct_users_hll`` recipe). The exact
+    ``profile_lineitem`` stays registered as the parity gate.
+
+    Measured at sf0.1 (PLAN_METRICS census): shuffle 18,159,550 B /
+    583 k records (exact) → 45,395 B / 4.2 k records (this mode) —
+    400× less traffic — for one extra scan pass (the register
+    aggregate groups by bucket, the stats aggregate globally; a
+    columnar re-scan is the cheap side of that trade at 100 TB) and
+    estimates within the b=12 rse (50→49.3, 583,090→588,000 ≈ +0.8 %,
+    11→11.01, 9→9.01). At fixture scale the extra scan pass makes it
+    wall-SLOWER than exact (2.23 vs 1.47 s solo) — the crossover is
+    where the distinct-shuffle stops fitting comfortably, i.e. exactly
+    the regime the fixture can't reach; the registered pair prices
+    both sides of the trade."""
+    return profile_numeric(_lineitem(spark, sf_dir),
+                           ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"],
+                           approx="hll", hll_b=12)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing over the corpus in doc_id
     order (budget 256 tokens): global token offset via the two-pass
@@ -3888,6 +3919,8 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: remaining r8 rows (``url_dedup``, ``hard_negatives``) lead the r13
 #: window.
 _ROUND12_FRONT = [
+    # new r12 (never driver-verified): the bounded-shuffle profile mode
+    "profile_lineitem_approx",
     # r7-era records (oldest-first)
     "resample_hourly", "heavy_hitters", "funnel", "histogram_prices",
     "moving_avg", "snapshot_diff", "daily_top_events",
@@ -3903,11 +3936,12 @@ _ROUND12_FRONT = [
     "ewma_daily", "weighted_corpus_sample", "image_features_jpeg_prog",
     "audio_features_mp3", "frame_sample_h264",
     "image_features_png_i7",
-    # r8-era records (next-oldest; 10 of 12 fit)
+    # r8-era records (next-oldest; 9 of 12 fit behind the new
+    # registration — text_normalize joins url_dedup/hard_negatives at
+    # the head of r13)
     "exact_dedup", "simhash_pairs", "pii_stats", "warc_ingest",
     "webdataset_ingest", "c4_line_filter", "distinct_users_hll",
     "distinct_users_hll_wide", "fare_anomalies_approx",
-    "text_normalize",
 ]
 
 _ROUND11_FRONT = [
@@ -4045,10 +4079,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
     the first 50 entries. Rounds 1-11 drove all 188 queries to a green
     driver record (cumulative union of windows; oldest records r7-era
-    after r11). The round-12 window (``_ROUND12_FRONT``) is the
-    steady-state oldest-first rotation: the 40 r7-era records plus 10
-    of the 12 r8-era records (``url_dedup`` and ``hard_negatives``
-    lead r13); prior fronts follow in order."""
+    after r11). The round-12 window (``_ROUND12_FRONT``) leads with the
+    new r12 registration (``profile_lineitem_approx``), then the
+    steady-state oldest-first rotation: the 40 r7-era records plus 9
+    of the 12 r8-era records (``url_dedup``, ``hard_negatives`` and
+    ``text_normalize`` lead r13); prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4177,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_versions": _q_scd2_versions,
         "range_join_recent": _q_range_join_recent,
         "profile_lineitem": _q_profile_lineitem,
+        "profile_lineitem_approx": _q_profile_lineitem_approx,
         "pack_sequences": _q_pack_sequences,
         "pretokenize_export": _q_pretokenize_export,
         "doc_spans": _q_doc_spans,
@@ -4600,6 +4636,78 @@ def _hll_oracle_sql(b: int, hash_bits: int = 32) -> str:
                        AS n_distinct_est
             FROM e
         """
+
+
+def _profile_hll_oracle_sql(table: str, cols: list[str],
+                            b: int = 12) -> str:
+    """DuckDB twin of ``profile_numeric(..., approx="hll")``: per
+    column, the exact stats block CROSS JOINed with the portable-HLL
+    estimator chain (the ``_hll_oracle_sql`` math, ungrouped, keyed on
+    the DECIMAL(38,10) canonical rendering both engines print
+    identically — raw double→VARCHAR diverges between engines in the
+    scientific-notation regime), UNION ALLed across columns."""
+    from nyctaxidatapipeline_spark.operators.sketches import hll_alpha
+
+    hash_bits = 32
+    m, width = 1 << b, hash_bits - b
+    scale = 1 << (width + 1)
+    alpha = repr(hll_alpha(m))
+    thr = repr(2.5 * m)
+    blocks = []
+    for c in cols:
+        est = f"""(
+              SELECT CASE WHEN e_raw <= CAST({thr} AS DOUBLE) AND v > 0
+                          THEN 'linear' ELSE 'raw' END AS est_mode,
+                     ROUND(CASE WHEN e_raw <= CAST({thr} AS DOUBLE)
+                                     AND v > 0
+                                THEN CAST({m}.0 AS DOUBLE)
+                                     * ln(CAST({m}.0 AS DOUBLE) / v)
+                                ELSE e_raw END, 6) + 0.0
+                         AS n_distinct_est
+              FROM (
+                SELECT CAST({alpha} AS DOUBLE) * CAST({m}.0 AS DOUBLE)
+                         * CAST({m}.0 AS DOUBLE)
+                         / (CAST(s_present + ({m} - n_buckets) * {scale}
+                                 AS DOUBLE) / CAST({scale}.0 AS DOUBLE))
+                           AS e_raw,
+                       CAST({m} - n_buckets AS DOUBLE) AS v
+                FROM (
+                  SELECT COUNT(*) AS n_buckets,
+                         SUM({scale} // CAST(POW(2, mrho) AS BIGINT))
+                             AS s_present
+                  FROM (
+                    SELECT bucket, MAX(rho) AS mrho
+                    FROM (
+                      SELECT h % {m} AS bucket,
+                             CASE WHEN h // {m} > 0
+                                  THEN {width + 1}
+                                       - length(bin(h // {m}))
+                                  ELSE {width + 1} END AS rho
+                      FROM (
+                        SELECT ('0x' || substr(md5(CAST(CAST({c}
+                                   AS DECIMAL(38,10)) AS VARCHAR)),
+                                   1, 8))::BIGINT AS h
+                        FROM {table} WHERE {c} IS NOT NULL))
+                    GROUP BY bucket)))
+            )"""
+        blocks.append(f"""
+            SELECT '{c}' AS "column", s.n, s.n_nulls,
+                   e.est_mode, e.n_distinct_est,
+                   s.min_value, s.max_value, s.mean_value
+            FROM (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_nulls,
+                     ROUND(CAST(MIN({c}) AS DOUBLE), 6) + 0.0
+                         AS min_value,
+                     ROUND(CAST(MAX({c}) AS DOUBLE), 6) + 0.0
+                         AS max_value,
+                     ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,10)))
+                                AS DOUBLE) / COUNT({c}), 6) + 0.0
+                         AS mean_value
+              FROM {table}) s
+            CROSS JOIN {est} e""")
+    return "\nUNION ALL\n".join(blocks)
 
 
 def _minhash_pair_ctes(num_hashes: int = 32, bands: int = 8,
@@ -7213,6 +7321,9 @@ def oracle_sql() -> dict[str, str]:
         # scaled-integer indicator sum, canonical alpha,
         # linear-counting correction — see _hll_oracle_sql.
         "distinct_users_hll": _hll_oracle_sql(b=6, hash_bits=32),
+        "profile_lineitem_approx": _profile_hll_oracle_sql(
+            "lineitem", ["l_quantity", "l_extendedprice", "l_discount",
+                         "l_tax"], b=12),
         # Wide-hash twin (b=10, m=1024, 60-bit hash = 15 md5 hex
         # chars): the web-scale mode past the 32-bit ~1e8 ceiling.
         "distinct_users_hll_wide": _hll_oracle_sql(b=10, hash_bits=60),

@@ -18,25 +18,63 @@ from pyspark.sql import functions as F
 
 
 def profile_numeric(df: DataFrame, cols: Sequence[str],
-                    approx: bool = False) -> DataFrame:
-    """(column, n, n_nulls, n_distinct, min, max, mean) per numeric col."""
+                    approx: bool | str = False,
+                    hll_b: int = 12) -> DataFrame:
+    """(column, n, n_nulls, n_distinct, min, max, mean) per numeric col.
+
+    ``approx`` picks the distinct-count engine:
+
+    * ``False`` — exact ``countDistinct``: a distinct-shuffle of each
+      column's values (the PLAN_METRICS census measured this as the
+      query's entire shuffle volume) — the parity mode, wrong at
+      100 TB for high-cardinality columns;
+    * ``True`` — Spark's native ``approx_count_distinct`` (HLL++):
+      bounded memory/shuffle, but engine-specific estimates (no oracle
+      twin possible);
+    * ``"hll"`` — the repo's PORTABLE HyperLogLog
+      (``sketches.hll_registers``/``hll_finish``, ``2^hll_b``
+      registers): same bounded O(m)-per-column shuffle as the native
+      sketch, but bit-reproducible in the DuckDB twin. Values are
+      canonicalized through ``DECIMAL(38,10)`` before hashing (both
+      engines render that type identically; raw double→string is
+      engine-dependent in the scientific-notation regime). Output
+      gains ``est_mode`` and the estimate column is
+      ``n_distinct_est`` (double).
+    """
+    hll = approx == "hll"
     parts = []
     for c in cols:
-        distinct = (F.approx_count_distinct(c) if approx
+        distinct = (F.approx_count_distinct(c) if approx is True
                     else F.countDistinct(c))
         # Mean via exact decimal sum: double summation is order-dependent
         # across engines/partitionings; a decimal sum is associative, so
         # the result is reproducible run-to-run (and oracle-comparable).
         dec_sum = F.sum(F.col(c).cast("decimal(38,10)")).cast("double")
-        parts.append(df.agg(
+        stats = df.agg(
             F.lit(c).alias("column"),
             F.count("*").alias("n"),
             F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-            distinct.alias("n_distinct"),
+            *([] if hll else [distinct.alias("n_distinct")]),
             (F.round(F.min(c).cast("double"), 6) + F.lit(0.0)).alias("min_value"),
             (F.round(F.max(c).cast("double"), 6) + F.lit(0.0)).alias("max_value"),
             (F.round(dec_sum / F.count(F.col(c)), 6)
-             + F.lit(0.0)).alias("mean_value")))
+             + F.lit(0.0)).alias("mean_value"))
+        if hll:
+            from nyctaxidatapipeline_spark.operators.sketches import (
+                hll_finish,
+                hll_registers,
+            )
+
+            est = hll_finish(
+                hll_registers(df, F.col(c).cast("decimal(38,10)"), [],
+                              b=hll_b),
+                [], b=hll_b).select("est_mode", "n_distinct_est")
+            # 1-row global estimate: the sanctioned scalar-broadcast
+            # cross join (IdentityBroadcastMode over a keys=[] agg)
+            stats = stats.crossJoin(F.broadcast(est)).select(
+                "column", "n", "n_nulls", "est_mode", "n_distinct_est",
+                "min_value", "max_value", "mean_value")
+        parts.append(stats)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -131,6 +131,26 @@ def test_profile_numeric_approx_mode(spark):
     assert 80 <= row.n_distinct <= 120  # HLL estimate
 
 
+def test_profile_numeric_portable_hll_mode(spark):
+    """approx="hll": portable estimator replaces n_distinct with
+    (est_mode, n_distinct_est), keeps the exact stats columns, and the
+    estimate tracks truth at fixture cardinalities (b=12 → linear
+    counting regime, near-exact). NULLs are excluded from the sketch
+    (COUNT DISTINCT semantics) but counted in n_nulls."""
+    df = spark.createDataFrame(
+        [Row(a=float(i % 37), b=None if i % 5 == 0 else float(i))
+         for i in range(200)])
+    out = {r["column"]: r for r in
+           profile_numeric(df, ["a", "b"], approx="hll").collect()}
+    assert "n_distinct" not in out["a"].asDict()
+    assert abs(out["a"].n_distinct_est - 37) <= 2
+    assert out["a"].est_mode in ("linear", "raw")
+    assert out["a"].n == 200 and out["a"].n_nulls == 0
+    assert out["a"].min_value == 0.0 and out["a"].max_value == 36.0
+    assert out["b"].n_nulls == 40
+    assert abs(out["b"].n_distinct_est - 160) <= 8
+
+
 def test_diff_tables_classification(spark):
     from pyspark.sql import Row
 
