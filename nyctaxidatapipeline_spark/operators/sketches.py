@@ -374,8 +374,18 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
         or t-digest (insertion-order-dependent clusters), which can
         only ever be rows-only checked.
 
-    Memory/shuffle: O(k) rows total regardless of input size; the
-    scan stays a full linear pass (one md5 per row).
+    Memory/shuffle: O(k) rows PER MAP TASK — Spark's
+    TakeOrderedAndProject runs the per-partition top-k map-side, then
+    ships each task's k survivors to ONE reducer for the final merge,
+    so the measured transfer is O(k × map tasks), independent of ROW
+    count but linear in task count (PLAN_METRICS cross-scale census:
+    `fare_anomalies_sketch` shuffles 0.6 MB at sf0.1 → 20 MB at sf1 —
+    task-count growth, zero row-count dependence). At genuine 100 TB
+    task counts the single-reducer merge fan-in is the binding cost;
+    the salted two-phase shape already shipped for the grouped sketch
+    (:func:`grouped_hash_sample_bottom_k`, constant group) is the
+    drop-in tree-merge when that point is reached. The scan stays a
+    full linear pass (one md5 per row).
 
     ``rank_cols`` need NOT uniquely key the rows: ties on the md5
     rank are broken by the payload columns, so rows identical in

@@ -36,8 +36,19 @@ Usage::
 
     python tools/plan_metrics.py                  # all queries, sf0.1
     python tools/plan_metrics.py --only a,b --sf-dir ... --out X.json
+    python tools/plan_metrics.py --ratio SMALL.json BIG.json
 
 Writes ``PLAN_METRICS.json`` (committed artifact) by default.
+
+Reading a ``--ratio`` SUPERLINEAR flag (two-point ratios CANNOT
+distinguish data growth from task-count growth): first check
+``shuffle_records ≈ group_count × map_tasks`` — partial aggregates
+emit one row per (group, task), so a scan that planned as 1 task at
+the small scale and 31 at the big one inflates the ratio ×31 with
+zero pathology (the r12 sf0.1→sf1 sweep flagged 19 queries; ALL
+adjudicated to this law — PLANS.md #34). A flag that survives that
+check (records outgrow groups×tasks, or bytes outgrow records) is a
+real movement regression.
 """
 
 from __future__ import annotations
@@ -134,6 +145,27 @@ def collect_metrics(df) -> dict:
     return agg
 
 
+def ratios(small: dict, big: dict) -> list[tuple]:
+    """Per-query (shuffle_ratio, input_ratio, spill_flag) between two
+    artifacts at different scales — the linearity check: an operator
+    whose shuffle grows faster than its input is super-linear in data
+    MOVEMENT even when its wall time still looks linear."""
+    rows = []
+    sq, bq = small.get("queries", {}), big.get("queries", {})
+    for name in sorted(set(sq) & set(bq)):
+        a, b = sq[name], bq[name]
+        if "error" in a or "error" in b:
+            continue
+        si, bi = a.get("input_bytes", 0), b.get("input_bytes", 0)
+        ss, bs = (a.get("shuffle_write_bytes", 0),
+                  b.get("shuffle_write_bytes", 0))
+        rows.append((name,
+                     round(bs / ss, 2) if ss else None,
+                     round(bi / si, 2) if si else None,
+                     b.get("spill_bytes", 0)))
+    return rows
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--out", default=DEFAULT_OUT)
@@ -141,7 +173,38 @@ def main() -> int:
                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                           "/root/testdata/sf0.1"))
     p.add_argument("--only", help="comma-separated query subset")
+    p.add_argument("--skip", default="",
+                   help="comma-separated queries to exclude (e.g. the "
+                        "bench's sf>0.1 demotion set: the deliberately "
+                        "quadratic exact-recall oracles)")
+    p.add_argument("--ratio", nargs=2, metavar=("SMALL", "BIG"),
+                   help="cross-scale report: per-query shuffle-bytes "
+                        "and input-bytes growth between two artifacts, "
+                        "flagging shuffle growing faster than input "
+                        "and any new spiller")
     args = p.parse_args()
+
+    if args.ratio:
+        with open(args.ratio[0]) as f:
+            small = json.load(f)
+        with open(args.ratio[1]) as f:
+            big = json.load(f)
+        flagged = 0
+        bq = big.get("queries", {})
+        for name, sr, ir, spill in ratios(small, big):
+            mark = ""
+            if spill:
+                mark, flagged = " SPILL", flagged + 1
+            elif (sr is not None and ir and sr > 1.5 * ir
+                  and bq[name].get("shuffle_write_bytes", 0) > 2_000_000):
+                # the absolute floor matters: queries whose small-scale
+                # shuffle is a few KB of final aggregates measure
+                # mapper-count x framing overhead in the ratio, not
+                # data movement (tpch_q1's "31x" is 790 B -> 24 KB)
+                mark, flagged = " SUPERLINEAR", flagged + 1
+            print(f"{name}: shuffle x{sr} input x{ir}{mark}")
+        print(f"{flagged} flagged")
+        return 1 if flagged else 0
 
     sys.path.insert(0, _REPO)
     import __spark_entry__ as entrymod
@@ -151,6 +214,9 @@ def main() -> int:
     qset = entrymod.queries()
     if args.only:
         qset = {n: qset[n] for n in args.only.split(",")}
+    if args.skip:
+        skip = set(args.skip.split(","))
+        qset = {n: fn for n, fn in qset.items() if n not in skip}
 
     out: dict[str, dict] = {}
     t0 = time.perf_counter()
