@@ -1954,16 +1954,19 @@ def _q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``profile_lineitem`` stays registered as the parity gate.
 
     Measured at sf0.1 (PLAN_METRICS census): shuffle 18,159,550 B /
-    583 k records (exact) → 45,395 B / 4.2 k records (this mode) —
-    400× less traffic — for one extra scan pass (the register
-    aggregate groups by bucket, the stats aggregate globally; a
-    columnar re-scan is the cheap side of that trade at 100 TB) and
-    estimates within the b=12 rse (50→49.3, 583,090→588,000 ≈ +0.8 %,
-    11→11.01, 9→9.01). At fixture scale the extra scan pass makes it
-    wall-SLOWER than exact (2.23 vs 1.47 s solo) — the crossover is
-    where the distinct-shuffle stops fitting comfortably, i.e. exactly
-    the regime the fixture can't reach; the registered pair prices
-    both sides of the trade."""
+    583 k records (exact) → 41,937 B / 4.2 k records (this mode) —
+    400× less traffic. The shape is TWO scan passes total regardless
+    of column count (one wide stats aggregate unpivoted from its
+    single row; one exploded (column, canonical value) register
+    aggregate — ``profile._profile_hll``; the census drove this: the
+    first cut ran 2 passes PER column, 86.5 MB read and 27.6 s at
+    sf10, vs 21.6 MB and 14.8 s now). Estimates within the b=12 rse
+    (50→49.3, 583,090→588,000 ≈ +0.8 %, 11→11.01, 9→9.01). On one
+    host, where the distinct-shuffle is memory-speed, the sketch costs
+    ~2× the exact mode's wall at every scale (1.6/7.1 s exact vs
+    3.2/14.8 s at sf0.1/sf10 — two passes + one md5 per value); its
+    win is the network/memory bound on a real cluster, which the
+    fixture cannot price. The registered pair prices both sides."""
     return profile_numeric(_lineitem(spark, sf_dir),
                            ["l_quantity", "l_extendedprice",
                             "l_discount", "l_tax"],

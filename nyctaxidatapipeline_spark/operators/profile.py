@@ -41,7 +41,8 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
       gains ``est_mode`` and the estimate column is
       ``n_distinct_est`` (double).
     """
-    hll = approx == "hll"
+    if approx == "hll":
+        return _profile_hll(df, cols, hll_b)
     parts = []
     for c in cols:
         distinct = (F.approx_count_distinct(c) if approx is True
@@ -50,35 +51,81 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
         # across engines/partitionings; a decimal sum is associative, so
         # the result is reproducible run-to-run (and oracle-comparable).
         dec_sum = F.sum(F.col(c).cast("decimal(38,10)")).cast("double")
-        stats = df.agg(
+        parts.append(df.agg(
             F.lit(c).alias("column"),
             F.count("*").alias("n"),
             F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-            *([] if hll else [distinct.alias("n_distinct")]),
+            distinct.alias("n_distinct"),
             (F.round(F.min(c).cast("double"), 6) + F.lit(0.0)).alias("min_value"),
             (F.round(F.max(c).cast("double"), 6) + F.lit(0.0)).alias("max_value"),
             (F.round(dec_sum / F.count(F.col(c)), 6)
-             + F.lit(0.0)).alias("mean_value"))
-        if hll:
-            from nyctaxidatapipeline_spark.operators.sketches import (
-                hll_finish,
-                hll_registers,
-            )
-
-            est = hll_finish(
-                hll_registers(df, F.col(c).cast("decimal(38,10)"), [],
-                              b=hll_b),
-                [], b=hll_b).select("est_mode", "n_distinct_est")
-            # 1-row global estimate: the sanctioned scalar-broadcast
-            # cross join (IdentityBroadcastMode over a keys=[] agg)
-            stats = stats.crossJoin(F.broadcast(est)).select(
-                "column", "n", "n_nulls", "est_mode", "n_distinct_est",
-                "min_value", "max_value", "mean_value")
-        parts.append(stats)
+             + F.lit(0.0)).alias("mean_value")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _profile_hll(df: DataFrame, cols: Sequence[str],
+                 hll_b: int) -> DataFrame:
+    """The ``approx="hll"`` body — TWO scan passes total, not
+    2-per-column: one wide aggregate computes every column's exact
+    stats at once (unpivoted to the long shape by an
+    explode-of-structs over the single broadcast row), and one
+    exploded (column, canonical-value) pass feeds a SINGLE grouped
+    register aggregate for all columns (``group_cols=["column"]``), so
+    the md5 count is unchanged but the scan/agg count is constant in
+    the column count. Results are identical to the per-column form —
+    the estimator sees exactly the same (column, key) multiset."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hll_finish,
+        hll_registers,
+    )
+
+    # pass 1 — every column's stats in one aggregate, then unpivot the
+    # single row (broadcast-sized) into the long frame
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(cols):
+        dec_sum = F.sum(F.col(c).cast("decimal(38,10)")).cast("double")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls{i}"),
+            (F.round(F.min(c).cast("double"), 6)
+             + F.lit(0.0)).alias(f"_min{i}"),
+            (F.round(F.max(c).cast("double"), 6)
+             + F.lit(0.0)).alias(f"_max{i}"),
+            (F.round(dec_sum / F.count(F.col(c)), 6)
+             + F.lit(0.0)).alias(f"_mean{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stats = wide.select(F.col("_n").alias("n"), F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"_nulls{i}").alias("n_nulls"),
+                 F.col(f"_min{i}").alias("min_value"),
+                 F.col(f"_max{i}").alias("max_value"),
+                 F.col(f"_mean{i}").alias("mean_value"))
+        for i, c in enumerate(cols)])).alias("_s")).select("n", "_s.*")
+
+    # pass 2 — one stacked register aggregate over all columns; the
+    # DECIMAL(38,10) canonicalization happens BEFORE the explode so
+    # the estimator hashes the same bytes as the per-column form
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("decimal(38,10)").cast("string")
+                  .alias("_key"))
+        for c in cols])).alias("_e")).select("_e.*")
+    est = hll_finish(
+        hll_registers(stacked, F.col("_key"), ["column"], b=hll_b),
+        ["column"], b=hll_b).select("column", "est_mode",
+                                    "n_distinct_est")
+    # both sides are |cols| rows — broadcast join, order restored to
+    # the caller's column list
+    order = F.array_position(
+        F.array(*[F.lit(c) for c in cols]), F.col("column"))
+    return (stats.join(F.broadcast(est), "column")
+                 .orderBy(order)
+                 .select("column", "n", "n_nulls", "est_mode",
+                         "n_distinct_est", "min_value", "max_value",
+                         "mean_value"))
 
 
 def outliers_zscore(df: DataFrame, group_cols: Sequence[str],
