@@ -49,6 +49,29 @@ def test_broadcast_join_measured_not_shuffled(spark):
     assert m["shuffle_write_bytes"] == 0
 
 
+def test_ratios_cross_scale_report():
+    from plan_metrics import ratios
+
+    small = {"queries": {
+        "a": {"input_bytes": 10, "shuffle_write_bytes": 100},
+        "b": {"input_bytes": 10, "shuffle_write_bytes": 0},
+        "err": {"error": "x"},
+        "only_small": {"input_bytes": 1}}}
+    big = {"queries": {
+        "a": {"input_bytes": 100, "shuffle_write_bytes": 5000,
+              "spill_bytes": 7},
+        "b": {"input_bytes": 100, "shuffle_write_bytes": 50},
+        "err": {"input_bytes": 1},
+        "only_big": {"input_bytes": 1}}}
+    rows = {r[0]: r for r in ratios(small, big)}
+    # errored and one-sided queries are excluded
+    assert set(rows) == {"a", "b"}
+    name, sr, ir, spill = rows["a"]
+    assert (sr, ir, spill) == (50.0, 10.0, 7)
+    # zero small-side shuffle -> ratio undefined, not a crash
+    assert rows["b"][1] is None
+
+
 def test_no_double_count_on_reused_exchange(spark):
     """A self-join on an aggregate reuses one exchange; the census must
     count its bytes once (node identity, not per reference)."""
