@@ -1963,10 +1963,12 @@ def _q_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10, vs 21.6 MB and 14.8 s now). Estimates within the b=12 rse
     (50→49.3, 583,090→588,000 ≈ +0.8 %, 11→11.01, 9→9.01). On one
     host, where the distinct-shuffle is memory-speed, the sketch costs
-    ~2× the exact mode's wall at every scale (1.6/7.1 s exact vs
-    3.2/14.8 s at sf0.1/sf10 — two passes + one md5 per value); its
-    win is the network/memory bound on a real cluster, which the
-    fixture cannot price. The registered pair prices both sides."""
+    ~2-3× the exact mode's wall at every scale (committed rows: 1.6 vs
+    3.2 s sf0.1 BENCH_FULL, 1.66 vs 4.97 sf1 BENCH_SF1, 9.8 vs 17.8
+    sf10 BENCH_SF10 — two passes + one md5 per value, both modes
+    sub-linear per decade); its win is the network/memory bound on a
+    real cluster, which the fixture cannot price. The registered pair
+    prices both sides."""
     return profile_numeric(_lineitem(spark, sf_dir),
                            ["l_quantity", "l_extendedprice",
                             "l_discount", "l_tax"],
