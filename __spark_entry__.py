@@ -4678,8 +4678,9 @@ def _profile_hll_oracle_sql(table: str, cols: list[str],
                        CAST({m} - n_buckets AS DOUBLE) AS v
                 FROM (
                   SELECT COUNT(*) AS n_buckets,
-                         SUM({scale} // CAST(POW(2, mrho) AS BIGINT))
-                             AS s_present
+                         COALESCE(SUM({scale}
+                                      // CAST(POW(2, mrho) AS BIGINT)),
+                                  0) AS s_present
                   FROM (
                     SELECT bucket, MAX(rho) AS mrho
                     FROM (

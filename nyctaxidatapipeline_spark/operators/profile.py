@@ -117,15 +117,24 @@ def _profile_hll(df: DataFrame, cols: Sequence[str],
         hll_registers(stacked, F.col("_key"), ["column"], b=hll_b),
         ["column"], b=hll_b).select("column", "est_mode",
                                     "n_distinct_est")
-    # both sides are |cols| rows — broadcast join, order restored to
-    # the caller's column list
+    # LEFT join (≤ |cols| rows each side, broadcast): an all-NULL
+    # column has NO register rows (COUNT DISTINCT semantics drop NULL
+    # keys), so an inner join would silently drop its profile row —
+    # diverging from the exact mode AND the DuckDB twin. The empty
+    # sketch's principled estimate is the linear-counting branch with
+    # every register empty: m·ln(m/m) = 0 distinct. The twin reaches
+    # the same pair arithmetically (COALESCE(SUM(..), 0) feeds e_raw =
+    # α·m ≤ 2.5m with v = m > 0 → 'linear', 0.0).
     order = F.array_position(
         F.array(*[F.lit(c) for c in cols]), F.col("column"))
-    return (stats.join(F.broadcast(est), "column")
+    return (stats.join(F.broadcast(est), "column", "left")
                  .orderBy(order)
-                 .select("column", "n", "n_nulls", "est_mode",
-                         "n_distinct_est", "min_value", "max_value",
-                         "mean_value"))
+                 .select("column", "n", "n_nulls",
+                         F.coalesce("est_mode", F.lit("linear"))
+                          .alias("est_mode"),
+                         (F.coalesce("n_distinct_est", F.lit(0.0))
+                          + F.lit(0.0)).alias("n_distinct_est"),
+                         "min_value", "max_value", "mean_value"))
 
 
 def outliers_zscore(df: DataFrame, group_cols: Sequence[str],

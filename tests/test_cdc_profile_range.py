@@ -151,6 +151,25 @@ def test_profile_numeric_portable_hll_mode(spark):
     assert abs(out["b"].n_distinct_est - 160) <= 8
 
 
+def test_profile_numeric_hll_keeps_all_null_column(spark):
+    """An all-NULL column has no register rows (NULL keys are dropped,
+    COUNT DISTINCT semantics) — the profile row must still appear, with
+    the empty sketch's principled linear-counting estimate of 0
+    distinct, matching the exact mode's n_distinct=0 and the DuckDB
+    twin's COALESCE'd arithmetic (est_mode='linear', 0.0)."""
+    df = spark.createDataFrame(
+        [Row(a=float(i), dead=None) for i in range(50)],
+        "a double, dead double")
+    out = {r["column"]: r for r in
+           profile_numeric(df, ["a", "dead"], approx="hll").collect()}
+    assert set(out) == {"a", "dead"}
+    assert out["dead"].n == 50 and out["dead"].n_nulls == 50
+    assert out["dead"].est_mode == "linear"
+    assert out["dead"].n_distinct_est == 0.0
+    assert out["dead"].min_value is None
+    assert out["dead"].mean_value is None
+
+
 def test_diff_tables_classification(spark):
     from pyspark.sql import Row
 

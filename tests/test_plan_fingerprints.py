@@ -97,6 +97,29 @@ def test_diff_reports_changes():
     assert diff(new, new) == []
 
 
+def test_diff_reports_errors_and_sfdir_mismatch():
+    """An errored side has no hash: None == None must not read as
+    'unchanged', and hash-vs-None must not read as a plan change; the
+    build failure itself is the message. A scale mismatch between the
+    artifacts is named before the per-query noise."""
+    ok = {"hash": "x", "features": {}}
+    old = {"sf_dir": "/a", "queries": {
+        "both": {"error": "KeyError: x"}, "newly": ok, "fine": ok}}
+    new = {"sf_dir": "/a", "queries": {
+        "both": {"error": "KeyError: x"},
+        "newly": {"error": "ValueError: y"}, "fine": ok}}
+    msgs = diff(old, new)
+    assert any(m.startswith("both: BUILD ERROR (BOTH)") for m in msgs)
+    assert any(m.startswith("newly: BUILD ERROR (NEW): ValueError: y")
+               for m in msgs)
+    assert not any(m.startswith("fine:") for m in msgs)
+    assert not any("HASH CHANGED" in m for m in msgs)
+
+    scaled = {"sf_dir": "/b", "queries": {"fine": ok}}
+    msgs2 = diff({"sf_dir": "/a", "queries": {"fine": ok}}, scaled)
+    assert msgs2 and msgs2[0].startswith("SF_DIR MISMATCH")
+
+
 def test_normalizer_strips_volatiles():
     raw = ("HashAggregate(keys=[k#123L], functions=[sum(v#45)])\n"
            "Scan parquet [k#123L,v#45] Batched: true, "

@@ -71,6 +71,14 @@ def test_ratios_cross_scale_report():
     # zero small-side shuffle -> ratio undefined, not a crash
     assert rows["b"][1] is None
 
+    # a spiller present at BOTH scales was already adjudicated — only
+    # a NEW spill flags
+    both = {"queries": {"a": {"input_bytes": 10,
+                              "shuffle_write_bytes": 100,
+                              "spill_bytes": 5}}}
+    rows2 = {r[0]: r for r in ratios(both, big)}
+    assert rows2["a"][3] == 0
+
 
 def test_no_double_count_on_reused_exchange(spark):
     """A self-join on an aggregate reuses one exchange; the census must

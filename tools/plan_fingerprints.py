@@ -87,7 +87,9 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     # Whole-stage-codegen / subquery / plan ids.
     (re.compile(r"\[plan_id=\d+\]"), "[plan_id=N]"),
     (re.compile(r"\[id=#?\w+\]"), "[id=N]"),
-    (re.compile(r"subquery#?\w*", re.IGNORECASE), "subquery"),
+    # (subquery ids are renumbered per-plan BEFORE these rules run —
+    # see _renumber_subqueries; collapsing them to one token would
+    # make swapping which subquery feeds which expression invisible)
     (re.compile(r"cte \[\w+\]"), "cte [N]"),
     # Paths: scan locations, temp index dirs, checkpoint dirs. Bracketed
     # location lists first, then bare file: URIs and absolute paths.
@@ -121,7 +123,7 @@ _FEATURE_PROBES: list[tuple[str, str]] = [
     ("object_hash_aggregates", "ObjectHashAggregate"),
     ("sort_aggregates", "SortAggregate"),
     ("sorts", "Sort "),
-    ("windows", "Window"),
+    ("windows", "Window"),  # corrected below: excludes WindowGroupLimit
     ("window_group_limits", "WindowGroupLimit"),
     ("arrow_eval_python", "ArrowEvalPython"),
     ("batch_eval_python", "BatchEvalPython"),
@@ -157,8 +159,28 @@ def _renumber_lambda_vars(text: str) -> str:
     return _LAMBDA_VAR.sub(repl, text)
 
 
+_SUBQUERY_REF = re.compile(r"\b((?:scalar-)?[Ss]ubquery)#(\d+)")
+
+
+def _renumber_subqueries(text: str) -> str:
+    """Subquery ids share the session-global expression counter; like
+    lambda vars they are renumbered per-plan in first-appearance order
+    rather than collapsed, so rewiring which subquery feeds which
+    expression still changes the hash."""
+    seen: dict[str, int] = {}
+
+    def repl(m: re.Match[str]) -> str:
+        k = m.group(2)
+        if k not in seen:
+            seen[k] = len(seen)
+        return f"{m.group(1)}_{seen[k]}"
+
+    return _SUBQUERY_REF.sub(repl, text)
+
+
 def normalize_plan(text: str) -> str:
     text = _renumber_lambda_vars(text)
+    text = _renumber_subqueries(text)
     for pat, repl in _NORMALIZERS:
         text = pat.sub(repl, text)
     # Collapse runs of spaces the substitutions may have produced so
@@ -183,6 +205,9 @@ def plan_features(text: str) -> dict[str, int]:
             # keep it as shuffle exchanges only.
             n -= text.count("BroadcastExchange")
             n -= text.count("ReusedExchange")
+        if label == "windows":
+            # plain "Window" also matches WindowGroupLimit
+            n -= text.count("WindowGroupLimit")
         if label == "scans":
             # "Scan " also matches InMemoryTableScan's detail lines in
             # some Spark versions; good enough for triage counts.
@@ -241,11 +266,26 @@ def diff(old: dict, new: dict) -> list[str]:
     """Human-readable per-query differences; empty when plans match."""
     msgs: list[str] = []
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    if old.get("sf_dir") != new.get("sf_dir"):
+        # size-adaptive operating points resolve per sf_dir — comparing
+        # artifacts from different scales yields mass spurious drift,
+        # so name the cause before the per-query noise
+        msgs.append(f"SF_DIR MISMATCH: {old.get('sf_dir')} vs "
+                    f"{new.get('sf_dir')} — hash differences below are "
+                    f"expected scale effects, not drift")
     for name in sorted(set(oq) | set(nq)):
         if name not in nq:
             msgs.append(f"{name}: REMOVED")
         elif name not in oq:
             msgs.append(f"{name}: ADDED")
+        elif "error" in oq[name] or "error" in nq[name]:
+            # an errored side has no hash — None == None must NOT read
+            # as "unchanged", and a hash-vs-None delta is not a plan
+            # change; report the build failure itself
+            err = nq[name].get("error", oq[name].get("error"))
+            side = ("BOTH" if "error" in oq[name] and "error" in nq[name]
+                    else "OLD" if "error" in oq[name] else "NEW")
+            msgs.append(f"{name}: BUILD ERROR ({side}): {err}")
         elif oq[name].get("hash") != nq[name].get("hash"):
             of, nf = oq[name].get("features", {}), nq[name].get("features", {})
             delta = {k: (of.get(k, 0), nf.get(k, 0))

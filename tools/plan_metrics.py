@@ -111,8 +111,12 @@ def collect_metrics(df) -> dict:
         elif name == "InputAdapter":
             # children of an InputAdapter are OUTSIDE the codegen span
             in_codegen = False
-        elif not name.endswith("QueryStageExec") and new:
-            # a compute node (skip the pure AQE/codegen wrappers)
+        elif (not name.endswith("QueryStageExec") and new
+              and name not in ("AdaptiveSparkPlanExec",
+                               "ReusedExchangeExec",
+                               "ReusedSubqueryExec")):
+            # a compute node — the AQE root, reuse markers and the
+            # codegen wrappers do no work and would deflate coverage
             agg["compute_nodes"] += 1
             if in_codegen:
                 agg["codegen_nodes"] += 1
@@ -133,13 +137,18 @@ def collect_metrics(df) -> dict:
                                                    v)
 
         # descend: QueryStageExec holds its executed subtree in .plan(),
-        # AdaptiveSparkPlanExec its final tree in .executedPlan()
+        # AdaptiveSparkPlanExec its final tree in .executedPlan(), and
+        # expression subqueries (scalar/IN) hang off .subqueries() —
+        # NOT children() — so skipping them would silently exclude
+        # their scans and shuffles from the census
         if name == "AdaptiveSparkPlanExec":
             visit(node.executedPlan(), in_codegen)
         elif name.endswith("QueryStageExec"):
             visit(node.plan(), in_codegen)
         for child in _iter_scala_seq(node.children()):
             visit(child, in_codegen)
+        for sq in _iter_scala_seq(node.subqueries()):
+            visit(sq, False)
 
     visit(root, False)
     return agg
@@ -159,10 +168,15 @@ def ratios(small: dict, big: dict) -> list[tuple]:
         si, bi = a.get("input_bytes", 0), b.get("input_bytes", 0)
         ss, bs = (a.get("shuffle_write_bytes", 0),
                   b.get("shuffle_write_bytes", 0))
+        # NEW spill only: a spiller present at both scales was already
+        # adjudicated when it first appeared; re-flagging it every run
+        # trains readers to ignore the flag
+        new_spill = (b.get("spill_bytes", 0)
+                     if not a.get("spill_bytes", 0) else 0)
         rows.append((name,
                      round(bs / ss, 2) if ss else None,
                      round(bi / si, 2) if si else None,
-                     b.get("spill_bytes", 0)))
+                     new_spill))
     return rows
 
 
@@ -192,17 +206,20 @@ def main() -> int:
         flagged = 0
         bq = big.get("queries", {})
         for name, sr, ir, spill in ratios(small, big):
-            mark = ""
+            marks = []
             if spill:
-                mark, flagged = " SPILL", flagged + 1
-            elif (sr is not None and ir and sr > 1.5 * ir
-                  and bq[name].get("shuffle_write_bytes", 0) > 2_000_000):
+                marks.append("NEW-SPILL")
+            if (sr is not None and ir and sr > 1.5 * ir
+                    and bq[name].get("shuffle_write_bytes", 0)
+                    > 2_000_000):
                 # the absolute floor matters: queries whose small-scale
                 # shuffle is a few KB of final aggregates measure
                 # mapper-count x framing overhead in the ratio, not
                 # data movement (tpch_q1's "31x" is 790 B -> 24 KB)
-                mark, flagged = " SUPERLINEAR", flagged + 1
-            print(f"{name}: shuffle x{sr} input x{ir}{mark}")
+                marks.append("SUPERLINEAR")
+            flagged += bool(marks)
+            tail = (" " + " ".join(marks)) if marks else ""
+            print(f"{name}: shuffle x{sr} input x{ir}{tail}")
         print(f"{flagged} flagged")
         return 1 if flagged else 0
 
@@ -213,9 +230,14 @@ def main() -> int:
     spark = get_spark("plan-metrics")
     qset = entrymod.queries()
     if args.only:
-        qset = {n: qset[n] for n in args.only.split(",")}
+        names = [s.strip() for s in args.only.split(",") if s.strip()]
+        unknown = [n for n in names if n not in qset]
+        if unknown:
+            p.error(f"unknown queries: {unknown} "
+                    f"(registry has {len(qset)} entries)")
+        qset = {n: qset[n] for n in names}
     if args.skip:
-        skip = set(args.skip.split(","))
+        skip = {s.strip() for s in args.skip.split(",")}
         qset = {n: fn for n, fn in qset.items() if n not in skip}
 
     out: dict[str, dict] = {}
