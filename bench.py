@@ -13,6 +13,7 @@ warmup alone leaves 2-3.5x ordering artifacts on the front positions).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -24,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from nyctaxidatapipeline_spark import get_spark
 from nyctaxidatapipeline_spark.sources import load_table
+from tools.plan_fingerprints import fingerprint_df
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -107,6 +109,7 @@ def main() -> None:
     recycle_n = int(os.environ.get("SPARK_GRAFT_RECYCLE", "0"))
     times: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    fingerprints: dict[str, str] = {}
     n_done = 0
     for name, fn in qset.items():
         if recycle_n and n_done and n_done % recycle_n == 0:
@@ -118,8 +121,26 @@ def main() -> None:
         runs = []
         for i in range(n_runs):
             t = time.perf_counter()
-            _force(fn(spark, SF_DIR))
-            runs.append(round(time.perf_counter() - t, 3))
+            df = fn(spark, SF_DIR)
+            fp_overhead = 0.0
+            if i == 0:
+                # Per-query plan fingerprint (VERDICT r12 task 2): the
+                # SAME normalizer as tools/plan_fingerprints.py, off the
+                # PRE-execution plan (post-execution explain shows the
+                # AQE final stages and would hash differently), computed
+                # on the first run's already-built frame so no extra
+                # query build is paid. Its own cost (explain + sha, ms)
+                # is subtracted from the timer; the artifact is thereby
+                # self-adjudicating — a wall drift on an unchanged hash
+                # is environmental by construction (PLANS.md #31).
+                f0 = time.perf_counter()
+                try:
+                    fingerprints[name] = fingerprint_df(df)[0]
+                except Exception:  # noqa: BLE001 — never fail the bench
+                    fingerprints[name] = "error"
+                fp_overhead = time.perf_counter() - f0
+            _force(df)
+            runs.append(round(time.perf_counter() - t - fp_overhead, 3))
             # Isolation GC: drop cached frames and force a JVM GC —
             # Spark's ContextCleaner reclaims shuffle files / broadcast
             # blobs only when the JVM collects the dropped references,
@@ -210,6 +231,12 @@ def main() -> None:
             **({} if only else {**_skew_experiment(spark),
                                 **_quantile_mode_experiment(spark)}),
         },
+        # Per-query plan-fingerprint hashes (same normalizer as
+        # tools/plan_fingerprints.py) — `python tools/plan_fingerprints.py
+        # --diff PLAN_FINGERPRINTS.json <this file>` adjudicates every
+        # wall move in this artifact in one command.
+        "fingerprints": fingerprints,
+        "sf_dir": SF_DIR,
         "load_sec": load_sec,
         "warmup_sec": warmup_sec,
         "sf": sf,
@@ -245,10 +272,18 @@ def main() -> None:
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
     line = {
         **{k: v for k, v in full.items()
-           if k not in ("queries", "paths", "runs")},
+           if k not in ("queries", "paths", "runs", "fingerprints")},
         "queries": slowest,
         "n_queries": len(times),
         "queries_full": out_name,
+        # One digest over the per-query fingerprint map (the full map
+        # lives in the artifact file — 189 hashes would blow the
+        # driver's ~2 KB stdout capture): equal digests between two
+        # bench lines mean NO query's plan changed between them.
+        "fp_digest": hashlib.sha256(
+            "\n".join(f"{n}:{h}" for n, h in
+                      sorted(fingerprints.items())).encode()
+        ).hexdigest(),
     }
     # Surface the committed 10x scale validation (BENCH_SF1.json,
     # produced by tools/make_sf1.py + a full sf1 bench run) in the

@@ -43,6 +43,13 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
     """
     if approx == "hll":
         return _profile_hll(df, cols, hll_b)
+    if approx not in (False, True):
+        # ADVICE r12: any other string ("HLL", a typo) would fall
+        # through to the exact countDistinct path SILENTLY — changing
+        # both semantics and the data-sized shuffle the caller asked
+        # to avoid.
+        raise ValueError(
+            f"approx must be False, True, or 'hll', got {approx!r}")
     parts = []
     for c in cols:
         distinct = (F.approx_count_distinct(c) if approx is True

@@ -347,9 +347,22 @@ def hash_sample_rank(rank_cols: Sequence[str]) -> Column:
                for c in rank_cols]))
 
 
+def _rank_salt(salt_buckets: int) -> Column:
+    """Salt derived from the TAIL of the md5 rank (hex chars 29-32,
+    the low 16 bits): uniform, engine-free (a pure function of the
+    rank string), and — load-bearing for correctness — EQUAL ranks
+    always share a salt, so a tie-group can never be split across
+    buckets by the two-phase trims. Shared by the grouped and
+    ungrouped salted bottom-k forms; the HEAD of the rank is what the
+    sample orders by, so head and tail bits are independent for md5."""
+    return F.pmod(F.conv(F.substring("_rk", 29, 4), 16, 10).cast("long"),
+                  F.lit(int(salt_buckets))).cast("int")
+
+
 def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
                          payload_cols: Sequence[str],
-                         k: int = 16384) -> DataFrame:
+                         k: int = 16384,
+                         salt_buckets: int | None = 32) -> DataFrame:
     """The k rows with the SMALLEST md5 rank — a deterministic
     bottom-k order sketch (the KMV construction pointed at row
     sampling instead of distinct counting), this engine's
@@ -374,18 +387,44 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
         or t-digest (insertion-order-dependent clusters), which can
         only ever be rows-only checked.
 
-    Memory/shuffle: O(k) rows PER MAP TASK — Spark's
-    TakeOrderedAndProject runs the per-partition top-k map-side, then
-    ships each task's k survivors to ONE reducer for the final merge,
-    so the measured transfer is O(k × map tasks), independent of ROW
-    count but linear in task count (PLAN_METRICS cross-scale census:
-    `fare_anomalies_sketch` shuffles 0.6 MB at sf0.1 → 20 MB at sf1 —
-    task-count growth, zero row-count dependence). At genuine 100 TB
-    task counts the single-reducer merge fan-in is the binding cost;
-    the salted two-phase shape already shipped for the grouped sketch
-    (:func:`grouped_hash_sample_bottom_k`, constant group) is the
-    drop-in tree-merge when that point is reached. The scan stays a
-    full linear pass (one md5 per row).
+    Memory/shuffle — SALTED TREE MERGE (VERDICT r12 task 1). The naive
+    ``orderBy(rank).limit(k)`` compiles to one TakeOrderedAndProject:
+    per-task bottom-k map-side, then EVERY task's k survivors into ONE
+    reducer — O(k × map tasks) fan-in, which the PLAN_METRICS census
+    measured growing task-count-linearly (0.6 MB sf0.1 → 20 MB sf1 on
+    `fare_anomalies_sketch`) and which binds at 100 TB task counts
+    (~10^6 tasks × k rows into a single merge). The default shape is
+    therefore a three-level tree, every level's fan-in bounded:
+
+      0. **per-input-partition bottom-k, map-side**: a row_number
+         window on ``spark_partition_id()`` — Spark's
+         InferWindowGroupLimit inserts ``WindowGroupLimit(Partial)``
+         BELOW the exchange, so each map task ships ≤ k rows (same
+         map output as TakeOrderedAndProject's partial top-k; the
+         local sort replaces its bounded heap — standard SMJ-style
+         map-side sort, spillable);
+      1. **per-salt bottom-k** over the ≤ k-per-task survivors: salt
+         = low 16 bits of the rank (:func:`_rank_salt` — equal ranks
+         share a salt, so tie-groups never split), again with a
+         map-side Partial trim; each of the ``salt_buckets`` reducers
+         receives ~(k × level-0 partitions) / salt_buckets rows and
+         keeps ≤ k;
+      2. **final merge**: TakeOrderedAndProject over the ≤
+         salt_buckets × k survivors — the single-partition merge
+         reads a CONFIG-bounded row count, independent of data size
+         and task count (plan + fan-in pinned in
+         tests/test_sketches.py).
+
+    The sample is bit-identical to the naive form at any
+    ``salt_buckets`` (bottom-k is mergeable under any partitioning;
+    unit-pinned salt-count invariance): every global bottom-k row is
+    in its own input partition's bottom-k and in its own salt
+    bucket's bottom-k. ``salt_buckets=None`` selects the naive
+    single-merge plan — the right shape for already-bounded inputs
+    (the streaming per-epoch merges, whose inputs are ≤ old-sketch +
+    one micro-batch) where two extra exchanges cost more than a
+    k × small-task-count merge saves. The scan stays a full linear
+    pass (one md5 per row) either way.
 
     ``rank_cols`` need NOT uniquely key the rows: ties on the md5
     rank are broken by the payload columns, so rows identical in
@@ -393,9 +432,35 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
     MULTISET is deterministic either way (the sf0.01 lineitem fixture
     has ~20% duplicate (orderkey, linenumber) pairs — rank-only
     ordering was measurably flaky there)."""
-    return (df.select(hash_sample_rank(rank_cols).alias("_rk"),
-                      *payload_cols)
-              .orderBy("_rk", *payload_cols).limit(int(k)))
+    from pyspark.sql import Window
+
+    base = df.select(hash_sample_rank(rank_cols).alias("_rk"),
+                     *payload_cols)
+    if salt_buckets is not None:
+        # The tree shape is only an improvement when Spark rewrites the
+        # row_number trims into map-side WindowGroupLimit(Partial) —
+        # gated by this session conf (default 1000 < k: no rewrite, and
+        # the level-0 exchange would ship the WHOLE input, worse than
+        # the naive single merge). The repo session (session.py) raises
+        # it to 2^20; in a foreign session below k, degrade to naive —
+        # the output is bit-identical either way.
+        wgl = int(df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"))
+        if wgl < int(k):
+            salt_buckets = None
+    if salt_buckets is None:
+        return base.orderBy("_rk", *payload_cols).limit(int(k))
+    w0 = Window.partitionBy("_pid").orderBy("_rk", *payload_cols)
+    lvl0 = (base.withColumn("_pid", F.spark_partition_id())
+                .withColumn("_rn0", F.row_number().over(w0))
+                .filter(F.col("_rn0") <= int(k))
+                .drop("_pid", "_rn0"))
+    w1 = Window.partitionBy("_salt").orderBy("_rk", *payload_cols)
+    lvl1 = (lvl0.withColumn("_salt", _rank_salt(salt_buckets))
+                .withColumn("_rn1", F.row_number().over(w1))
+                .filter(F.col("_rn1") <= int(k))
+                .drop("_salt", "_rn1"))
+    return lvl1.orderBy("_rk", *payload_cols).limit(int(k))
 
 
 def _disc_index(q: float, n: Column) -> Column:
@@ -424,6 +489,38 @@ def hash_sample_quantile_threshold(df: DataFrame, value_col: str,
                       .alias("threshold")))
 
 
+def hash_sample_quantile_summary(df: DataFrame, value_col: str,
+                                 rank_cols: Sequence[str],
+                                 qs: Sequence[float] = (0.5, 0.9,
+                                                        0.99, 0.999),
+                                 k: int = 16384) -> DataFrame:
+    """Whole-distribution summary — one (q, value) row per requested
+    quantile — off ONE :func:`hash_sample_bottom_k` sample (r13: the
+    salted-tree-merge path's headline consumer). The marginal cost of
+    each extra quantile is an ``element_at`` on the already-collected
+    k-row array: ONE linear scan + one config-bounded merge yields the
+    whole summary, where per-quantile ``percentile_approx`` calls or
+    repeated exact percentiles each re-pay their pass. Deterministic
+    and engine-portable like the threshold form (fixed md5 rank;
+    discrete-index arithmetic spelled identically in the DuckDB twin);
+    rank accuracy ±sqrt(q(1-q)/k) per quantile.
+
+    ``qs`` must be floats in (0, 1]; duplicates are pointless but
+    harmless (two identical output rows)."""
+    if not qs or any(not (0.0 < float(q) <= 1.0) for q in qs):
+        raise ValueError(f"qs must be floats in (0, 1], got {qs!r}")
+    s = hash_sample_bottom_k(df, rank_cols, [value_col], k)
+    agg = s.agg(F.sort_array(F.collect_list(value_col)).alias("_arr"))
+    idx = F.greatest(F.ceil(F.col("q") * F.size("_arr")).cast("int"),
+                     F.lit(1))
+    return (agg.select(F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+                        .alias("q"), "_arr")
+               .select("q",
+                       (F.round(F.element_at("_arr", idx), 6)
+                        + F.lit(0.0)).alias("value"))
+               .orderBy("q"))
+
+
 def grouped_hash_sample_bottom_k(df: DataFrame,
                                  group_cols: Sequence[str],
                                  value_col: str,
@@ -446,11 +543,9 @@ def grouped_hash_sample_bottom_k(df: DataFrame,
     output identical to the logical single-window form."""
     from pyspark.sql import Window
 
-    s_b = int(salt_buckets)
     base = df.select(*group_cols, F.col(value_col).alias("_v"),
                      hash_sample_rank(rank_cols).alias("_rk"))
-    salt = F.pmod(F.conv(F.substring("_rk", 29, 4), 16, 10).cast("long"),
-                  F.lit(s_b)).cast("int")
+    salt = _rank_salt(salt_buckets)
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_rk", "_v")
     survivors = (base.withColumn("_salt", salt)
                      .withColumn("_rn1", F.row_number().over(w1))

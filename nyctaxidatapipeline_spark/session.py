@@ -21,12 +21,18 @@ _CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def get_spark(app_name: str = "nyctaxidatapipeline_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the session.
 
     ``shuffle_partitions`` defaults to the local core count: at 100 TB this is
     instead sized so that ``input_bytes / partitions`` stays in the 100-500 MB
     band per task, and AQE coalescing trims the small tail.
+
+    ``extra_conf`` entries are applied at BUILD time — the hook for
+    create-time-only confs (e.g. ``spark.ui.retainedStages`` for the
+    streaming movement census); they have no effect when an existing
+    session is reused (getOrCreate).
     """
     n_shuffle = shuffle_partitions or int(_CPUS)
     # Pin BLAS to one thread per task BEFORE the JVM (and thus the forked
@@ -49,6 +55,16 @@ def get_spark(app_name: str = "nyctaxidatapipeline_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferWindowGroupLimit only rewrites rank-filters whose limit
+        # is <= this threshold (default 1000). The bottom-k sketches
+        # use k=16384 (ungrouped) / 4096 (grouped) — below the default
+        # their row_number trims get NO map-side WindowGroupLimit
+        # (Partial) and the level-0 exchange would ship the whole
+        # input. 2^20 covers any sane sketch size; the rank-like
+        # partial is a streaming counter over sorted input (O(1)
+        # memory), so there is no cost to raising it.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold",
+                str(1 << 20))
         # Fixture parquet stores TIMESTAMP(NANOS) which the Spark reader
         # rejects; read as long and let sources.tables restore timestamps
         # (truncated to micros, matching DuckDB's nanos handling).
@@ -66,6 +82,8 @@ def get_spark(app_name: str = "nyctaxidatapipeline_spark",
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

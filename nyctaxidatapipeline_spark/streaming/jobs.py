@@ -357,7 +357,12 @@ def quantile_sketch_merge_fn(state_dir: str, value_col: str,
         if epoch_id <= applied_epoch(state_dir):
             return                       # replayed epoch — committed
         spark = batch_df.sparkSession
-        new = hash_sample_bottom_k(batch_df, rank_cols, [value_col], k)
+        # salt_buckets=None: a micro-batch is one epoch's rows — the
+        # naive single-merge TakeOrderedAndProject is the cheap shape
+        # here; the batch operator's default tree merge is for
+        # unbounded-task-count corpus scans
+        new = hash_sample_bottom_k(batch_df, rank_cols, [value_col], k,
+                                   salt_buckets=None)
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
             cur = spark.read.parquet(state_dir).select(new.columns)
             merged = (cur.unionByName(new)

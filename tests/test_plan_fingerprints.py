@@ -149,3 +149,44 @@ def test_lambda_vars_renumbered_not_collapsed():
                "lambda x_350#2, false)), lambdafunction(lambda x_350#3.line, "
                "lambda x_351#3, false))")
     assert normalize_plan(swapped) != normalize_plan(a)
+
+
+def test_exprid_renumbered_not_collapsed():
+    """ADVICE r12: expression ids are renumbered per-plan in
+    first-appearance order, not collapsed to one token — so rewiring
+    WHICH same-named attribute feeds an expression (two sides of a
+    self-join, distinguished solely by exprId) changes the hash, while
+    a pure allocation-offset shift does not."""
+    a = ("Join Inner, (k#10L = k#20L)\n"
+         "Project [k#10L, v#11]\n"
+         "Project [k#20L, v#21]\n"
+         "Filter (v#11 > 5)")
+    # same plan, ids shifted by a session-global offset
+    b = a.replace("#1", "#31").replace("#2", "#32")
+    assert normalize_plan(a) == normalize_plan(b)
+    # rewire: the filter now reads the OTHER side's same-named column
+    rewired = a.replace("Filter (v#11 > 5)", "Filter (v#21 > 5)")
+    assert normalize_plan(rewired) != normalize_plan(a)
+    # type-suffix letters belong to the id token, not the name
+    assert "#e0" in normalize_plan(a) and "L" not in \
+        normalize_plan(a).split("\n")[0].split("=")[0].split("(")[1]
+
+
+def test_diff_accepts_bench_artifacts():
+    """VERDICT r12 task 2: --diff coerces a bench artifact (identified
+    by its `fingerprints` map) into fingerprint form, so a driver-run
+    BENCH_rN.json self-adjudicates against PLAN_FINGERPRINTS.json."""
+    fp = {"sf_dir": "/root/testdata/sf0.1",
+          "queries": {"a": {"hash": "x", "features": {"scans": 1}},
+                      "b": {"hash": "y", "features": {}}}}
+    bench = {"metric": "total_query_sec", "value": 1.0,
+             "sf_dir": "/root/testdata/sf0.1",
+             "queries": {"a": 0.5, "b": 0.5},
+             "fingerprints": {"a": "x", "b": "y2"}}
+    msgs = diff(fp, bench)
+    assert len(msgs) == 1 and msgs[0].startswith("b: HASH CHANGED")
+    assert "no feature census on the bench side" in msgs[0]
+    assert diff(bench, bench) == []
+    # matching artifacts -> no differences
+    bench["fingerprints"]["b"] = "y"
+    assert diff(fp, bench) == []

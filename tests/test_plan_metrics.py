@@ -92,3 +92,19 @@ def test_no_double_count_on_reused_exchange(spark):
     # traffic stays well under 2x the solo aggregate's (broadcast of
     # the tiny 3-row side adds no shuffle)
     assert both["shuffle_write_bytes"] < 2 * solo["shuffle_write_bytes"]
+
+
+def test_flag_marks_new_shuffle_and_floors():
+    """ADVICE r12: a zero-small-side shuffle (ratio None) must flag
+    NEW-SHUFFLE when the big side exceeds the 2 MB floor — the
+    broadcast→SMJ handover case the skip used to hide — and stay
+    silent below the floor (final-aggregate framing noise)."""
+    from plan_metrics import flag_marks
+
+    assert flag_marks(None, 10.0, 0, 50_000_000) == ["NEW-SHUFFLE"]
+    assert flag_marks(None, 10.0, 0, 50_000) == []
+    assert flag_marks(50.0, 10.0, 0, 50_000_000) == ["SUPERLINEAR"]
+    assert flag_marks(50.0, 10.0, 0, 50_000) == []
+    assert flag_marks(10.0, 10.0, 7, 50_000_000) == ["NEW-SPILL"]
+    assert flag_marks(None, 10.0, 7, 50_000_000) == ["NEW-SPILL",
+                                                     "NEW-SHUFFLE"]

@@ -486,3 +486,163 @@ def test_grouped_percentiles_salt_bucket_invariance(spark):
                    salt_buckets=s_b).collect()}
         results.append(got)
     assert all(r == results[0] for r in results[1:]), results
+
+
+def test_bottom_k_tree_merge_identity(spark):
+    """The r13 salted tree merge (VERDICT r12 task 1) is bit-identical
+    to the naive ``orderBy(rank).limit(k)`` single-merge form at ANY
+    salt count — duplicate rank keys, NULL payloads and repartitioned
+    input included (equal ranks share a salt; ties on (rank, payload)
+    are interchangeable rows)."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+    )
+
+    rows = ([Row(id=i % 211, v=float((i * 31) % 500))
+             for i in range(900)] +          # duplicated rank keys
+            [Row(id=1000 + i, v=None) for i in range(40)])
+    df = spark.createDataFrame(rows, schema="id int, v double") \
+              .repartition(11)
+    k = 128
+    naive = [tuple(r) for r in hash_sample_bottom_k(
+        df, ["id"], ["v"], k, salt_buckets=None).collect()]
+    assert len(naive) == k
+    for s_b in (1, 4, 32):
+        tree = [tuple(r) for r in hash_sample_bottom_k(
+            df, ["id"], ["v"], k, salt_buckets=s_b).collect()]
+        assert tree == naive, s_b
+
+
+def test_bottom_k_tree_plan_and_fan_in_bounded(spark):
+    """Scale-shape pin for the tree merge: (a) the plan carries a
+    map-side ``WindowGroupLimit(Partial)`` BELOW each of the two
+    exchanges (per-task trim to k rows before any shuffle — the
+    property Spark could silently regress on), ends in ONE
+    TakeOrderedAndProject, and the first window partitions by _pid,
+    the second by _salt; (b) executed, the final single-partition
+    merge receives <= salt_buckets * k rows (SQLMetrics, not
+    construction)."""
+    import re
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    df = (spark.range(0, 20_000)
+               .select(F.col("id").cast("int").alias("id"),
+                       (F.col("id") % 997).cast("double").alias("v"))
+               .repartition(13))
+    k, s_b = 50, 4
+    sample = hash_sample_bottom_k(df, ["id"], ["v"], k, salt_buckets=s_b)
+
+    plan = explain_str(sample)
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 1, plan
+    assert len(re.findall(r"row_number\(\), %d, Partial" % k, plan)) == 2, \
+        plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2 and "_pid" in specs[0] and "_salt" in specs[1], \
+        specs
+
+    # executed fan-in: walk the AQE final plan from the
+    # TakeOrderedAndProject down to the first node exposing
+    # numOutputRows — everything below the final merge is already
+    # salt-trimmed, so its output must be <= s_b * k
+    qe = sample._jdf.queryExecution()
+    qe.toRdd().count()
+
+    def _children(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            return [node.executedPlan()]
+        if name.endswith("QueryStageExec"):
+            return [node.plan()]
+        it, out = node.children().iterator(), []
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def _find(node, cls):
+        if node.getClass().getSimpleName() == cls:
+            return node
+        for c in _children(node):
+            hit = _find(c, cls)
+            if hit is not None:
+                return hit
+        return None
+
+    def _rows_metric(node):
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                return kv._2().value()
+        for c in _children(node):
+            got = _rows_metric(c)
+            if got is not None:
+                return got
+        return None
+
+    top = _find(qe.executedPlan(), "TakeOrderedAndProjectExec")
+    assert top is not None
+    fan_in = _rows_metric(_children(top)[0])
+    assert fan_in is not None and fan_in <= s_b * k, fan_in
+
+
+def test_bottom_k_tree_requires_wgl_conf_else_naive(spark):
+    """The tree shape is only better than the naive single merge when
+    the session's windowGroupLimitThreshold >= k (else no map-side
+    Partial trim exists and level 0 would ship the WHOLE input). The
+    repo session raises the conf to 2^20 — at the production k=16384
+    the plan must carry both Partial trims; a session below k must
+    degrade to the naive TakeOrderedAndProject, never the untrimmed
+    tree."""
+    import re
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    # a parquet scan: maxRows is unknown, so neither the k-limit nor
+    # the rank filters can be statically eliminated (a small
+    # createDataFrame/range input with known maxRows < k legitimately
+    # optimizes the whole trim chain away)
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+               .select(F.col("o_orderkey").alias("id"),
+                       F.col("o_totalprice").alias("v")))
+    plan = explain_str(hash_sample_bottom_k(df, ["id"], ["v"], 16384))
+    assert len(re.findall(r"row_number\(\), 16384, Partial", plan)) == 2, \
+        plan
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "100")
+        degraded = explain_str(
+            hash_sample_bottom_k(df, ["id"], ["v"], 16384))
+    finally:
+        spark.conf.set(key, saved)
+    assert "WindowGroupLimit" not in degraded, degraded
+    assert len(re.findall(r"\(\d+\) Exchange", degraded)) == 0, degraded
+    assert "TakeOrderedAndProject" in degraded
+
+
+def test_grouped_bottom_k_phase1_has_mapside_trim(spark):
+    """With the session conf raised (session.py), the grouped sketch's
+    phase-1 salted window also gains the map-side
+    WindowGroupLimit(Partial) — each task ships <= k rows per
+    (group, salt) instead of its whole input."""
+    import re
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_bottom_k,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        [Row(g="a", id=1, v=1.0)], schema="g string, id int, v double")
+    plan = explain_str(grouped_hash_sample_bottom_k(
+        df, ["g"], "v", ["id"], k=4096))
+    assert len(re.findall(r"row_number\(\), 4096, Partial", plan)) == 2, \
+        plan

@@ -47,8 +47,42 @@ SF_DIR = (sys.argv[1] if len(sys.argv) > 1
 N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
 
+def _stage_totals(spark) -> dict[str, int]:
+    """Cumulative stage-level movement counters from the
+    AppStatusStore (VERDICT r12 task 4 — the #32 SQLMetrics harvest
+    can't attach to the doors because one epoch executes SEVERAL
+    QueryExecutions plus writes; the stage store sees them all). The
+    listener bus is flushed first so an epoch's last jobs are counted
+    in ITS snapshot, not the next one's. Per-epoch movement is the
+    delta between two snapshots; the caller bumps
+    ``spark.ui.retainedStages`` at session build so eviction cannot
+    shrink the store mid-run (a negative delta marks the census
+    invalid rather than printing nonsense)."""
+    sc = spark._jsc.sc()  # noqa: SLF001
+    sc.listenerBus().waitUntilEmpty()
+    store = sc.statusStore()
+    jvm = spark._jvm  # noqa: SLF001
+    gw = spark.sparkContext._gateway  # noqa: SLF001
+    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
+                             gw.new_array(jvm.double, 0),
+                             jvm.java.util.ArrayList())
+    tot = {"input_bytes": 0, "shuffle_read_bytes": 0,
+           "shuffle_write_bytes": 0, "spill_bytes": 0, "n_stages": 0}
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot["n_stages"] += 1
+        tot["input_bytes"] += s.inputBytes()
+        tot["shuffle_read_bytes"] += s.shuffleReadBytes()
+        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        tot["spill_bytes"] += (s.memoryBytesSpilled()
+                               + s.diskBytesSpilled())
+    return tot
+
+
 def main() -> None:
-    spark = get_spark("bench_streaming")
+    spark = get_spark("bench_streaming",
+                      extra_conf={"spark.ui.retainedStages": "100000"})
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb = (load_table(spark, SF_DIR, "embeddings")
            .select(F.col("vec_id").alias("doc_id"), "embedding"))
@@ -107,17 +141,37 @@ def main() -> None:
         os.makedirs(corpus_dir, exist_ok=True)
         fn = make(corpus_dir)
         epoch_sec, admitted = [], 0
+        epoch_movement: list[dict[str, float]] = []
+        census_valid = True
         t_arm = time.perf_counter()
+        snap = _stage_totals(spark)
         for i, b in enumerate(batches):
             t = time.perf_counter()
             fn(b.select(*cols[name]), i)
             epoch_sec.append(round(time.perf_counter() - t, 3))
+            after = _stage_totals(spark)
+            delta = {k: after[k] - snap[k] for k in snap}
+            if any(v < 0 for v in delta.values()):
+                census_valid = False     # store eviction mid-run
+            epoch_movement.append({
+                "input_mb": round(delta["input_bytes"] / 1e6, 2),
+                "shuffle_write_mb":
+                    round(delta["shuffle_write_bytes"] / 1e6, 2),
+                "spill_mb": round(delta["spill_bytes"] / 1e6, 2),
+                "n_stages": delta["n_stages"],
+            })
+            snap = after
         arm_sec = round(time.perf_counter() - t_arm, 3)
         admitted = (spark.read.option("basePath", corpus_dir)
                     .parquet(corpus_dir).count())
         out[name] = {
             "total_sec": arm_sec,
             "epoch_sec": epoch_sec,
+            # Per-epoch stage-store movement (r13): bytes, like the
+            # batch queries' PLAN_METRICS census. The timers include
+            # the snapshot flush (~ms); movement is the headline here.
+            "epoch_movement": epoch_movement,
+            **({} if census_valid else {"census_invalid": True}),
             "rows_in": total_rows,
             "rows_admitted": admitted,
             "rows_per_sec": round(total_rows / arm_sec, 1),

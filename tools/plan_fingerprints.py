@@ -31,6 +31,13 @@ Modes::
     python tools/plan_fingerprints.py --check            # regen + diff
                                                          # vs committed
 
+``--diff`` accepts bench artifacts too (BENCH_FULL.json / BENCH_r*.json
+— any JSON carrying a ``fingerprints`` map, which bench.py embeds per
+query since r13): a driver-run bench artifact is thereby
+SELF-ADJUDICATING — ``--diff PLAN_FINGERPRINTS.json BENCH_rN.json``
+answers "was any wall move in this artifact a plan change?" in one
+command, no old-tree re-run needed (VERDICT r12 task 2).
+
 ``--diff`` / ``--check`` exit 1 when any query's hash changed (or was
 added/removed), printing a per-query feature delta. A changed hash is
 not automatically a defect — code changes legitimately change plans —
@@ -69,10 +76,11 @@ DEFAULT_OUT = os.path.join(_REPO, "PLAN_FINGERPRINTS.json")
 # attributes that matter (operator kind, join type/build side, keys,
 # pushed filters, partitioning).
 _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
-    # Expression ids: name#123, name#123L, cast(x#45 as double). The
-    # optional type suffix letter(s) belong to the id token, not the
-    # name, so strip them with it.
-    (re.compile(r"#\d+[A-Za-z]*"), "#id"),
+    # (expression ids are renumbered per-plan BEFORE these rules run —
+    # see _renumber_expr_ids; collapsing them to one token would make
+    # rewiring which same-named attribute feeds an expression — e.g.
+    # the two sides of a self-join, distinguished only by exprId —
+    # invisible. ADVICE r12.)
     # RDD ids in ExistingRDD scans (spark.createDataFrame of driver
     # lists — broadcast literal frames): the integer is a
     # session-global counter, so it encodes how many jobs ran before
@@ -159,6 +167,30 @@ def _renumber_lambda_vars(text: str) -> str:
     return _LAMBDA_VAR.sub(repl, text)
 
 
+_EXPR_ID = re.compile(r"#(\d+)([A-Za-z]*)")
+
+
+def _renumber_expr_ids(text: str) -> str:
+    """Attribute/expression ids (``name#123``, ``x#45L``) come off the
+    session-global expression counter — the absolute value encodes how
+    many expressions the session allocated before this plan, not plan
+    content. Renumber per-plan in first-appearance order (ADVICE r12:
+    collapsing every id to one ``#id`` token hid plan changes that only
+    rewire WHICH same-named attribute feeds an expression — the two
+    sides of a self-join are distinguished solely by exprId). The type
+    suffix letter(s) after the digits belong to the id token, not the
+    name, and carry no plan information — strip them."""
+    seen: dict[str, int] = {}
+
+    def repl(m: re.Match[str]) -> str:
+        k = m.group(1)
+        if k not in seen:
+            seen[k] = len(seen)
+        return f"#e{seen[k]}"
+
+    return _EXPR_ID.sub(repl, text)
+
+
 _SUBQUERY_REF = re.compile(r"\b((?:scalar-)?[Ss]ubquery)#(\d+)")
 
 
@@ -180,7 +212,10 @@ def _renumber_subqueries(text: str) -> str:
 
 def normalize_plan(text: str) -> str:
     text = _renumber_lambda_vars(text)
+    # subqueries before expr ids: the subquery pattern keys on the raw
+    # "#<digits>" token the expr-id pass would rewrite
     text = _renumber_subqueries(text)
+    text = _renumber_expr_ids(text)
     for pat, repl in _NORMALIZERS:
         text = pat.sub(repl, text)
     # Collapse runs of spaces the substitutions may have produced so
@@ -262,8 +297,25 @@ def generate(sf_dir: str, only: list[str] | None = None) -> dict:
     }
 
 
+def as_fp_artifact(d: dict) -> dict:
+    """Coerce a bench artifact (BENCH_FULL/BENCH_r*/driver-recorded
+    line, identified by its ``fingerprints`` map — VERDICT r12 task 2)
+    into fingerprint-artifact form so ``--diff`` adjudicates a wall
+    drift directly against the artifact that reported it. Bench rows
+    carry the hash only (no feature census — that is the fingerprint
+    artifact's job), so a hash change diffed against a bench side
+    triages to 'rerun tools/plan_fingerprints.py'. Fingerprint
+    artifacts pass through untouched."""
+    if "fingerprints" not in d:
+        return d
+    return {"sf_dir": d.get("sf_dir", f"<bench sf={d.get('sf')}>"),
+            "queries": {n: {"hash": h}
+                        for n, h in d["fingerprints"].items()}}
+
+
 def diff(old: dict, new: dict) -> list[str]:
     """Human-readable per-query differences; empty when plans match."""
+    old, new = as_fp_artifact(old), as_fp_artifact(new)
     msgs: list[str] = []
     oq, nq = old.get("queries", {}), new.get("queries", {})
     if old.get("sf_dir") != new.get("sf_dir"):
@@ -291,8 +343,14 @@ def diff(old: dict, new: dict) -> list[str]:
             delta = {k: (of.get(k, 0), nf.get(k, 0))
                      for k in sorted(set(of) | set(nf))
                      if of.get(k, 0) != nf.get(k, 0)}
-            detail = (", ".join(f"{k} {a}->{b}" for k, (a, b) in delta.items())
-                      or "same operator census (expression-level change)")
+            if "features" not in oq[name] or "features" not in nq[name]:
+                detail = ("no feature census on the bench side — rerun "
+                          "tools/plan_fingerprints.py to triage")
+            else:
+                detail = (", ".join(f"{k} {a}->{b}"
+                                    for k, (a, b) in delta.items())
+                          or "same operator census (expression-level "
+                             "change)")
             msgs.append(f"{name}: HASH CHANGED — {detail}")
     return msgs
 

@@ -180,6 +180,35 @@ def ratios(small: dict, big: dict) -> list[tuple]:
     return rows
 
 
+def flag_marks(sr: float | None, ir: float | None, spill: int,
+               big_shuffle_bytes: int) -> list[str]:
+    """Cross-scale movement flags for one query row (pure, unit-pinned).
+
+    * ``NEW-SPILL`` — spill appeared at the big scale (spillers present
+      at both scales were adjudicated when they first appeared).
+    * ``NEW-SHUFFLE`` — the small-scale shuffle was ZERO so the ratio
+      is undefined, and the big scale shuffles past the 2 MB floor
+      (ADVICE r12: the old code skipped flagging on a None ratio
+      entirely, hiding exactly the most extreme movement regression —
+      a plan flipping pure-broadcast → large shuffle, e.g. an AQE
+      broadcast→SMJ handover).
+    * ``SUPERLINEAR`` — shuffle grew >1.5× faster than input. The 2 MB
+      absolute floor matters for both shuffle marks: queries whose
+      small-scale shuffle is a few KB of final aggregates measure
+      mapper-count × framing overhead in the ratio, not data movement
+      (tpch_q1's "31×" is 790 B → 24 KB).
+    """
+    marks = []
+    if spill:
+        marks.append("NEW-SPILL")
+    if sr is None and big_shuffle_bytes > 2_000_000:
+        marks.append("NEW-SHUFFLE")
+    if (sr is not None and ir and sr > 1.5 * ir
+            and big_shuffle_bytes > 2_000_000):
+        marks.append("SUPERLINEAR")
+    return marks
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--out", default=DEFAULT_OUT)
@@ -195,7 +224,8 @@ def main() -> int:
                    help="cross-scale report: per-query shuffle-bytes "
                         "and input-bytes growth between two artifacts, "
                         "flagging shuffle growing faster than input "
-                        "and any new spiller")
+                        "(SUPERLINEAR), shuffle appearing from zero "
+                        "(NEW-SHUFFLE), and any new spiller")
     args = p.parse_args()
 
     if args.ratio:
@@ -206,17 +236,8 @@ def main() -> int:
         flagged = 0
         bq = big.get("queries", {})
         for name, sr, ir, spill in ratios(small, big):
-            marks = []
-            if spill:
-                marks.append("NEW-SPILL")
-            if (sr is not None and ir and sr > 1.5 * ir
-                    and bq[name].get("shuffle_write_bytes", 0)
-                    > 2_000_000):
-                # the absolute floor matters: queries whose small-scale
-                # shuffle is a few KB of final aggregates measure
-                # mapper-count x framing overhead in the ratio, not
-                # data movement (tpch_q1's "31x" is 790 B -> 24 KB)
-                marks.append("SUPERLINEAR")
+            marks = flag_marks(sr, ir, spill,
+                               bq[name].get("shuffle_write_bytes", 0))
             flagged += bool(marks)
             tail = (" " + " ".join(marks)) if marks else ""
             print(f"{name}: shuffle x{sr} input x{ir}{tail}")
