@@ -540,7 +540,21 @@ def grouped_hash_sample_bottom_k(df: DataFrame,
     phase 2 re-windows the ≤ k·S survivors per group (bounded input).
     Every row of a group's global bottom-k is in its own bucket's
     bottom-k (equal ranks share a salt, so tie-groups never split) —
-    output identical to the logical single-window form."""
+    output identical to the logical single-window form.
+
+    EXECUTOR SIZING (VERDICT r12 task 7, measured at sf10 — PLANS.md
+    #41): the suite's largest single-operator peak is phase 1's
+    MAP-SIDE sort of each input partition, and it is INDEPENDENT of
+    ``salt_buckets`` (byte-identical 7.52 GB at S=16/32/64, sf10) —
+    peak ≈ concurrent tasks × (maxPartitionBytes-worth of rows ×
+    unsafe-row width, ~115 B here with the 32-char rank). To shrink
+    the peak, shrink ``spark.sql.files.maxPartitionBytes`` (more,
+    smaller sort runs) — NOT the salt count. The salt count instead
+    prices the post-trim SHUFFLE linearly (the map-side
+    WindowGroupLimit cap is k per (group, salt): 262 MB / 522 MB /
+    1.04 GB at S=16/32/64, sf10), so pick the SMALLEST S with
+    groups × S ≳ shuffle partitions (reducer spread) — the default 32
+    covers P ≤ ~100 at the fixture's 3 groups."""
     from pyspark.sql import Window
 
     base = df.select(*group_cols, F.col(value_col).alias("_v"),

@@ -646,3 +646,30 @@ def test_grouped_bottom_k_phase1_has_mapside_trim(spark):
         df, ["g"], "v", ["id"], k=4096))
     assert len(re.findall(r"row_number\(\), 4096, Partial", plan)) == 2, \
         plan
+
+
+def test_quantile_summary_contract(spark):
+    """Multi-quantile summary off ONE sample: one (q, value) row per
+    requested quantile, values equal to the discrete index into the
+    sorted sample (cross-checked against the threshold form at the
+    same q); bad qs rejected."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_quantile_summary,
+        hash_sample_quantile_threshold,
+    )
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+               .select(F.col("o_orderkey").alias("id"),
+                       F.col("o_totalprice").alias("v")))
+    got = {r.q: r.value for r in hash_sample_quantile_summary(
+        df, "v", ["id"], qs=(0.5, 0.99), k=256).collect()}
+    assert set(got) == {0.5, 0.99}
+    thr = hash_sample_quantile_threshold(
+        df, "v", ["id"], q=0.99, k=256).collect()[0].threshold
+    assert got[0.99] == round(thr, 6) + 0.0
+    assert got[0.5] <= got[0.99]
+
+    with pytest.raises(ValueError, match="qs"):
+        hash_sample_quantile_summary(df, "v", ["id"], qs=())
+    with pytest.raises(ValueError, match="qs"):
+        hash_sample_quantile_summary(df, "v", ["id"], qs=(0.5, 1.5))
