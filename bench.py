@@ -9,6 +9,15 @@ aggregate expressions). Each query is timed ``SPARK_GRAFT_RUNS`` times
 (default 3) and the MEDIAN reported, so one-time codegen/JIT cost landing in
 any single run cannot masquerade as a regression (the r5 rotation showed the
 warmup alone leaves 2-3.5x ordering artifacts on the front positions).
+
+r13: every query's plan-fingerprint sha (tools/plan_fingerprints.py
+normalizer, pre-execution plan) is embedded in the artifact's
+``fingerprints`` map — ``python tools/plan_fingerprints.py --diff
+PLAN_FINGERPRINTS.json BENCH_FULL.json`` adjudicates every wall move in
+one command — plus a single ``fp_digest`` in the stdout line (equal
+digests between two bench lines ⇒ no plan changed between them). The
+``queries`` map stays name→seconds floats: the driver contract and
+merge_sf10 sum its values.
 """
 
 from __future__ import annotations

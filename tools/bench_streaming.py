@@ -168,8 +168,9 @@ def main() -> None:
             "total_sec": arm_sec,
             "epoch_sec": epoch_sec,
             # Per-epoch stage-store movement (r13): bytes, like the
-            # batch queries' PLAN_METRICS census. The timers include
-            # the snapshot flush (~ms); movement is the headline here.
+            # batch queries' PLAN_METRICS census. epoch_sec timers
+            # exclude the snapshot flush (taken after the timer
+            # stops); total_sec includes the ~ms flushes.
             "epoch_movement": epoch_movement,
             **({} if census_valid else {"census_invalid": True}),
             "rows_in": total_rows,
