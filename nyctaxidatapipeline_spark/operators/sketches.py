@@ -426,6 +426,16 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
     k × small-task-count merge saves. The scan stays a full linear
     pass (one md5 per row) either way.
 
+    BINDING TIME (r13 review finding 3): the threshold gate below
+    reads the session conf when the frame is BUILT, while Spark's
+    InferWindowGroupLimit consults it again when the frame is
+    EXECUTED. Lowering the conf between build and action is out of
+    contract — it would execute the tree WITHOUT its map-side trims
+    (whole input through two exchanges). The repo session pins the
+    conf at build (session.py) and nothing in the repo lowers it
+    outside a test's try/finally; callers embedding this operator
+    elsewhere must not toggle the conf mid-flight.
+
     ``rank_cols`` need NOT uniquely key the rows: ties on the md5
     rank are broken by the payload columns, so rows identical in
     (rank, payload) are interchangeable and the sampled payload
@@ -463,12 +473,29 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
     return lvl1.orderBy("_rk", *payload_cols).limit(int(k))
 
 
-def _disc_index(q: float, n: Column) -> Column:
+def _disc_index(q: float | Column, n: Column) -> Column:
     """1-based discrete-quantile index: ceil(q·n), floored at 1 —
     the same arithmetic the DuckDB twin spells out (both engines
     evaluate the identical double product, so the boundary cannot
-    disagree)."""
-    return F.greatest(F.ceil(F.lit(float(q)) * n).cast("int"), F.lit(1))
+    disagree). ``q`` may be a literal or a Column (the multi-quantile
+    summary explodes its qs into a column); this is the ONLY spelling
+    of the boundary arithmetic — threshold, summary, grouped
+    percentiles and the streaming state readers all call it (r13
+    review finding 4: a second inline spelling had crept in)."""
+    qcol = q if isinstance(q, Column) else F.lit(float(q))
+    return F.greatest(F.ceil(qcol * n).cast("int"), F.lit(1))
+
+
+def sample_quantile(arr: Column, q: float | Column) -> Column:
+    """Discrete q-quantile off a sorted sample array:
+    ``try_element_at`` at the :func:`_disc_index` — NULL rather than
+    an ANSI INVALID_ARRAY_INDEX error when the sample is EMPTY (empty
+    input, or every value NULL so ``collect_list`` collected
+    nothing), matching DuckDB's NULL on an out-of-bounds list index
+    (r13 review finding 1: plain ``element_at`` crashed the whole
+    job on that input state under Spark 4's default ANSI mode).
+    Identical to ``element_at`` on every non-empty sample."""
+    return F.try_element_at(arr, _disc_index(q, F.size(arr)))
 
 
 def hash_sample_quantile_threshold(df: DataFrame, value_col: str,
@@ -485,7 +512,7 @@ def hash_sample_quantile_threshold(df: DataFrame, value_col: str,
     s = hash_sample_bottom_k(df, rank_cols, [value_col], k)
     arr = F.sort_array(F.collect_list(value_col))
     return (s.agg(arr.alias("_arr"))
-             .select(F.element_at("_arr", _disc_index(q, F.size("_arr")))
+             .select(sample_quantile(F.col("_arr"), q)
                       .alias("threshold")))
 
 
@@ -511,12 +538,11 @@ def hash_sample_quantile_summary(df: DataFrame, value_col: str,
         raise ValueError(f"qs must be floats in (0, 1], got {qs!r}")
     s = hash_sample_bottom_k(df, rank_cols, [value_col], k)
     agg = s.agg(F.sort_array(F.collect_list(value_col)).alias("_arr"))
-    idx = F.greatest(F.ceil(F.col("q") * F.size("_arr")).cast("int"),
-                     F.lit(1))
     return (agg.select(F.explode(F.array(*[F.lit(float(q)) for q in qs]))
                         .alias("q"), "_arr")
                .select("q",
-                       (F.round(F.element_at("_arr", idx), 6)
+                       (F.round(sample_quantile(F.col("_arr"),
+                                                F.col("q")), 6)
                         + F.lit(0.0)).alias("value"))
                .orderBy("q"))
 
@@ -614,8 +640,7 @@ def grouped_hash_sample_percentiles(df: DataFrame,
     agg = s.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_v")).alias("_arr"))
     cols = [*group_cols] + [
-        (F.round(F.element_at("_arr",
-                              _disc_index(p, F.size("_arr"))), 6)
+        (F.round(sample_quantile(F.col("_arr"), p), 6)
           + F.lit(0.0)).alias(f"p{int(p * 100)}")
         for p in percentiles]
     return agg.select(*cols)

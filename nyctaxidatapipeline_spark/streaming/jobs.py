@@ -476,7 +476,7 @@ def read_grouped_percentiles(spark: SparkSession, state_dir: str,
     as the batch ``grouped_hash_sample_percentiles``, over ≤ k rows
     per group."""
     from nyctaxidatapipeline_spark.operators.sketches import (
-        _disc_index,
+        sample_quantile,
     )
 
     _recover_state_dir(state_dir)
@@ -484,8 +484,7 @@ def read_grouped_percentiles(spark: SparkSession, state_dir: str,
     agg = s.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_v")).alias("_arr"))
     cols = [*group_cols] + [
-        (F.round(F.element_at("_arr",
-                              _disc_index(p, F.size("_arr"))), 6)
+        (F.round(sample_quantile(F.col("_arr"), p), 6)
           + F.lit(0.0)).alias(f"p{int(p * 100)}")
         for p in percentiles]
     return agg.select(*cols)
@@ -501,15 +500,14 @@ def read_quantile_threshold(spark: SparkSession, state_dir: str,
     DataFrame (``threshold``) for the broadcast two-phase anomaly
     shape."""
     from nyctaxidatapipeline_spark.operators.sketches import (
-        _disc_index,
+        sample_quantile,
     )
 
     _recover_state_dir(state_dir)
     s = spark.read.parquet(state_dir)
     arr = F.sort_array(F.collect_list(value_col))
     return (s.agg(arr.alias("_arr"))
-             .select(F.element_at("_arr",
-                                  _disc_index(q, F.size("_arr")))
+             .select(sample_quantile(F.col("_arr"), q)
                       .alias("threshold")))
 
 

@@ -190,3 +190,19 @@ def test_diff_accepts_bench_artifacts():
     # matching artifacts -> no differences
     bench["fingerprints"]["b"] = "y"
     assert diff(fp, bench) == []
+
+
+def test_diff_routes_bench_error_sentinel():
+    """r13 review finding 2: bench.py writes the string "error" when a
+    query's fingerprint failed; the coercion must route it into the
+    BUILD ERROR branch — two errored bench sides must NOT read as an
+    unchanged plan, and error-vs-real-hash must NOT read as a plan
+    change."""
+    fp = {"sf_dir": "/x", "queries": {"a": {"hash": "h", "features": {}}}}
+    bench_err = {"metric": "m", "sf_dir": "/x",
+                 "queries": {"a": 1.0}, "fingerprints": {"a": "error"}}
+    msgs = diff(fp, bench_err)
+    assert len(msgs) == 1 and msgs[0].startswith("a: BUILD ERROR (NEW)")
+    msgs2 = diff(bench_err, bench_err)
+    assert len(msgs2) == 1 and "BUILD ERROR (BOTH)" in msgs2[0]
+    assert not any("HASH CHANGED" in m for m in msgs + msgs2)

@@ -673,3 +673,33 @@ def test_quantile_summary_contract(spark):
         hash_sample_quantile_summary(df, "v", ["id"], qs=())
     with pytest.raises(ValueError, match="qs"):
         hash_sample_quantile_summary(df, "v", ["id"], qs=(0.5, 1.5))
+
+
+def test_quantile_sketch_empty_input_yields_null_not_ansi_error(spark):
+    """r13 review finding 1: an EMPTY sample (empty input, or every
+    value NULL so collect_list collected nothing) must yield a NULL
+    quantile — not Spark 4's ANSI INVALID_ARRAY_INDEX error — in the
+    threshold, summary AND grouped forms; DuckDB's out-of-bounds list
+    index is NULL, so parity holds on the edge too."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_percentiles,
+        hash_sample_quantile_summary,
+        hash_sample_quantile_threshold,
+    )
+
+    empty = spark.createDataFrame([], schema="id int, v double")
+    thr = hash_sample_quantile_threshold(
+        empty, "v", ["id"], q=0.99, k=16).collect()
+    assert len(thr) == 1 and thr[0].threshold is None
+
+    summ = hash_sample_quantile_summary(
+        empty, "v", ["id"], qs=(0.5, 0.99), k=16).collect()
+    assert [r.value for r in summ] == [None, None]
+
+    all_null = spark.createDataFrame(
+        [Row(g="a", id=1, v=None), Row(g="a", id=2, v=None),
+         Row(g="b", id=3, v=1.0)],
+        schema="g string, id int, v double")
+    got = {r.g: r.p50 for r in grouped_hash_sample_percentiles(
+        all_null, ["g"], "v", ["id"], (0.5,), k=4).collect()}
+    assert got == {"a": None, "b": 1.0}

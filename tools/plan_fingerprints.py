@@ -308,8 +308,15 @@ def as_fp_artifact(d: dict) -> dict:
     artifacts pass through untouched."""
     if "fingerprints" not in d:
         return d
+    # bench.py writes the sentinel "error" when fingerprint_df threw
+    # for a query (it never fails the bench); route it into diff()'s
+    # BUILD ERROR branch — as a bare hash, two errored bench sides
+    # would compare "error" == "error" and silently read as an
+    # unchanged plan, and error-vs-real-hash would misreport as a
+    # plan change (r13 review finding 2)
     return {"sf_dir": d.get("sf_dir", f"<bench sf={d.get('sf')}>"),
-            "queries": {n: {"hash": h}
+            "queries": {n: ({"error": "bench-side fingerprint failed"}
+                            if h == "error" else {"hash": h})
                         for n, h in d["fingerprints"].items()}}
 
 
