@@ -5994,8 +5994,15 @@ def oracle_sql() -> dict[str, str]:
                          v
                 LIMIT 16384
             ), thr AS (
-                SELECT list_sort(list(v))[GREATEST(
-                           CAST(CEIL(0.99 * COUNT(*)) AS BIGINT),
+                -- FILTER + COUNT(v), not list(v) + COUNT(*) (ADVICE
+                -- r13): Spark's collect_list DROPS NULL values, so a
+                -- nullable value column would index a shorter array
+                -- than DuckDB's NULL-keeping list(v) over a
+                -- NULL-inflated n. l_extendedprice is NOT NULL today;
+                -- the twin must not depend on that.
+                SELECT list_sort(list(v) FILTER (WHERE v IS NOT NULL))
+                           [GREATEST(
+                           CAST(CEIL(0.99 * COUNT(v)) AS BIGINT),
                            1)] AS t
                 FROM samp
             )
@@ -6016,7 +6023,13 @@ def oracle_sql() -> dict[str, str]:
                          v
                 LIMIT 16384
             ), arr AS (
-                SELECT list_sort(list(v)) AS a, COUNT(*) AS n FROM samp
+                -- collect_list parity: NULL values excluded from both
+                -- the array and n (ADVICE r13 — see
+                -- fare_anomalies_sketch).
+                SELECT list_sort(list(v) FILTER (WHERE v IS NOT NULL))
+                           AS a,
+                       COUNT(v) AS n
+                FROM samp
             )
             SELECT q,
                    ROUND(a[GREATEST(CAST(CEIL(q * n) AS BIGINT), 1)], 6)
@@ -6044,11 +6057,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE rn <= 4096
             )
             SELECT l_returnflag,
-                   ROUND(list_sort(list(v))[GREATEST(
-                       CAST(CEIL(0.5 * COUNT(*)) AS BIGINT), 1)], 6)
+                   -- collect_list parity: NULL values excluded from
+                   -- both the array and n (ADVICE r13 — see
+                   -- fare_anomalies_sketch).
+                   ROUND(list_sort(list(v) FILTER (WHERE v IS NOT NULL))
+                       [GREATEST(
+                       CAST(CEIL(0.5 * COUNT(v)) AS BIGINT), 1)], 6)
                        + 0.0 AS p50,
-                   ROUND(list_sort(list(v))[GREATEST(
-                       CAST(CEIL(0.95 * COUNT(*)) AS BIGINT), 1)], 6)
+                   ROUND(list_sort(list(v) FILTER (WHERE v IS NOT NULL))
+                       [GREATEST(
+                       CAST(CEIL(0.95 * COUNT(v)) AS BIGINT), 1)], 6)
                        + 0.0 AS p95
             FROM samp GROUP BY l_returnflag
         """,

@@ -43,11 +43,13 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
     """
     if approx == "hll":
         return _profile_hll(df, cols, hll_b)
-    if approx not in (False, True):
+    if not (approx is False or approx is True):
         # ADVICE r12: any other string ("HLL", a typo) would fall
         # through to the exact countDistinct path SILENTLY — changing
         # both semantics and the data-sized shuffle the caller asked
-        # to avoid.
+        # to avoid. Identity, not equality (ADVICE r13): `approx in
+        # (False, True)` admits 0/1/np.bool_, and the dispatch below
+        # tests `approx is True` — approx=1 would silently run exact.
         raise ValueError(
             f"approx must be False, True, or 'hll', got {approx!r}")
     parts = []

@@ -10,6 +10,7 @@ pinned here on real Spark plans, not string fixtures.
 
 from __future__ import annotations
 
+import re
 import sys
 
 from pyspark.sql import functions as F
@@ -161,8 +162,11 @@ def test_exprid_renumbered_not_collapsed():
          "Project [k#10L, v#11]\n"
          "Project [k#20L, v#21]\n"
          "Filter (v#11 > 5)")
-    # same plan, ids shifted by a session-global offset
-    b = a.replace("#1", "#31").replace("#2", "#32")
+    # same plan, ids shifted by a session-global offset — shift the
+    # WHOLE numeric token (ADVICE r13: naive str.replace("#1", "#31")
+    # also rewrote #10L -> #310L / #11 -> #311, which only passed
+    # because that collision happened to stay order-preserving)
+    b = re.sub(r"#(\d+)", lambda m: f"#{int(m.group(1)) + 30}", a)
     assert normalize_plan(a) == normalize_plan(b)
     # rewire: the filter now reads the OTHER side's same-named column
     rewired = a.replace("Filter (v#11 > 5)", "Filter (v#21 > 5)")
