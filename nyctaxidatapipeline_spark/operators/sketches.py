@@ -359,10 +359,60 @@ def _rank_salt(salt_buckets: int) -> Column:
                   F.lit(int(salt_buckets))).cast("int")
 
 
+#: Naive-vs-tree crossover for ``salt_buckets="auto"``: the naive
+#: single-merge plan (TakeOrderedAndProject) reads ~k rows from EVERY
+#: upstream task into one reducer; keep it while that worst-case
+#: fan-in (k x estimated task count) stays under this row bound —
+#: 2^21 rows ~= 240 MB at the census's ~115 B/row, a comfortable
+#: single-task merge — and switch to the salted tree above it. At
+#: k=16384 the switch lands at ~128 upstream tasks: every local-mode
+#: fixture (sf0.1 ~2 tasks, the /tmp sf10 fixture ~32) keeps the
+#: bounded-heap plan the r12 bench measured 2x cheaper, while any real
+#: 100 TB scan (10^5-10^6 tasks) gets the tree whose final merge is
+#: config-bounded at salt x k (VERDICT r13 task 2).
+NAIVE_MERGE_FANIN_MAX = 1 << 21
+
+
+def _auto_salt_buckets(df: DataFrame, k: int,
+                       tree_buckets: int = 32) -> int | None:
+    """Resolve ``salt_buckets="auto"``: None (naive single merge) for
+    inputs whose estimated task count keeps the naive fan-in under
+    :data:`NAIVE_MERGE_FANIN_MAX`, else ``tree_buckets`` (the salted
+    tree). Task count comes from the same plan-time file-stat estimate
+    the ``fan_out`` helper trusts (Spark's own FilePartition
+    bin-packing formula over the scan's files); non-file-backed frames
+    fall back to ``defaultParallelism`` — the cluster's width, which
+    is also what bounds a shuffled intermediate's task count. The
+    decision arithmetic itself is :func:`_tree_pays_off` so the switch
+    point is unit-pinnable without a cluster."""
+    from nyctaxidatapipeline_spark.plans.util import (
+        _estimated_scan_partitions,
+    )
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    est_tasks = _estimated_scan_partitions(df, parallelism)
+    if est_tasks is None:
+        est_tasks = parallelism
+    return tree_buckets if _tree_pays_off(est_tasks, k) else None
+
+
+def _tree_pays_off(est_tasks: int, k: int) -> bool:
+    """True when the salted tree's bounded merge beats the naive
+    single merge: the naive reducer would read ~``est_tasks x k`` rows
+    (every task ships its local bottom-k), which binds past
+    :data:`NAIVE_MERGE_FANIN_MAX`; below that the tree's two extra
+    exchanges plus full per-partition sorts (the WindowGroupLimit
+    partial sorts whole partitions where TakeOrderedAndProject keeps a
+    k-heap) are pure premium — measured 2x at sf0.1, +91% at sf10
+    (VERDICT r13)."""
+    return int(est_tasks) * int(k) > NAIVE_MERGE_FANIN_MAX
+
+
 def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
                          payload_cols: Sequence[str],
                          k: int = 16384,
-                         salt_buckets: int | None = 32) -> DataFrame:
+                         salt_buckets: int | None | str = "auto",
+                         ) -> DataFrame:
     """The k rows with the SMALLEST md5 rank — a deterministic
     bottom-k order sketch (the KMV construction pointed at row
     sampling instead of distinct counting), this engine's
@@ -387,14 +437,23 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
         or t-digest (insertion-order-dependent clusters), which can
         only ever be rows-only checked.
 
-    Memory/shuffle — SALTED TREE MERGE (VERDICT r12 task 1). The naive
-    ``orderBy(rank).limit(k)`` compiles to one TakeOrderedAndProject:
-    per-task bottom-k map-side, then EVERY task's k survivors into ONE
-    reducer — O(k × map tasks) fan-in, which the PLAN_METRICS census
-    measured growing task-count-linearly (0.6 MB sf0.1 → 20 MB sf1 on
-    `fare_anomalies_sketch`) and which binds at 100 TB task counts
-    (~10^6 tasks × k rows into a single merge). The default shape is
-    therefore a three-level tree, every level's fan-in bounded:
+    Memory/shuffle — SALTED TREE MERGE (VERDICT r12 task 1), selected
+    BY INPUT SIZE (``salt_buckets="auto"``, VERDICT r13 task 2). The
+    naive ``orderBy(rank).limit(k)`` compiles to one
+    TakeOrderedAndProject: per-task bottom-k map-side, then EVERY
+    task's k survivors into ONE reducer — O(k × map tasks) fan-in,
+    which the PLAN_METRICS census measured growing task-count-linearly
+    (0.6 MB sf0.1 → 20 MB sf1 on `fare_anomalies_sketch`) and which
+    binds at 100 TB task counts (~10^6 tasks × k rows into a single
+    merge). Below that regime the naive plan is strictly CHEAPER (its
+    per-task bounded heap is O(n log k) where the tree's level-0
+    WindowGroupLimit partial must fully sort each partition; measured
+    2× at sf0.1, +91% at sf10 — the r13 premium), so the default
+    ``"auto"`` picks per input: naive while the estimated fan-in
+    ``tasks × k`` stays under :data:`NAIVE_MERGE_FANIN_MAX` (~240 MB
+    into the one merge task), the tree above — the same plan-time
+    live-corpus sizing as ``rp_lsh_params``/``fan_out``. The tree is a
+    three-level shape, every level's fan-in bounded:
 
       0. **per-input-partition bottom-k, map-side**: a row_number
          window on ``spark_partition_id()`` — Spark's
@@ -419,12 +478,12 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
     ``salt_buckets`` (bottom-k is mergeable under any partitioning;
     unit-pinned salt-count invariance): every global bottom-k row is
     in its own input partition's bottom-k and in its own salt
-    bucket's bottom-k. ``salt_buckets=None`` selects the naive
+    bucket's bottom-k. ``salt_buckets=None`` forces the naive
     single-merge plan — the right shape for already-bounded inputs
     (the streaming per-epoch merges, whose inputs are ≤ old-sketch +
-    one micro-batch) where two extra exchanges cost more than a
-    k × small-task-count merge saves. The scan stays a full linear
-    pass (one md5 per row) either way.
+    one micro-batch); an int forces the tree at that salt count (how
+    the fan-in census pins the tree shape on small fixtures). The
+    scan stays a full linear pass (one md5 per row) either way.
 
     BINDING TIME (r13 review finding 3): the threshold gate below
     reads the session conf when the frame is BUILT, while Spark's
@@ -446,6 +505,8 @@ def hash_sample_bottom_k(df: DataFrame, rank_cols: Sequence[str],
 
     base = df.select(hash_sample_rank(rank_cols).alias("_rk"),
                      *payload_cols)
+    if salt_buckets == "auto":
+        salt_buckets = _auto_salt_buckets(df, k)
     if salt_buckets is not None:
         # The tree shape is only an improvement when Spark rewrites the
         # row_number trims into map-side WindowGroupLimit(Partial) —
@@ -508,7 +569,16 @@ def hash_sample_quantile_threshold(df: DataFrame, value_col: str,
     (the GK sketch at oracle-parity accuracy=1e6 is the suite's one
     super-linear registered point; this sketch is hash-checkable at
     its HONEST accuracy). Returned as a DataFrame for the broadcast
-    two-phase anomaly shape (``analytics.quantile_threshold``)."""
+    two-phase anomaly shape (``analytics.quantile_threshold``).
+
+    NULL contract (ADVICE r13): NULL ``value_col`` entries in the
+    sample are DROPPED — ``collect_list`` excludes them from both the
+    array and the effective n, so the quantile is over the sampled
+    NON-NULL values (all-NULL/empty sample → NULL threshold). The
+    DuckDB twins spell the same semantics via ``list(v) FILTER (WHERE
+    v IS NOT NULL)`` + ``COUNT(v)``; ``list(v)`` + ``COUNT(*)`` would
+    index a longer, NULL-bearing array and diverge on nullable
+    columns."""
     s = hash_sample_bottom_k(df, rank_cols, [value_col], k)
     arr = F.sort_array(F.collect_list(value_col))
     return (s.agg(arr.alias("_arr"))
@@ -533,7 +603,9 @@ def hash_sample_quantile_summary(df: DataFrame, value_col: str,
     rank accuracy ±sqrt(q(1-q)/k) per quantile.
 
     ``qs`` must be floats in (0, 1]; duplicates are pointless but
-    harmless (two identical output rows)."""
+    harmless (two identical output rows). NULL values in the sample
+    are dropped before indexing — same contract (and same DuckDB twin
+    spelling) as :func:`hash_sample_quantile_threshold`."""
     if not qs or any(not (0.0 < float(q) <= 1.0) for q in qs):
         raise ValueError(f"qs must be floats in (0, 1], got {qs!r}")
     s = hash_sample_bottom_k(df, rank_cols, [value_col], k)

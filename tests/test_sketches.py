@@ -611,7 +611,10 @@ def test_bottom_k_tree_requires_wgl_conf_else_naive(spark):
     df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
                .select(F.col("o_orderkey").alias("id"),
                        F.col("o_totalprice").alias("v")))
-    plan = explain_str(hash_sample_bottom_k(df, ["id"], ["v"], 16384))
+    # salt_buckets=32 FORCES the tree (the r14 "auto" default resolves
+    # to naive on a fixture this small — pinned separately below)
+    plan = explain_str(hash_sample_bottom_k(df, ["id"], ["v"], 16384,
+                                            salt_buckets=32))
     assert len(re.findall(r"row_number\(\), 16384, Partial", plan)) == 2, \
         plan
 
@@ -620,12 +623,57 @@ def test_bottom_k_tree_requires_wgl_conf_else_naive(spark):
     try:
         spark.conf.set(key, "100")
         degraded = explain_str(
-            hash_sample_bottom_k(df, ["id"], ["v"], 16384))
+            hash_sample_bottom_k(df, ["id"], ["v"], 16384,
+                                 salt_buckets=32))
     finally:
         spark.conf.set(key, saved)
     assert "WindowGroupLimit" not in degraded, degraded
     assert len(re.findall(r"\(\d+\) Exchange", degraded)) == 0, degraded
     assert "TakeOrderedAndProject" in degraded
+
+
+def test_bottom_k_auto_salt_crossover(spark):
+    """VERDICT r13 task 2: the default ``salt_buckets="auto"`` keeps
+    the naive bounded-heap plan while the estimated naive fan-in
+    (tasks x k) stays under NAIVE_MERGE_FANIN_MAX, and switches to the
+    salted tree above it. The switch point is pinned exactly on the
+    pure decision; the plan-level consequence is pinned on a real
+    fixture scan (small -> naive: one TakeOrderedAndProject, zero
+    exchanges, no WindowGroupLimit)."""
+    import re
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        NAIVE_MERGE_FANIN_MAX,
+        _tree_pays_off,
+        hash_sample_bottom_k,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    # exact switch point: 128 tasks x k=16384 == 2^21 == the bound
+    k = 16384
+    assert NAIVE_MERGE_FANIN_MAX == 1 << 21
+    assert not _tree_pays_off(128, k)          # at the bound: naive
+    assert _tree_pays_off(129, k)              # past it: tree
+    # a 100 TB scan (~10^5-10^6 tasks) is deep in tree territory
+    assert _tree_pays_off(800_000, k)
+    # streaming-epoch-sized merges never leave naive
+    assert not _tree_pays_off(8, k)
+
+    # e2e: the sf0.001 fixture estimates to a handful of tasks, so the
+    # DEFAULT plan is the naive single merge — no window trims, no
+    # exchanges, and bit-identical output to the forced tree.
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+               .select(F.col("o_orderkey").alias("id"),
+                       F.col("o_totalprice").alias("v")))
+    auto_df = hash_sample_bottom_k(df, ["id"], ["v"], 512)
+    plan = explain_str(auto_df)
+    assert "WindowGroupLimit" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "TakeOrderedAndProject" in plan
+    forced_tree = hash_sample_bottom_k(df, ["id"], ["v"], 512,
+                                       salt_buckets=32)
+    assert [tuple(r) for r in auto_df.collect()] == \
+        [tuple(r) for r in forced_tree.collect()]
 
 
 def test_grouped_bottom_k_phase1_has_mapside_trim(spark):
