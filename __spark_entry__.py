@@ -3431,6 +3431,24 @@ def _q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(li, "l_extendedprice", bins=20)
 
 
+def _q_histogram_prices_equidepth(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Equal-count histogram with SAMPLED quantile edges (r14): edges
+    from the deterministic bottom-k hash sample, broadcast into a
+    codegen'd HOF binning projection, one count/min/max aggregate —
+    the 100 TB replacement for the equidepth NTILE mode's whole-corpus
+    single-partition window (which stays as the unregistered
+    interactive/test-oracle form; VERDICT r13 task 8)."""
+    from nyctaxidatapipeline_spark.operators.reshape import (
+        equidepth_histogram_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return equidepth_histogram_sketch(
+        li, "l_extendedprice",
+        ["l_orderkey", "l_linenumber", "l_partkey"], bins=10)
+
+
 def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style rule validation over lineitem: 6 declarative rules
     evaluated in ONE aggregate pass over one scan (never a job per
@@ -3957,6 +3975,41 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: / ``grouped_percentiles_approx`` are its untouched GK siblings);
 #: the three r8-era records; then the OLDEST records — the full
 #: 42-row r9-era cohort — completing slots to exactly 50.
+#: Round-14 driver window front: the NEW registration (the
+#: equidepth-sketch histogram); the two ungrouped-sketch queries whose
+#: PHYSICAL PLAN changed this round (salt_buckets="auto" resolves to
+#: the naive merge at fixture scale) and the grouped sketch whose
+#: ORACLE TEXT changed (NULL-parity FILTER/COUNT(v) — ADVICE r13);
+#: then steady-state oldest-first rotation (VERDICT r13 task 3): the
+#: complete 44-row r10-era cohort plus the two oldest r11-era records,
+#: leaving the oldest driver record r11-era after r14.
+_ROUND14_FRONT = [
+    # new r14 (never driver-verified)
+    "histogram_prices_equidepth",
+    # physical shape (auto salt crossover) / oracle text changed
+    "fare_anomalies_sketch", "price_quantile_summary",
+    "grouped_percentiles_sketch",
+    # r10-era records (oldest cohort, in their r10 order)
+    "payment_analysis", "distance_distribution", "fare_anomalies",
+    "cleaning_dropna", "hourly_window", "tpch_q1_sql",
+    "star_join_revenue", "rollup_revenue", "cube_revenue",
+    "grouping_sets_sql", "pivot_qty", "melt_measures",
+    "sessionize_users", "scd2_versions", "ann_topk",
+    "top_orders_per_customer", "urgent_customers_semi",
+    "customers_no_orders_anti", "purchasers_without_errors",
+    "signup_and_purchase", "asof_last_purchase", "dataset_split",
+    "distinct_parts", "grouped_percentiles", "json_extract_k",
+    "profile_lineitem", "range_join_recent", "stratified_sample",
+    "user_interarrival", "cohort_retention", "corpus_report",
+    "correlations", "data_quality", "dataset_mix", "domain_cap",
+    "frame_sample", "fuzzy_names", "image_features",
+    "incremental_dedup", "incremental_dedup_bloom",
+    "incremental_rollup", "interval_join", "merge_upsert",
+    "quantize_embeddings",
+    # the two oldest r11-era records, completing 50
+    "incremental_semantic_auto_indexed", "tpch_q2_sql",
+]
+
 _ROUND13_FRONT = [
     # new r13 (never driver-verified)
     "price_quantile_summary",
@@ -4140,13 +4193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
-    the first 50 entries. Rounds 1-12 drove all 189 queries to a green
-    driver record (cumulative union of windows; oldest records r8-era
-    after r12). The round-13 window (``_ROUND13_FRONT``) leads with
-    the new r13 registration (``price_quantile_summary``), then the
-    tree-merge re-records, the three remaining r8-era rows, and the
-    complete 42-row r9-era cohort — exactly 50; prior fronts follow
-    in order."""
+    the first 50 entries. Rounds 1-13 drove all 190 queries to a green
+    driver record (cumulative union of windows; oldest records r10-era
+    after r13). The round-14 window (``_ROUND14_FRONT``) leads with
+    the new registration (``histogram_prices_equidepth``), the three
+    sketch rows whose plan or oracle text changed this round, the
+    complete 44-row r10-era cohort, and the two oldest r11-era
+    records — exactly 50; prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4187,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "funnel": _q_funnel,
         "histogram_prices": _q_histogram_prices,
+        "histogram_prices_equidepth": _q_histogram_prices_equidepth,
         "moving_avg": _q_moving_avg,
         "snapshot_diff": _q_snapshot_diff,
         "daily_top_events": _q_daily_top_events,
@@ -4338,7 +4392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "weighted_corpus_sample": _q_weighted_corpus_sample,
     }
-    ordered = {name: full[name] for name in _ROUND13_FRONT}
+    ordered = {name: full[name] for name in _ROUND14_FRONT}
+    ordered.update({name: full[name] for name in _ROUND13_FRONT})
     ordered.update({name: full[name] for name in _ROUND12_FRONT})
     ordered.update({name: full[name] for name in _ROUND11_FRONT})
     ordered.update({name: full[name] for name in _ROUND10_FRONT})
@@ -8580,6 +8635,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(blo + (bin + 1) * (bhi - blo) / 20, 6) AS hi,
                    COUNT(*) AS n
             FROM binned GROUP BY bin, blo, bhi
+        """,
+        # Twin of reshape.equidepth_histogram_sketch: the bottom-k
+        # md5-rank sample and the shared discrete-index edge
+        # arithmetic replayed verbatim, then the same strict
+        # v > edge closed-right binning via list_filter.
+        "histogram_prices_equidepth": """
+            WITH samp AS (
+                SELECT l_extendedprice AS v
+                FROM lineitem
+                ORDER BY md5(COALESCE(CAST(l_orderkey AS VARCHAR), chr(0))
+                             || ':' ||
+                             COALESCE(CAST(l_linenumber AS VARCHAR), chr(0))
+                             || ':' ||
+                             COALESCE(CAST(l_partkey AS VARCHAR), chr(0))),
+                         v
+                LIMIT 16384
+            ), arr AS (
+                SELECT list_sort(list(v) FILTER (WHERE v IS NOT NULL))
+                           AS a,
+                       COUNT(v) AS n
+                FROM samp
+            ), edges AS (
+                SELECT list(a[GREATEST(CAST(CEIL(q * n) AS BIGINT), 1)]
+                            ORDER BY q) AS es
+                FROM arr,
+                     (SELECT UNNEST(CAST(
+                          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]
+                          AS DOUBLE[])) AS q) t
+            )
+            SELECT CAST(1 + len(list_filter(es,
+                                            e -> l_extendedprice > e))
+                        AS INTEGER) AS bin,
+                   ROUND(MIN(l_extendedprice), 6) + 0.0 AS lo,
+                   ROUND(MAX(l_extendedprice), 6) + 0.0 AS hi,
+                   COUNT(*) AS n
+            FROM lineitem, edges
+            GROUP BY 1
         """,
         "data_quality": """
             WITH a AS (

@@ -141,11 +141,11 @@ def histogram(df: DataFrame, col: str, bins: int = 20,
     the caller's responsibility — pass a unique column via ``col`` tuple
     ordering upstream if ties matter) — equal-count buckets whose edges
     ARE the observed quantile boundaries. Output: (bin int, lo, hi, n).
-    NTILE is one global-sort window: fine for interactive distribution
-    summaries, the wrong tool for 100 TB (use grouped_percentiles'
-    mergeable sketch there) — documented trade, both modes kept because
-    their outputs answer different questions (fixed grid vs quantile
-    grid).
+    NTILE is one global-sort window: INTERACTIVE-ONLY — the 100 TB
+    shape for the same question is
+    :func:`equidepth_histogram_sketch` (bounded sample edges + one
+    count aggregate; registered and oracle-gated); this exact mode is
+    kept as its small-scale test oracle (VERDICT r13 task 8).
     """
     c = F.col(col)
     if mode == "equiwidth":
@@ -181,3 +181,63 @@ def histogram(df: DataFrame, col: str, bins: int = 20,
                        F.round(F.max("_v"), 6).alias("hi"),
                        F.count("*").alias("n")))
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def equidepth_histogram_sketch(df: DataFrame, col: str,
+                               rank_cols: Sequence[str],
+                               bins: int = 10,
+                               k: int = 16384) -> DataFrame:
+    """Equal-count histogram with SAMPLED quantile edges — the 100 TB
+    shape for :func:`histogram`'s ``equidepth`` question (VERDICT r13
+    task 8: this retires the package's last whole-corpus
+    single-partition window from any registered plan; the exact NTILE
+    mode stays as its small-scale test oracle).
+
+    Three bounded stages, no global sort anywhere:
+
+      1. edges from the deterministic bottom-k hash sample
+         (:func:`~nyctaxidatapipeline_spark.operators.sketches.
+         hash_sample_bottom_k` — one linear scan; merge fan-in
+         auto-bounded): edge_i = the sample's discrete (i/bins)
+         quantile via the shared ``_disc_index`` arithmetic, so each
+         edge carries the sketch's ±sqrt(q(1-q)/k) rank accuracy and
+         is reproducible verbatim in DuckDB;
+      2. the (bins-1)-element edge array broadcast into a projection
+         (1-row IdentityBroadcastMode cross join — the repo's
+         sanctioned scalar-BNLJ shape): ``bin = 1 + |{e : v > e}|``
+         via a codegen'd array HOF, closed-right like the equiwidth
+         mode;
+      3. ONE count/min/max aggregate over ≤ ``bins`` groups.
+
+    Output (bin int, lo, hi, n): lo/hi are the OBSERVED per-bin
+    bounds (exact aggregates, 6-dp rounded), n the exact per-bin
+    count — so counts are exact and only the edge PLACEMENT carries
+    sampling error (bins off-target by ≤ ~k^-1/2 of total rows each).
+    NULL values land in bin 1 with NULL-skipping lo/hi, identically
+    in both engines (NULL comparisons drop out of the HOF filter in
+    Spark and DuckDB alike). Ties across an edge go to the LOWER bin
+    (v > e strict); duplicate edges (heavy ties in the sample) leave
+    the intermediate bins empty rather than splitting a tie-group.
+    """
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        hash_sample_bottom_k,
+        sample_quantile,
+    )
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = hash_sample_bottom_k(df, rank_cols, [col], k)
+    arr = s.agg(F.sort_array(F.collect_list(col)).alias("_arr"))
+    edges = arr.select(F.array(
+        *[sample_quantile(F.col("_arr"), i / bins)
+          for i in range(1, bins)]).alias("_edges"))
+    binned = (df.select(F.col(col).alias("_v"))
+                .crossJoin(F.broadcast(edges))
+                .select((F.lit(1) + F.size(F.filter(
+                            "_edges", lambda e: F.col("_v") > e)))
+                        .cast("int").alias("bin"),
+                        "_v"))
+    return (binned.groupBy("bin")
+                  .agg((F.round(F.min("_v"), 6) + F.lit(0.0)).alias("lo"),
+                       (F.round(F.max("_v"), 6) + F.lit(0.0)).alias("hi"),
+                       F.count("*").alias("n")))
