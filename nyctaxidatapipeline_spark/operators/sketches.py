@@ -341,7 +341,24 @@ def hash_sample_rank(rank_cols: Sequence[str]) -> Column:
     ``md5(COALESCE(CAST(k1 AS VARCHAR), chr(0)) || ':' || ...)`` —
     identical bytes in both engines, NULL or not. Out of contract:
     string keys that contain NUL or ':' themselves (ambiguous joins —
-    use integer keys or pre-escape)."""
+    use integer keys or pre-escape).
+
+    WIDTH — DECIDED, PERMANENT (VERDICT r13 task 7): the rank stays
+    the full 32-char md5 hex string. A 60-bit numeric prefix would
+    halve the sketch shuffle row (~115 B → ~60 B, PLANS.md #34/#41)
+    but (a) changes the sample wherever two rows collide in the top
+    60 bits (the current string order resolves them at full 128-bit
+    precision before the payload tiebreak), so every registered
+    sketch result, every DuckDB twin, and the PERSISTED streaming
+    sketch state (``_rk`` is stored state in the quantile doors)
+    would re-baseline for a width win that is already config-bounded
+    — post-trim sketch shuffles carry ≤ k (× salt × groups) rows at
+    ANY corpus size, so the 4× width multiplies a bounded quantity,
+    not a data-sized one; and (b) the r12→r13 censuses priced the
+    real lever as the map-side trims (5.1× shuffle reduction),
+    leaving width a second-order term. If persisted sketch state
+    ever gains a version field for another reason, re-open then;
+    nothing else justifies the migration."""
     return F.md5(F.concat_ws(
         ":", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                for c in rank_cols]))
