@@ -834,11 +834,15 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle reproduces the whole sign-sum→band→candidate→Hamming
     pipeline bit-for-bit — fully value-hash-checked, not rows-only. The
     xxhash64 variant (``portable=False``) stays the pure-JVM production
-    default."""
+    default. ``max_bucket=32`` is the default storm backstop made
+    explicit (r14 — same contract as the MinHash family; the sf10
+    census measured uncapped pair records ×65 at ×10 data), and the
+    twin spells the identical bucket-size gate."""
     docs = (load_table(spark, sf_dir, "documents")
             .select("doc_id", tokens("text").alias("_tk")))
     return simhash_near_pairs(docs, shingles(F.col("_tk"), 2), "doc_id",
-                              max_hamming=3, bands=4, portable=True)
+                              max_hamming=3, bands=4, portable=True,
+                              max_bucket=32)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3978,17 +3982,20 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Round-14 driver window front: the NEW registration (the
 #: equidepth-sketch histogram); the two ungrouped-sketch queries whose
 #: PHYSICAL PLAN changed this round (salt_buckets="auto" resolves to
-#: the naive merge at fixture scale) and the grouped sketch whose
-#: ORACLE TEXT changed (NULL-parity FILTER/COUNT(v) — ADVICE r13);
-#: then steady-state oldest-first rotation (VERDICT r13 task 3): the
-#: complete 44-row r10-era cohort plus the two oldest r11-era records,
-#: leaving the oldest driver record r11-era after r14.
+#: the naive merge at fixture scale), the grouped sketch whose ORACLE
+#: TEXT changed (NULL-parity FILTER/COUNT(v) — ADVICE r13), and
+#: simhash_pairs (r14 max_bucket storm backstop — plan + twin both
+#: carry the new bucket gate); then steady-state oldest-first rotation
+#: (VERDICT r13 task 3): the complete 44-row r10-era cohort plus the
+#: oldest r11-era record, leaving the oldest driver record r11-era
+#: after r14.
 _ROUND14_FRONT = [
     # new r14 (never driver-verified)
     "histogram_prices_equidepth",
-    # physical shape (auto salt crossover) / oracle text changed
+    # physical shape (auto salt crossover / simhash max_bucket gate)
+    # or oracle text changed this round
     "fare_anomalies_sketch", "price_quantile_summary",
-    "grouped_percentiles_sketch",
+    "grouped_percentiles_sketch", "simhash_pairs",
     # r10-era records (oldest cohort, in their r10 order)
     "payment_analysis", "distance_distribution", "fare_anomalies",
     "cleaning_dropna", "hourly_window", "tpch_q1_sql",
@@ -4006,8 +4013,8 @@ _ROUND14_FRONT = [
     "incremental_dedup", "incremental_dedup_bloom",
     "incremental_rollup", "interval_join", "merge_upsert",
     "quantize_embeddings",
-    # the two oldest r11-era records, completing 50
-    "incremental_semantic_auto_indexed", "tpch_q2_sql",
+    # the oldest r11-era record, completing 50
+    "incremental_semantic_auto_indexed",
 ]
 
 _ROUND13_FRONT = [
@@ -4196,10 +4203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries. Rounds 1-13 drove all 190 queries to a green
     driver record (cumulative union of windows; oldest records r10-era
     after r13). The round-14 window (``_ROUND14_FRONT``) leads with
-    the new registration (``histogram_prices_equidepth``), the three
-    sketch rows whose plan or oracle text changed this round, the
-    complete 44-row r10-era cohort, and the two oldest r11-era
-    records — exactly 50; prior fronts follow in order."""
+    the new registration (``histogram_prices_equidepth``), the four
+    rows whose plan or oracle text changed this round (the sketch
+    trio + the newly-capped ``simhash_pairs``), the complete 44-row
+    r10-era cohort, and the oldest r11-era record — exactly 50; prior
+    fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -5005,11 +5013,14 @@ def _near_dup_production_oracle_sql(num_hashes: int = 32, bands: int = 8,
         """
 
 
-def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
+def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4,
+                        max_bucket: int | None = None) -> str:
     """DuckDB twin of the PORTABLE SimHash pipeline: same md5-derived
     32-bit signature words (hex chars 9-16 / 1-8), same per-bit ±1 sign
     sums over word-bigram features (duplicates kept — SimHash weights
-    repeats), same word-aligned band buckets, same two-word Hamming."""
+    repeats), same word-aligned band buckets, same two-word Hamming;
+    ``max_bucket`` replays the operator's bucket-size gate (r14) as an
+    identical per-(band, bucket) count filter."""
     width = 64 // bands
 
     def bit_sums(word: str, prefix: str) -> str:
@@ -5060,9 +5071,18 @@ def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
               FROM sums
             ), bands AS (
               {band_rows}
+            ), live AS (
+              -- the operator's max_bucket storm backstop: buckets
+              -- holding more than {max_bucket or 'inf'} docs emit no
+              -- pairs (COUNT(*) == distinct docs here: one bands row
+              -- per (doc, band))
+              SELECT band, bucket FROM bands
+              GROUP BY band, bucket
+              HAVING COUNT(*) <= {max_bucket or 'COUNT(*)'}
             ), cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b USING (band, bucket)
+              JOIN live USING (band, bucket)
               WHERE a.doc_id < b.doc_id
             )
             SELECT c.id_a, c.id_b,
@@ -6352,7 +6372,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Full sketch-path twin: md5-derived signature words make the
         # sign-sum -> band -> Hamming pipeline reproducible in DuckDB.
-        "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4),
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3, bands=4,
+                                             max_bucket=32),
         # Full sketch-path twin: identical md5-derived plane literals in
         # both engines make the RP-LSH pipeline reproducible in DuckDB.
         "ann_lsh_auto": _rp_lsh_auto_oracle_sql(n=500, threshold=0.4,

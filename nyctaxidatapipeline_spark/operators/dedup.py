@@ -992,7 +992,8 @@ def simhash64(df: DataFrame, feature_col: Column, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
                        max_hamming: int = 3, bands: int = 4,
-                       portable: bool = False) -> DataFrame:
+                       portable: bool = False,
+                       max_bucket: int | None = 32) -> DataFrame:
     """Pairs within ``max_hamming`` bits of SimHash distance.
 
     Pigeonhole banding: split 64 bits into ``bands`` equal slices; any pair
@@ -1003,6 +1004,19 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
     must be in {2, 4, 8, 16, 32}. ``portable=True`` runs the md5-derived
     hash family (see ``simhash_words``) whose output DuckDB reproduces
     bit-for-bit.
+
+    ``max_bucket`` (DEFAULTS ON at 32, the same storm backstop and the
+    same contract as ``minhash_lsh_pairs``): band buckets holding more
+    than ``max_bucket`` docs emit NO pairs — pair expansion is
+    quadratic in bucket size, and simhash buckets are exactly where
+    boilerplate/near-identical corpora pile up (the r14 sf10 census
+    caught this operator's pair records growing ×65 at ×10 data on the
+    fixture's 100-copy duplicate classes — the one uncapped quadratic
+    left on a registered path). Recall cost on NEAR-dup pairs only
+    (exact copies belong in ``exact_dedup``/``near_dup_production``'s
+    collapse-first composition, which is also the production answer
+    for the dropped hot buckets); ``max_bucket=None`` opts into the
+    exhaustive semantics for correctness oracles and recall studies.
     """
     width = 64 // bands
     if width > 32 or 32 % width:
@@ -1031,6 +1045,8 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
     blists = (buckets.groupBy("band", "bucket")
                      .agg(entries.alias("es"))
                      .filter(F.size("es") >= 2))
+    if max_bucket is not None:
+        blists = blists.filter(F.size("es") <= int(max_bucket))
     es = F.col("es")
     pair_structs = F.flatten(F.transform(
         es,

@@ -449,6 +449,28 @@ def test_simhash_rejects_word_straddling_bands(spark):
                            "doc_id", bands=1)
 
 
+def test_simhash_max_bucket_caps_hot_buckets(spark):
+    """r14: the max_bucket storm backstop (same contract as
+    minhash_lsh_pairs). 40 identical docs share every band bucket —
+    uncapped that is C(40,2)=780 quadratic pairs; the default cap (32)
+    emits none of them, while pairs in small buckets are unaffected."""
+    hot = [Row(doc_id=i, text="the same boilerplate text repeated here")
+           for i in range(40)]
+    pair = [Row(doc_id=100, text="a genuinely unique document alpha"),
+            Row(doc_id=101, text="a genuinely unique document alpha")]
+    df = spark.createDataFrame(hot + pair)
+    feats = shingles(tokens("text"), 2)
+    capped = {(r.id_a, r.id_b) for r in simhash_near_pairs(
+        df, feats, "doc_id", max_hamming=3, bands=4).collect()}
+    assert (100, 101) in capped            # small bucket survives
+    assert not any(a < 100 for a, _ in capped)   # hot bucket dropped
+    uncapped = {(r.id_a, r.id_b) for r in simhash_near_pairs(
+        df, feats, "doc_id", max_hamming=3, bands=4,
+        max_bucket=None).collect()}
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 780
+    assert capped < uncapped
+
+
 def _vecs(spark):
     return spark.createDataFrame([
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
