@@ -272,6 +272,12 @@ def main() -> None:
              "serial subset at 100x sf0.1; deployment vs lesson "
              "split in 'totals' (LESSON_QUERIES); table in "
              "BENCH_SF10.json / PLANS.md #19-23")):
+        # An sf1 run WRITES BENCH_SF1.json — embedding the prior
+        # committed sweep's summary into its own replacement would
+        # ship a stale self-reference (r14 review finding).
+        if sf is not None and abs((1.0 if scale == "sf1" else 10.0)
+                                  - sf) < 1e-9:
+            continue
         try:
             with open(os.path.join(here, fname)) as f:
                 blk = json.load(f)
