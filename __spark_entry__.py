@@ -4435,6 +4435,22 @@ LESSON_QUERIES: dict[str, str] = {
         "warm sf10 — no index fixes a wrong operating point); "
         "deployment twin: incremental_semantic_auto_indexed (auto "
         "list count, 5.9-6.5 s warm sf10)",
+    # r14: the two GK siblings price at sf10 exactly like
+    # fare_anomalies_approx (133.5 / 134.0 s, x14.7 at x10 data — the
+    # accuracy=1e6 uncompressed-parity regime is super-linear by
+    # construction), so they carry the same lesson tag it does.
+    "grouped_percentiles_approx":
+        "GK accuracy=1e6 ORACLE-PARITY point (super-linear compress; "
+        "133.5 s sf10); production point is accuracy~100 (the "
+        "quantile_mode experiment prices it 3.7x cheaper at sf0.1) "
+        "and the linear hash-sample twin is grouped_percentiles_sketch "
+        "(13.7 s sf10)",
+    "winsorized_prices_approx":
+        "GK accuracy=1e6 ORACLE-PARITY point (super-linear compress; "
+        "134.0 s sf10); the exact mode (winsorized_prices, 3.7 s sf1) "
+        "is the small-scale tool and the bounded 100 TB construction "
+        "is the hash-sample bottom-k threshold pair "
+        "(fare_anomalies_sketch's shape applied to both tails)",
 }
 
 
