@@ -1063,6 +1063,123 @@ def simhash_near_pairs(df: DataFrame, feature_col: Column, id_col: str,
                   .filter(F.col("hamming") <= max_hamming))
 
 
+def bucket_cap_audit(buckets: DataFrame, id_col: str,
+                     max_bucket: int) -> DataFrame:
+    """The recall bill of a ``max_bucket`` storm backstop, as ONE
+    stats row over an (id, band, bucket) LSH banding table — the
+    observability side of the cap that ``minhash_lsh_pairs`` /
+    ``simhash_near_pairs`` apply silently (VERDICT r14 task 4: a
+    100 TB operator needs to SEE what the cap pays, not just trust
+    the default):
+
+      * ``multi_buckets`` — band buckets holding ≥ 2 docs (the
+        candidate-emitting population);
+      * ``dropped_buckets`` — buckets over the cap (emit NO pairs);
+      * ``max_bucket_size`` — the hottest bucket's doc count (how far
+        past the cap the corpus actually runs);
+      * ``cand_pairs_dropped`` — Σ c·(c−1)/2 over dropped buckets:
+        the per-band candidate expansions the cap skipped. This is
+        the COST the backstop avoided (the quadratic the r14 sf10
+        census caught), an upper bound on distinct pairs lost (the
+        same pair can collide in several bands);
+      * ``docs_banded`` / ``docs_dropped`` / ``doc_share_dropped`` —
+        distinct docs in the banding table, distinct docs appearing
+        in ≥ 1 dropped bucket, and their ratio (6 dp): the recall
+        exposure — every missed near-dup pair has BOTH ends in
+        ``docs_dropped``, so the share bounds the corpus fraction
+        whose near-dup edges the cap can have cut.
+
+    Scale shape: the same one-shuffle groupBy on (band, bucket) as
+    the pair expansion, then three scalar aggregates (bucket-count-,
+    not corpus-sized) cross-joined as 1-row broadcasts — the
+    established runtime-scalar pattern; no collect, no all-pairs.
+    A zero-row ``buckets`` input yields the all-zeros row."""
+    mb = int(max_bucket)
+    sized = (buckets.groupBy("band", "bucket")
+                    .agg(F.collect_set(id_col).alias("ids"))
+                    .select(F.size("ids").alias("_c"), "ids"))
+    c = F.col("_c").cast("long")
+    stats = sized.agg(
+        F.coalesce(F.sum((c >= 2).cast("long")),
+                   F.lit(0)).alias("multi_buckets"),
+        F.coalesce(F.sum((c > mb).cast("long")),
+                   F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.max(c), F.lit(0)).alias("max_bucket_size"),
+        F.coalesce(F.sum(F.when(c > mb, c * (c - 1) / 2)
+                          .otherwise(0)).cast("long"),
+                   F.lit(0)).alias("cand_pairs_dropped"))
+    banded = buckets.agg(
+        F.count_distinct(F.col(id_col)).alias("docs_banded"))
+    dropped = (sized.filter(c > mb)
+                    .select(F.explode("ids").alias("_id"))
+                    .agg(F.count_distinct("_id").alias("docs_dropped")))
+    return (stats.join(banded).join(dropped)
+                 .select("multi_buckets", "dropped_buckets",
+                         "max_bucket_size", "cand_pairs_dropped",
+                         "docs_banded", "docs_dropped",
+                         (F.when(F.col("docs_banded") > 0,
+                                 F.round(F.col("docs_dropped")
+                                         / F.col("docs_banded"), 6))
+                           .otherwise(0.0) + F.lit(0.0))
+                         .alias("doc_share_dropped")))
+
+
+def minhash_cap_audit(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, num_hashes: int = 32, bands: int = 8,
+                      portable: bool = False,
+                      max_bucket: int = 32,
+                      corpus_index: DataFrame | None = None) -> DataFrame:
+    """:func:`bucket_cap_audit` over the EXACT banding table
+    ``minhash_lsh_pairs`` builds at these parameters (same signatures,
+    same band buckets, same optional prebuilt index short-cut) — run
+    it beside a capped LSH job to price the cap's recall bill before
+    trusting (or raising) it. Costs the signature pass plus one
+    bucket-keyed shuffle; never expands a single pair."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    if corpus_index is not None:
+        check_index_params(
+            corpus_index, _minhash_params(n, num_hashes, bands, portable),
+            "minhash_cap_audit")
+        buckets = corpus_index.select(id_col, "band", "bucket")
+    else:
+        sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
+                                 portable)
+        buckets = _band_buckets(sig, id_col, bands, r, portable)
+    return bucket_cap_audit(buckets, id_col, max_bucket)
+
+
+def simhash_cap_audit(df: DataFrame, feature_col: Column, id_col: str,
+                      bands: int = 4, portable: bool = False,
+                      max_bucket: int = 32) -> DataFrame:
+    """:func:`bucket_cap_audit` over ``simhash_near_pairs``'s
+    pigeonhole banding table at these parameters — the same slice
+    arithmetic (64/bands-bit words, band slices never straddle the
+    two 32-bit signature words), so the audited buckets are exactly
+    the ones the capped operator reads."""
+    width = 64 // bands
+    if width > 32 or 32 % width:
+        raise ValueError(
+            f"bands ({bands}) must be one of 2/4/8/16/32 so band slices "
+            "align with the 32-bit signature words")
+    sig = simhash_words(df, feature_col, id_col, portable)
+
+    def bucket_of(bi: int) -> Column:
+        word = F.col("sh_lo") if bi * width < 32 else F.col("sh_hi")
+        off = (bi * width) % 32
+        return (F.shiftright(word, off)
+                 .bitwiseAND(F.lit((1 << width) - 1)))
+
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
+        for bi in range(bands)]
+    buckets = (sig.select(id_col, F.explode(F.array(*band_cols))
+                          .alias("bb"))
+                  .select(id_col, "bb.band", "bb.bucket"))
+    return bucket_cap_audit(buckets, id_col, max_bucket)
+
+
 def keep_latest(df: DataFrame, key_cols: list[str], ts_col: str,
                 tiebreak_col: str) -> DataFrame:
     """Upsert-style dedup: the newest row per key (``row_number = 1``

@@ -1312,3 +1312,84 @@ def test_unstamped_framework_index_warns_once(spark):
         check_index_params(df, {"bands": 8}, label, expect_stamp=True)
         # default path (hand-built frames): never warns
         check_index_params(df, {"bands": 8}, label + "-other")
+
+
+def test_bucket_cap_audit_planted_hot_bucket(spark):
+    """VERDICT r14 task 4: the cap audit prices the storm backstop —
+    a 40-copy class over cap 32 shows up as dropped buckets in EVERY
+    band (exact copies share the whole signature), with the doc share
+    and skipped candidate expansions accounted; an over-sized cap
+    reports zeros."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        minhash_cap_audit,
+        simhash_cap_audit,
+    )
+
+    hot = "the same boilerplate page body repeated everywhere verbatim"
+    near_a = "a quick brown fox jumps over the lazy dog in the park"
+    near_b = "a quick brown fox jumps over the lazy dog in the yard"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=hot) for i in range(40)]
+        + [Row(doc_id=100, text=near_a), Row(doc_id=101, text=near_b)])
+
+    row = minhash_cap_audit(df, "text", "doc_id", n=3, num_hashes=32,
+                            bands=8, max_bucket=32).collect()[0]
+    # 40 identical texts -> identical signatures -> one 40-doc bucket
+    # in each of the 8 bands, all over the 32 cap
+    assert row.dropped_buckets == 8
+    assert row.max_bucket_size == 40
+    assert row.cand_pairs_dropped == 8 * (40 * 39) // 2
+    assert row.docs_dropped == 40
+    assert row.docs_banded == 42
+    assert row.doc_share_dropped == round(40 / 42, 6)
+    # near_a/near_b still collide in >=1 band: multi > dropped
+    assert row.multi_buckets > row.dropped_buckets
+
+    # cap above the hottest bucket: nothing dropped
+    clear = minhash_cap_audit(df, "text", "doc_id", n=3, num_hashes=32,
+                              bands=8, max_bucket=64).collect()[0]
+    assert clear.dropped_buckets == 0
+    assert clear.docs_dropped == 0
+    assert clear.doc_share_dropped == 0.0
+    assert clear.max_bucket_size == 40  # the storm is still visible
+
+    # simhash sibling: same story over the pigeonhole banding
+    from nyctaxidatapipeline_spark.functions.text import tokens as _toks
+    srow = simhash_cap_audit(df, _toks(F.col("text")), "doc_id",
+                             bands=4, max_bucket=32).collect()[0]
+    assert srow.dropped_buckets == 4
+    assert srow.docs_dropped == 40
+    assert srow.max_bucket_size == 40
+
+
+def test_bucket_cap_audit_empty_and_index_paths(spark, tmp_path):
+    """Zero-row banding yields the all-zeros row (no ANSI nulls), and
+    the prebuilt-index path audits the identical buckets as the
+    in-query pass."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        bucket_cap_audit,
+        build_minhash_index,
+        minhash_cap_audit,
+    )
+
+    empty = spark.createDataFrame(
+        [], schema="doc_id long, band int, bucket string")
+    row = bucket_cap_audit(empty, "doc_id", 32).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, 0, 0, 0.0)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="shared boilerplate body text here again")
+         for i in range(5)]
+        + [Row(doc_id=9, text="one genuinely unique document about "
+                              "completely other material")])
+    direct = minhash_cap_audit(docs, "text", "doc_id", portable=True,
+                               max_bucket=3).collect()[0]
+    idx = build_minhash_index(docs, "text", "doc_id", portable=True)
+    path = str(tmp_path / "audit_idx")
+    idx.write.parquet(path)
+    via = minhash_cap_audit(docs, "text", "doc_id", portable=True,
+                            max_bucket=3,
+                            corpus_index=spark.read.parquet(path)
+                            ).collect()[0]
+    assert tuple(direct) == tuple(via)
+    assert direct.dropped_buckets == 8 and direct.docs_dropped == 5
