@@ -274,9 +274,12 @@ def main() -> None:
              "BENCH_SF10.json / PLANS.md #19-23")):
         # An sf1 run WRITES BENCH_SF1.json — embedding the prior
         # committed sweep's summary into its own replacement would
-        # ship a stale self-reference (r14 review finding).
-        if sf is not None and abs((1.0 if scale == "sf1" else 10.0)
-                                  - sf) < 1e-9:
+        # ship a stale self-reference (r14 review finding). Only the
+        # sf1/BENCH_SF1.json pair needs the skip: sf10 runs write
+        # BENCH_FULL_sf10.json / BENCH_SUBSET.json (merged into
+        # BENCH_SF10.json by tools/merge_sf10.py, never directly), so
+        # their artifacts keep the committed sf10 block (ADVICE r14).
+        if scale == "sf1" and sf is not None and abs(1.0 - sf) < 1e-9:
             continue
         try:
             with open(os.path.join(here, fname)) as f:

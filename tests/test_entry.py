@@ -25,6 +25,23 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles).issubset(set(qs))
 
 
+def test_coverage_doc_query_count_matches_registry():
+    """VERDICT r14 task 5: COVERAGE.md's headline query count went
+    stale (said 183 while the registry held 191). The count line is
+    now format-pinned (`N queries total in \\`queries()\\``) and this
+    test fails the suite whenever the registry grows without the doc
+    — the 'generated line' enforcement."""
+    import re
+
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"(\d+) queries total in `queries\(\)`", text)
+    assert m, "COVERAGE.md lost its pinned count line"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"COVERAGE.md says {m.group(1)} queries; registry has "
+        f"{len(entrymod.queries())} — update the doc in the same "
+        "commit that touches the registry")
+
+
 def test_index_cache_rejects_symlinked_base(tmp_path, monkeypatch):
     """ADVICE r10: the per-user cache ownership check must lstat —
     a pre-created SYMLINK at the base path (pointing anywhere, even a

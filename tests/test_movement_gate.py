@@ -30,11 +30,22 @@ that is the review step, same contract as PLAN_FINGERPRINTS.json):
 
 Probe classes: ungrouped + grouped bottom-k sketch, graph round
 (pagerank), LSH self-join, IVF probe, star join (broadcast/DPP), HLL
-profile, composed curation pipeline, scalar-broadcast binning.
-Streaming epochs are NOT probed here: the doors wrap these same batch
-operators per micro-batch, their per-epoch movement is censused by
-tools/bench_streaming.py (PLANS.md #42), and a foreachBatch loop in
-the default suite would triple this test's wall for no new plan shape.
+profile, composed curation pipeline, scalar-broadcast binning — plus,
+since r15 (VERDICT r14 task 7), the two heaviest shuffle writers by
+PLAN_METRICS_SF1 bytes (label_propagation 30.5 MB, lsh_recall_report
+24.1 MB), probing where a movement regression costs most rather than
+only one-per-class.
+One streaming epoch IS probed since r15 (VERDICT r14 task 8): a
+single ``run_incremental_rollup`` micro-batch over the sf0.1 events
+fixture (single-file table → exactly one epoch, ~2 s), movement
+captured as an AppStatusStore stage DELTA (``stage_movement_totals``,
+the bench_streaming instrument — one foreachBatch epoch executes
+several QueryExecutions plus state writes, which the per-DataFrame
+SQLMetrics harvest cannot see). The multi-epoch curves and the
+admission DOORS stay with tools/bench_streaming.py (PLANS.md #42): a
+foreachBatch LOOP here would triple this test's wall for no new plan
+shape — the single rollup epoch prices the one shape the batch probes
+don't cover (stream-source scan → partial agg → state merge write).
 """
 
 from __future__ import annotations
@@ -63,7 +74,17 @@ PROBES = [
     "star_join_revenue",            # broadcast/DPP star join
     "profile_lineitem_approx",      # portable-HLL profile
     "curate_corpus",                # composed curation pipeline
+    # r15 (VERDICT r14 task 7): the suite's two heaviest shuffle
+    # WRITERS by PLAN_METRICS_SF1 bytes — the gate covered one probe
+    # per movement CLASS but not the biggest movers, which is where a
+    # regression costs most
+    "label_propagation",            # per-round label join + argmax
+    "lsh_recall_report",            # exact + sketch pipelines shared
 ]
+
+#: the one streaming probe (VERDICT r14 task 8) — measured by stage
+#: delta, not collect_metrics, so it lives outside PROBES
+STREAM_PROBE = "streaming_rollup_epoch"
 
 SHUFFLE_BAND = 1.5
 SHUFFLE_SLACK = 256 * 1024
@@ -71,7 +92,36 @@ NEW_SHUFFLE_FLOOR = 4 * 1024
 NEW_SHUFFLE_CAP = 1 << 20
 
 
-def test_movement_gate(spark):
+def _streaming_epoch_movement(spark, tmp_path):
+    """One ``run_incremental_rollup`` epoch over the sf0.1 events
+    fixture; returns the AppStatusStore stage-delta movement. The
+    events table is a single parquet file, so the default
+    maxFilesPerTrigger=1 file stream drains in exactly one epoch."""
+    from plan_metrics import stage_movement_totals
+
+    from nyctaxidatapipeline_spark.streaming.jobs import (
+        run_incremental_rollup,
+        stream_table,
+    )
+
+    before = stage_movement_totals(spark)
+    ev = stream_table(spark, SF_DIR, "events")
+    q = run_incremental_rollup(ev, str(tmp_path / "rollup_state"),
+                               ["event_type"], "value",
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+    q.stop()
+    after = stage_movement_totals(spark)
+    delta = {k: after[k] - before[k]
+             for k in ("input_bytes", "shuffle_write_bytes",
+                       "spill_bytes")}
+    if any(v < 0 for v in delta.values()):
+        pytest.skip("stage store evicted between snapshots — movement "
+                    "census invalid for the streaming probe (raise "
+                    "spark.ui.retainedStages)")
+    return delta
+
+
+def test_movement_gate(spark, tmp_path):
     from plan_metrics import collect_metrics
 
     import __spark_entry__ as entry
@@ -86,6 +136,7 @@ def test_movement_gate(spark):
             "spill_bytes": m.get("spill_bytes", 0),
             "input_bytes": m.get("input_bytes", 0),
         }
+    measured[STREAM_PROBE] = _streaming_epoch_movement(spark, tmp_path)
 
     if os.environ.get("SPARK_GRAFT_WRITE_MOVEMENT_BASELINE"):
         os.makedirs(os.path.dirname(BASELINE), exist_ok=True)
@@ -101,7 +152,7 @@ def test_movement_gate(spark):
         base = json.load(f)["queries"]
 
     failures = []
-    for name in PROBES:
+    for name in [*PROBES, STREAM_PROBE]:
         m = measured[name]
         b = base.get(name)
         if b is None:

@@ -41,43 +41,12 @@ from nyctaxidatapipeline_spark.streaming.jobs import (  # noqa: E402
     semantic_admit_indexed_fn,
 )
 
+from plan_metrics import stage_movement_totals as _stage_totals  # noqa: E402,E501
+
 SF_DIR = (sys.argv[1] if len(sys.argv) > 1
           else os.environ.get("SPARK_GRAFT_SF_DIR",
                               "/root/testdata/sf0.1"))
 N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-
-
-def _stage_totals(spark) -> dict[str, int]:
-    """Cumulative stage-level movement counters from the
-    AppStatusStore (VERDICT r12 task 4 — the #32 SQLMetrics harvest
-    can't attach to the doors because one epoch executes SEVERAL
-    QueryExecutions plus writes; the stage store sees them all). The
-    listener bus is flushed first so an epoch's last jobs are counted
-    in ITS snapshot, not the next one's. Per-epoch movement is the
-    delta between two snapshots; the caller bumps
-    ``spark.ui.retainedStages`` at session build so eviction cannot
-    shrink the store mid-run (a negative delta marks the census
-    invalid rather than printing nonsense)."""
-    sc = spark._jsc.sc()  # noqa: SLF001
-    sc.listenerBus().waitUntilEmpty()
-    store = sc.statusStore()
-    jvm = spark._jvm  # noqa: SLF001
-    gw = spark.sparkContext._gateway  # noqa: SLF001
-    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
-                             gw.new_array(jvm.double, 0),
-                             jvm.java.util.ArrayList())
-    tot = {"input_bytes": 0, "shuffle_read_bytes": 0,
-           "shuffle_write_bytes": 0, "spill_bytes": 0, "n_stages": 0}
-    it = stages.iterator()
-    while it.hasNext():
-        s = it.next()
-        tot["n_stages"] += 1
-        tot["input_bytes"] += s.inputBytes()
-        tot["shuffle_read_bytes"] += s.shuffleReadBytes()
-        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
-        tot["spill_bytes"] += (s.memoryBytesSpilled()
-                               + s.diskBytesSpilled())
-    return tot
 
 
 def main() -> None:

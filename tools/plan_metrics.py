@@ -154,6 +154,42 @@ def collect_metrics(df) -> dict:
     return agg
 
 
+def stage_movement_totals(spark) -> dict[str, int]:
+    """Cumulative stage-level movement counters from the
+    AppStatusStore (VERDICT r12 task 4 — the SQLMetrics harvest in
+    :func:`collect_metrics` can't attach to a streaming epoch because
+    one ``foreachBatch`` epoch executes SEVERAL QueryExecutions plus
+    state writes; the stage store sees them all). The listener bus is
+    flushed first so an epoch's last jobs are counted in ITS snapshot,
+    not the next one's. Per-epoch movement is the delta between two
+    snapshots; a long-lived session should bump
+    ``spark.ui.retainedStages`` so eviction cannot shrink the store
+    mid-run — callers must treat a NEGATIVE delta as an invalid
+    census, never as data. Moved here from ``bench_streaming.py``
+    (r15) so the movement gate can import it without executing that
+    script's ``sys.argv`` parsing under pytest."""
+    sc = spark._jsc.sc()  # noqa: SLF001
+    sc.listenerBus().waitUntilEmpty()
+    store = sc.statusStore()
+    jvm = spark._jvm  # noqa: SLF001
+    gw = spark.sparkContext._gateway  # noqa: SLF001
+    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
+                             gw.new_array(jvm.double, 0),
+                             jvm.java.util.ArrayList())
+    tot = {"input_bytes": 0, "shuffle_read_bytes": 0,
+           "shuffle_write_bytes": 0, "spill_bytes": 0, "n_stages": 0}
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot["n_stages"] += 1
+        tot["input_bytes"] += s.inputBytes()
+        tot["shuffle_read_bytes"] += s.shuffleReadBytes()
+        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        tot["spill_bytes"] += (s.memoryBytesSpilled()
+                               + s.diskBytesSpilled())
+    return tot
+
+
 def ratios(small: dict, big: dict) -> list[tuple]:
     """Per-query (shuffle_ratio, input_ratio, spill_flag) between two
     artifacts at different scales — the linearity check: an operator
