@@ -727,6 +727,27 @@ def _q_simhash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bands=4, portable=True, max_bucket=2)
 
 
+def _q_fuzzy_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15 (VERDICT r14 task 4, third capped family): the recall
+    bill of the ``max_block`` skew guard in blocked fuzzy matching
+    (``entity.fuzzy_block_audit`` → ``bucket_cap_audit``), over the
+    exact (prefix, length-band) blocking ``fuzzy_pairs`` reads. Run
+    over part names (word-combination values — real block-size
+    spread, unlike the uniform ``Supplier#…`` strings) at cap 240,
+    deliberately between the sf0.01 fixture's block sizes (widest
+    255; 2 of 30 blocks over, 501/2000 ids exposed) so every arm is
+    nonzero, partially-dropped, and value-hash-checked cross-engine;
+    deployments audit at their production cap. One block-keyed
+    shuffle; the O(block²) join the cap guards against is never run."""
+    from nyctaxidatapipeline_spark.operators.entity import (
+        fuzzy_block_audit,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_block_audit(part, "p_name", "p_partkey",
+                             max_dist=1, prefix_len=3, max_block=240)
+
+
 def _q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What dedup actually buys, priced in tokens: per source, the
     document and whitespace-token totals before and after the
@@ -4037,20 +4058,20 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (VERDICT r13 task 3): the complete 44-row r10-era cohort plus the
 #: oldest r11-era record, leaving the oldest driver record r11-era
 #: after r14.
-#: Round-15 driver window front: the TWO new registrations (the
-#: cap-audit pair — VERDICT r14 task 4, never driver-verified); the
+#: Round-15 driver window front: the THREE new registrations (the
+#: cap-audit trio — VERDICT r14 task 4, never driver-verified); the
 #: query whose PHYSICAL shape changed this round
 #: (``grouped_percentiles_sketch`` — salt_buckets="auto" resolves to
 #: the naive single window at fixture scale, VERDICT r14 task 1;
 #: results bit-identical) and the one whose ORACLE TEXT changed
 #: (``simhash_pairs`` — the max_bucket `is None` falsy-edge fix,
 #: ADVICE r14; rendered SQL identical at 32 except the comment); then
-#: steady-state oldest-first rotation (VERDICT r14 task 3): the first
-#: 46 of the 47 r11-era records in their r11 order, leaving only
-#: ``ann_lsh_auto`` r11-era to lead r16.
+#: steady-state oldest-first rotation (VERDICT r14 task 3): the r11-era
+#: records in their r11 order (the 50-entry window now reaches 45 of
+#: them, leaving ``ann_lsh`` and ``ann_lsh_auto`` r11-era to lead r16).
 _ROUND15_FRONT = [
     # new r15 (never driver-verified)
-    "lsh_cap_audit", "simhash_cap_audit",
+    "lsh_cap_audit", "simhash_cap_audit", "fuzzy_cap_audit",
     # physical shape (grouped auto salt crossover) / oracle text
     # (simhash falsy-edge comment) changed this round
     "grouped_percentiles_sketch", "simhash_pairs",
@@ -4281,11 +4302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries. Rounds 1-14 drove all 191 queries to a green
     driver record (cumulative union of windows; oldest records r11-era
     after r14). The round-15 window (``_ROUND15_FRONT``) leads with
-    the two new cap-audit registrations, the plan-changed
+    the three new cap-audit registrations, the plan-changed
     ``grouped_percentiles_sketch`` and oracle-text-changed
-    ``simhash_pairs``, then 46 of the 47 r11-era records oldest-first
-    — exactly 50 (``ann_lsh_auto`` stays r11-era to lead r16); prior
-    fronts follow in order."""
+    ``simhash_pairs``, then the r11-era records oldest-first (the
+    50-entry window reaches 45 of the 47; ``ann_lsh`` and
+    ``ann_lsh_auto`` stay r11-era to lead r16); prior fronts follow
+    in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4376,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_cap_audit": _q_lsh_cap_audit,
         "simhash_cap_audit": _q_simhash_cap_audit,
+        "fuzzy_cap_audit": _q_fuzzy_cap_audit,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -5216,6 +5239,28 @@ def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4,
             WHERE bit_count(xor(sa.sh_lo, sb.sh_lo))
                   + bit_count(xor(sa.sh_hi, sb.sh_hi)) <= {max_hamming}
         """
+
+
+def _fuzzy_band_ctes(prefix_len: int = 3, max_dist: int = 1,
+                     source: str = "part", id_col: str = "p_partkey",
+                     val_col: str = "p_name") -> str:
+    """CTE chain for the ``entity.fuzzy_pairs`` blocking over a
+    TPC-H-style relation, ending with ``bands(doc_id, band, bucket)``
+    for :func:`_cap_audit_oracle_sql` (r15): band = the exploded
+    length bucket (own + one below, exactly the dual routes the
+    self-join candidates take), bucket = the lowercased
+    ``prefix_len``-prefix — the same block keys the ``fuzzy_names``
+    twin spells inline."""
+    return f"""base AS (
+              SELECT {id_col} AS doc_id,
+                     substr(lower({val_col}), 1, {prefix_len}) AS bucket,
+                     CAST(floor(length(lower({val_col}))
+                                / {max_dist + 1}) AS BIGINT) AS lb
+              FROM {source}
+            ), bands AS (
+              SELECT doc_id, unnest([lb, lb + 1]) AS band, bucket
+              FROM base
+            )"""
 
 
 def _cap_audit_oracle_sql(band_ctes: str, max_bucket: int) -> str:
@@ -6544,6 +6589,9 @@ def oracle_sql() -> dict[str, str]:
             _minhash_band_ctes(num_hashes=32, bands=8), max_bucket=3),
         "simhash_cap_audit": _cap_audit_oracle_sql(
             _simhash_band_ctes(bands=4), max_bucket=2),
+        "fuzzy_cap_audit": _cap_audit_oracle_sql(
+            _fuzzy_band_ctes(prefix_len=3, max_dist=1),
+            max_bucket=240),
         # Full sketch-path twin: identical md5-derived plane literals in
         # both engines make the RP-LSH pipeline reproducible in DuckDB.
         "ann_lsh_auto": _rp_lsh_auto_oracle_sql(n=500, threshold=0.4,
