@@ -4539,6 +4539,16 @@ LESSON_QUERIES: dict[str, str] = {
         "warm sf10 — no index fixes a wrong operating point); "
         "deployment twin: incremental_semantic_auto_indexed (auto "
         "list count, 5.9-6.5 s warm sf10)",
+    # r15: the non-indexed fixed-16-list sibling priced at sf10
+    # (92.4 s, x10.7 at x10 data) — the same verification-bound
+    # operating point as the _indexed row above, lesson-shaped all
+    # along; tagged the round it was first priced, same move the r14
+    # verdict endorsed for the GK-1e6 siblings.
+    "incremental_semantic":
+        "fixed-16-list verification-bound operating point (92.4 s "
+        "sf10, x10.7 at x10 data — 16 lists over a 10x corpus makes "
+        "in-list verification corpus-proportional); deployment twin: "
+        "incremental_semantic_auto (auto list count, 4.7 s sf10)",
     # r14: the two GK siblings price at sf10 exactly like
     # fare_anomalies_approx (133.5 / 134.0 s, x14.7 at x10 data — the
     # accuracy=1e6 uncompressed-parity regime is super-linear by
