@@ -727,6 +727,26 @@ def _q_simhash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bands=4, portable=True, max_bucket=2)
 
 
+def _q_ivf_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15: the ANN sibling of the cap audits
+    (``similarity.ivf_occupancy_audit``) — routing-skew stats for the
+    IVF coarse quantizer at ``ann_ivf``'s registered operating point
+    (portable seeds, 16 lists). Probe cost is Σ probed-list sizes, so
+    a hot list is the ANN analogue of a hot LSH bucket; the
+    auto-sizers claim bounded occupancy and this row makes the claim
+    measurable (imbalance = hottest list / balanced mean). Same
+    O(n·k·d) codegen assignment pass as the index build, one
+    ≤ n_lists-group shuffle, one scalar aggregate."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        embedding_dim,
+        ivf_occupancy_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids_portable(emb, n_centroids=16)
+    return ivf_occupancy_audit(emb, cents, dim=embedding_dim(emb))
+
+
 def _q_fuzzy_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r15 (VERDICT r14 task 4, third capped family): the recall
     bill of the ``max_block`` skew guard in blocked fuzzy matching
@@ -4058,8 +4078,9 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (VERDICT r13 task 3): the complete 44-row r10-era cohort plus the
 #: oldest r11-era record, leaving the oldest driver record r11-era
 #: after r14.
-#: Round-15 driver window front: the THREE new registrations (the
-#: cap-audit trio — VERDICT r14 task 4, never driver-verified); the
+#: Round-15 driver window front: the FOUR new registrations (the
+#: cap-audit trio — VERDICT r14 task 4 — plus its ANN sibling
+#: ``ivf_occupancy_audit``, never driver-verified); the
 #: query whose PHYSICAL shape changed this round
 #: (``grouped_percentiles_sketch`` — salt_buckets="auto" resolves to
 #: the naive single window at fixture scale, VERDICT r14 task 1;
@@ -4067,11 +4088,13 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (``simhash_pairs`` — the max_bucket `is None` falsy-edge fix,
 #: ADVICE r14; rendered SQL identical at 32 except the comment); then
 #: steady-state oldest-first rotation (VERDICT r14 task 3): the r11-era
-#: records in their r11 order (the 50-entry window now reaches 45 of
-#: them, leaving ``ann_lsh`` and ``ann_lsh_auto`` r11-era to lead r16).
+#: records in their r11 order (the 50-entry window now reaches 44 of
+#: them, leaving ``embedding_near_dup``, ``ann_lsh`` and
+#: ``ann_lsh_auto`` r11-era to lead r16).
 _ROUND15_FRONT = [
     # new r15 (never driver-verified)
     "lsh_cap_audit", "simhash_cap_audit", "fuzzy_cap_audit",
+    "ivf_occupancy_audit",
     # physical shape (grouped auto salt crossover) / oracle text
     # (simhash falsy-edge comment) changed this round
     "grouped_percentiles_sketch", "simhash_pairs",
@@ -4302,12 +4325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries. Rounds 1-14 drove all 191 queries to a green
     driver record (cumulative union of windows; oldest records r11-era
     after r14). The round-15 window (``_ROUND15_FRONT``) leads with
-    the three new cap-audit registrations, the plan-changed
+    the four new audit registrations, the plan-changed
     ``grouped_percentiles_sketch`` and oracle-text-changed
     ``simhash_pairs``, then the r11-era records oldest-first (the
-    50-entry window reaches 45 of the 47; ``ann_lsh`` and
-    ``ann_lsh_auto`` stay r11-era to lead r16); prior fronts follow
-    in order."""
+    50-entry window reaches 44 of the 47; ``embedding_near_dup``,
+    ``ann_lsh`` and ``ann_lsh_auto`` stay r11-era to lead r16);
+    prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4399,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cap_audit": _q_lsh_cap_audit,
         "simhash_cap_audit": _q_simhash_cap_audit,
         "fuzzy_cap_audit": _q_fuzzy_cap_audit,
+        "ivf_occupancy_audit": _q_ivf_occupancy_audit,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -5887,6 +5911,55 @@ def _semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
     """
 
 
+def _ivf_occupancy_oracle_sql(n_lists: int = 16) -> str:
+    """DuckDB twin of ``similarity.ivf_occupancy_audit`` at the
+    ``ann_ivf`` operating point: the same portable md5 seed selection
+    and argmax-dot routing CTEs as :func:`_ann_ivf_oracle_sql`
+    (tie → lowest cid, matching Spark's first-index ``array_position``
+    argmax — the parity the ann_ivf twins already pin), then
+    list-size stats BIGINT-cast to match Spark's long columns."""
+    return f"""
+            WITH seeds AS (
+              SELECT CAST(row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         - 1 AS INTEGER) AS cid,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                              embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) AS cv
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+              QUALIFY row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                  <= {n_lists}),
+            corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec
+              FROM embeddings),
+            assigned AS (
+              SELECT vec_id, cid AS list_id FROM (
+                SELECT c.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.vec, s.cv) DESC,
+                                    s.cid) AS rn
+                FROM corpus c, seeds s) WHERE rn = 1),
+            sizes AS (
+              SELECT list_id, count(*) AS c
+              FROM assigned GROUP BY list_id)
+            SELECT CAST({n_lists} AS BIGINT) AS n_lists,
+                   coalesce(sum(c), 0)::BIGINT AS vecs_routed,
+                   count(*)::BIGINT AS nonempty_lists,
+                   coalesce(max(c), 0)::BIGINT AS max_list,
+                   coalesce(min(c), 0)::BIGINT AS min_list,
+                   ROUND(coalesce(sum(c), 0) / {n_lists}.0, 6)
+                       AS mean_occupancy,
+                   CASE WHEN coalesce(sum(c), 0) > 0
+                        THEN ROUND(max(c) * {n_lists}.0 / sum(c), 6)
+                        ELSE 0.0 END AS imbalance
+            FROM sizes
+        """
+
+
 def _ann_ivf_oracle_sql() -> str:
     """Shared twin of ``similarity.ivf_topk`` at the registered
     operating point (portable seeds, 16 lists, nprobe=4, k=10,
@@ -6602,6 +6675,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_cap_audit": _cap_audit_oracle_sql(
             _fuzzy_band_ctes(prefix_len=3, max_dist=1),
             max_bucket=240),
+        # IVF routing-skew audit (r15): the ANN sibling of the cap
+        # audits, over the exact portable-seed routing ann_ivf reads.
+        "ivf_occupancy_audit": _ivf_occupancy_oracle_sql(n_lists=16),
         # Full sketch-path twin: identical md5-derived plane literals in
         # both engines make the RP-LSH pipeline reproducible in DuckDB.
         "ann_lsh_auto": _rp_lsh_auto_oracle_sql(n=500, threshold=0.4,

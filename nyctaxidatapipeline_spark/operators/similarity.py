@@ -610,6 +610,53 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
               .drop("_dots"))
 
 
+def ivf_occupancy_audit(df: DataFrame, centroids: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """ONE stats row pricing the routing skew of an IVF coarse
+    quantizer — the ANN sibling of ``dedup.bucket_cap_audit`` (r15):
+    the auto-sizers (``knn_graph_ivf_n_centroids``,
+    ``rp_lsh_near_dup_auto``) claim bounded per-list occupancy, and
+    probe cost is ``Σ probed-list sizes``, so a hot list is the ANN
+    analogue of a hot LSH bucket — this makes the claim observable
+    instead of trusted:
+
+      * ``n_lists`` / ``vecs_routed`` / ``nonempty_lists`` — the
+        quantizer's width, the corpus routed through it, and how many
+        lists actually received vectors (empty lists waste probes);
+      * ``max_list`` / ``min_list`` — the hottest and coldest
+        nonempty list;
+      * ``mean_occupancy`` — vecs/lists (6 dp), the balanced ideal;
+      * ``imbalance`` — max_list / mean (6 dp): 1.0 is perfectly
+        balanced; an nprobe probe set containing the hot list scans
+        ~imbalance× its fair share.
+
+    Plan shape: the same O(n·k·d) codegen assignment pass the index
+    build runs (``ivf_assign``), one list-keyed shuffle of ≤ n_lists
+    groups, then a single scalar aggregate — list-count-sized, never
+    corpus-sized, no pair expansion. Zero-row input yields the
+    all-zeros row."""
+    n_lists = len(centroids)
+    sizes = (ivf_assign(df, centroids, id_col, vec_col, dim)
+             .groupBy("list_id").agg(F.count("*").alias("_c")))
+    c = F.col("_c").cast("long")
+    vecs = F.coalesce(F.sum(c), F.lit(0))
+    mx = F.coalesce(F.max(c), F.lit(0))
+    return sizes.agg(
+        F.lit(n_lists).cast("long").alias("n_lists"),
+        vecs.alias("vecs_routed"),
+        F.count("*").cast("long").alias("nonempty_lists"),
+        mx.alias("max_list"),
+        F.coalesce(F.min(c), F.lit(0)).alias("min_list"),
+        (F.round(vecs.cast("double") / F.lit(float(n_lists)), 6)
+         + F.lit(0.0)).alias("mean_occupancy"),
+        (F.when(vecs > 0,
+                F.round(mx.cast("double") * F.lit(float(n_lists))
+                        / vecs.cast("double"), 6))
+          .otherwise(0.0) + F.lit(0.0)).alias("imbalance"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

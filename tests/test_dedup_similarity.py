@@ -1393,3 +1393,35 @@ def test_bucket_cap_audit_empty_and_index_paths(spark, tmp_path):
                             ).collect()[0]
     assert tuple(direct) == tuple(via)
     assert direct.dropped_buckets == 8 and direct.docs_dropped == 5
+
+
+def test_ivf_occupancy_audit_planted_routing(spark):
+    """r15: the ANN sibling of the cap audits — every arm
+    hand-computable on a planted 2-centroid routing: three vectors
+    nearest e1, one nearest e2 → sizes (3, 1), mean 2.0, imbalance
+    3/2.0 = 1.5. An empty corpus yields the all-zeros row."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        ivf_occupancy_audit,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.8, 0.2]),
+        Row(vec_id=3, embedding=[0.7, 0.3]),
+        Row(vec_id=4, embedding=[0.1, 0.9]),
+    ])
+    row = ivf_occupancy_audit(df, cents, dim=2).collect()[0]
+    assert row["n_lists"] == 2
+    assert row["vecs_routed"] == 4
+    assert row["nonempty_lists"] == 2
+    assert row["max_list"] == 3
+    assert row["min_list"] == 1
+    assert row["mean_occupancy"] == 2.0
+    assert row["imbalance"] == 1.5
+    empty = ivf_occupancy_audit(df.filter("vec_id < 0"), cents,
+                                dim=2).collect()[0]
+    assert (empty["vecs_routed"] == 0 and empty["nonempty_lists"] == 0
+            and empty["max_list"] == 0 and empty["min_list"] == 0
+            and empty["mean_occupancy"] == 0.0
+            and empty["imbalance"] == 0.0)
