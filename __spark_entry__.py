@@ -727,6 +727,30 @@ def _q_simhash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              bands=4, portable=True, max_bucket=2)
 
 
+def _q_rp_lsh_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15: bucket audit over the RP-LSH banding
+    (``similarity.rp_lsh_cap_audit``) at ``ann_lsh_auto``'s exact
+    operating point (threshold 0.4, target recall 0.9, max_bands 8 —
+    n=500 at the sf0.01 gate derives 72 planes × 8 bands). RP-LSH has
+    NO run-time cap: occupancy is controlled by parameterization
+    (``rp_lsh_params`` grows band width with log2 n), and this row is
+    how an operator verifies the derived point delivered before
+    paying the posting-list rerank — ``max_bucket`` here is a
+    REPORTING threshold (6, between the fixture's bucket sizes:
+    hottest 8, 4/1037 multi-buckets over, 27/500 vecs exposed), not a
+    drop. Signature pass + one bucket-keyed shuffle; no pair
+    expanded."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        embedding_dim,
+        rp_lsh_cap_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_cap_audit(emb, threshold=0.4, target_recall=0.9,
+                            max_bands=8, dim=embedding_dim(emb),
+                            max_bucket=6)
+
+
 def _q_ivf_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r15: the ANN sibling of the cap audits
     (``similarity.ivf_occupancy_audit``) — routing-skew stats for the
@@ -4078,9 +4102,10 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (VERDICT r13 task 3): the complete 44-row r10-era cohort plus the
 #: oldest r11-era record, leaving the oldest driver record r11-era
 #: after r14.
-#: Round-15 driver window front: the FOUR new registrations (the
-#: cap-audit trio — VERDICT r14 task 4 — plus its ANN sibling
-#: ``ivf_occupancy_audit``, never driver-verified); the
+#: Round-15 driver window front: the FIVE new registrations (the
+#: cap-audit trio — VERDICT r14 task 4 — plus the ANN siblings
+#: ``ivf_occupancy_audit`` and ``rp_lsh_cap_audit``, never
+#: driver-verified); the
 #: query whose PHYSICAL shape changed this round
 #: (``grouped_percentiles_sketch`` — salt_buckets="auto" resolves to
 #: the naive single window at fixture scale, VERDICT r14 task 1;
@@ -4088,13 +4113,14 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (``simhash_pairs`` — the max_bucket `is None` falsy-edge fix,
 #: ADVICE r14; rendered SQL identical at 32 except the comment); then
 #: steady-state oldest-first rotation (VERDICT r14 task 3): the r11-era
-#: records in their r11 order (the 50-entry window now reaches 44 of
-#: them, leaving ``embedding_near_dup``, ``ann_lsh`` and
-#: ``ann_lsh_auto`` r11-era to lead r16).
+#: records in their r11 order (the 50-entry window now reaches 43 of
+#: them, leaving ``incremental_semantic_indexed``,
+#: ``embedding_near_dup``, ``ann_lsh`` and ``ann_lsh_auto`` r11-era
+#: to lead r16).
 _ROUND15_FRONT = [
     # new r15 (never driver-verified)
     "lsh_cap_audit", "simhash_cap_audit", "fuzzy_cap_audit",
-    "ivf_occupancy_audit",
+    "ivf_occupancy_audit", "rp_lsh_cap_audit",
     # physical shape (grouped auto salt crossover) / oracle text
     # (simhash falsy-edge comment) changed this round
     "grouped_percentiles_sketch", "simhash_pairs",
@@ -4325,10 +4351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries. Rounds 1-14 drove all 191 queries to a green
     driver record (cumulative union of windows; oldest records r11-era
     after r14). The round-15 window (``_ROUND15_FRONT``) leads with
-    the four new audit registrations, the plan-changed
+    the five new audit registrations, the plan-changed
     ``grouped_percentiles_sketch`` and oracle-text-changed
     ``simhash_pairs``, then the r11-era records oldest-first (the
-    50-entry window reaches 44 of the 47; ``embedding_near_dup``,
+    50-entry window reaches 43 of the 47;
+    ``incremental_semantic_indexed``, ``embedding_near_dup``,
     ``ann_lsh`` and ``ann_lsh_auto`` stay r11-era to lead r16);
     prior fronts follow in order."""
     full = {
@@ -4423,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cap_audit": _q_simhash_cap_audit,
         "fuzzy_cap_audit": _q_fuzzy_cap_audit,
         "ivf_occupancy_audit": _q_ivf_occupancy_audit,
+        "rp_lsh_cap_audit": _q_rp_lsh_cap_audit,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -5297,19 +5325,59 @@ def _fuzzy_band_ctes(prefix_len: int = 3, max_dist: int = 1,
             )"""
 
 
-def _cap_audit_oracle_sql(band_ctes: str, max_bucket: int) -> str:
+def _rp_band_ctes(n: int, threshold: float = 0.4,
+                  target_recall: float = 0.9, max_bands: int = 8,
+                  dim: int = 64) -> str:
+    """CTE chain for the RP-LSH banding over ``embeddings``, ending
+    with ``bands(vec_id, band, bucket)`` — the same auto-derived
+    (planes, bands) and md5 plane literals
+    :func:`_rp_lsh_auto_oracle_sql` spells inline (``rp_lsh_params``
+    at corpus count ``n``; the correctness gate runs at sf0.01 where
+    n=500), factored for the ``rp_lsh_cap_audit`` twin (r15)."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_params,
+        rp_plane_components_portable,
+    )
+
+    planes, bands = rp_lsh_params(n, threshold, target_recall, max_bands)
+    width = planes // bands
+    comps = rp_plane_components_portable(dim, planes)
+
+    def _bucket(bi: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(vec, [{arr}]) >= 0.0 "
+            "THEN {bit} ELSE 0 END)".format(
+                arr=", ".join(repr(c) for c in comps[bi * width + local]),
+                bit=1 << local)
+            for local in range(width))
+
+    band_rows = "\n              UNION ALL\n              ".join(
+        f"SELECT vec_id, {bi} AS band, {_bucket(bi)} AS bucket FROM v"
+        for bi in range(bands))
+    return f"""v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE len(embedding) > 0
+            ), bands AS (
+              {band_rows}
+            )"""
+
+
+def _cap_audit_oracle_sql(band_ctes: str, max_bucket: int,
+                          id_col: str = "doc_id") -> str:
     """DuckDB twin of ``dedup.bucket_cap_audit`` over any banding CTE
-    chain ending with ``bands(doc_id, band, bucket)``
-    (:func:`_minhash_band_ctes` / :func:`_simhash_band_ctes` — the
-    audit replays the EXACT banding its pair operator reads): bucket
-    sizes via count(DISTINCT doc_id) (== the operator's collect_set
-    size), the same cap predicate, the same Σ c·(c−1)/2 dropped
-    candidate arithmetic, BIGINT-cast to match Spark's long columns
-    (DuckDB sums widen to HUGEINT)."""
+    chain ending with ``bands(<id_col>, band, bucket)``
+    (:func:`_minhash_band_ctes` / :func:`_simhash_band_ctes` /
+    :func:`_fuzzy_band_ctes` / :func:`_rp_band_ctes` — the audit
+    replays the EXACT banding its pair operator reads): bucket sizes
+    via count(DISTINCT id) (== the operator's collect_set size), the
+    same cap predicate, the same Σ c·(c−1)/2 dropped candidate
+    arithmetic, BIGINT-cast to match Spark's long columns (DuckDB
+    sums widen to HUGEINT)."""
     mb = int(max_bucket)
+    doc_id = id_col
     return f"""
         WITH {band_ctes}, bsz AS (
-          SELECT band, bucket, count(DISTINCT doc_id) AS c
+          SELECT band, bucket, count(DISTINCT {doc_id}) AS c
           FROM bands GROUP BY band, bucket
         ), stats AS (
           SELECT coalesce(count(*) FILTER (WHERE c >= 2), 0)::BIGINT
@@ -5322,10 +5390,10 @@ def _cap_audit_oracle_sql(band_ctes: str, max_bucket: int) -> str:
                      AS cand_pairs_dropped
           FROM bsz
         ), banded AS (
-          SELECT count(DISTINCT doc_id)::BIGINT AS docs_banded
+          SELECT count(DISTINCT {doc_id})::BIGINT AS docs_banded
           FROM bands
         ), dropped AS (
-          SELECT count(DISTINCT b.doc_id)::BIGINT AS docs_dropped
+          SELECT count(DISTINCT b.{doc_id})::BIGINT AS docs_dropped
           FROM bands b
           JOIN (SELECT band, bucket FROM bsz WHERE c > {mb}) oc
             USING (band, bucket)
@@ -6678,6 +6746,13 @@ def oracle_sql() -> dict[str, str]:
         # IVF routing-skew audit (r15): the ANN sibling of the cap
         # audits, over the exact portable-seed routing ann_ivf reads.
         "ivf_occupancy_audit": _ivf_occupancy_oracle_sql(n_lists=16),
+        # RP-LSH bucket audit (r15): the reporting-threshold sibling
+        # over the exact auto-derived banding ann_lsh_auto reads
+        # (n=500 at the sf0.01 gate).
+        "rp_lsh_cap_audit": _cap_audit_oracle_sql(
+            _rp_band_ctes(n=500, threshold=0.4, target_recall=0.9,
+                          max_bands=8),
+            max_bucket=6, id_col="vec_id"),
         # Full sketch-path twin: identical md5-derived plane literals in
         # both engines make the RP-LSH pipeline reproducible in DuckDB.
         "ann_lsh_auto": _rp_lsh_auto_oracle_sql(n=500, threshold=0.4,

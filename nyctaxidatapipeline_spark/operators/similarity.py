@@ -1117,6 +1117,37 @@ def _rp_lsh_index_params(threshold: float, target_recall: float,
     return {k: v for k, v in p.items() if v is not None}
 
 
+def rp_lsh_cap_audit(df: DataFrame, threshold: float = 0.95,
+                     target_recall: float = 0.9,
+                     max_bands: int = 128,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     dim: int | None = None,
+                     n: int | None = None,
+                     max_bucket: int = 32) -> DataFrame:
+    """:func:`~nyctaxidatapipeline_spark.operators.dedup.bucket_cap_audit`
+    over the EXACT (id, band, bucket) banding
+    :func:`rp_lsh_near_dup_auto` reads at these parameters
+    (:func:`build_rp_lsh_index` — same auto-derived (planes, bands),
+    same md5 plane literals), completing the audit family across
+    every candidate generator (r15): unlike the capped
+    MinHash/SimHash/fuzzy paths, RP-LSH controls occupancy by
+    PARAMETERIZATION (``rp_lsh_params`` grows planes with the corpus
+    so expected bucket width stays bounded) — this row is how an
+    operator checks that the derived operating point actually
+    delivered (hottest bucket, Σ c·(c−1)/2 candidate expansions the
+    posting-list rerank is about to pay, doc share in over-
+    ``max_bucket`` buckets). Costs the signature pass plus one
+    bucket-keyed shuffle; never expands a pair."""
+    from nyctaxidatapipeline_spark.operators.dedup import (
+        bucket_cap_audit,
+    )
+
+    buckets = build_rp_lsh_index(df, threshold, target_recall,
+                                 max_bands, id_col, vec_col, dim, n)
+    return bucket_cap_audit(buckets, id_col, max_bucket)
+
+
 def rp_lsh_near_dup_auto(df: DataFrame, threshold: float = 0.95,
                          target_recall: float = 0.9,
                          max_bands: int = 128,

@@ -1425,3 +1425,38 @@ def test_ivf_occupancy_audit_planted_routing(spark):
             and empty["max_list"] == 0 and empty["min_list"] == 0
             and empty["mean_occupancy"] == 0.0
             and empty["imbalance"] == 0.0)
+
+
+def test_rp_lsh_cap_audit_planted_hot_bucket(spark):
+    """r15: the RP-LSH bucket audit over a planted hot bucket — 21
+    identical vectors share every band's bucket (identical signature),
+    so with a cap below 21 exactly the duplicate's buckets (one per
+    derived band) report as dropped; the 3 distinct fillers can at
+    most join those buckets, bounding the arms tightly without
+    hand-computing md5 plane signs."""
+    from nyctaxidatapipeline_spark.operators.similarity import (
+        rp_lsh_cap_audit,
+        rp_lsh_params,
+    )
+
+    dim = 8
+    dup = [1.0] + [0.0] * (dim - 1)
+    fillers = [[0.0] * i + [1.0] + [0.0] * (dim - 1 - i)
+               for i in (1, 2, 3)]
+    rows = [Row(vec_id=i, embedding=dup) for i in range(21)]
+    rows += [Row(vec_id=100 + i, embedding=v)
+             for i, v in enumerate(fillers)]
+    df = spark.createDataFrame(rows)
+    _, bands = rp_lsh_params(24, 0.95, 0.9, 128)
+    row = rp_lsh_cap_audit(df, threshold=0.95, dim=dim,
+                           max_bucket=10).collect()[0]
+    assert row["dropped_buckets"] == bands
+    assert 21 <= row["max_bucket_size"] <= 24
+    assert row["cand_pairs_dropped"] >= bands * (21 * 20 // 2)
+    assert row["docs_banded"] == 24
+    assert 21 <= row["docs_dropped"] <= 24
+    # cap above the corpus -> nothing dropped
+    clear = rp_lsh_cap_audit(df, threshold=0.95, dim=dim,
+                             max_bucket=24).collect()[0]
+    assert clear["dropped_buckets"] == 0
+    assert clear["cand_pairs_dropped"] == 0
