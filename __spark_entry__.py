@@ -2411,7 +2411,7 @@ def _q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_resize,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2669,6 +2669,27 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b_ts").alias("error_ts"))
 
 
+def _doc_ids_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents.doc_id`` fanned out to the session's parallelism
+    (``plans.util.fan_out``) before the media-synth + codec
+    mapInPandas zones.
+
+    The sf fixtures are single-row-group parquet files, so the scan
+    plans as ONE task and the whole encode+decode Python zone ran on
+    one core while the rest idled (r15 measurement: the media family
+    totalled 16.4 s of the 216 s sf0.1 sweep, dominated by the two
+    pure-Python JPEG rows at 3.9/4.5 s). The exchange this inserts
+    carries ONLY the 8-byte doc_id per row — the media bytes are
+    synthesized *after* the shuffle, so no payload ever moves (guide
+    §8 discipline) — and on any real-scale input whose scan is already
+    >= defaultParallelism partitions fan_out is an exact no-op."""
+    from nyctaxidatapipeline_spark.plans.util import fan_out
+
+    return fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id")
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-gated end-to-end: each document row
     synthesizes a deterministic 8x4 RGB PNG (pixel i = (doc_id*31+i)
@@ -2686,7 +2707,7 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2722,7 +2743,7 @@ def _q_image_features_png_i7(spark: SparkSession,
         image_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2758,7 +2779,7 @@ def _q_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2799,7 +2820,7 @@ def _q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2840,7 +2861,7 @@ def _q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         import numpy as np
@@ -2888,7 +2909,7 @@ def _q_image_features_jpeg_prog(spark: SparkSession,
         image_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         import numpy as np
@@ -2927,7 +2948,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2959,7 +2980,7 @@ def _q_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2996,7 +3017,7 @@ def _q_frame_sample_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -3027,7 +3048,7 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         import struct
@@ -3068,7 +3089,7 @@ def _q_audio_features_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_wide(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:

@@ -119,7 +119,15 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     produces the identical integer.
     """
     term = "CAST(SIGN(m.v) AS BIGINT) * FLOOR(ABS(m.v * 1e12) + 0.5D)"
-    partials = (df
+    # The d²-term explode is the whole cost of this pass (d=64 ⇒ 2,081
+    # terms/row). A single-row-group fixture scan plans as ONE task, so
+    # without the fan_out the explode+partial agg ran on one core
+    # (r15: embedding_covariance 2.8 s at sf0.1). Results are exact
+    # under ANY partitioning — the per-partition LONG partials merge by
+    # integer addition — and fan_out is a no-op on real-scale scans.
+    from nyctaxidatapipeline_spark.plans.util import fan_out
+
+    partials = (fan_out(df)
                 .select(F.explode(_moment_structs(vec_col)).alias("m"),
                         F.spark_partition_id().alias("_p"))
                 .groupBy(F.col("m.i").alias("i"), F.col("m.j").alias("j"),

@@ -52,6 +52,12 @@ def profile_numeric(df: DataFrame, cols: Sequence[str],
         # tests `approx is True` — approx=1 would silently run exact.
         raise ValueError(
             f"approx must be False, True, or 'hll', got {approx!r}")
+    # NOTE (r15, measured): no fan_out here. The exact mode's cost is
+    # the per-column countDistinct (distinct-shuffle + merge) — widening
+    # the 1-task fixture scan measured 1.33 -> 1.65 s at sf0.1 (the
+    # added exchange outweighs the parallel partials when the partial
+    # can't collapse ~distinct values). The hll mode below DOES fan out
+    # (md5-per-value is embarrassingly parallel: 3.64 -> 1.55 s).
     parts = []
     for c in cols:
         distinct = (F.approx_count_distinct(c) if approx is True
@@ -90,6 +96,13 @@ def _profile_hll(df: DataFrame, cols: Sequence[str],
         hll_finish,
         hll_registers,
     )
+    from nyctaxidatapipeline_spark.plans.util import fan_out
+
+    # Same narrow-scan fan-out rationale as profile_numeric: both
+    # passes below are per-row maps feeding order-independent
+    # aggregates, and the md5-per-value register pass is the whole
+    # cost of this mode.
+    df = fan_out(df.select(*[F.col(c) for c in cols]))
 
     # pass 1 — every column's stats in one aggregate, then unpivot the
     # single row (broadcast-sized) into the long frame

@@ -68,12 +68,20 @@ def grouped_percentiles(df: DataFrame, group_cols: Sequence[str], col: str,
     if mode not in ("exact", "approx"):
         raise ValueError(f"grouped_percentiles mode must be 'exact' or "
                          f"'approx', got {mode!r}")
-    fn = F.percentile if mode == "exact" else \
-        (lambda c, p: F.percentile_approx(c, p, F.lit(accuracy)))
-    aggs = [F.round(fn(F.col(col), F.lit(p)), 6)
-             .alias(f"p{int(p * 100)}")
-            for p in percentiles]
-    return df.groupBy(*group_cols).agg(*aggs)
+    # ONE per-group buffer for ALL requested percentiles: both
+    # percentile forms accept an array of percentages, so the group's
+    # values are buffered (exact) / sketched (GK) once and queried at
+    # every rank — N scalar aggs each built their own whole-group
+    # buffer (r15 measured ~2x on the 2-percentile registered queries).
+    parr = F.array(*[F.lit(p) for p in percentiles])
+    agg = (F.percentile(F.col(col), parr) if mode == "exact"
+           else F.percentile_approx(F.col(col), parr, F.lit(accuracy)))
+    return (df.groupBy(*group_cols)
+              .agg(agg.alias("_ps"))
+              .select(*group_cols,
+                      *[F.round(F.col("_ps")[i], 6)
+                         .alias(f"p{int(p * 100)}")
+                        for i, p in enumerate(percentiles)]))
 
 
 def distinct_counts(df: DataFrame, group_cols: Sequence[str], col: str,
