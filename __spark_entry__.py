@@ -2411,7 +2411,7 @@ def _q_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_resize,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2682,7 +2682,15 @@ def _doc_ids_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries ONLY the 8-byte doc_id per row — the media bytes are
     synthesized *after* the shuffle, so no payload ever moves (guide
     §8 discipline) — and on any real-scale input whose scan is already
-    >= defaultParallelism partitions fan_out is an exact no-op."""
+    >= defaultParallelism partitions fan_out is an exact no-op.
+
+    Used ONLY by the rows whose per-row codec work measurably exceeds
+    the exchange's local fixed cost (~0.4-0.5 s, same-host min-of-7
+    A/B): the two pure-Python JPEG decodes (4.15→1.48 s, 4.47→1.84 s),
+    the LZW GIF decode (1.54→1.10 s) and the dHash decode+hash pass.
+    The cheap container walks (fake/wav/mp3/h264 header arithmetic,
+    the tiny 8x4 PNG decodes) measured FASTER single-task than behind
+    the exchange — they keep the plain narrow scan."""
     from nyctaxidatapipeline_spark.plans.util import fan_out
 
     return fan_out(
@@ -2707,7 +2715,7 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_features,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2743,7 +2751,7 @@ def _q_image_features_png_i7(spark: SparkSession,
         image_features,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2948,7 +2956,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2980,7 +2988,7 @@ def _q_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -3017,7 +3025,7 @@ def _q_frame_sample_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -3048,7 +3056,7 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         import struct
@@ -3089,7 +3097,7 @@ def _q_audio_features_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    docs = _doc_ids_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
