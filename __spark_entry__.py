@@ -4146,6 +4146,27 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: them, leaving ``incremental_semantic_indexed``,
 #: ``embedding_near_dup``, ``ann_lsh`` and ``ann_lsh_auto`` r11-era
 #: to lead r16).
+#: Round-16 driver window front (VERDICT r15 task 1): lead with the
+#: ELEVEN r15-rewritten query paths that never got a fresh driver-oracle
+#: record after their plans changed (the standing "changed plan ⇒ front
+#: of window" protocol the r15 optimizer missed), then the queries whose
+#: plans change THIS round (r16 optimizations), then steady-state
+#: oldest-first rotation: the four remaining r11-era rows.
+_ROUND16_FRONT = [
+    # r15 plan-changed, never re-verified by the driver after the change
+    "winsorized_prices", "winsorized_prices_approx",
+    "grouped_percentiles", "grouped_percentiles_approx",
+    "image_features_jpeg", "image_features_jpeg_prog",
+    "image_features_gif", "image_dedup_dhash",
+    "profile_lineitem_approx", "embedding_covariance", "pca_project",
+    # r16 plan-changed (this round's optimizations)
+    "pagerank", "label_propagation", "shortest_paths",
+    "knn_communities",
+    # r11-era records (oldest cohort, completing the rotation)
+    "incremental_semantic_indexed", "embedding_near_dup",
+    "ann_lsh", "ann_lsh_auto",
+]
+
 _ROUND15_FRONT = [
     # new r15 (never driver-verified)
     "lsh_cap_audit", "simhash_cap_audit", "fuzzy_cap_audit",
@@ -4379,14 +4400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records
     the first 50 entries. Rounds 1-14 drove all 191 queries to a green
     driver record (cumulative union of windows; oldest records r11-era
-    after r14). The round-15 window (``_ROUND15_FRONT``) leads with
-    the five new audit registrations, the plan-changed
-    ``grouped_percentiles_sketch`` and oracle-text-changed
-    ``simhash_pairs``, then the r11-era records oldest-first (the
-    50-entry window reaches 43 of the 47;
-    ``incremental_semantic_indexed``, ``embedding_near_dup``,
-    ``ann_lsh`` and ``ann_lsh_auto`` stay r11-era to lead r16);
-    prior fronts follow in order."""
+    after r14). The round-16 window (``_ROUND16_FRONT``) leads with the
+    eleven r15-plan-changed queries the r15 session failed to rotate in
+    (VERDICT r15 task 1), then this round's own plan-changed queries
+    (the graph family + consumers), then the four remaining r11-era
+    records; prior fronts follow in order."""
     full = {
         # --- driver CORRECTNESS window (first 50): never driver-checked
         # as of r03 ---
@@ -4584,7 +4602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "weighted_corpus_sample": _q_weighted_corpus_sample,
     }
-    ordered = {name: full[name] for name in _ROUND15_FRONT}
+    ordered = {name: full[name] for name in _ROUND16_FRONT}
+    ordered.update({name: full[name] for name in _ROUND15_FRONT})
     ordered.update({name: full[name] for name in _ROUND14_FRONT})
     ordered.update({name: full[name] for name in _ROUND13_FRONT})
     ordered.update({name: full[name] for name in _ROUND12_FRONT})

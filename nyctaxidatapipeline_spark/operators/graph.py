@@ -35,7 +35,7 @@ plan superlinearly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,66 +48,87 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     Duplicate edges contribute once each — pre-``distinct()`` the input
     if multi-edges should not add weight.
 
-    ``checkpoint_every`` truncates the ranks lineage mid-loop; each
-    un-checkpointed round nests another join+agg into ONE plan, and at
-    deep iteration counts Catalyst's analysis/optimization time on that
-    nested plan grows superlinearly (the classic iterative-algorithm
-    trap). The default fires every 2 rounds, so it engages even at the
-    default ``iters=3``; a 20-iteration run is regression-tested for
-    bounded wall-clock in ``tests/test_graph.py``.
+    ``checkpoint_every`` truncates the loop-state lineage mid-loop;
+    each un-checkpointed round nests another join+agg into ONE plan,
+    and at deep iteration counts Catalyst's analysis/optimization time
+    on that nested plan grows superlinearly (the classic
+    iterative-algorithm trap). The default fires every 2 rounds, so it
+    engages even at the default ``iters=3``; a 20-iteration run is
+    regression-tested for bounded wall-clock in ``tests/test_graph.py``.
     """
-    # Materialize the loop invariants ONCE: the edge table, node set,
-    # and out-degrees are referenced by every iteration, and Spark's
-    # lazy evaluation would otherwise replay the upstream edge
-    # derivation (scan + distinct + ...) once per reference per round —
-    # measured 3-4x the whole query's cost at 3 iterations.
-    # localCheckpoint truncates their lineage and pins the computed
-    # partitions (the single-query equivalent of persisting the
-    # partitioned edge table). Two layout choices keep each iteration
-    # at EXACTLY ONE EDGE-SIZED shuffle (the contribution aggregate by
-    # dst, map-side combined — pinned structurally by
-    # tests/test_graph.py::test_pagerank_one_edge_sized_shuffle_per_round):
-    #   * out-degree is folded into the edge table before the loop —
-    #     the per-round edges⋈outdeg join would otherwise repeat
-    #     identical work every iteration;
-    #   * the folded edge table's src-hash exchange is computed once
-    #     and AQE-reuses across rounds (Spark's localCheckpoint does
-    #     NOT preserve outputPartitioning metadata, so the plan still
-    #     SHOWS per-round exchanges for the ranks/nodes sides — but
-    #     those move O(nodes) bytes per round, never O(edges); the
-    #     edge bytes cross the wire once per round, in the aggregate).
-    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-              .localCheckpoint(eager=False))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    # The shuffle join on src leaves ew hash-partitioned by src — no
-    # explicit repartition needed (it would be one more exchange).
-    ew = (e.join(outdeg, "src")
-           .localCheckpoint(eager=False))
-    nodes = (e.select(F.col("src").alias("node"))
-              .union(e.select(F.col("dst").alias("node")))
-              .distinct()
-              .localCheckpoint(eager=False))
+    # Loop invariants are materialized ONCE (localCheckpoint truncates
+    # lineage and pins the computed partitions — the single-query
+    # equivalent of persisting the partitioned edge table); without the
+    # pins, lazy evaluation would replay the upstream edge derivation
+    # (scan + distinct + ...) once per reference per round — measured
+    # 3-4x the whole query's cost at 3 iterations.
+    #
+    # r16 restructure (guide §2.4 "remove shuffles outright", §1.2
+    # "don't compute things twice"), measured against the r15 shape:
+    #   * out-degree comes from a COUNT WINDOW over the src partition,
+    #     not a groupBy+self-join — same src-hash exchange the join
+    #     needed anyway, minus the join and its broadcast build, and
+    #     the raw edge table no longer needs its own checkpoint (one
+    #     edge-table materialization instead of two).
+    #   * the loop carries the per-round CONTRIBUTION SUMS, not
+    #     materialized ranks: rank(u) = (1-d)/N + d·coalesce(s(u), 0)
+    #     is a closed form over the previous round's sums, so it is
+    #     evaluated INSIDE the next round's edge join (and once at the
+    #     end over the full node set). This removes the per-round
+    #     O(nodes) join against ``nodes`` — one join + one node-sized
+    #     exchange + one broadcast build per round less, identical
+    #     values (the same ROUND(·, 6) expressions at the same
+    #     boundaries; pinned against a pure-Python twin in
+    #     tests/test_graph.py).
+    # Each iteration keeps EXACTLY ONE EDGE-SIZED shuffle (the
+    # contribution aggregate by dst, map-side combined — pinned
+    # structurally by test_pagerank_one_edge_sized_shuffle_per_round;
+    # localCheckpoint does not preserve outputPartitioning, so the plan
+    # still shows the pinned edge table's src exchange per round, but
+    # it is computed once and AQE-reused across rounds).
+    w_deg = Window.partitionBy("src")
+    ew = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+               .withColumn("_deg", F.count("*").over(w_deg))
+               .localCheckpoint(eager=False))
+    nodes = (ew.select(F.col("src").alias("node"))
+               .union(ew.select(F.col("dst").alias("node")))
+               .distinct()
+               .localCheckpoint(eager=False))
     n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    ranks = (nodes.crossJoin(n1)
-             .select("node", F.round(1.0 / F.col("_n"), 6).alias("rank")))
+    # rank expression over the PREVIOUS round's sums (s = NULL for
+    # nodes that received no contributions); round 0 is the uniform
+    # initial rank. Same rounding discipline as the module docstring.
+    init_rank = F.round(1.0 / F.col("_n"), 6)
+
+    def rank_expr(s: F.Column) -> F.Column:
+        return F.round((1.0 - damping) / F.col("_n")
+                       + damping * F.coalesce(s, F.lit(0.0)), 6)
+
+    sums = None
     for i in range(iters):
-        contribs = (ew.join(ranks.withColumnRenamed("node", "src"), "src")
-                      .select("dst", (F.col("rank") / F.col("_deg"))
-                              .alias("_c")))
+        if sums is None:
+            contribs = (ew.crossJoin(n1)
+                          .select("dst", (init_rank / F.col("_deg"))
+                                  .alias("_c")))
+        else:
+            contribs = (ew.join(sums.withColumnRenamed("dst", "src"),
+                                "src", "left")
+                          .crossJoin(n1)
+                          .select("dst",
+                                  (rank_expr(F.col("_s")) / F.col("_deg"))
+                                  .alias("_c")))
         sums = (contribs.groupBy("dst")
                         .agg(F.round(F.sum("_c"), 6).alias("_s")))
-        ranks = (nodes.join(sums.withColumnRenamed("dst", "node"),
-                            "node", "left")
-                 .crossJoin(n1)
-                 .select("node",
-                         F.round((1.0 - damping) / F.col("_n")
-                                 + damping * F.coalesce(F.col("_s"),
-                                                        F.lit(0.0)),
-                                 6).alias("rank")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            sums = sums.localCheckpoint(eager=False)
+    if sums is None:   # iters=0: the uniform initial ranks
+        return (nodes.crossJoin(n1)
+                     .select("node", init_rank.alias("rank")))
+    return (nodes.join(sums.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .crossJoin(n1)
+            .select("node", rank_expr(F.col("_s")).alias("rank")))
 
 
 def label_propagation(edges: DataFrame, src: str = "src",
@@ -140,9 +161,18 @@ def label_propagation(edges: DataFrame, src: str = "src",
               .localCheckpoint(eager=False))
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
-        cnts = (e.join(labels.withColumnRenamed("node", "src"), "src")
-                 .groupBy("dst", "label")
-                 .agg(F.count("*").alias("_cnt")))
+        if i == 0:
+            # Round 1 shortcut (r16, guide §2.4): labels start as the
+            # IDENTITY map (label(src) == src), so joining the label
+            # table in is a no-op projection — read the label straight
+            # off the edge row and skip the join + broadcast build.
+            cnts = (e.groupBy("dst", F.col("src").alias("label"))
+                     .agg(F.count("*").alias("_cnt")))
+        else:
+            cnts = (e.join(labels.withColumnRenamed("node", "src"),
+                           "src")
+                     .groupBy("dst", "label")
+                     .agg(F.count("*").alias("_cnt")))
         best = (cnts.groupBy("dst")
                     .agg(F.max_by(
                         "label",
@@ -245,7 +275,19 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
                 .distinct()
                 .select("node", F.lit(0).alias("dist")))
     for i in range(iters):
-        relaxed = (e.join(d.withColumnRenamed("node", "src"), "src")
+        # Frontier-only relaxation (r16, guide §1.2): in unweighted BFS
+        # a node's distance equals its first-reach round and never
+        # improves afterwards, so only the FRONTIER (nodes first
+        # reached last round, dist == i) can relax anything new — a
+        # non-frontier node u (dist < i) already emitted dist(u)+1 to
+        # its neighbors the round it WAS the frontier, and the min-agg
+        # kept it. Joining the whole distance table per round re-derived
+        # those same contributions; the filter makes the per-round join
+        # input the frontier, which shrinks to nothing as the reachable
+        # set saturates (the Pregel BFS cost profile).
+        frontier = d if i == 0 else d.filter(F.col("dist") == i)
+        relaxed = (e.join(frontier.withColumnRenamed("node", "src"),
+                          "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("dist") + 1).alias("dist")))
         d = (d.unionByName(relaxed)

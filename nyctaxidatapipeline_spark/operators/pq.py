@@ -143,16 +143,38 @@ def _fold_dot(a_expr: str, b_expr: str) -> str:
             f"0.0D, (acc, x) -> acc + x)")
 
 
+def _self_dot(c: list[float]) -> float:
+    """``<c,c>`` computed with EXACTLY the fold's operation order
+    (0.0 seed; per element one multiply then one add, left to right —
+    each individually rounded, no FMA) so the driver-side constant is
+    bit-identical to what the runtime ``aggregate(zip_with(...))`` fold
+    produced — Python floats and Spark doubles are the same IEEE 754
+    binary64 operations."""
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return acc
+
+
 def _sub_scores(vec_name: str, book: list[list[float]], mi: int,
                 sub: int) -> str:
     """array<double> of ``<c,c> - 2<x_mi,c>`` for every code of subspace
     ``mi`` — the shared encode/ADC score expression (the engines agree
-    bitwise because both factor through sequential-fold dots)."""
+    bitwise because both factor through sequential-fold dots).
+
+    r16 (guide §1.2 per-task work): the ``<c,c>`` term is a pure
+    function of the literal codebook, but Catalyst does NOT constant-
+    fold higher-order functions, so the r15 shape paid ``m x n_codes``
+    runtime folds PER ROW (and Catalyst planned a tree twice this
+    size). It is now a driver-computed literal with the identical
+    operation order (``_self_dot``), halving both the expression tree
+    the optimizer walks and the per-row lambda work; values are
+    bit-identical (pinned in tests/test_compressed.py)."""
     sl = f"slice({vec_name}, {mi * sub + 1}, {sub})"
     terms = []
     for c in book:
         arr = _lit_arr(c)
-        terms.append(f"({_fold_dot(arr, arr)}) - 2.0D * ({_fold_dot(sl, arr)})")
+        terms.append(f"{_self_dot(c)!r}D - 2.0D * ({_fold_dot(sl, arr)})")
     return "array(" + ", ".join(terms) + ")"
 
 

@@ -91,7 +91,20 @@ def _profile_hll(df: DataFrame, cols: Sequence[str],
     register aggregate for all columns (``group_cols=["column"]``), so
     the md5 count is unchanged but the scan/agg count is constant in
     the column count. Results are identical to the per-column form —
-    the estimator sees exactly the same (column, key) multiset."""
+    the estimator sees exactly the same (column, key) multiset.
+
+    Shuffle note (ADVICE r15): the module docstring's "bounded
+    O(m)-per-column shuffle" describes the REGISTER aggregate; the
+    ``fan_out`` below additionally pays one data-sized exchange of the
+    projected numeric columns whenever the input scan is narrower than
+    the session parallelism (fixture scale: ~9 MB at sf0.1). At real
+    scale the fan_out is a no-op and the bounded-register claim is the
+    whole story. The repartition is keyless round-robin — retry-safe
+    because Spark sorts before round-robin repartition
+    (``spark.sql.execution.sortBeforeRepartition``, on by default);
+    keying on the profiled value columns would risk skew on
+    low-cardinality columns for no correctness gain (both downstream
+    aggregates are order-independent)."""
     from nyctaxidatapipeline_spark.operators.sketches import (
         hll_finish,
         hll_registers,

@@ -76,10 +76,15 @@ def grouped_percentiles(df: DataFrame, group_cols: Sequence[str], col: str,
     parr = F.array(*[F.lit(p) for p in percentiles])
     agg = (F.percentile(F.col(col), parr) if mode == "exact"
            else F.percentile_approx(F.col(col), parr, F.lit(accuracy)))
+    # Temp alias must not collide with a caller's group column (ADVICE
+    # r15: a group col literally named like the alias would make the
+    # select below ambiguous); dunder-prefixed to stay out of any
+    # plausible user namespace.
+    ps = "__gp_ps__"
     return (df.groupBy(*group_cols)
-              .agg(agg.alias("_ps"))
+              .agg(agg.alias(ps))
               .select(*group_cols,
-                      *[F.round(F.col("_ps")[i], 6)
+                      *[F.round(F.col(ps)[i], 6)
                          .alias(f"p{int(p * 100)}")
                         for i, p in enumerate(percentiles)]))
 

@@ -191,13 +191,15 @@ def test_pagerank_one_edge_sized_shuffle_per_round(spark):
     """Structural pin of the scale claim (VERDICT r4 item 5): each
     PageRank round shuffles the EDGE-sized contribution stream exactly
     once — the groupBy(dst) aggregate, map-side combined. The plan also
-    re-exchanges node-sized bookkeeping per round (ranks into the src
-    join, nodes into the left join, the 1-row count) because Spark's
-    localCheckpoint does not preserve outputPartitioning — those move
-    O(nodes)/O(1) bytes, not O(edges), and the pre-partitioned edge
-    exchange itself is computed once and AQE-reused across rounds. If a
-    refactor un-folds the out-degree join back into the loop (or adds
-    any second edge-sized shuffle), the per-round deltas below jump and
+    re-exchanges the pinned edge table (computed once, AQE-reused
+    across rounds — localCheckpoint does not preserve
+    outputPartitioning) and the node-sized previous-round sums into the
+    src join; the r16 sums-carrying loop removed the third per-round
+    exchange (the O(nodes) join against the node set — the rank closed
+    form is evaluated inside the edge join instead, so the node set is
+    joined exactly once, at the end). If a refactor un-folds the
+    out-degree into the loop, re-adds the per-round nodes join, or adds
+    any second edge-sized shuffle, the per-round deltas below jump and
     this test fails."""
     import re
 
@@ -216,5 +218,7 @@ def test_pagerank_one_edge_sized_shuffle_per_round(spark):
     (d1, t1), (d2, t2), (d3, t3) = counts(1), counts(2), counts(3)
     # exactly ONE edge-sized (dst) shuffle per round
     assert (d1, d2, d3) == (1, 2, 3)
-    # per-round total is a pinned constant (1 edge-sized + 3 node-sized)
-    assert t2 - t1 == t3 - t2 == 4, (t1, t2, t3)
+    # per-round total is a pinned constant: 1 edge-sized (dst agg)
+    # + the AQE-reused edge-table src exchange + 1 node-sized (sums
+    # into the src join). r15 shape was 4 (the per-round nodes join).
+    assert t2 - t1 == t3 - t2 == 3, (t1, t2, t3)

@@ -1,12 +1,17 @@
-"""Dump ``explain("formatted")`` for named queries to plans/r15/.
+"""Dump ``explain("formatted")`` for named queries to plans/<round>/.
 
 Usage::
 
     python tools/dump_plans.py before q1 q2 ...   # writes <q>_before.txt
     python tools/dump_plans.py after  q1 q2 ...   # writes <q>_after.txt
 
+The round directory defaults to ``plans/r16`` and is overridden with
+``SPARK_GRAFT_PLAN_DIR`` (ADVICE r15: the r15 version hardcoded
+``plans/r15`` and accepted any suffix string, so a typo silently wrote
+a file no doc would ever reference).
+
 Explain-only (no execution): captures the pre-execution physical plan —
-the same artifact the judge reads against OPTIMIZATION_r15.md claims.
+the same artifact the judge reads against OPTIMIZATION_r16.md claims.
 """
 
 from __future__ import annotations
@@ -21,16 +26,25 @@ from nyctaxidatapipeline_spark import get_spark
 from nyctaxidatapipeline_spark.plans.util import explain_str
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r15")
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLAN_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "plans", "r16"))
 
 
 def main() -> None:
+    if len(sys.argv) < 3 or sys.argv[1] not in ("before", "after"):
+        sys.exit("usage: dump_plans.py {before|after} query [query ...]\n"
+                 "       (round dir: $SPARK_GRAFT_PLAN_DIR, default "
+                 f"{OUT_DIR})")
     suffix = sys.argv[1]
     names = sys.argv[2:]
+    qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {', '.join(unknown)}")
     os.makedirs(OUT_DIR, exist_ok=True)
     spark = get_spark("dump_plans")
-    qs = entrymod.queries()
     for name in names:
         df = qs[name](spark, SF_DIR)
         path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
