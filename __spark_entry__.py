@@ -2589,18 +2589,30 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused by ``rrf_fuse`` (score = Σ 1/(60+rank)) into a top-10. One
     union-wide aggregate + query-keyed windows — no outer-join chain,
     generalizes to N lists."""
+    from nyctaxidatapipeline_spark.plans.util import build_concurrently
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    qterms = top_query_terms(docs.filter(F.col("doc_id") < 5),
-                             "text", "doc_id", n_terms=3)
-    lex = bm25_multi(docs, qterms, "text", "doc_id")
-    lexr = top_k_per_group(
-        lex, ["query_id"],
-        [F.col("bm25").desc(), F.col("doc_id").asc()],
-        k=20, desc=False, rank_col="rank")
-    dense = (brute_force_topk(emb, emb.filter(F.col("vec_id") < 5),
-                              k=20, dim=embedding_dim(emb))
-             .withColumnRenamed("vec_id", "doc_id"))
+
+    def _lex_arm():
+        qterms = top_query_terms(docs.filter(F.col("doc_id") < 5),
+                                 "text", "doc_id", n_terms=3)
+        lex = bm25_multi(docs, qterms, "text", "doc_id")
+        return top_k_per_group(
+            lex, ["query_id"],
+            [F.col("bm25").desc(), F.col("doc_id").asc()],
+            k=20, desc=False, rank_col="rank")
+
+    def _dense_arm():
+        return (brute_force_topk(emb, emb.filter(F.col("vec_id") < 5),
+                                 k=20, dim=embedding_dim(emb))
+                .withColumnRenamed("vec_id", "doc_id"))
+
+    # The arms run driver actions at build (the lexical arm collects
+    # the distinct query-term set and pins the tokenized-hits frame;
+    # the dense arm probes the embedding dim) — overlap them on two
+    # driver threads (guide §2.6; identical plans, shorter build).
+    lexr, dense = build_concurrently(spark, _lex_arm, _dense_arm)
     return rrf_fuse([lexr, dense], k=10)
 
 
@@ -4159,9 +4171,17 @@ _ROUND16_FRONT = [
     "image_features_jpeg", "image_features_jpeg_prog",
     "image_features_gif", "image_dedup_dhash",
     "profile_lineitem_approx", "embedding_covariance", "pca_project",
-    # r16 plan-changed (this round's optimizations)
+    # r16 touched (this round's optimizations): plan-changed — the
+    # graph family and its consumer, the PQ constant-fold pair, the
+    # audit family's shared-exchange rewrite (audits already in the
+    # window via the r15 block below); build-concurrency-changed
+    # (identical plans, re-verified out of caution) — the threaded
+    # compositions; measured-and-reverted probe sites re-verified too
     "pagerank", "label_propagation", "shortest_paths",
-    "knn_communities",
+    "knn_communities", "ann_pq", "ann_ivfpq",
+    "near_dup_production", "near_dup_stats", "dedup_savings",
+    "cross_signal_dedup", "cross_signal_dedup_indexed",
+    "rrf_fusion", "bm25_scores",
     # r11-era records (oldest cohort, completing the rotation)
     "incremental_semantic_indexed", "embedding_near_dup",
     "ann_lsh", "ann_lsh_auto",

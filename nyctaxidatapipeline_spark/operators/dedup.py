@@ -837,6 +837,15 @@ def near_dup_production(df: DataFrame, text_col: str, id_col: str,
     (n, num_hashes, bands, portable, max_bucket) must match the
     index's build parameters.
     """
+    # NOTE (r16, measured, do NOT retry): rewriting this collapse as a
+    # min-window over the fp partition (removing the membership join)
+    # measured 1.03-1.09x SLOWER at sf0.1 AND sf1 across the whole
+    # consumer family (near_dup_production/near_dup_stats/
+    # dedup_savings) — the window pays a per-partition SORT of the
+    # corpus by the 32-char md5 key where the groupBy is a hash
+    # aggregate, and the join it saves is a broadcast of the
+    # classes-sized rep table. The r15 groupBy+join shape below is the
+    # measured optimum.
     fp = F.md5(F.encode(F.col(text_col), "utf-8")).alias("_fp")
     with_fp = df.select(F.col(id_col), F.col(text_col), fp)
     rep_map = (with_fp.groupBy("_fp")
@@ -1090,10 +1099,20 @@ def bucket_cap_audit(buckets: DataFrame, id_col: str,
         whose near-dup edges the cap can have cut.
 
     Scale shape: the same one-shuffle groupBy on (band, bucket) as
-    the pair expansion, then three scalar aggregates (bucket-count-,
+    the pair expansion, then two scalar aggregates (bucket-count-,
     not corpus-sized) cross-joined as 1-row broadcasts — the
     established runtime-scalar pattern; no collect, no all-pairs.
-    A zero-row ``buckets`` input yields the all-zeros row."""
+    A zero-row ``buckets`` input yields the all-zeros row.
+
+    r16 (guide §1.2/§2.4): both doc-distinct counts now derive from
+    the GROUPED bucket table (one explode + one two-distinct
+    aggregate) instead of ``docs_banded`` re-aggregating the raw
+    banding table — that aggregate shared no exchange with the
+    grouped subtree, so the whole upstream signature pass executed a
+    second time (a full corpus tokenize+hash at 100 TB). The union of
+    bucket member sets IS the banded doc set, so the values are
+    identical; the grouped exchange is runtime-reused between the two
+    remaining aggregates."""
     mb = int(max_bucket)
     sized = (buckets.groupBy("band", "bucket")
                     .agg(F.collect_set(id_col).alias("ids"))
@@ -1108,12 +1127,12 @@ def bucket_cap_audit(buckets: DataFrame, id_col: str,
         F.coalesce(F.sum(F.when(c > mb, c * (c - 1) / 2)
                           .otherwise(0)).cast("long"),
                    F.lit(0)).alias("cand_pairs_dropped"))
-    banded = buckets.agg(
-        F.count_distinct(F.col(id_col)).alias("docs_banded"))
-    dropped = (sized.filter(c > mb)
-                    .select(F.explode("ids").alias("_id"))
-                    .agg(F.count_distinct("_id").alias("docs_dropped")))
-    return (stats.join(banded).join(dropped)
+    doc_stats = (sized.select(c.alias("_c"), F.explode("ids").alias("_id"))
+                      .agg(F.count_distinct("_id").alias("docs_banded"),
+                           F.count_distinct(
+                               F.when(F.col("_c") > mb, F.col("_id")))
+                            .alias("docs_dropped")))
+    return (stats.join(doc_stats)
                  .select("multi_buckets", "dropped_buckets",
                          "max_bucket_size", "cand_pairs_dropped",
                          "docs_banded", "docs_dropped",
@@ -1390,28 +1409,42 @@ def cross_signal_dedup(docs: DataFrame, emb: DataFrame,
         raise ValueError("emb_index is the auto operating point's "
                          "index; it cannot serve an explicit "
                          "lsh_planes configuration")
-    mapping = near_dup_production(docs, text_col, id_col, n=3,
-                                  num_hashes=num_hashes, bands=bands,
-                                  threshold=jaccard_threshold,
-                                  portable=portable,
-                                  max_bucket=max_bucket,
-                                  reps_index=lex_index)
-    text_edges = (mapping.filter(F.col(id_col) != F.col("group_id"))
-                  .select(F.col(id_col).alias("id_a"),
-                          F.col("group_id").alias("id_b")))
-    if lsh_planes is not None:
-        emb_pairs = rp_lsh_near_dup(emb, threshold=cosine_threshold,
-                                    planes=lsh_planes, bands=lsh_bands,
-                                    id_col=vec_id_col, vec_col=vec_col,
-                                    dim=dim, portable=portable)
-    else:
-        emb_pairs = rp_lsh_near_dup_auto(emb,
-                                         threshold=cosine_threshold,
-                                         target_recall=target_recall,
-                                         max_bands=max_bands,
-                                         id_col=vec_id_col,
-                                         vec_col=vec_col, dim=dim,
-                                         corpus_index=emb_index)
+
+    def _lex_arm() -> DataFrame:
+        mapping = near_dup_production(docs, text_col, id_col, n=3,
+                                      num_hashes=num_hashes, bands=bands,
+                                      threshold=jaccard_threshold,
+                                      portable=portable,
+                                      max_bucket=max_bucket,
+                                      reps_index=lex_index)
+        return (mapping.filter(F.col(id_col) != F.col("group_id"))
+                .select(F.col(id_col).alias("id_a"),
+                        F.col("group_id").alias("id_b")))
+
+    def _emb_arm() -> DataFrame:
+        if lsh_planes is not None:
+            return rp_lsh_near_dup(emb, threshold=cosine_threshold,
+                                   planes=lsh_planes, bands=lsh_bands,
+                                   id_col=vec_id_col, vec_col=vec_col,
+                                   dim=dim, portable=portable)
+        return rp_lsh_near_dup_auto(emb,
+                                    threshold=cosine_threshold,
+                                    target_recall=target_recall,
+                                    max_bands=max_bands,
+                                    id_col=vec_id_col,
+                                    vec_col=vec_col, dim=dim,
+                                    corpus_index=emb_index)
+
+    # The two arms are independent plan builds whose construction runs
+    # ACTIONS on the driver (lineage-pin localCheckpoints, the auto
+    # operating point's corpus count, the components probe inside
+    # near_dup_production) — overlap them on two driver threads
+    # (guide §2.6; r16). The resulting plans (and therefore the
+    # grouping) are identical — only plan-construction wall changes.
+    from nyctaxidatapipeline_spark.plans.util import build_concurrently
+
+    text_edges, emb_pairs = build_concurrently(
+        docs.sparkSession, _lex_arm, _emb_arm)
     emb_edges = emb_pairs.select("id_a", "id_b")
     edges = text_edges.unionByName(emb_edges).distinct()
     comp = connected_components(edges)

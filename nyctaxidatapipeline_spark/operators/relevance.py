@@ -63,6 +63,22 @@ def tfidf_weights(df: DataFrame, text_col: str, id_col: str,
                       F.round(F.col("tf") * idf, 6).alias("tfidf")))
 
 
+# NOTE (r16, measured, do NOT retry): two fusions of the BM25 shapes'
+# double-tokenize were measured and REVERTED —
+#   1. localCheckpoint of a narrow (id, dl, hit-tokens) frame:
+#      bm25_scores 0.72 -> 1.3 s at sf0.1, 1.36 -> 1.77 s at sf1. The
+#      stats and matched subtrees execute as independent stages of ONE
+#      job, so the "duplicate" tokenize overlaps across cores and
+#      costs CPU, not wall — while the checkpoint SERIALIZES the plan
+#      behind its materialization.
+#   2. even WITHOUT the checkpoint, pre-computing the filtered hit
+#      array in a shared projection (explode(_ft) instead of
+#      explode(filter(_tk, ...)) inline) measured 0.67 -> 0.91 s at
+#      sf0.1 / 1.02 -> 1.71 s at sf1 — the extra projection layer
+#      defeats the pruning/collapse Catalyst applies to the inline
+#      form. The r15 inline shape below is the measured optimum.
+
+
 def bm25_scores(df: DataFrame, query_terms: Sequence[str],
                 text_col: str, id_col: str,
                 k1: float = 1.2, b: float = 0.75) -> DataFrame:

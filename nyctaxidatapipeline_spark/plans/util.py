@@ -134,6 +134,34 @@ def _estimated_scan_partitions(df: DataFrame, target: int) -> int | None:
             if split + open_cost else len(files))
 
 
+def build_concurrently(session, *builders):
+    """Run independent DataFrame-builders on driver threads and return
+    their results in order — the guide-§2.6 "overlap independent jobs"
+    pattern for compositions whose arms execute driver ACTIONS during
+    plan construction (lineage-pin localCheckpoints, sizing counts,
+    convergence probes). Built sequentially, each arm's jobs leave the
+    cluster idle for the other's; two driver threads overlap them. The
+    returned plans are identical to sequential construction — only the
+    wall-clock of building them changes.
+
+    Uses ``inheritable_thread_target`` (the documented way to inherit
+    JVM-thread-local properties such as job descriptions/tags in
+    pinned-thread mode); falls back to plain threads when the wrapper
+    is unavailable (pinned-thread mode off)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    try:
+        wrap = inheritable_thread_target(session)
+        wrapped = [wrap(b) for b in builders]
+    except TypeError:
+        wrapped = list(builders)
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = [pool.submit(w) for w in wrapped]
+        return [f.result() for f in futures]
+
+
 def data_sized_bnljs(plan: str) -> list[str]:
     """Lines of BroadcastNestedLoopJoins whose build side is NOT a
     1-row scalar broadcast.
